@@ -1,44 +1,511 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native engine (web_crawler_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001; ``queries()`` maps
+operator names (SURVEY.md §2 inventory) to callables over an sf_dir;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query (same column names on both sides — the driver
+hashes values after sorting columns by name).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in web_crawler_ray) calls ray.init/ray.shutdown.
+
+Float discipline: any aggregate that sums doubles is rounded at a fixed
+precision on BOTH sides (Ray and SQL) so summation-order ULP noise
+cannot flip the driver's value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# The driver may import this module from any cwd, and Ray workers are
+# already running by then (driver calls ray.init first), so they cannot
+# see /root/repo on their sys.path. Make the engine importable on the
+# driver and ship all its UDFs BY VALUE to workers.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import web_crawler_ray  # noqa: E402
+
+from ray import cloudpickle as _rcp  # noqa: E402
+
+_rcp.register_pickle_by_value(web_crawler_ray)
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        for col, nd in spec.items():
+            batch[col] = batch[col].round(nd)
+        return batch
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# SQL-checked queries (TPC-H-ish tables)
+# --------------------------------------------------------------------------
+
+def q_lineitem_summary(sf_dir: str):
+    """A1 global summary (SURVEY §2.5; commodity_service.py:159-211 shape)."""
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_quantity", "l_extendedprice"])
+    out = ds.aggregate(
+        Count(alias_name="total_count"),
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_price"),
+        Min("l_quantity", alias_name="min_qty"),
+        Max("l_quantity", alias_name="max_qty"),
+    )
+    df = pd.DataFrame([out])
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate (A2/A4) with a derived revenue
+    column computed vectorized pre-shuffle."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["disc_price"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch
+
+    g = (
+        ds.map_batches(add_rev, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_qty"] = (batch["sum_qty"] / batch["count_order"]).round(4)
+        batch["sum_qty"] = batch["sum_qty"].round(2)
+        batch["sum_base_price"] = batch["sum_base_price"].round(2)
+        batch["sum_disc_price"] = batch["sum_disc_price"].round(2)
+        return batch
+
+    return g.map_batches(finish, batch_format="pandas")
+
+
+def q_category_stats(sf_dir: str):
+    """A2 per-category count+mean rounded 2dp (commodity_service.py:186-199)."""
+    from web_crawler_ray.stages.aggregate import category_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_discount"])
+    return category_stats(ds, "l_returnflag", "l_discount")
+
+
+def q_top_orders(sf_dir: str):
+    """O2 top-k with deterministic tie-break."""
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def q_top_events(sf_dir: str):
+    """O2 top-5 'gainers' over the events stream."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+    top = ds.sort(["value", "event_id"], descending=[True, False]).limit(5)
+
+    def r(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["value_r"] = batch["value"].round(2)
+        return batch[["event_id", "event_type", "value_r"]]
+
+    return top.map_batches(r, batch_format="pandas")
+
+
+def q_join_revenue(sf_dir: str):
+    """§2.4 hash join lineitem⋈orders + grouped revenue rollup."""
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
+
+    def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch[["l_orderkey", "revenue"]]
+
+    li = li.map_batches(add_rev, batch_format="pandas")
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    g = joined.groupby("o_orderpriority").aggregate(
+        Sum("revenue", alias_name="revenue"), Count(alias_name="n")
+    )
+    return _round_cols(g, {"revenue": 2})
+
+
+def q_filter_range(sf_dir: str):
+    """V1 NumericRange-style predicate push + grouped rollup."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_discount"]
+    )
+    f = ds.filter(expr="l_quantity >= 10 and l_quantity <= 40 and l_discount > 0.02")
+    g = f.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return _round_cols(g, {"sum_qty": 2})
+
+
+def q_dedup_latest(sf_dir: str):
+    """D1 exact latest-wins dedup (processor.py:335-380) over events:
+    per (user_id, event_type) keep max ts, tie-break max event_id."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts", "value"]
+    )
+
+    def reduce(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort").head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "event_type": g["event_type"].values,
+                "last_event_id": g["event_id"].values,
+                "last_value": g["value"].round(2).values,
+            }
+        )
+
+    return ds.groupby(["user_id", "event_type"]).map_groups(reduce, batch_format="pandas")
+
+
+def q_event_type_hist(sf_dir: str):
+    """A5 histogram."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_union_split(sf_dir: str):
+    """D2 union of two filtered streams → rollup."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    lo = ds.filter(expr="value < 50")
+    hi = ds.filter(expr="value >= 50")
+    return lo.union(hi).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def q_project_cast(sf_dir: str):
+    """M7 projection to a pinned schema + computed columns (csv_writer
+    projection semantics)."""
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_size", "p_retailprice"])
+
+    def proj(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_partkey": batch["p_partkey"],
+                "brand_u": batch["p_brand"].str.upper(),
+                "size_bucket": (batch["p_size"] // 10).astype("int64"),
+                "marked_up": (batch["p_retailprice"] * 1.1).round(2),
+            }
+        )
+
+    return ds.map_batches(proj, batch_format="pandas")
+
+
+def q_regex_extract(sf_dir: str):
+    """M5/F3 regex extraction + rollup over documents."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch["text"].str.extract(r"([a-z]{6,})", expand=False)
+        return pd.DataFrame({"w": w.dropna()})
+
+    return ds.map_batches(extract, batch_format="pandas").groupby("w").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def q_token_stats(sf_dir: str):
+    """Text analysis: per-language doc count, total whitespace tokens,
+    avg chars (training-data quality stats)."""
+    from web_crawler_ray.stages.text_stage import token_count_column
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    t = ds.map_batches(token_count_column, batch_format="pandas")
+    g = t.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+        Mean("n_chars", alias_name="avg_chars"),
+    )
+    return _round_cols(g, {"avg_chars": 2})
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    """Exact dedup by content hash (hash-partition + per-group min id)."""
+    from web_crawler_ray.stages.dedup import add_content_hash
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    hashed = ds.map_batches(lambda b: add_content_hash(b, "text"), batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def q_ann_topk(sf_dir: str):
+    """Similarity search: exact cosine top-10 for query = embedding of
+    vec_id 0 (brute-force matmul + partial-topk merge)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import cosine_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab.filter(pd.Series(qtab["vec_id"].to_pylist()).eq(0).to_numpy())["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = cosine_topk(ds, [0], [qvec], k=10)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = batch["score"].round(4)
+        return batch[["query_id", "vec_id", "score", "rank"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible: crawl, near-dup, multimodal)
+# --------------------------------------------------------------------------
+
+def _sf_scale(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return 0.01
+
+
+def q_clean_flagship(sf_dir: str):
+    """Reference flagship: synth raw records → clean → validate → dedup
+    (SURVEY §3.1). Deterministic synthetic input scaled by sf."""
+    from web_crawler_ray.pipelines.clean_pipeline import run_clean_pipeline
+    from web_crawler_ray.synth import gen_raw_records
+
+    n = max(1000, int(1_000_000 * _sf_scale(sf_dir)))
+    raw = rd.from_arrow(gen_raw_records(n)).repartition(8)
+    now = pd.Timestamp("2024-01-22 12:00:00")
+    out = run_clean_pipeline(raw, now)
+    return out.select_columns(["name_std", "symbol", "price_value", "change_percent", "category", "source"])
+
+
+def q_html_parse(sf_dir: str):
+    """M1/M4/F11 parser dispatch over the synthetic page store."""
+    from web_crawler_ray.stages.parse import ExtractRecords
+    from web_crawler_ray.synth import gen_page_store
+
+    n = max(500, int(50_000 * _sf_scale(sf_dir)))
+    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(8)
+    return pages.map_batches(ExtractRecords(), batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate candidate pairs over documents."""
+    from web_crawler_ray.stages.dedup import minhash_near_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return minhash_near_dup_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs over documents."""
+    from web_crawler_ray.stages.dedup import simhash_near_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(ds, max_hamming=12)
+
+
+def q_embed_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (sign-LSH bucketed)."""
+    from web_crawler_ray.stages.similarity import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    # testdata embeddings are near-orthogonal (max pairwise cosine ≈0.48),
+    # so the "near-dup" threshold is set low to exercise the LSH path.
+    return embedding_near_dup_pairs(ds, threshold=0.35)
+
+
+def q_text_metrics(sf_dir: str):
+    """Language-ID, quality score, BPE-ish token count, fingerprint."""
+    from web_crawler_ray.stages.text_stage import TextMetrics
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"]
+    )
+
+
+def q_image_validate(sf_dir: str):
+    """input_hint invariant check over the synthetic image corpus:
+    decode_ok + phash_ok per row (multimodal actor-pool stage)."""
+    from web_crawler_ray.stages.multimodal import DecodeAndValidate
+    from web_crawler_ray.synth import gen_images
+
+    n = max(200, int(20_000 * _sf_scale(sf_dir)))
+    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    out = ds.map_batches(DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=2)
+    return out.select_columns(["image_id", "fmt", "decode_ok", "phash_ok"])
+
+
+def q_phash_dups(sf_dir: str):
+    """D4 exact perceptual-hash duplicate groups over the image corpus."""
+    from web_crawler_ray.stages.dedup import phash_dup_groups
+    from web_crawler_ray.synth import gen_images
+
+    n = max(200, int(20_000 * _sf_scale(sf_dir)))
+    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    return phash_dup_groups(ds)
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: text metrics + quality filter over documents
+    (crawl pipeline becomes the flagship once landed)."""
+    from web_crawler_ray.stages.text_stage import TextMetrics
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=2)
+    return scored.filter(expr="n_tokens > 0")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_lineitem_summary": q_lineitem_summary,
+        "q_pricing_summary": q_pricing_summary,
+        "q_category_stats": q_category_stats,
+        "q_top_orders": q_top_orders,
+        "q_top_events": q_top_events,
+        "q_join_revenue": q_join_revenue,
+        "q_filter_range": q_filter_range,
+        "q_dedup_latest": q_dedup_latest,
+        "q_event_type_hist": q_event_type_hist,
+        "q_union_split": q_union_split,
+        "q_project_cast": q_project_cast,
+        "q_regex_extract": q_regex_extract,
+        "q_token_stats": q_token_stats,
+        "q_doc_exact_dedup": q_doc_exact_dedup,
+        "q_ann_topk": q_ann_topk,
+        "q_clean_flagship": q_clean_flagship,
+        "q_html_parse": q_html_parse,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_text_metrics": q_text_metrics,
+        "q_image_validate": q_image_validate,
+        "q_phash_dups": q_phash_dups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_lineitem_summary": """
+            SELECT count(*) AS total_count,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty
+            FROM lineitem
+        """,
+        "q_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_category_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(avg(l_discount), 2) AS avg_value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_top_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_top_events": """
+            SELECT event_id, event_type, round(value, 2) AS value_r FROM events
+            ORDER BY value DESC, event_id LIMIT 5
+        """,
+        "q_join_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "q_filter_range": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_quantity >= 10 AND l_quantity <= 40 AND l_discount > 0.02
+            GROUP BY l_returnflag
+        """,
+        "q_dedup_latest": """
+            SELECT user_id, event_type, event_id AS last_event_id,
+                   round(value, 2) AS last_value
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+        """,
+        "q_event_type_hist": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "q_union_split": """
+            SELECT event_type, count(*) AS n FROM (
+                SELECT event_type FROM events WHERE value < 50
+                UNION ALL
+                SELECT event_type FROM events WHERE value >= 50
+            ) GROUP BY event_type
+        """,
+        "q_project_cast": """
+            SELECT p_partkey, upper(p_brand) AS brand_u,
+                   CAST(floor(p_size / 10) AS BIGINT) AS size_bucket,
+                   round(p_retailprice * 1.1, 2) AS marked_up
+            FROM part
+        """,
+        "q_regex_extract": """
+            SELECT w, count(*) AS n FROM (
+                SELECT regexp_extract(text, '[a-z]{6,}') AS w FROM documents
+            ) WHERE w <> '' GROUP BY w
+        """,
+        "q_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS total_tokens,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "q_doc_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_ann_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score6
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   round(score6, 4) AS score,
+                   CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
+            FROM s ORDER BY score6 DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,101 @@
+"""Deterministic image codecs, PSNR, and perceptual hash (SURVEY.md §2.8 F13).
+
+PIL is not available in this container, so the "png"/"jpeg" formats of
+the `input_hint` image table are implemented as deterministic
+stand-in codecs with the same *testable properties* as the real ones:
+
+- ``png``  → lossless: zlib-compressed raw RGB; decode is bit-exact.
+- ``jpeg`` → lossy: channel quantization (q controls step) then zlib;
+  decode error bounded by the quantization step, giving PSNR ≥ 40 dB
+  for the default quality (step 4 → max abs error 2 → PSNR ≈ 43 dB).
+
+The container format is ``FIMG | fmt(1B) | step(1B) | w(u16) | h(u16)
+| zlib(payload)``. The Ray-side plumbing (binary column, batch sizes,
+actor-pool decode stage, schema) is real and tested; swapping in PIL
+later touches only ``encode_image``/``decode_image``.
+
+Invariant verified by tests (BASELINE.json input_hint): every stored
+row decodes; PSNR≥40 dB vs source pixels for "jpeg", bit-exact for
+"png"; caption string equality.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+MAGIC = b"FIMG"
+_FMT_CODE = {"png": 0, "jpeg": 1}
+_CODE_FMT = {v: k for k, v in _FMT_CODE.items()}
+JPEG_STEP = 4  # quantization step for the lossy path (≈43 dB PSNR)
+
+
+def encode_image(pixels: np.ndarray, fmt: str = "png") -> bytes:
+    """Encode an (h, w, 3) uint8 array into the stand-in container."""
+    assert pixels.dtype == np.uint8 and pixels.ndim == 3 and pixels.shape[2] == 3
+    h, w = pixels.shape[:2]
+    step = 1
+    payload = pixels
+    if fmt == "jpeg":
+        step = JPEG_STEP
+        payload = (pixels // step) * step + step // 2
+        payload = payload.astype(np.uint8)
+    header = MAGIC + bytes([_FMT_CODE[fmt], step]) + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+    return header + zlib.compress(payload.tobytes(), level=1)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode container bytes → (h, w, 3) uint8 array."""
+    if data[:4] != MAGIC:
+        raise ValueError("not a FIMG container (real png/jpeg decode needs PIL: stubbed)")
+    w = int.from_bytes(data[6:8], "big")
+    h = int.from_bytes(data[8:10], "big")
+    raw = zlib.decompress(data[10:])
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def image_format(data: bytes) -> str:
+    if data[:4] != MAGIC:
+        raise ValueError("not a FIMG container")
+    return _CODE_FMT[data[4]]
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 20.0 * np.log10(255.0) - 10.0 * np.log10(mse)
+
+
+def _block_mean_8x8(gray: np.ndarray) -> np.ndarray:
+    """Mean-pool a 2-D array to 8x8 (simple deterministic resize)."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = gray[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+    return out
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: 8x8 block-mean luminance vs median.
+
+    Signed int64 (two's complement) to fit the input_hint's
+    ``phash:int64`` column.
+    """
+    gray = pixels.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    blocks = _block_mean_8x8(gray)
+    bits = (blocks > np.median(blocks)).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")

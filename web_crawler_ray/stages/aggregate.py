@@ -1,0 +1,96 @@
+"""Aggregations / sorts / top-k (SURVEY.md §2.5 A1-A6, §2.6 O1-O3).
+
+All built on Ray Data's native ``groupby().aggregate`` (partial+final
+combine handled by the engine) and ``sort().limit`` — no driver-side
+loops. Float outputs that feed the DuckDB oracle are rounded at a fixed
+precision on BOTH sides so sum-order nondeterminism in doubles cannot
+flip a value hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def market_summary(ds, change_col: str = "change_percent"):
+    """A1 (commodity_service.py:159-211): global count, mean change,
+    gainer/loser/unchanged counts. Gainer flags are computed vectorized
+    in a map_batches pre-pass so the aggregate is a pure Sum/Count."""
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch[change_col]
+        batch = batch.copy()
+        batch["is_gainer"] = (c > 0).astype("int64")
+        batch["is_loser"] = (c < 0).astype("int64")
+        batch["is_unchanged"] = (c == 0).astype("int64")
+        return batch
+
+    return ds.map_batches(flags, batch_format="pandas").aggregate(
+        Count(alias_name="total_count"),
+        Mean(change_col, alias_name="avg_change"),
+        Sum("is_gainer", alias_name="gainers"),
+        Sum("is_loser", alias_name="losers"),
+        Sum("is_unchanged", alias_name="unchanged"),
+    )
+
+
+def category_stats(ds, category_col: str, value_col: str):
+    """A2 (commodity_service.py:186-199): per-category count + mean,
+    rounded 2dp like the reference."""
+    out = ds.groupby(category_col).aggregate(
+        Count(alias_name="n"),
+        Mean(value_col, alias_name="avg_value"),
+    )
+
+    def round2(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_value"] = batch["avg_value"].round(2)
+        return batch
+
+    return out.map_batches(round2, batch_format="pandas")
+
+
+def top_k(ds, col: str, k: int = 10, descending: bool = True, tie_col: str | None = None):
+    """O2 (commodity_service.py:127-157): top-k by a column with a
+    deterministic tie-break column."""
+    keys = [col] if tie_col is None else [col, tie_col]
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def top_k_per_group(ds, group_col: str, value_col: str, k: int, tie_col: str):
+    """A3/O1 (commodity_service.py:103-125): materialized groups, each
+    sorted desc by value — per-group top-k via map_groups."""
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            [value_col, tie_col], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    return ds.groupby(group_col).map_groups(head, batch_format="pandas")
+
+
+def error_histogram(ds, error_col: str = "errors"):
+    """A5 (validator.py:320-344): error-type histogram. Error strings are
+    semicolon-joined rule names → explode → count."""
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for e in batch[error_col]:
+            if e:
+                rows.extend(e.split(";"))
+        return pd.DataFrame({"error_type": rows})
+
+    return ds.map_batches(explode, batch_format="pandas").groupby("error_type").aggregate(
+        Count(alias_name="n")
+    )
+
+
+def numeric_profile(ds, col: str):
+    """A4/A6-style single-column profile: count/sum/min/max/mean."""
+    return ds.aggregate(
+        Count(alias_name="n"),
+        Sum(col, alias_name="sum_v"),
+        Min(col, alias_name="min_v"),
+        Max(col, alias_name="max_v"),
+        Mean(col, alias_name="mean_v"),
+    )

@@ -1,0 +1,221 @@
+"""Deduplication operators (SURVEY.md §2.7 D1-D4 + training-data suite).
+
+- exact latest-wins (reference D1, pacong/data/processor.py:335-380);
+- exact content-hash dedup (hash-partition + per-group first);
+- MinHash+LSH near-dup (shingle → minhash → band → bucket groupby);
+- SimHash near-dup (band groupby on hash chunks);
+- n-gram Jaccard verification of candidate pairs;
+- embedding-cosine near-dup (LSH-free small-scale; bucketed at scale).
+
+Scale notes: every variant is shaped as ``map_batches`` (per-row
+signatures, vectorized) → explode to (bucket_key, id) → ``groupby``
+on the bucket key → per-group candidate verification. The groupby is
+the only shuffle and its payload is (key, id, signature), never the
+full document — at 100 TB the text/bytes stay columnar in the source
+and only fixed-width keys move.
+"""
+
+from __future__ import annotations
+
+from hashlib import md5
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import text as T
+
+
+def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_col: str | None) -> pd.DataFrame:
+    """D1 merge semantics (processor.py:362-377): keep the row with max
+    ``ts_col`` (deterministic tie-break on ``tie_col``); if multiple
+    distinct sources contributed, replace source with the comma-joined
+    *sorted* distinct set (the reference joins an unordered ``set`` —
+    nondeterministic; we pin sorted order, documented divergence)."""
+    idx = group.sort_values([ts_col, tie_col], ascending=[False, False], kind="mergesort").index[0]
+    winner = group.loc[[idx]].copy()
+    if source_col is not None and source_col in group.columns:
+        sources = sorted({s for s in group[source_col] if s})
+        if len(sources) > 1:
+            winner[source_col] = ",".join(sources)
+    return winner
+
+
+def dedup_latest_wins(ds, keys: list[str], ts_col: str, tie_col: str, source_col: str | None = None):
+    """D1 as hash-partitioned groupby + per-group arg-max."""
+    return ds.groupby(keys).map_groups(
+        lambda g: latest_wins_reducer(g, ts_col, tie_col, source_col),
+        batch_format="pandas",
+    )
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "content_hash") -> pa.Table:
+    """Vectorized-enough md5 per batch (matches DuckDB ``md5`` for the
+    oracle); one C-call per row, no Python string munging."""
+    vals = batch[text_col].to_pylist()
+    hashes = [md5((v or "").encode()).hexdigest() for v in vals]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partition on content hash, keep min id per group."""
+    hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    return hashed.groupby("content_hash").map_groups(
+        lambda g: g.sort_values(id_col, kind="mergesort").head(1), batch_format="pandas"
+    )
+
+
+class MinHashSignatures:
+    """map_batches stage: text → minhash signature + LSH band keys,
+    exploded to one row per (band_key, id). Permutations built once per
+    actor (__init__), matmul-vectorized per batch."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id", seed: int = 7):
+        self.a, self.b = T.minhash_params(num_perm, seed)
+        self.bands = bands
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_ids, out_keys, out_sigs = [], [], []
+        for doc_id, txt in zip(ids, texts):
+            sh = T.char_shingles(txt, self.k)
+            sig = T.minhash_signature(sh, self.a, self.b)
+            for key in T.lsh_band_keys(sig, self.bands):
+                out_ids.append(doc_id)
+                out_keys.append(key)
+                out_sigs.append(sig.tobytes())
+        return pa.table(
+            {
+                "band_key": pa.array(out_keys, pa.int64()),
+                self.id_col: pa.array(out_ids),
+                "sig": pa.array(out_sigs, pa.binary()),
+            }
+        )
+
+
+def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket, verified by estimated
+    Jaccard (signature agreement rate). Deterministic (ids sorted)."""
+    rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+    ids = rows[id_col].to_numpy()
+    sigs = [np.frombuffer(s, dtype=np.uint64) for s in rows["sig"]]
+    a_out, b_out, est = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            jac = float((sigs[i] == sigs[j]).mean())
+            if jac >= threshold:
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+                est.append(jac)
+    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est})
+
+
+def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
+                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=2):
+    """MinHash+LSH near-duplicate pairs: signatures (actor pool) →
+    groupby(band_key) → per-bucket verify → global distinct pairs."""
+    exploded = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k,
+                               "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = exploded.groupby("band_key").map_groups(
+        lambda g: _pairs_from_bucket(g, id_col, threshold), batch_format="pandas"
+    )
+    # same pair can surface from multiple bands → distinct
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+class SimHashStage:
+    """map_batches stage: text → simhash64 + 4×16-bit band keys (near-dup
+    candidates differ in ≤3 bands ⇒ hamming ≤ 16·3 guaranteed window;
+    verification computes true hamming)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_pylist()
+        out_ids, out_band, out_hash = [], [], []
+        for doc_id, txt in zip(ids, texts):
+            h = T.simhash64(txt)
+            hu = h & ((1 << 64) - 1)
+            for band in range(4):
+                chunk = (hu >> (band * 16)) & 0xFFFF
+                out_ids.append(doc_id)
+                out_band.append((band << 16) | chunk)
+                out_hash.append(h)
+        return pa.table(
+            {
+                "band_key": pa.array(out_band, pa.int64()),
+                self.id_col: pa.array(out_ids),
+                "simhash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+
+def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8):
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+        ids = rows[id_col].to_numpy()
+        hs = rows["simhash"].to_numpy()
+        a_out, b_out, d_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin((int(hs[i]) ^ int(hs[j])) & ((1 << 64) - 1)).count("1")
+                if d <= max_hamming:
+                    a_out.append(ids[i]); b_out.append(ids[j]); d_out.append(d)
+        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+
+    exploded = ds.map_batches(SimHashStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+                              batch_format="pyarrow", concurrency=2)
+    pairs = exploded.groupby("band_key").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+
+
+def ngram_jaccard_verify(ds_pairs, docs_lookup: dict, k: int = 5, threshold: float = 0.5,
+                         id_a="id_a", id_b="id_b"):
+    """Verify candidate pairs with true k-gram Jaccard. ``docs_lookup``
+    is a broadcast {id: text} dict (ray.put on the driver, captured in
+    the closure) — valid because candidate verification only ever needs
+    the candidate subset, which is small relative to the corpus."""
+    import ray
+
+    ref = ray.put(docs_lookup)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        keep, jac = [], []
+        for a, b in zip(batch[id_a], batch[id_b]):
+            ja = T.jaccard(T.char_shingles(lookup.get(a, ""), k), T.char_shingles(lookup.get(b, ""), k))
+            keep.append(ja >= threshold)
+            jac.append(ja)
+        batch = batch.copy()
+        batch["jaccard"] = jac
+        return batch[np.array(keep, dtype=bool)]
+
+    return ds_pairs.map_batches(verify, batch_format="pandas")
+
+
+def phash_dup_groups(ds, phash_col: str = "phash", id_col: str = "image_id"):
+    """D4 — exact perceptual-hash dup groups over the image corpus:
+    groupby(phash), keep groups of size > 1, emit (phash, n, ids)."""
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({phash_col: [], "n_dups": [], "ids": []})
+        ids = ",".join(sorted(map(str, group[id_col])))
+        return pd.DataFrame({phash_col: [group[phash_col].iloc[0]], "n_dups": [len(group)], "ids": [ids]})
+
+    return ds.groupby(phash_col).map_groups(collect, batch_format="pandas")

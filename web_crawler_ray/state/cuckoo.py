@@ -1,0 +1,227 @@
+"""Approximate-membership structures for the URL-seen set
+(north rule: "bloom/cuckoo URL-seen"; SURVEY.md §2.3 T7, §2.7 D3).
+
+- ``CuckooFilter``: 4-way bucketed cuckoo filter (Fan et al., CoNLL'14
+  construction) over uint64 key hashes, numpy-backed, with
+  deterministic eviction and byte-exact serialize/restore (checkpoint
+  determinism: eviction paths depend on insertion order, so resume
+  restores the filter BYTES, never a rebuilt approximation —
+  SURVEY.md §7 "what's hard").
+- ``BloomFilter``: the spill fallback — when a shard's working set
+  exceeds the cuckoo capacity the shard degrades to a bloom overlay
+  (no deletions needed for URL-seen).
+- ``SeenShard``: the Ray actor owning one hash-range shard. The filter
+  answers "definitely new" fast; an exact uint64 set backs "maybe
+  seen" probes so the URL-seen set is EXACT (the north rule requires
+  the final seen set to match the reference exactly; the approximate
+  structures are the memory/speed story, the exact store is the truth
+  and is what spills to the checkpoint).
+
+Batch API throughout: probes/inserts take uint64 arrays, one actor
+round-trip per (batch × shard), not per URL.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+
+_FP_MASK = np.uint64(0xFFFF)
+
+
+class CuckooFilter:
+    """4-slot-per-bucket cuckoo filter with 16-bit fingerprints.
+
+    ~98% load capacity in theory; we cap at 95% and report failure
+    beyond it (caller degrades to bloom). False-positive rate ≈
+    2*4/2^16 ≈ 1.2e-4.
+    """
+
+    MAX_KICKS = 500
+
+    def __init__(self, capacity: int, seed: int = 0):
+        nb = 1
+        while nb * 4 < capacity:
+            nb <<= 1
+        self.n_buckets = nb
+        self.buckets = np.zeros((nb, 4), dtype=np.uint16)
+        self.count = 0
+        self._kick_state = np.uint64(seed * 2654435761 + 12345)  # deterministic eviction PRNG
+
+    def _fp(self, h: np.uint64) -> np.uint64:
+        fp = (np.uint64(h) >> np.uint64(48)) & _FP_MASK
+        return fp if fp != 0 else np.uint64(1)
+
+    def _i1(self, h: np.uint64) -> int:
+        return int(np.uint64(h) & np.uint64(self.n_buckets - 1))
+
+    def _i2(self, i1: int, fp: np.uint64) -> int:
+        # partial-key cuckoo hashing: alt index = i1 xor hash(fp)
+        fph = (np.uint64(fp) * np.uint64(0x5BD1E995)) & np.uint64(self.n_buckets - 1)
+        return int(np.uint64(i1) ^ fph)
+
+    def _next_kick(self) -> int:
+        # xorshift64 — deterministic given construction seed + call order
+        x = self._kick_state
+        x ^= x << np.uint64(13)
+        x ^= x >> np.uint64(7)
+        x ^= x << np.uint64(17)
+        self._kick_state = x
+        return int(x & np.uint64(3))
+
+    def contains(self, h: int) -> bool:
+        fp = self._fp(np.uint64(h))
+        i1 = self._i1(np.uint64(h))
+        if (self.buckets[i1] == fp).any():
+            return True
+        return bool((self.buckets[self._i2(i1, fp)] == fp).any())
+
+    def contains_batch(self, hs: np.ndarray) -> np.ndarray:
+        return np.fromiter((self.contains(int(h)) for h in hs), dtype=bool, count=len(hs))
+
+    def insert(self, h: int) -> bool:
+        fp = self._fp(np.uint64(h))
+        i1 = self._i1(np.uint64(h))
+        i2 = self._i2(i1, fp)
+        for idx in (i1, i2):
+            empty = np.nonzero(self.buckets[idx] == 0)[0]
+            if len(empty):
+                self.buckets[idx, empty[0]] = fp
+                self.count += 1
+                return True
+        # evict deterministically
+        idx = i1
+        cur = fp
+        for _ in range(self.MAX_KICKS):
+            slot = self._next_kick()
+            cur, self.buckets[idx, slot] = self.buckets[idx, slot], cur
+            idx = self._i2(idx, cur)
+            empty = np.nonzero(self.buckets[idx] == 0)[0]
+            if len(empty):
+                self.buckets[idx, empty[0]] = cur
+                self.count += 1
+                return True
+        return False  # table effectively full
+
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf, buckets=self.buckets, count=np.int64(self.count), kick=np.uint64(self._kick_state)
+        )
+        return buf.getvalue()
+
+    @classmethod
+    def restore(cls, data: bytes) -> "CuckooFilter":
+        loaded = np.load(io.BytesIO(data))
+        obj = cls.__new__(cls)
+        obj.buckets = loaded["buckets"]
+        obj.n_buckets = obj.buckets.shape[0]
+        obj.count = int(loaded["count"])
+        obj._kick_state = np.uint64(loaded["kick"])
+        return obj
+
+
+class BloomFilter:
+    """Split-bloom over uint64 hashes (k derived hashes by multiply-shift).
+    The spill fallback: no deletes, constant memory, ~1e-4 fpr at
+    10 bits/key."""
+
+    def __init__(self, capacity: int, bits_per_key: int = 10, k: int = 7):
+        n_bits = max(64, capacity * bits_per_key)
+        self.n_words = (n_bits + 63) // 64
+        self.words = np.zeros(self.n_words, dtype=np.uint64)
+        self.k = k
+
+    def _positions(self, hs: np.ndarray) -> np.ndarray:
+        hs = hs.astype(np.uint64)
+        out = np.empty((self.k, len(hs)), dtype=np.uint64)
+        h1 = hs
+        h2 = (hs >> np.uint64(32)) | (hs << np.uint64(32))
+        for i in range(self.k):
+            out[i] = h1 + np.uint64(i) * h2
+        return out % np.uint64(self.n_words * 64)
+
+    def add_batch(self, hs: np.ndarray) -> None:
+        pos = self._positions(hs).ravel()
+        np.bitwise_or.at(self.words, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+
+    def contains_batch(self, hs: np.ndarray) -> np.ndarray:
+        pos = self._positions(hs)
+        word = self.words[(pos >> np.uint64(6)).astype(np.int64)]
+        bit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return bit.all(axis=0).astype(bool)
+
+    def serialize(self) -> bytes:
+        buf = io.BytesIO()
+        np.savez_compressed(buf, words=self.words, k=np.int64(self.k))
+        return buf.getvalue()
+
+    @classmethod
+    def restore(cls, data: bytes) -> "BloomFilter":
+        loaded = np.load(io.BytesIO(data))
+        obj = cls.__new__(cls)
+        obj.words = loaded["words"]
+        obj.n_words = len(obj.words)
+        obj.k = int(loaded["k"])
+        return obj
+
+
+class SeenShardState:
+    """One URL-seen shard: cuckoo fast path + exact backing set (+ bloom
+    overlay once the cuckoo saturates). Plain object so the same code
+    runs inside a Ray actor (distributed) and inside the sequential
+    oracle (reference-semantics replay)."""
+
+    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        self.cuckoo = CuckooFilter(capacity, seed=shard_id)
+        self.bloom: BloomFilter | None = None
+        self.exact: set[int] = set()
+        self.fp_hits = 0  # cuckoo-positive but actually new
+
+    def probe_and_add(self, hs: np.ndarray) -> np.ndarray:
+        """Returns is_new mask; marks all probed hashes as seen.
+        Exactness: the filter only short-circuits definite negatives;
+        positives are confirmed against the exact set."""
+        out = np.empty(len(hs), dtype=bool)
+        for i, h in enumerate(hs):
+            h = int(h)
+            maybe = self.cuckoo.contains(h) or (self.bloom is not None and bool(self.bloom.contains_batch(np.array([h], dtype=np.uint64))[0]))
+            if maybe:
+                new = h not in self.exact
+                if new:
+                    self.fp_hits += 1
+            else:
+                new = True
+            if new:
+                self.exact.add(h)
+                if not self.cuckoo.insert(h):
+                    if self.bloom is None:
+                        self.bloom = BloomFilter(capacity=max(1 << 18, len(self.exact) * 4))
+                    self.bloom.add_batch(np.array([h], dtype=np.uint64))
+            out[i] = new
+        return out
+
+    def snapshot(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "cuckoo": self.cuckoo.serialize(),
+            "bloom": self.bloom.serialize() if self.bloom else None,
+            "exact": np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)),
+            "fp_hits": self.fp_hits,
+        }
+
+    @classmethod
+    def restore(cls, snap: dict) -> "SeenShardState":
+        obj = cls.__new__(cls)
+        obj.shard_id = int(snap["shard_id"])
+        obj.cuckoo = CuckooFilter.restore(snap["cuckoo"])
+        obj.bloom = BloomFilter.restore(snap["bloom"]) if snap["bloom"] is not None else None
+        obj.exact = set(int(x) for x in snap["exact"])
+        obj.fp_hits = int(snap["fp_hits"])
+        return obj
+
+    def seen_array(self) -> np.ndarray:
+        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))

@@ -1,0 +1,299 @@
+"""Deterministic synthetic fixtures (FIXTURES.md tables 1-6).
+
+Everything is a pure function of an integer seed + size parameters —
+no wall clock, no global RNG — so the sequential reference-semantics
+oracle and the Ray pipeline see byte-identical inputs, and the same
+tables regenerate identically at any parallelism level (the north
+rule's cross-cluster-size determinism hinges on this).
+
+Shardability: per-page content is keyed by ``default_rng((seed,
+page_id))`` and host assignment is a pure hash→inverse-CDF function of
+the page id, so any row range can be generated independently —
+``gen_page_store_range`` runs inside ``map_batches`` over
+``ray.data.range(n_pages)`` for large tiers; the monolithic helpers are
+small-tier conveniences over the same per-row functions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .codecs import encode_image, phash64
+from .hashing import hash64, hash64_batch
+
+SOURCE_TYPES = ["commodity", "forex", "api", "webpage", "excel"]
+
+# vocabulary exercising F4/F5 (aliases, keywords, noise)
+COMMODITY_NAMES = [
+    "Gold", "Silver", "Copper", "Oil (WTI)", "Oil (Brent)", "Natural Gas",
+    "Corn", "Wheat", "Soybean", "Coffee", "Live Cattle", "Platinum",
+    "Aluminum", "Zinc", "RBOB Gasoline", "Heating Oil", "Sugar", "Cotton",
+]
+PRICE_FORMS = ["{:.2f}", "{:,.2f}", "$ {:.2f}", "{:.2f} USD", "€{:,.2f}"]
+CAPTION_WORDS = ["黄金", "白银", "原油", "market", "daily", "chart", "价格", "走势", "index", "close"]
+
+
+def hosts_list(n_hosts: int) -> list[str]:
+    return [f"h{k}.example.test" for k in range(n_hosts)]
+
+
+def zipf_cdf(n_hosts: int, s: float = 1.2) -> np.ndarray:
+    """Cumulative Zipf(s) weights over host ranks — one hot host (rank 0)
+    takes ~20-40% of URLs, forcing the hot-host salting path."""
+    w = np.arange(1, n_hosts + 1, dtype=np.float64) ** (-s)
+    w /= w.sum()
+    return np.cumsum(w)
+
+
+def host_ids_for_pages(page_ids: np.ndarray, n_hosts: int, seed: int) -> np.ndarray:
+    """Pure hash-based Zipf host assignment (shard-safe, no RNG stream)."""
+    cdf = zipf_cdf(n_hosts)
+    u = np.array(
+        [hash64(f"host:{seed}:{int(i)}") / 2.0**64 for i in page_ids], dtype=np.float64
+    )
+    return np.searchsorted(cdf, u, side="right").clip(0, n_hosts - 1)
+
+
+def universe_url(page_id: int, host: str) -> str:
+    return f"https://{host}/p/{page_id}"
+
+
+def gen_seeds(n_seeds: int, n_hosts: int, seed: int = 42) -> pa.Table:
+    """FIXTURES.md §1 — seed list = universe pages 0..n_seeds-1 (host
+    assignment shared with the page store via host_ids_for_pages)."""
+    ids = np.arange(n_seeds, dtype=np.int64)
+    host_ids = host_ids_for_pages(ids, n_hosts, seed)
+    hosts = hosts_list(n_hosts)
+    rng = np.random.default_rng(seed)
+    prio = rng.random(n_seeds).astype(np.float32)
+    types = rng.integers(0, len(SOURCE_TYPES), size=n_seeds)
+    return pa.table(
+        {
+            "seed_id": pa.array(ids),
+            "url": pa.array([universe_url(i, hosts[h]) for i, h in zip(ids, host_ids)], pa.string()),
+            "host": pa.array([hosts[h] for h in host_ids], pa.string()),
+            "priority": pa.array(prio, pa.float32()),
+            "type": pa.array([SOURCE_TYPES[t] for t in types], pa.string()),
+        }
+    )
+
+
+def _mutate_url(rng: np.random.Generator, url: str) -> str:
+    """Emit a non-canonical variant ~20% of the time (FIXTURES §2:
+    exercises canonicalize+hash and the seen set)."""
+    r = rng.random()
+    if r < 0.80:
+        return url
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if r < 0.85:
+        return f"HTTPS://{host}/{path}"
+    if r < 0.90:
+        return f"https://{host}:443/{path}"
+    if r < 0.95:
+        return f"https://{host}/./{path}"
+    return f"https://{host}/{path}#frag{int(r * 1000)}"
+
+
+def _html_table_body(rng: np.random.Generator) -> bytes:
+    n_rows = int(rng.integers(2, 6))
+    rows = ["<tr><th>Commodity</th><th>Price</th><th>Change</th></tr>"]
+    for _ in range(n_rows):
+        name = COMMODITY_NAMES[int(rng.integers(len(COMMODITY_NAMES)))]
+        form = PRICE_FORMS[int(rng.integers(len(PRICE_FORMS)))]
+        price = form.format(float(rng.random() * 3000))
+        change = f"{'+' if rng.random() < 0.5 else '-'}{float(rng.random() * 5):.2f}%"
+        rows.append(f"<tr><td>{name}</td><td>{price}</td><td>{change}</td></tr>")
+    return ("<html><body><table>" + "".join(rows) + "</table></body></html>").encode()
+
+
+def _jsonp_body(rng: np.random.Generator) -> bytes:
+    pairs = ["fx_scnytwd", "fx_susdcny", "fx_seurusd"]
+    key = pairs[int(rng.integers(len(pairs)))]
+    bid = float(rng.random() * 2)
+    return (
+        f'var hq_str_{key}="人民币对,{bid:.4f},{bid + 0.001:.4f},{bid + 0.0005:.4f},'
+        f'2024-01-22,15:30:00";'
+    ).encode()
+
+
+def page_meta(pid: int, n_pages: int, n_hosts: int, seed: int, max_outlinks: int = 20) -> dict:
+    """Status / content-type / outlinks for one page — independent RNG
+    streams per aspect so body generation can be skipped (synthetic
+    fetch mode) without perturbing the link graph."""
+    rs = np.random.default_rng((seed, pid, 0))
+    r = rs.random()
+    status = 200 if r < 0.92 else (404 if r < 0.95 else (429 if r < 0.97 else 500))
+    fetch_ms = int(rs.integers(5, 51))
+    ct = rs.random()
+    content_type = "text/html" if ct < 0.75 else ("application/json" if ct < 0.9 else "application/jsonp")
+    rl = np.random.default_rng((seed, pid, 2))
+    k = int(rl.integers(0, max_outlinks + 1))
+    if k == 0 or status != 200:
+        links: list[str] = []
+    else:
+        hosts = hosts_list(n_hosts)
+        tgt = rl.integers(0, n_pages, size=k)
+        tgt_hosts = host_ids_for_pages(tgt, n_hosts, seed)
+        links = [
+            _mutate_url(rl, universe_url(int(j), hosts[th]))
+            for j, th in zip(tgt.tolist(), tgt_hosts.tolist())
+        ]
+    return {"status": status, "fetch_ms": fetch_ms, "content_type": content_type, "outlinks": links}
+
+
+def page_body(pid: int, seed: int, content_type: str) -> bytes:
+    rb = np.random.default_rng((seed, pid, 1))
+    if content_type == "text/html":
+        return _html_table_body(rb)
+    if content_type == "application/json":
+        return b'{"data": {"commodities": [{"name": "Gold", "price": 2345.1}]}}'
+    return _jsonp_body(rb)
+
+
+def gen_page_store_range(
+    lo: int, hi: int, n_pages: int, n_hosts: int, seed: int = 42,
+    max_outlinks: int = 20, with_body: bool = True,
+) -> pa.Table:
+    """FIXTURES.md §2 — the synthetic web (fetch stand-in + link graph)
+    for page ids [lo, hi). Closed graph: every outlink targets a
+    universe page id < n_pages. Shard-safe: each page's content depends
+    only on (seed, page_id)."""
+    ids = np.arange(lo, hi, dtype=np.int64)
+    host_ids = host_ids_for_pages(ids, n_hosts, seed)
+    hosts = hosts_list(n_hosts)
+
+    urls, statuses, content_types, bodies, outlinks, fetch_ms = [], [], [], [], [], []
+    for pid, hid in zip(ids.tolist(), host_ids.tolist()):
+        urls.append(universe_url(pid, hosts[hid]))
+        meta = page_meta(pid, n_pages, n_hosts, seed, max_outlinks)
+        statuses.append(meta["status"])
+        fetch_ms.append(meta["fetch_ms"])
+        content_types.append(meta["content_type"])
+        outlinks.append(meta["outlinks"])
+        if with_body:
+            bodies.append(page_body(pid, seed, meta["content_type"]))
+
+    cols = {
+        "page_id": pa.array(ids),
+        "url": pa.array(urls, pa.string()),
+        "url_hash": pa.array(hash64_batch(urls), pa.uint64()),
+        "host": pa.array([hosts[h] for h in host_ids], pa.string()),
+        "status": pa.array(statuses, pa.int32()),
+        "content_type": pa.array(content_types, pa.string()),
+        "outlinks": pa.array(outlinks, pa.list_(pa.string())),
+        "fetch_ms": pa.array(fetch_ms, pa.int32()),
+    }
+    if with_body:
+        cols["body"] = pa.array(bodies, pa.binary())
+    return pa.table(cols)
+
+
+def gen_page_store(n_pages: int, n_hosts: int, seed: int = 42, max_outlinks: int = 20) -> pa.Table:
+    return gen_page_store_range(0, n_pages, n_pages, n_hosts, seed, max_outlinks)
+
+
+def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str, str, int]:
+    """Deterministic image+caption payload for a fetched page
+    (the crawl sink's input_hint row). Pure function of url_hash."""
+    rng = np.random.default_rng(url_hash & 0x7FFFFFFF)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    fmt = "jpeg" if url_hash & 1 else "png"
+    data = encode_image(pixels, fmt)
+    words = [CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(4)]
+    caption = " ".join(words) + f" #{url_hash & 0xFFFF}"
+    return data, fmt, caption, phash64(pixels)
+
+
+def gen_images(n: int, seed: int = 42, dup_rate: float = 0.01) -> pa.Table:
+    """FIXTURES.md §3 — image+caption corpus in the exact input_hint
+    schema (image_id, bytes, w, h, fmt, caption, phash); ~dup_rate
+    deliberate duplicates for near-dup tests."""
+    rng = np.random.default_rng(seed)
+    sizes = np.array([32, 64, 128])
+    recs = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash")}
+    prev: list[tuple] = []
+    for i in range(n):
+        if prev and rng.random() < dup_rate:
+            data, fmt, caption, ph, w, h = prev[int(rng.integers(len(prev)))]
+        else:
+            w = int(sizes[int(rng.integers(3))])
+            h = int(sizes[int(rng.integers(3))])
+            pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            fmt = "jpeg" if rng.random() < 0.5 else "png"
+            data = encode_image(pixels, fmt)
+            caption = " ".join(
+                CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(5)
+            )
+            ph = phash64(pixels)
+            prev.append((data, fmt, caption, ph, w, h))
+            if len(prev) > 64:
+                prev.pop(0)
+        recs["image_id"].append(f"img-{i:08d}")
+        recs["bytes"].append(data)
+        recs["w"].append(w)
+        recs["h"].append(h)
+        recs["fmt"].append(fmt)
+        recs["caption"].append(caption)
+        recs["phash"].append(ph)
+    return pa.table(
+        {
+            "image_id": pa.array(recs["image_id"], pa.string()),
+            "bytes": pa.array(recs["bytes"], pa.binary()),
+            "w": pa.array(recs["w"], pa.int32()),
+            "h": pa.array(recs["h"], pa.int32()),
+            "fmt": pa.array(recs["fmt"], pa.string()),
+            "caption": pa.array(recs["caption"], pa.string()),
+            "phash": pa.array(recs["phash"], pa.int64()),
+        }
+    )
+
+
+def gen_robots(n_hosts: int, seed: int = 42) -> pa.Table:
+    """FIXTURES.md §6 — per-host crawl delay + disallow prefixes."""
+    rng = np.random.default_rng(seed + 1)
+    hosts = hosts_list(n_hosts)
+    delays = rng.choice([0, 500, 2000], size=n_hosts, p=[0.3, 0.4, 0.3]).astype(np.int32)
+    prefixes = []
+    for _ in range(n_hosts):
+        k = int(rng.integers(0, 4))
+        # /p/<digit> disallows ~10% of a host's pages when present
+        prefixes.append([f"/p/{int(rng.integers(10))}" for _ in range(k)])
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "crawl_delay_ms": pa.array(delays),
+            "disallow_prefixes": pa.array(prefixes, pa.list_(pa.string())),
+        }
+    )
+
+
+def gen_raw_records(n: int, seed: int = 42) -> pa.Table:
+    """FIXTURES.md §4 — edge-case scraped-row corpus for the
+    clean/validate/dedup operators (F1-F5, V1-V3, D1)."""
+    rng = np.random.default_rng(seed + 2)
+    price_pool = ["1,234.56", "1.234,56", "4,09", "$70.12/bbl", "", "n/a", "70.25", "1 234,5"]
+    change_pool = ["+1.23%", "-0,5%", "250%", "+0.8", "", "-51.0%"]
+    sym_pool = ["GC1:COM", "XAUUSD:CUR", "GC1", "AB", "??", ""]
+    name_pool = COMMODITY_NAMES + ["", "Commodity", "Price", "AB", "Oil   (WTI)"]
+    base = np.datetime64("2024-01-22T12:00:00", "us")
+    names, symbols, prices, changes, sources, ts = [], [], [], [], [], []
+    for _ in range(n):
+        names.append(name_pool[int(rng.integers(len(name_pool)))])
+        symbols.append(sym_pool[int(rng.integers(len(sym_pool)))])
+        prices.append(price_pool[int(rng.integers(len(price_pool)))])
+        changes.append(change_pool[int(rng.integers(len(change_pool)))])
+        sources.append(f"src{int(rng.integers(4))}")
+        jitter = int(rng.integers(-60 * 3600, 60 * 3600))  # ±60 h: trips TimestampRule
+        ts.append(base + np.timedelta64(jitter, "s"))
+    return pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "symbol": pa.array(symbols, pa.string()),
+            "price": pa.array(prices, pa.string()),
+            "change": pa.array(changes, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "timestamp": pa.array(ts, pa.timestamp("us")),
+        }
+    )
