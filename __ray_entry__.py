@@ -367,17 +367,86 @@ def q_phash_dups(sf_dir: str):
 
 
 # --------------------------------------------------------------------------
+# crawl queries (north rule; rows-only — the pytest suite holds the
+# exact-order/seen-set oracle match, tests/test_crawl.py)
+# --------------------------------------------------------------------------
+
+def _crawl_cfg(sf_dir: str, tag: str):
+    from web_crawler_ray.pipelines.crawl import CrawlConfig
+
+    scale = _sf_scale(sf_dir)
+    n_seeds = max(100, int(10_000 * scale))
+    return CrawlConfig(
+        n_pages=n_seeds * 10,
+        n_hosts=max(15, int(n_seeds / 10)),
+        seed=42,
+        max_rounds=3,
+        fetch_mode="synth",
+        checkpoint_dir=f"/tmp/wcr_crawl_{tag}_{scale}",
+        num_blocks=8,
+    ), n_seeds
+
+
+def q_crawl_order(sf_dir: str):
+    """Crawl frontier scheduler end-to-end: deterministic global fetch
+    order (rank, round, fetch_ts_ms, host, url)."""
+    from web_crawler_ray.pipelines.crawl import read_crawl_order, run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
+
+    cfg, n_seeds = _crawl_cfg(sf_dir, "order")
+    seeds = gen_seeds(n_seeds, cfg.n_hosts, cfg.seed)
+    run_crawl(cfg, seeds, robots_table=gen_robots(cfg.n_hosts, cfg.seed))
+    order = read_crawl_order(cfg.checkpoint_dir)
+    return order.select(["rank", "round", "fetch_ts_ms", "host", "url"])
+
+
+def q_crawl_seen_metrics(sf_dir: str):
+    """URL-seen shard stats + per-round crawl metrics/lineage."""
+    import pyarrow as pa
+
+    from web_crawler_ray.pipelines.crawl import run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
+
+    cfg, n_seeds = _crawl_cfg(sf_dir, "metrics")
+    seeds = gen_seeds(n_seeds, cfg.n_hosts, cfg.seed)
+    res = run_crawl(cfg, seeds, robots_table=gen_robots(cfg.n_hosts, cfg.seed))
+    return pa.Table.from_pylist(
+        [
+            {
+                "round": m["round"],
+                "n_frontier": m["n_frontier"],
+                "n_granted": m["n_granted"],
+                "n_deferred": m["n_deferred"],
+                "n_robots_denied": m["n_robots_denied"],
+                "n_fetched_ok": m["n_fetched_ok"],
+                "n_outlinks": m["n_outlinks"],
+                "n_seen_total": res["n_seen"],
+            }
+            for m in res["metrics"]
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship on sf0.001: text metrics + quality filter over documents
-    (crawl pipeline becomes the flagship once landed)."""
-    from web_crawler_ray.stages.text_stage import TextMetrics
+    """Flagship: the crawl pipeline (north rule) at smoke scale —
+    seeds → canonicalize → URL-seen shards → politeness → fetch →
+    image+caption sink; returns the stored input_hint rows."""
+    from web_crawler_ray.io import lancelike
+    from web_crawler_ray.pipelines.crawl import CrawlConfig, run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
 
-    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
-    scored = ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=2)
-    return scored.filter(expr="n_tokens > 0")
+    cfg = CrawlConfig(
+        n_pages=1000, n_hosts=15, seed=42, max_rounds=2, fetch_mode="synth",
+        checkpoint_dir="/tmp/wcr_entry_crawl", num_blocks=4,
+    )
+    run_crawl(cfg, gen_seeds(100, cfg.n_hosts, cfg.seed),
+              robots_table=gen_robots(cfg.n_hosts, cfg.seed))
+    images = lancelike.read_dataset(f"{cfg.checkpoint_dir}/images")
+    return rd.from_arrow(images)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -405,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_text_metrics": q_text_metrics,
         "q_image_validate": q_image_validate,
         "q_phash_dups": q_phash_dups,
+        "q_crawl_order": q_crawl_order,
+        "q_crawl_seen_metrics": q_crawl_seen_metrics,
     }
 
 

@@ -1,0 +1,179 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one Ray session of $RAY_GRAFT_CPUS (default
+32) CPUs and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": .., "num_cpus": ..,
+     "crawl": {...urls/sec...}}
+
+--scaling: runs the crawl headline twice in FRESH processes at 8 and
+32 CPUs on the same deterministic input (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes) and reports throughput at both +
+scaling efficiency + cross-run crawl-order/seen-set equality.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# crawl bench shape (fixed, independent of sf tables: the frontier is
+# synthetic per FIXTURES.md; sized so politeness/shuffle/seen-shard work
+# dominates, not per-round constant overhead)
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "20000"))
+CRAWL_PAGES = CRAWL_SEEDS * 10
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "500"))
+CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "3"))
+
+BENCH_QUERIES = [
+    "q_pricing_summary",
+    "q_join_revenue",
+    "q_dedup_latest",
+    "q_top_orders",
+    "q_token_stats",
+    "q_doc_exact_dedup",
+    "q_ann_topk",
+    "q_minhash_pairs",
+    "q_text_metrics",
+    "q_clean_flagship",
+    "q_image_validate",
+]
+
+
+def run_crawl_bench(ckpt_tag: str) -> dict:
+    import ray
+
+    from web_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_order, run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
+
+    cfg = CrawlConfig(
+        n_pages=CRAWL_PAGES,
+        n_hosts=CRAWL_HOSTS,
+        seed=42,
+        max_rounds=CRAWL_ROUNDS,
+        round_budget_ms=60_000,
+        n_seen_shards=8,
+        fetch_mode="synth",
+        checkpoint_dir=f"/tmp/wcr_bench_crawl_{ckpt_tag}",
+        num_blocks=max(8, NUM_CPUS // 2),
+        write_images=False,
+    )
+    seeds = gen_seeds(CRAWL_SEEDS, cfg.n_hosts, cfg.seed)
+    robots = gen_robots(cfg.n_hosts, cfg.seed)
+    t0 = time.monotonic()
+    res = run_crawl(cfg, seeds, robots_table=robots)
+    wall = time.monotonic() - t0
+    processed = sum(m["n_frontier"] for m in res["metrics"])
+    order = read_crawl_order(cfg.checkpoint_dir)
+    import hashlib
+
+    order_digest = hashlib.md5(
+        ",".join(map(str, order["url_hash"].to_pylist())).encode()
+    ).hexdigest()
+    return {
+        "wall_s": round(wall, 2),
+        "granted": res["total_granted"],
+        "frontier_processed": processed,
+        "granted_urls_per_sec": round(res["total_granted"] / wall, 1),
+        "frontier_urls_per_sec": round(processed / wall, 1),
+        "n_seen": res["n_seen"],
+        "order_digest": order_digest,
+        "rounds": res["rounds"],
+    }
+
+
+def main() -> None:
+    import ray
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    crawl_only = os.environ.get("BENCH_CRAWL_ONLY") == "1"
+    queries: dict[str, float] = {}
+    t_total0 = time.monotonic()
+
+    crawl = run_crawl_bench(f"cpus{NUM_CPUS}")
+    queries["crawl_frontier"] = crawl["wall_s"]
+
+    if not crawl_only:
+        qs = entry_mod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            result = qs[name](SF_DIR)
+            # consume lazily-built datasets fully
+            if hasattr(result, "to_pandas"):
+                result = result.to_pandas()
+            queries[name] = round(time.monotonic() - t0, 2)
+
+    total = round(time.monotonic() - t_total0, 2)
+    out = {
+        "metric": "headline pipelines wall time (crawl frontier + operator suite)",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "num_cpus": NUM_CPUS,
+        "crawl": crawl,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_CRAWL_ONLY="1",
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    thr8 = results[8]["crawl"]["frontier_urls_per_sec"]
+    thr32 = results[32]["crawl"]["frontier_urls_per_sec"]
+    eff = (thr32 / thr8) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl scaling efficiency (8 vs 32 CPUs, fresh processes)",
+                "frontier_urls_per_sec_8": thr8,
+                "frontier_urls_per_sec_32": thr32,
+                "granted_urls_per_sec_8": results[8]["crawl"]["granted_urls_per_sec"],
+                "granted_urls_per_sec_32": results[32]["crawl"]["granted_urls_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "order_match_across_cluster_sizes": results[8]["crawl"]["order_digest"]
+                == results[32]["crawl"]["order_digest"],
+                "seen_match_across_cluster_sizes": results[8]["crawl"]["n_seen"]
+                == results[32]["crawl"]["n_seen"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,143 @@
+"""Crawl end-to-end (SURVEY.md §5.2, §5.5, north rule):
+
+- the Ray pipeline's crawl ORDER and final URL-seen SET match the
+  sequential reference-semantics oracle exactly under the same seed
+  list + politeness budget;
+- join-mode fetch (frontier ⋈ page_store) equals synthetic fetch;
+- a killed-and-resumed run is byte-identical to an uninterrupted one;
+- every stored image row satisfies the input_hint invariant
+  (decode, PSNR≥40 dB for lossy, caption equality).
+"""
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from web_crawler_ray.codecs import decode_image, psnr
+from web_crawler_ray.io import lancelike
+from web_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_order, run_crawl
+from web_crawler_ray.pipelines.oracle import crawl_oracle
+from web_crawler_ray.synth import gen_page_store, gen_robots, gen_seeds, image_for_page
+
+N_PAGES, N_HOSTS, SEED = 1000, 15, 42
+N_SEEDS, ROUNDS = 120, 3
+
+
+@pytest.fixture(scope="module")
+def fixtures(tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl")
+    seeds = gen_seeds(N_SEEDS, N_HOSTS, SEED)
+    robots = gen_robots(N_HOSTS, SEED)
+    ps_path = str(root / "page_store.parquet")
+    pq.write_table(gen_page_store(N_PAGES, N_HOSTS, SEED, with_body=False), ps_path)
+    return {"root": str(root), "seeds": seeds, "robots": robots, "ps_path": ps_path}
+
+
+@pytest.fixture(scope="module")
+def ray_run(fixtures):
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "synth"),
+        num_blocks=4,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    order = read_crawl_order(cfg.checkpoint_dir)
+    return {"cfg": cfg, "res": res, "order": order}
+
+
+def _order_tuples(order_tab):
+    return list(
+        zip(
+            order_tab["round"].to_pylist(),
+            order_tab["fetch_ts_ms"].to_pylist(),
+            order_tab["host"].to_pylist(),
+            [int(x) for x in order_tab["url_hash"].to_pylist()],
+            order_tab["url"].to_pylist(),
+        )
+    )
+
+
+def test_order_and_seen_match_oracle(fixtures, ray_run):
+    oracle = crawl_oracle(
+        fixtures["seeds"], fixtures["robots"], N_PAGES, N_HOSTS, SEED, max_rounds=ROUNDS
+    )
+    assert _order_tuples(ray_run["order"]) == oracle["order"]
+    assert set(int(x) for x in ray_run["res"]["seen_hashes"]) == oracle["seen"]
+    assert ray_run["res"]["total_granted"] == len(oracle["order"])
+
+
+def test_join_mode_equals_synth(fixtures, ray_run):
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="join", checkpoint_dir=os.path.join(fixtures["root"], "join"),
+        num_blocks=4, write_images=False,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], page_store_path=fixtures["ps_path"],
+                    robots_table=fixtures["robots"])
+    order = read_crawl_order(cfg.checkpoint_dir)
+    assert order.equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
+def test_resume_byte_identical(fixtures, ray_run):
+    ckpt = os.path.join(fixtures["root"], "resume")
+    cfg_short = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS - 1,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    run_crawl(cfg_short, fixtures["seeds"], robots_table=fixtures["robots"])
+    cfg_full = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    res = run_crawl(cfg_full, fixtures["seeds"], robots_table=fixtures["robots"], resume=True)
+    assert res["rounds"] == 1  # only the missing round executed
+    assert read_crawl_order(ckpt).equals(ray_run["order"])
+    for r in range(ROUNDS):
+        a = os.path.join(ray_run["cfg"].checkpoint_dir, f"round-{r:03d}", "order.parquet")
+        b = os.path.join(ckpt, f"round-{r:03d}", "order.parquet")
+        assert (
+            hashlib.md5(open(a, "rb").read()).hexdigest()
+            == hashlib.md5(open(b, "rb").read()).hexdigest()
+        )
+
+
+def test_image_sink_invariant(ray_run):
+    """Every stored row decodes; PSNR≥40 dB for jpeg (vs the pixels the
+    deterministic generator produces for that url_hash); caption equal."""
+    images = lancelike.read_dataset(os.path.join(ray_run["cfg"].checkpoint_dir, "images"))
+    assert images.num_rows > 0
+    assert images.schema.names == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    for row in images.slice(0, 50).to_pylist():
+        uh = int(row["image_id"].replace("img-", ""), 16)
+        expected_bytes, fmt, caption, ph = image_for_page(uh)
+        decoded = decode_image(row["bytes"])
+        reference = decode_image(expected_bytes)
+        assert row["caption"] == caption
+        assert row["phash"] == ph
+        if row["fmt"] == "png":
+            assert (decoded == reference).all()
+        else:
+            assert psnr(decoded, reference) >= 40.0
+    # lineage sidecars exist per committed fragment
+    manifest = lancelike.read_manifest(os.path.join(ray_run["cfg"].checkpoint_dir, "images"))
+    assert manifest["fragments"]
+    for name in manifest["fragments"]:
+        assert os.path.exists(
+            os.path.join(ray_run["cfg"].checkpoint_dir, "images", name + ".lineage.json")
+        )
+
+
+def test_metrics_lineage(ray_run):
+    ms = ray_run["res"]["metrics"]
+    assert len(ms) == ROUNDS
+    for m in ms:
+        assert m["n_granted"] <= m["n_frontier"]
+        assert m["n_granted"] + m["n_deferred"] + m["n_robots_denied"] == m["n_frontier"]
+    stats = ray_run["res"]["shard_stats"]
+    assert sum(s["n"] for s in stats) == ray_run["res"]["n_seen"]

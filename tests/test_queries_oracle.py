@@ -77,4 +77,5 @@ def test_rows_only_queries_run():
 def test_entry_smoke():
     result = entry_mod.entry()
     df = _to_pandas(result)
-    assert len(df) >= 0 and "n_tokens" in df.columns
+    assert len(df) > 0
+    assert list(df.columns) == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]

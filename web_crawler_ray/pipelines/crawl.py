@@ -114,13 +114,18 @@ class SeenShardActor:
                 "bloom_spilled": self.state.bloom is not None}
 
 
-def round_dedup(group: pd.DataFrame) -> pd.DataFrame:
-    """Collapse same-url_hash rows within a round: keep max priority,
-    tie → min depth, then min seed_id (pure, order-independent)."""
-    idx = group.sort_values(
-        ["priority", "depth", "seed_id"], ascending=[False, True, True], kind="mergesort"
-    ).index[0]
-    return group.loc[[idx]]
+def round_dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Collapse same-url_hash rows within one hash partition: keep max
+    priority, tie → min depth, then min seed_id (pure, order-independent).
+    Vectorized sort + drop_duplicates — NEVER one call per URL: the
+    groupby key is a coarse hash partition (url_hash % P), not url_hash
+    itself, so there are P pandas calls per round, each O(n log n)."""
+    df = df.sort_values(
+        ["url_hash", "priority", "depth", "seed_id"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    )
+    return df.drop_duplicates(subset="url_hash", keep="first")
 
 
 class SeenProbe:
@@ -180,15 +185,27 @@ class SyntheticFetch:
         )
 
 
+def pack_outlinks(batch: pa.Table) -> pa.Table:
+    """list<string> outlinks → newline-joined string (Ray's hash join
+    rejects list-typed non-key columns; URLs cannot contain newlines)."""
+    packed = ["\n".join(links) for links in batch["outlinks"].to_pylist()]
+    idx = batch.schema.get_field_index("outlinks")
+    return batch.set_column(idx, "outlinks", pa.array(packed, pa.string()))
+
+
 def explode_outlinks(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
-    """Fetched pages → child frontier rows (priority decays, depth+1)."""
+    """Fetched pages → child frontier rows (priority decays, depth+1).
+    Accepts list<string> or packed-string outlinks."""
+    raw = batch["outlinks"].to_pylist()
     urls, depths, prios, seeds = [], [], [], []
     for links, depth, prio, seed_id in zip(
-        batch["outlinks"].to_pylist(),
+        raw,
         batch["depth"].to_pylist(),
         batch["priority"].to_pylist(),
         batch["seed_id"].to_pylist(),
     ):
+        if isinstance(links, str):
+            links = links.split("\n") if links else []
         if depth + 1 > max_depth or not links:
             continue
         for link in links:
@@ -311,8 +328,21 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
         # 1. canonicalize + hash (stateless map)
         canon = frontier.map_batches(CanonicalizeAndHash(), batch_format="pyarrow")
-        # 2. round-dedup on url_hash (shuffle #1 — fixed-width keys only)
-        deduped = canon.groupby("url_hash").map_groups(round_dedup, batch_format="pandas")
+        # 2. round-dedup on url_hash (shuffle #1 — fixed-width keys only);
+        # partition key is url_hash % P so the dedup is vectorized per
+        # partition instead of one task per distinct URL
+        n_dedup_parts = cfg.num_blocks
+
+        def add_pk(batch: pa.Table) -> pa.Table:
+            pk = (batch["url_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_dedup_parts)).astype(np.int64)
+            return batch.append_column("pk", pa.array(pk, pa.int64()))
+
+        deduped = (
+            canon.map_batches(add_pk, batch_format="pyarrow")
+            .groupby("pk")
+            .map_groups(round_dedup_partition, batch_format="pandas")
+            .drop_columns(["pk"])
+        )
         # 3. URL-seen probe/insert (sharded exact-cuckoo actors)
         survivors = deduped.map_batches(
             SeenProbe,
@@ -347,7 +377,11 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         pq.write_table(order_sorted, os.path.join(rdir, "order.parquet"))
 
         # 5. fetch
-        granted = rd.from_arrow(granted_tab) if granted_tab.num_rows else None
+        granted = (
+            rd.from_arrow(granted_tab).repartition(cfg.num_blocks)
+            if granted_tab.num_rows
+            else None
+        )
         n_fetched_ok = n_outlinks = 0
         if granted is not None:
             if cfg.fetch_mode == "synth":
@@ -359,10 +393,14 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 )
             else:
                 if page_store_ds is None:
-                    page_store_ds = rd.read_parquet(
-                        page_store_path,
-                        columns=["url_hash", "status", "outlinks", "fetch_ms"],
-                    ).materialize()
+                    page_store_ds = (
+                        rd.read_parquet(
+                            page_store_path,
+                            columns=["url_hash", "status", "outlinks", "fetch_ms"],
+                        )
+                        .map_batches(pack_outlinks, batch_format="pyarrow")
+                        .materialize()
+                    )
                 fetched = granted.drop_columns(["disposition"]).join(
                     page_store_ds,
                     join_type="inner",

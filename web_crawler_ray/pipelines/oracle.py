@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..hashing import hash64
-from ..state.politeness import HostRules, build_robots_map, schedule_host_batch
+from ..state.politeness import HostRules, build_robots_map, schedule_host_heap
 from ..synth import page_meta
 from ..urls import canonicalize_url, host_of
 
@@ -97,7 +97,7 @@ def crawl_oracle(
         df = pd.DataFrame(survivors)
         scheduled = (
             df.groupby("host", group_keys=False, sort=True)
-            .apply(lambda g: schedule_host_batch(g, robots, round_budget_ms, r))
+            .apply(lambda g: schedule_host_heap(g, robots, round_budget_ms, r))
             .reset_index(drop=True)
         )
         granted = scheduled[scheduled["disposition"] == "granted"]

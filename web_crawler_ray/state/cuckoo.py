@@ -48,6 +48,11 @@ class CuckooFilter:
         self.buckets = np.zeros((nb, 4), dtype=np.uint16)
         self.count = 0
         self._kick_state = np.uint64(seed * 2654435761 + 12345)  # deterministic eviction PRNG
+        # fingerprints displaced by a FAILED eviction chain: without this
+        # sideline a full table silently FORGETS a previously-inserted
+        # key (its fp was kicked out with nowhere to go) and the filter
+        # would claim "definitely new" for a seen key — unsound.
+        self.orphans: set[tuple[int, int]] = set()
 
     def _fp(self, h: np.uint64) -> np.uint64:
         fp = (np.uint64(h) >> np.uint64(48)) & _FP_MASK
@@ -75,7 +80,12 @@ class CuckooFilter:
         i1 = self._i1(np.uint64(h))
         if (self.buckets[i1] == fp).any():
             return True
-        return bool((self.buckets[self._i2(i1, fp)] == fp).any())
+        i2 = self._i2(i1, fp)
+        if (self.buckets[i2] == fp).any():
+            return True
+        if self.orphans and ((i1, int(fp)) in self.orphans or (i2, int(fp)) in self.orphans):
+            return True
+        return False
 
     def contains_batch(self, hs: np.ndarray) -> np.ndarray:
         return np.fromiter((self.contains(int(h)) for h in hs), dtype=bool, count=len(hs))
@@ -102,12 +112,20 @@ class CuckooFilter:
                 self.buckets[idx, empty[0]] = cur
                 self.count += 1
                 return True
-        return False  # table effectively full
+        # table effectively full: the displaced fingerprint `cur` (which
+        # belongs to some earlier key whose home buckets include `idx`)
+        # must stay findable — park it in the orphan sideline. Note the
+        # orphan's alternate bucket also resolves to `idx` via the
+        # partial-key xor, so (idx, cur) covers both probe sites.
+        self.orphans.add((idx, int(cur)))
+        return False
 
     def serialize(self) -> bytes:
         buf = io.BytesIO()
+        orphan_arr = np.array(sorted(self.orphans), dtype=np.int64).reshape(-1, 2)
         np.savez_compressed(
-            buf, buckets=self.buckets, count=np.int64(self.count), kick=np.uint64(self._kick_state)
+            buf, buckets=self.buckets, count=np.int64(self.count),
+            kick=np.uint64(self._kick_state), orphans=orphan_arr,
         )
         return buf.getvalue()
 
@@ -119,6 +137,7 @@ class CuckooFilter:
         obj.n_buckets = obj.buckets.shape[0]
         obj.count = int(loaded["count"])
         obj._kick_state = np.uint64(loaded["kick"])
+        obj.orphans = {(int(a), int(b)) for a, b in loaded["orphans"]}
         return obj
 
 

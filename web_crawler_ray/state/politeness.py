@@ -69,16 +69,16 @@ def robots_allowed(url: str, rules: HostRules | None) -> bool:
     return not any(p.startswith(pref) for pref in rules.disallow_prefixes)
 
 
-def schedule_host_batch(
+def schedule_host_heap(
     group: pd.DataFrame,
     robots: dict[str, HostRules],
     round_budget_ms: int,
     round_index: int,
 ) -> pd.DataFrame:
-    """Pure per-host scheduling. Input: one host's frontier rows with
-    columns (url, host, url_hash, priority, depth, ...). Output: same
-    rows + disposition ∈ {granted, deferred, robots_denied} and
-    fetch_ts_ms (virtual, global: round_index*budget + j*delay)."""
+    """Min-heap SPEC implementation of per-host scheduling (the frontier
+    priority queue, SURVEY §2.6 O4) — used by the sequential oracle.
+    The engine's vectorized ``schedule_host_batch`` must match it
+    exactly (asserted in tests)."""
     host = group["host"].iloc[0]
     rules = robots.get(host)
     delay = rules.delay_ms if rules else DEFAULT_DELAY_MS
@@ -105,6 +105,47 @@ def schedule_host_batch(
         # else stays deferred
 
     out = group.copy()
+    out["disposition"] = disposition
+    out["fetch_ts_ms"] = fetch_ts
+    return out
+
+
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+
+
+def schedule_host_batch(
+    group: pd.DataFrame,
+    robots: dict[str, HostRules],
+    round_budget_ms: int,
+    round_index: int,
+) -> pd.DataFrame:
+    """Vectorized per-host scheduling (engine hot path): identical
+    semantics to ``schedule_host_heap`` — the heap order
+    (-priority, url_hash) is exactly a sort, robots-denied rows do not
+    consume budget slots. Output: rows + disposition ∈
+    {granted, deferred, robots_denied} and fetch_ts_ms (virtual:
+    round_index*budget + slot*delay)."""
+    host = group["host"].iloc[0]
+    rules = robots.get(host)
+    delay = rules.delay_ms if rules else DEFAULT_DELAY_MS
+    budget = max(1, round_budget_ms // max(delay, 1))
+    base = round_index * round_budget_ms
+
+    order = group.sort_values(["priority", "url_hash"], ascending=[False, True], kind="mergesort")
+    if rules is not None and rules.disallow_prefixes:
+        paths = order["url"].str.replace(_PATH_RE, "", regex=True, n=1)
+        allowed = np.ones(len(order), dtype=bool)
+        for pref in rules.disallow_prefixes:
+            allowed &= ~paths.str.startswith(pref).to_numpy()
+    else:
+        allowed = np.ones(len(order), dtype=bool)
+
+    slot = np.cumsum(allowed) - 1  # rank among allowed rows
+    granted_mask = allowed & (slot < budget)
+    disposition = np.where(granted_mask, "granted", np.where(allowed, "deferred", "robots_denied"))
+    fetch_ts = np.where(granted_mask, base + slot * delay, -1).astype(np.int64)
+
+    out = order.copy()
     out["disposition"] = disposition
     out["fetch_ts_ms"] = fetch_ts
     return out

@@ -190,8 +190,10 @@ def gen_page_store_range(
     return pa.table(cols)
 
 
-def gen_page_store(n_pages: int, n_hosts: int, seed: int = 42, max_outlinks: int = 20) -> pa.Table:
-    return gen_page_store_range(0, n_pages, n_pages, n_hosts, seed, max_outlinks)
+def gen_page_store(
+    n_pages: int, n_hosts: int, seed: int = 42, max_outlinks: int = 20, with_body: bool = True
+) -> pa.Table:
+    return gen_page_store_range(0, n_pages, n_pages, n_hosts, seed, max_outlinks, with_body)
 
 
 def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str, str, int]:
