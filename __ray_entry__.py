@@ -34,6 +34,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 import web_crawler_ray  # noqa: E402
+from web_crawler_ray.functions.rounding import sql_round  # noqa: E402
 
 from ray import cloudpickle as _rcp  # noqa: E402
 
@@ -47,7 +48,7 @@ def _t(sf_dir: str, name: str) -> str:
 def _round_cols(ds, spec: dict[str, int]):
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         for col, nd in spec.items():
-            batch[col] = batch[col].round(nd)
+            batch[col] = sql_round(batch[col], nd)
         return batch
 
     return ds.map_batches(f, batch_format="pandas")
@@ -68,8 +69,8 @@ def q_lineitem_summary(sf_dir: str):
         Max("l_quantity", alias_name="max_qty"),
     )
     df = pd.DataFrame([out])
-    df["sum_qty"] = df["sum_qty"].round(2)
-    df["sum_price"] = df["sum_price"].round(2)
+    df["sum_qty"] = sql_round(df["sum_qty"], 2)
+    df["sum_price"] = sql_round(df["sum_price"], 2)
     return df
 
 
@@ -97,10 +98,10 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["avg_qty"] = (batch["sum_qty"] / batch["count_order"]).round(4)
-        batch["sum_qty"] = batch["sum_qty"].round(2)
-        batch["sum_base_price"] = batch["sum_base_price"].round(2)
-        batch["sum_disc_price"] = batch["sum_disc_price"].round(2)
+        batch["avg_qty"] = sql_round(batch["sum_qty"] / batch["count_order"], 4)
+        batch["sum_qty"] = sql_round(batch["sum_qty"], 2)
+        batch["sum_base_price"] = sql_round(batch["sum_base_price"], 2)
+        batch["sum_disc_price"] = sql_round(batch["sum_disc_price"], 2)
         return batch
 
     return g.map_batches(finish, batch_format="pandas")
@@ -126,7 +127,7 @@ def q_top_events(sf_dir: str):
     top = ds.sort(["value", "event_id"], descending=[True, False]).limit(5)
 
     def r(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["value_r"] = batch["value"].round(2)
+        batch["value_r"] = sql_round(batch["value"], 2)
         return batch[["event_id", "event_type", "value_r"]]
 
     return top.map_batches(r, batch_format="pandas")
@@ -178,7 +179,7 @@ def q_dedup_latest(sf_dir: str):
                 "user_id": g["user_id"].values,
                 "event_type": g["event_type"].values,
                 "last_event_id": g["event_id"].values,
-                "last_value": g["value"].round(2).values,
+                "last_value": sql_round(g["value"], 2).values,
             }
         )
 
@@ -210,7 +211,7 @@ def q_project_cast(sf_dir: str):
                 "p_partkey": batch["p_partkey"],
                 "brand_u": batch["p_brand"].str.upper(),
                 "size_bucket": (batch["p_size"] // 10).astype("int64"),
-                "marked_up": (batch["p_retailprice"] * 1.1).round(2),
+                "marked_up": sql_round(batch["p_retailprice"] * 1.1, 2),
             }
         )
 
@@ -268,15 +269,136 @@ def q_ann_topk(sf_dir: str):
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["score"] = batch["score"].round(4)
+        batch["score"] = sql_round(batch["score"], 4)
         return batch[["query_id", "vec_id", "score", "rank"]]
 
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_json_extract(sf_dir: str):
+    """M4/F11 JSON field extraction over events.props + rollup."""
+    import json
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["k"] = batch["props"].map(lambda s: json.loads(s).get("k"))
+        return batch[["event_type", "k"]]
+
+    g = ds.map_batches(extract, batch_format="pandas").groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")
+    )
+    return g
+
+
+def q_group_topk(sf_dir: str):
+    """A3/O1 per-group top-k: top-3 lineitems by extendedprice per
+    returnflag, deterministic tie-break."""
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def head3(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(3)
+
+    return ds.groupby("l_returnflag").map_groups(head3, batch_format="pandas")
+
+
+def q_validation_summary(sf_dir: str):
+    """V1 rule engine + A5 error histogram over events (deterministic
+    timestamp window instead of wall-clock age)."""
+    from web_crawler_ray.stages.aggregate import error_histogram
+    from web_crawler_ray.stages.validate import (
+        ApplyRules,
+        not_null,
+        numeric_range,
+        timestamp_window,
+    )
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value", "ts"])
+    # thresholds chosen so violations exist at every sf tier
+    rules = [
+        not_null("event_type"),
+        numeric_range("value", min_val=0.0, max_val=150.0),
+        timestamp_window("ts", "2024-01-01", "2024-01-20 00:00:00"),
+    ]
+    validated = ds.map_batches(ApplyRules(rules), batch_format="pandas")
+    hist = error_histogram(validated.filter(expr="n_errors > 0")).to_pandas()
+    if hist.empty:
+        hist = pd.DataFrame({"error_type": pd.Series(dtype=object), "n": pd.Series(dtype="int64")})
+    return hist
+
+
+def q_spec_pipeline(sf_dir: str):
+    """§2.11 declarative pipeline spec (the zero-code YAML scraper
+    surface): dict spec compiled to Ray Data stages."""
+    from web_crawler_ray.pipelines.spec import build_pipeline
+
+    ops = [
+        {"op": "filter", "expr": "l_discount > 0.01"},
+        {"op": "with_column", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+        {"op": "groupby_agg", "keys": ["l_returnflag"],
+         "aggs": {"n": ["count", None], "revenue": ["sum", "rev"], "max_qty": ["max", "l_quantity"]}},
+        {"op": "round", "spec": {"revenue": 2}},
+    ]
+    return build_pipeline(_t(sf_dir, "lineitem"), ops)
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (non-SQL-expressible: crawl, near-dup, multimodal)
 # --------------------------------------------------------------------------
+
+
+def q_forex_derive(sf_dir: str):
+    """F9 forex derivations (pair/mid/spread, models.py:159-179) + V3
+    business rules; returns valid quotes with derived columns."""
+    from web_crawler_ray.stages.validate import ApplyRules, forex_business_rules
+    from web_crawler_ray.synth import gen_forex_quotes
+
+    n = max(1000, int(100_000 * _sf_scale(sf_dir)))
+    ds = rd.from_arrow(gen_forex_quotes(n)).repartition(4)
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["pair"] = batch["base_currency"] + "/" + batch["quote_currency"]
+        batch["mid_price"] = (batch["bid_price"] + batch["ask_price"]) / 2
+        batch["spread"] = batch["ask_price"] - batch["bid_price"]
+        return batch
+
+    derived = ds.map_batches(derive, batch_format="pandas")
+    validated = derived.map_batches(ApplyRules(forex_business_rules()), batch_format="pandas")
+    return validated.filter(expr="n_errors == 0").select_columns(
+        ["quote_id", "pair", "bid_price", "ask_price", "mid_price", "spread"]
+    )
+
+
+def q_sink_roundtrip(sf_dir: str):
+    """K1/K3 sinks: projected parquet + csv + json writes, read back and
+    count (distributed write, one file per block)."""
+    import shutil
+
+    import pyarrow as pa
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"])
+    out = {}
+    for fmt in ("parquet", "csv", "json"):
+        path = f"/tmp/wcr_sink_{fmt}"
+        shutil.rmtree(path, ignore_errors=True)
+        getattr(ds, f"write_{fmt}")(path)
+        reader = getattr(rd, f"read_{fmt}")
+        out[fmt] = reader(path).count()
+    return pa.table(
+        {
+            "format": pa.array(list(out.keys()), pa.string()),
+            "rows": pa.array(list(out.values()), pa.int64()),
+        }
+    )
 
 def _sf_scale(sf_dir: str) -> float:
     try:
@@ -476,6 +598,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_dups": q_phash_dups,
         "q_crawl_order": q_crawl_order,
         "q_crawl_seen_metrics": q_crawl_seen_metrics,
+        "q_json_extract": q_json_extract,
+        "q_group_topk": q_group_topk,
+        "q_validation_summary": q_validation_summary,
+        "q_spec_pipeline": q_spec_pipeline,
+        "q_forex_derive": q_forex_derive,
+        "q_sink_roundtrip": q_sink_roundtrip,
     }
 
 
@@ -578,5 +706,41 @@ def oracle_sql() -> dict[str, str]:
                    round(score6, 4) AS score,
                    CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
             FROM s ORDER BY score6 DESC, vec_id LIMIT 10
+        """,
+        "q_json_extract": """
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+            FROM events GROUP BY event_type
+        """,
+        "q_group_topk": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+            FROM (
+                SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                       row_number() OVER (
+                           PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+                FROM lineitem
+            ) WHERE rn <= 3
+        """,
+        "q_validation_summary": """
+            SELECT error_type, n FROM (
+                SELECT 'not_null:event_type' AS error_type, count(*) AS n
+                FROM events WHERE event_type IS NULL OR event_type = ''
+                UNION ALL
+                SELECT 'numeric_range:value', count(*)
+                FROM events WHERE NOT (value >= 0 AND value <= 150)
+                UNION ALL
+                SELECT 'timestamp:ts', count(*)
+                FROM events WHERE NOT (ts >= TIMESTAMP '2024-01-01'
+                                   AND ts <= TIMESTAMP '2024-01-20')
+            ) WHERE n > 0
+        """,
+        "q_spec_pipeline": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   max(l_quantity) AS max_qty
+            FROM lineitem WHERE l_discount > 0.01
+            GROUP BY l_returnflag
         """,
     }

@@ -1,0 +1,102 @@
+"""Declarative pipeline specs (SURVEY.md §2.11 user-extension surface).
+
+The reference instantiates zero-code scrapers from YAML blocks
+(pacong/config/settings.yaml:81-192 via generic_scraper.py:424-447 and
+simple_generic.py:187-204: ``urls``, ``method``, ``parser``,
+``extraction``, ``validation``, ``cleaning`` keys). The engine
+equivalent is a dict → Ray Data pipeline compiler: each op becomes a
+map_batches / groupby / sort stage, so a user adds a pipeline without
+writing engine code.
+
+Spec format (list of op dicts, applied in order):
+
+    {"op": "select",      "columns": [...]}
+    {"op": "filter",      "expr": "l_quantity > 10"}            # Ray expr
+    {"op": "with_column", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"}  # pandas.eval
+    {"op": "rename",      "mapping": {"old": "new"}}
+    {"op": "groupby_agg", "keys": [...], "aggs": {"out": ["sum"|"mean"|"count"|"min"|"max", col]}}
+    {"op": "round",       "spec": {"col": ndigits}}
+    {"op": "sort",        "keys": [...], "descending": [...]}
+    {"op": "limit",       "n": 10}
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.rounding import sql_round
+
+_AGGS = {"sum": Sum, "mean": Mean, "min": Min, "max": Max}
+
+
+def _apply_op(ds, op: dict):
+    kind = op["op"]
+    if kind == "select":
+        return ds.select_columns(op["columns"])
+    if kind == "filter":
+        return ds.filter(expr=op["expr"])
+    if kind == "with_column":
+        name, expr = op["name"], op["expr"]
+
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            batch[name] = batch.eval(expr)
+            return batch
+
+        return ds.map_batches(add, batch_format="pandas")
+    if kind == "rename":
+        mapping = op["mapping"]
+        return ds.map_batches(
+            lambda b: b.rename(columns=mapping), batch_format="pandas"
+        )
+    if kind == "groupby_agg":
+        aggs = []
+        for out, (fn, col) in op["aggs"].items():
+            if fn == "count":
+                aggs.append(Count(alias_name=out))
+            else:
+                aggs.append(_AGGS[fn](col, alias_name=out))
+        return ds.groupby(op["keys"]).aggregate(*aggs)
+    if kind == "round":
+        spec = op["spec"]
+
+        def rnd(batch: pd.DataFrame) -> pd.DataFrame:
+            for col, nd in spec.items():
+                batch[col] = sql_round(batch[col], nd)
+            return batch
+
+        return ds.map_batches(rnd, batch_format="pandas")
+    if kind == "sort":
+        return ds.sort(op["keys"], descending=op.get("descending", False))
+    if kind == "limit":
+        return ds.limit(op["n"])
+    raise ValueError(f"unknown op: {kind}")
+
+
+def build_pipeline(source: str | object, ops: list[dict]):
+    """Compile a spec into a Dataset pipeline. ``source`` is a parquet
+    path (columns pruned to what the spec touches would be a further
+    optimization) or an existing Dataset."""
+    ds = rd.read_parquet(source) if isinstance(source, str) else source
+    for op in ops:
+        ds = _apply_op(ds, op)
+    return ds
+
+
+# registry for named pipelines (the engine analogue of the scraper
+# factory, pacong/scrapers/factory.py:10-68)
+_REGISTRY: dict[str, tuple[str, list[dict]]] = {}
+
+
+def register_pipeline(name: str, source: str, ops: list[dict]) -> None:
+    _REGISTRY[name] = (source, ops)
+
+
+def create_pipeline(name: str, sf_dir: str):
+    source, ops = _REGISTRY[name]
+    return build_pipeline(f"{sf_dir}/{source}.parquet", ops)
+
+
+def list_pipelines() -> list[str]:
+    return sorted(_REGISTRY)

@@ -12,6 +12,8 @@ from __future__ import annotations
 import pandas as pd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.rounding import sql_round
+
 
 def market_summary(ds, change_col: str = "change_percent"):
     """A1 (commodity_service.py:159-211): global count, mean change,
@@ -44,7 +46,7 @@ def category_stats(ds, category_col: str, value_col: str):
     )
 
     def round2(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["avg_value"] = batch["avg_value"].round(2)
+        batch["avg_value"] = sql_round(batch["avg_value"], 2)
         return batch
 
     return out.map_batches(round2, batch_format="pandas")

@@ -17,6 +17,8 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..functions.rounding import sql_round
+
 
 def _as_matrix(column) -> np.ndarray:
     """list<float> Arrow column → (n, d) float32 matrix, zero-copy-ish."""
@@ -83,7 +85,7 @@ def cosine_topk(ds, query_ids, query_vecs, k: int = 10,
         # round before ranking so Ray and the DuckDB oracle order ties
         # identically regardless of float summation order
         g = group.copy()
-        g["score"] = g["score"].round(6)
+        g["score"] = sql_round(g["score"], 6)
         g = g.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
         g["rank"] = range(1, len(g) + 1)
         return g

@@ -76,6 +76,18 @@ def timestamp_rule(column: str, now: pd.Timestamp, max_age_hours: int = 24) -> R
     return Rule(column, f"timestamp:{column}", fn)
 
 
+def timestamp_window(column: str, min_ts: str, max_ts: str) -> Rule:
+    """Deterministic variant of TimestampRule for oracle-checked runs:
+    fixed [min_ts, max_ts] window instead of wall-clock age."""
+    lo, hi = pd.Timestamp(min_ts), pd.Timestamp(max_ts)
+
+    def fn(s: pd.Series) -> pd.Series:
+        ts = pd.to_datetime(s, errors="coerce")
+        return ts.notna() & (ts >= lo) & (ts <= hi)
+
+    return Rule(column, f"timestamp:{column}", fn)
+
+
 def commodity_business_rules() -> list[Rule]:
     """V2 (validator.py:231-253) — vectorized. Checks are conditional on
     the participating fields being present (reference short-circuits on

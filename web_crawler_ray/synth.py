@@ -271,6 +271,40 @@ def gen_robots(n_hosts: int, seed: int = 42) -> pa.Table:
     )
 
 
+def gen_forex_quotes(n: int, seed: int = 42) -> pa.Table:
+    """Forex quote corpus for F9 derivations + V3 business rules
+    (pacong/data/models.py:140-222 shape): bid/ask pairs including
+    deliberate bid>ask and spread>10%·bid violations."""
+    rng = np.random.default_rng(seed + 3)
+    pairs = [("CNY", "TWD"), ("USD", "CNY"), ("EUR", "USD"), ("GBP", "JPY")]
+    base, quote, bids, asks = [], [], [], []
+    for _ in range(n):
+        b, q = pairs[int(rng.integers(len(pairs)))]
+        base.append(b)
+        quote.append(q)
+        mid = float(rng.random() * 10 + 0.1)
+        spread = mid * float(rng.random() * 0.02)
+        r = rng.random()
+        if r < 0.05:  # bid > ask violation
+            bids.append(mid + spread)
+            asks.append(mid - spread)
+        elif r < 0.10:  # spread too wide
+            bids.append(mid)
+            asks.append(mid * 1.2)
+        else:
+            bids.append(mid - spread / 2)
+            asks.append(mid + spread / 2)
+    return pa.table(
+        {
+            "quote_id": pa.array(np.arange(n, dtype=np.int64)),
+            "base_currency": pa.array(base, pa.string()),
+            "quote_currency": pa.array(quote, pa.string()),
+            "bid_price": pa.array(bids, pa.float64()),
+            "ask_price": pa.array(asks, pa.float64()),
+        }
+    )
+
+
 def gen_raw_records(n: int, seed: int = 42) -> pa.Table:
     """FIXTURES.md §4 — edge-case scraped-row corpus for the
     clean/validate/dedup operators (F1-F5, V1-V3, D1)."""
