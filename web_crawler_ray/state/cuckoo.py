@@ -88,7 +88,22 @@ class CuckooFilter:
         return False
 
     def contains_batch(self, hs: np.ndarray) -> np.ndarray:
-        return np.fromiter((self.contains(int(h)) for h in hs), dtype=bool, count=len(hs))
+        """Vectorized membership: fingerprint + both candidate buckets
+        computed with numpy fancy indexing — no per-key Python loop."""
+        hs = hs.astype(np.uint64)
+        fp = ((hs >> np.uint64(48)) & _FP_MASK).astype(np.uint16)
+        fp[fp == 0] = 1
+        mask = np.uint64(self.n_buckets - 1)
+        i1 = (hs & mask).astype(np.int64)
+        i2 = (i1.astype(np.uint64) ^ ((fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & mask)).astype(np.int64)
+        hit = (self.buckets[i1] == fp[:, None]).any(axis=1)
+        hit |= (self.buckets[i2] == fp[:, None]).any(axis=1)
+        if self.orphans:
+            for k in np.nonzero(~hit)[0]:
+                f = int(fp[k])
+                if (int(i1[k]), f) in self.orphans or (int(i2[k]), f) in self.orphans:
+                    hit[k] = True
+        return hit
 
     def insert(self, h: int) -> bool:
         fp = self._fp(np.uint64(h))
@@ -202,26 +217,34 @@ class SeenShardState:
 
     def probe_and_add(self, hs: np.ndarray) -> np.ndarray:
         """Returns is_new mask; marks all probed hashes as seen.
-        Exactness: the filter only short-circuits definite negatives;
-        positives are confirmed against the exact set."""
-        out = np.empty(len(hs), dtype=bool)
-        for i, h in enumerate(hs):
-            h = int(h)
-            maybe = self.cuckoo.contains(h) or (self.bloom is not None and bool(self.bloom.contains_batch(np.array([h], dtype=np.uint64))[0]))
-            if maybe:
-                new = h not in self.exact
-                if new:
-                    self.fp_hits += 1
-            else:
-                new = True
-            if new:
-                self.exact.add(h)
-                if not self.cuckoo.insert(h):
-                    if self.bloom is None:
-                        self.bloom = BloomFilter(capacity=max(1 << 18, len(self.exact) * 4))
-                    self.bloom.add_batch(np.array([h], dtype=np.uint64))
-            out[i] = new
-        return out
+
+        Vectorized fast path: one cuckoo ``contains_batch`` (+ bloom)
+        over the whole batch; only filter-positive keys fall back to the
+        exact set (those are real dups + rare false positives), and only
+        genuinely-new keys pay the per-key cuckoo insert. Exactness: the
+        filter only short-circuits definite negatives; positives are
+        confirmed against the exact set."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        maybe = self.cuckoo.contains_batch(hs)
+        if self.bloom is not None:
+            maybe |= self.bloom.contains_batch(hs)
+        new = ~maybe
+        exact = self.exact
+        for i in np.nonzero(maybe)[0]:
+            if int(hs[i]) not in exact:
+                new[i] = True
+                self.fp_hits += 1
+        overflow: list[int] = []
+        for i in np.nonzero(new)[0]:
+            h = int(hs[i])
+            exact.add(h)
+            if not self.cuckoo.insert(h):
+                overflow.append(h)
+        if overflow:
+            if self.bloom is None:
+                self.bloom = BloomFilter(capacity=max(1 << 18, len(self.exact) * 4))
+            self.bloom.add_batch(np.array(overflow, dtype=np.uint64))
+        return new
 
     def snapshot(self) -> dict:
         return {

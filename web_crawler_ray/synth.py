@@ -38,12 +38,22 @@ def hosts_list(n_hosts: int) -> list[str]:
     return [f"h{k}.example.test" for k in range(n_hosts)]
 
 
+_ZIPF_MEMO: dict[tuple[int, float], np.ndarray] = {}
+
+
 def zipf_cdf(n_hosts: int, s: float = 1.2) -> np.ndarray:
     """Cumulative Zipf(s) weights over host ranks — one hot host (rank 0)
-    takes ~20-40% of URLs, forcing the hot-host salting path."""
-    w = np.arange(1, n_hosts + 1, dtype=np.float64) ** (-s)
-    w /= w.sum()
-    return np.cumsum(w)
+    takes ~20-40% of URLs, forcing the hot-host salting path. Memoized
+    with a plain dict (page_meta calls this once per page otherwise) —
+    NOT functools.lru_cache, whose wrapper pickles by qualified name and
+    breaks cloudpickle's register_pickle_by_value shipping to workers."""
+    key = (n_hosts, s)
+    cached = _ZIPF_MEMO.get(key)
+    if cached is None:
+        w = np.arange(1, n_hosts + 1, dtype=np.float64) ** (-s)
+        w /= w.sum()
+        cached = _ZIPF_MEMO[key] = np.cumsum(w)
+    return cached
 
 
 def host_ids_for_pages(page_ids: np.ndarray, n_hosts: int, seed: int) -> np.ndarray:
