@@ -402,6 +402,86 @@ def q_forex_derive(sf_dir: str):
     )
 
 
+def q_css_extract(sf_dir: str):
+    """M3 CSS-selector extraction (stdlib mini-DOM) over synthetic HTML
+    pages: per-row name/price/change via selector+index+transform."""
+    from web_crawler_ray.stages.css_extract import CssExtract
+    from web_crawler_ray.synth import gen_page_store
+
+    n = max(500, int(20_000 * _sf_scale(sf_dir)))
+    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(8)
+    html = pages.filter(expr="content_type == 'text/html'")
+    config = {
+        "container": "tr",
+        "fields": {
+            "name": {"selector": "td", "index": 0},
+            "price": {"selector": "td", "index": 1, "transform": "float"},
+            "change": {"selector": "td", "index": 2, "regex": r"([+\-][\d.]+)%"},
+        },
+    }
+    out = html.map_batches(
+        CssExtract, fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow", concurrency=2,
+    )
+    return out.map_batches(
+        lambda b: b.dropna(subset=["name", "price"]), batch_format="pandas"
+    )
+
+
+def q_workbook_extract(sf_dir: str):
+    """S4 workbook header-sniff + wide→long unpivot over synthetic sheet
+    files (read_binary_files → per-file UDF)."""
+    import numpy as np
+
+    from web_crawler_ray.sources.tabular import WorkbookExtract
+    from web_crawler_ray.synth import COMMODITY_NAMES
+
+    out_dir = "/tmp/wcr_workbooks"
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(7)
+    for i in range(6):
+        lines = [",junk,"] * int(rng.integers(0, 5))
+        lines.append("Commodity,2021,2022,2023")
+        for name in COMMODITY_NAMES[: 5 + i]:
+            vals = [f"{float(rng.random() * 100):.2f}" if rng.random() > 0.3 else "" for _ in range(3)]
+            lines.append(",".join([name] + vals))
+        with open(f"{out_dir}/wb{i}.csv", "w") as f:
+            f.write("\n".join(lines))
+    files = rd.read_binary_files(out_dir, include_paths=True)
+    return files.map_batches(WorkbookExtract(), batch_format="pyarrow")
+
+
+def q_fetch_retry(sf_dir: str):
+    """S1/S2 fetch actor pool with retry policy over the synthetic web
+    (offline transport; 429/5xx statuses exercise retries). Returns the
+    per-status row counts + attempt totals."""
+    from web_crawler_ray.sources.http_fetch import FakeTransport, FetcherActor
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.synth import gen_page_store
+
+    n = max(500, int(10_000 * _sf_scale(sf_dir)))
+    store = gen_page_store(n, n_hosts=50, with_body=False)
+    pages = {
+        url: (int(status), b"body")
+        for url, status in zip(store["url"].to_pylist(), store["status"].to_pylist())
+    }
+    urls = rd.from_arrow(store.select(["url"])).repartition(4)
+    fetched = urls.map_batches(
+        FetcherActor,
+        fn_constructor_kwargs={
+            "transport_factory": lambda: FakeTransport(pages),
+            "sleep_fn": lambda _s: None,
+        },
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return partial_grouped_agg(
+        fetched.drop_columns(["body"]),
+        ["status"],
+        {"n": ("count", None), "total_attempts": ("sum", "attempts")},
+    )
+
+
 def q_sink_roundtrip(sf_dir: str):
     """K1/K3 sinks: projected parquet + csv + json writes, read back and
     count (distributed write, one file per block)."""
@@ -628,6 +708,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_spec_pipeline": q_spec_pipeline,
         "q_forex_derive": q_forex_derive,
         "q_sink_roundtrip": q_sink_roundtrip,
+        "q_css_extract": q_css_extract,
+        "q_workbook_extract": q_workbook_extract,
+        "q_fetch_retry": q_fetch_retry,
     }
 
 

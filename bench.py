@@ -28,9 +28,9 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # crawl bench shape (fixed, independent of sf tables: the frontier is
 # synthetic per FIXTURES.md; sized so politeness/shuffle/seen-shard work
 # dominates, not per-round constant overhead)
-CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "20000"))
+CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "150000"))
 CRAWL_PAGES = CRAWL_SEEDS * 10
-CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "500"))
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "6000"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "3"))
 
 BENCH_QUERIES = [
@@ -63,11 +63,26 @@ def run_crawl_bench(ckpt_tag: str) -> dict:
         n_seen_shards=8,
         fetch_mode="synth",
         checkpoint_dir=f"/tmp/wcr_bench_crawl_{ckpt_tag}",
-        num_blocks=max(8, NUM_CPUS // 2),
-        write_images=False,
+        num_blocks=max(16, NUM_CPUS * 2),
+        # the pipeline's real payload: fetched pages land as encoded
+        # image+caption rows (north rule) — the sink is part of the
+        # headline, written distributed by the workers
+        write_images=os.environ.get("BENCH_CRAWL_IMAGES", "1") == "1",
+        image_px=int(os.environ.get("BENCH_CRAWL_IMAGE_PX", "320")),
     )
-    seeds = gen_seeds(CRAWL_SEEDS, cfg.n_hosts, cfg.seed)
-    robots = gen_robots(cfg.n_hosts, cfg.seed)
+    # deterministic inputs cached on disk so every leg/process reuses
+    # them (generation is driver-serial and must not pollute the
+    # scaling comparison)
+    import pyarrow.parquet as _pq
+
+    seeds_path = f"/tmp/wcr_bench_seeds_{CRAWL_SEEDS}_{CRAWL_HOSTS}_{cfg.seed}.parquet"
+    robots_path = f"/tmp/wcr_bench_robots_{CRAWL_HOSTS}_{cfg.seed}.parquet"
+    if not os.path.exists(seeds_path):
+        _pq.write_table(gen_seeds(CRAWL_SEEDS, cfg.n_hosts, cfg.seed), seeds_path)
+    if not os.path.exists(robots_path):
+        _pq.write_table(gen_robots(cfg.n_hosts, cfg.seed), robots_path)
+    seeds = _pq.read_table(seeds_path)
+    robots = _pq.read_table(robots_path)
     t0 = time.monotonic()
     res = run_crawl(cfg, seeds, robots_table=robots)
     wall = time.monotonic() - t0

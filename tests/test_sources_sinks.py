@@ -1,0 +1,145 @@
+"""Tests for the fetch actor retry policy (S1/S2), CSS extraction (M3,
+F6-F8), workbook sniff/unpivot (S4), and report sinks (K1-K3)."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from web_crawler_ray.output.report import (
+    COMMODITY_COLUMNS,
+    write_commodity_csv,
+    write_multi_sheet_report,
+    write_raw_json,
+)
+from web_crawler_ray.sources.http_fetch import FakeTransport, FetcherActor
+from web_crawler_ray.sources.tabular import WorkbookExtract, sniff_header, unpivot_last_value
+from web_crawler_ray.stages.css_extract import CssExtract, extract_fields, select, parse_dom, validate_value
+
+
+def test_fetcher_retry_and_isolation():
+    pages = {
+        "https://a/ok": (200, b"hello"),
+        "https://a/gone": (404, b""),
+        "https://a/flaky": (200, b"finally"),
+        "https://a/dead": (200, b"never"),
+    }
+    sleeps = []
+    fetcher = FetcherActor(
+        transport_factory=lambda: FakeTransport(pages, flaky={"https://a/flaky": 2, "https://a/dead": 99}),
+        max_attempts=3,
+        backoff_factor=1.0,
+        sleep_fn=sleeps.append,
+    )
+    batch = pa.table({"url": pa.array(list(pages), pa.string())})
+    out = fetcher(batch).to_pydict()
+    by_url = {u: (s, b, a, e) for u, s, b, a, e in zip(
+        out["url"], out["status"], out["body"], out["attempts"], out["fetch_error"])}
+    assert by_url["https://a/ok"] == (200, b"hello", 1, "")
+    assert by_url["https://a/gone"][0] == 404  # non-retryable, 1 attempt
+    assert by_url["https://a/gone"][2] == 1
+    # flaky: 2 failures then success on 3rd attempt
+    assert by_url["https://a/flaky"] == (200, b"finally", 3, "")
+    # dead: exhausts retries, error as data not exception
+    assert by_url["https://a/dead"][0] == 503
+    assert "retryable" in by_url["https://a/dead"][3]
+    # urllib3 backoff schedule 1, 2 per retried URL
+    assert sleeps.count(1.0) >= 2 and sleeps.count(2.0) >= 2
+
+
+HTML = """
+<html><body>
+<div id="main">
+ <table class="prices">
+  <tr class="row"><td class="name">Gold</td><td class="price">$1,234.56</td>
+      <td class="chg">+1.2%</td><td><a href="/gold">more</a></td></tr>
+ </table>
+ <table class="prices">
+  <tr class="row"><td class="name">Oil</td><td class="price">70.25</td>
+      <td class="chg">-0.5%</td><td><a href="/oil">more</a></td></tr>
+ </table>
+</div>
+</body></html>
+"""
+
+
+def test_css_extract_fields():
+    config = {
+        "container": "table.prices",
+        "fields": {
+            "name": {"selector": "td.name"},
+            "price": {"selector": "td.price", "transform": "float"},
+            "pct": {"selector": "td.chg", "regex": r"([\d.]+)%"},
+            "link": {"selector": "a", "attribute": "href", "validate": "non_empty"},
+        },
+    }
+    recs = extract_fields(HTML, config)
+    assert recs == [
+        {"name": "Gold", "price": 1234.56, "pct": "1.2", "link": "/gold"},
+        {"name": "Oil", "price": 70.25, "pct": "0.5", "link": "/oil"},
+    ]
+    # id selector + descendant combinator
+    dom = parse_dom(HTML)
+    assert len(select(dom, "#main td.name")) == 2
+    assert validate_value("1.5", "number") and not validate_value("x", "number")
+    assert validate_value("https://a/b", "url") and not validate_value("/rel", "url")
+
+    batch = pa.table({"body": pa.array([HTML.encode()], pa.binary()),
+                      "url": pa.array(["https://h/x"], pa.string())})
+    out = CssExtract(config)(batch)
+    assert out.num_rows == 2
+    assert out["source_url"].to_pylist() == ["https://h/x", "https://h/x"]
+
+
+CSV_SHEET = b"""junk line 1,,
+junk line 2,,
+Commodity,2021,2022,2023
+Gold,1700,1800,
+Oil,70,75,80
+Bad,-5,,
+,100,100,100
+"""
+
+
+def test_workbook_sniff_and_unpivot():
+    df, header = sniff_header(CSV_SHEET)
+    assert header == 2 and df.shape[1] == 4
+    long = unpivot_last_value(df)
+    # Gold: last non-null = 1800 (2022); Oil: 80 (2023); Bad dropped (negative)
+    rows = {r["name"]: (r["price"], r["period"]) for _, r in long.iterrows()}
+    assert rows["Gold"] == (1800.0, "2022")
+    assert rows["Oil"] == (80.0, "2023")
+    assert "Bad" not in rows
+    batch = pa.table({"bytes": pa.array([CSV_SHEET], pa.binary()),
+                      "path": pa.array(["wb.csv"], pa.string())})
+    out = WorkbookExtract()(batch)
+    assert out.num_rows == 2 and out["header_row"].to_pylist() == [2, 2]
+
+
+def test_report_sinks(tmp_path):
+    df = pd.DataFrame(
+        {
+            "name": ["Gold", "Oil", "Corn"],
+            "category": ["贵金属", "能源", "农产品"],
+            "current_price": [1800.0, 75.0, 5.0],
+            "change_percent": [1.0, -2.0, 0.5],
+            "source": ["s1", "s2", "s1"],
+        }
+    )
+    csv_path = str(tmp_path / "commodity.csv")
+    write_commodity_csv(df, csv_path)
+    raw = open(csv_path, "rb").read()
+    assert raw.startswith(b"\xef\xbb\xbf")  # utf-8-sig BOM like the reference
+    back = pd.read_csv(csv_path)
+    assert list(back.columns) == COMMODITY_COLUMNS
+    assert len(back) == 3
+
+    summary = write_multi_sheet_report(df, str(tmp_path / "report"))
+    assert summary["total_rows"] == 3
+    assert sorted(summary["categories"]) == ["农产品", "能源", "贵金属"]
+    assert os.path.exists(tmp_path / "report" / "by_category" / "能源.csv")
+
+    p = write_raw_json([{"a": 1}], str(tmp_path / "raw.json"))
+    assert json.load(open(p)) == [{"a": 1}]

@@ -107,13 +107,52 @@ def write_fragment(
     return name
 
 
+def commit_dir_fragment(
+    root: str,
+    dirname: str,
+    name: str,
+    rows: int,
+    input_fingerprint: str,
+    extra_lineage: dict | None = None,
+) -> str:
+    """Register a worker-written parquet DIRECTORY (distributed sink) as
+    one committed fragment; lineage sidecar + manifest update are the
+    atomic commit point (the directory itself was written by Ray
+    workers, one file per block)."""
+    if completed := (read_manifest(root)["fragments"].get(name) or None):
+        if completed["input_fingerprint"] == input_fingerprint:
+            return name
+    lineage = {
+        "fragment": name,
+        "rows_out": rows,
+        "input_fingerprint": input_fingerprint,
+        **(extra_lineage or {}),
+    }
+    with open(os.path.join(root, name + ".lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=1, sort_keys=True)
+    manifest = read_manifest(root)
+    manifest["version"] += 1
+    manifest["fragments"][name] = {
+        "rows": rows,
+        "input_fingerprint": input_fingerprint,
+        "dir": dirname,
+    }
+    _write_manifest(root, manifest)
+    return name
+
+
 def read_dataset(root: str) -> pa.Table:
     """Read all committed fragments (manifest order ⇒ deterministic)."""
     manifest = read_manifest(root)
-    tables = [
-        pq.read_table(os.path.join(root, frag["file"]))
-        for _, frag in sorted(manifest["fragments"].items())
-    ]
+    tables = []
+    for _, frag in sorted(manifest["fragments"].items()):
+        if "dir" in frag:
+            d = os.path.join(root, frag["dir"])
+            for fname in sorted(os.listdir(d)):
+                if fname.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(d, fname)))
+        else:
+            tables.append(pq.read_table(os.path.join(root, frag["file"])))
     if not tables:
         raise FileNotFoundError(f"no committed fragments under {root}")
     return pa.concat_tables(tables)

@@ -51,11 +51,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from ..codecs import decode_image, phash64, psnr
 from ..hashing import fingerprint_bytes
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
 from ..state.politeness import build_robots_map, schedule_host_batch
-from ..synth import gen_robots, image_for_page, page_meta
+from ..synth import gen_robots, image_for_page, page_meta, page_pixels
 from ..urls import CanonicalizeAndHash
 
 FRONTIER_SCHEMA = pa.schema(
@@ -78,11 +79,16 @@ class CrawlConfig:
     max_depth: int = 8
     round_budget_ms: int = 60_000
     n_seen_shards: int = 8
-    seen_shard_capacity: int = 1 << 16
+    # per-shard cuckoo capacity. Size for ≤~70% load at the expected
+    # seen-set size: past ~85% load cuckoo inserts degrade into long
+    # eviction chains (observed 5× round slowdown at 88% load). 1<<20
+    # slots ≈ 2 MiB/shard — memory is the cheap axis here.
+    seen_shard_capacity: int = 1 << 20
     priority_decay: float = 0.85
     fetch_mode: str = "join"  # "join" | "synth"
     checkpoint_dir: str = "/tmp/crawl_ckpt"
     write_images: bool = True
+    image_px: int = 32
     num_blocks: int = 16
 
     def to_json(self) -> dict:
@@ -101,6 +107,27 @@ class SeenShardActor:
 
     def snapshot(self) -> dict:
         return self.state.snapshot()
+
+    def checkpoint_to(self, path: str) -> int:
+        """Write this shard's own checkpoint file (per-partition
+        checkpointing, north rule) — all shards write in parallel, the
+        driver only barriers on completion."""
+        snap = self.state.snapshot()
+        np.savez_compressed(path, **{k: v for k, v in snap.items() if v is not None},
+                            has_bloom=np.bool_(snap["bloom"] is not None))
+        return len(self.state.exact)
+
+    def restore_from(self, path: str) -> int:
+        loaded = np.load(path, allow_pickle=False)
+        snap = {
+            "shard_id": int(loaded["shard_id"]),
+            "cuckoo": bytes(loaded["cuckoo"]),
+            "bloom": bytes(loaded["bloom"]) if bool(loaded["has_bloom"]) else None,
+            "exact": loaded["exact"],
+            "fp_hits": int(loaded["fp_hits"]),
+        }
+        self.state = SeenShardState.restore(snap)
+        return len(self.state.exact)
 
     def restore(self, snap: dict) -> None:
         self.state = SeenShardState.restore(snap)
@@ -176,6 +203,79 @@ def synthetic_fetch(batch: pa.Table, n_pages: int, n_hosts: int, seed: int) -> p
     )
 
 
+@ray.remote
+class CrawlStatsActor:
+    """Per-round counters fed from inside map tasks (SURVEY §2.3 T5:
+    metrics as an actor, not mutable globals). Calls are ray.get-ed by
+    the emitting task so all adds land before the round barrier."""
+
+    def __init__(self):
+        self.counts: dict[tuple[int, str], int] = {}
+
+    def add(self, round_index: int, key: str, n: int) -> None:
+        self.counts[(round_index, key)] = self.counts.get((round_index, key), 0) + n
+
+    def get(self, round_index: int, key: str) -> int:
+        return self.counts.get((round_index, key), 0)
+
+
+def fetch_sink_explode(
+    batch: pa.Table,
+    *,
+    fetch_mode: str,
+    n_pages: int,
+    n_hosts: int,
+    seed: int,
+    decay: float,
+    max_depth: int,
+    frag_dir: str | None,
+    image_px: int,
+    round_index: int,
+    stats,
+) -> pa.Table:
+    """One streaming pass per granted batch: fetch (synth mode) →
+    keep 200s → encode+write image rows (side-effect parquet file per
+    batch, deterministic name from the batch's min url_hash) → explode
+    outlinks into next-round frontier rows. Collapses what were four
+    per-round Dataset executions into one."""
+    if batch.num_rows == 0:
+        return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+    if fetch_mode == "synth":
+        batch = synthetic_fetch(batch, n_pages, n_hosts, seed)
+    ok = batch.filter(pc.equal(batch["status"], 200))
+    if stats is not None:
+        ray.get(stats.add.remote(round_index, "fetched_ok", ok.num_rows))
+    if frag_dir is not None and ok.num_rows:
+        img = ImageRows(px=image_px)(ok)
+        # inline invariant enforcement (north rule: every stored row
+        # decodes; PSNR≥40 dB for lossy; phash matches) — the sink
+        # validates what it writes, invalid rows are dropped + counted.
+        # NOTE: decode_image/page_pixels must be imported at MODULE top:
+        # a runtime `from ..x import y` inside this by-value-shipped
+        # function would try a real package import in the worker.
+        valid = np.ones(img.num_rows, dtype=bool)
+        for i, (data, ph, uh) in enumerate(
+            zip(img["bytes"].to_pylist(), img["phash"].to_pylist(), ok["url_hash"].to_pylist())
+        ):
+            try:
+                px = decode_image(data)
+            except Exception:
+                valid[i] = False
+                continue
+            ref = page_pixels(int(uh), image_px, image_px)
+            if phash64(px) != ph or psnr(px, ref) < 40.0:
+                valid[i] = False
+        if not valid.all():
+            img = img.filter(pa.array(valid))
+            if stats is not None:
+                ray.get(stats.add.remote(round_index, "invalid_images", int((~valid).sum())))
+        tag = int(pc.min(ok["url_hash"]).as_py())
+        pq.write_table(img, os.path.join(frag_dir, f"part-{tag:016x}.parquet"))
+        if stats is not None:
+            ray.get(stats.add.remote(round_index, "images", img.num_rows))
+    return explode_outlinks(ok, decay, max_depth)
+
+
 def pack_outlinks(batch: pa.Table) -> pa.Table:
     """list<string> outlinks → newline-joined string (Ray's hash join
     rejects list-typed non-key columns; URLs cannot contain newlines)."""
@@ -219,14 +319,17 @@ class ImageRows:
     """Fetched page → input_hint image+caption row (deterministic payload
     per url_hash; SURVEY §2.1 K4). Small batches: binary rows are wide."""
 
+    def __init__(self, px: int = 32):
+        self.px = px
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, datas, ws, hs, fmts, caps, phs = [], [], [], [], [], [], []
         for uh in batch["url_hash"].to_pylist():
-            data, fmt, caption, ph = image_for_page(int(uh))
+            data, fmt, caption, ph = image_for_page(int(uh), self.px, self.px)
             ids.append(f"img-{int(uh):016x}")
             datas.append(data)
-            ws.append(32)
-            hs.append(32)
+            ws.append(self.px)
+            hs.append(self.px)
             fmts.append(fmt)
             caps.append(caption)
             phs.append(ph)
@@ -268,6 +371,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     shards = [
         SeenShardActor.remote(i, cfg.seen_shard_capacity) for i in range(cfg.n_seen_shards)
     ]
+    stats_actor = CrawlStatsActor.remote()
 
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     start_round = 0
@@ -279,11 +383,13 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             else:
                 break
         if start_round > 0:
-            snaps = np.load(
-                os.path.join(_round_dir(cfg, start_round - 1), "seen_shards.npz"),
-                allow_pickle=True,
-            )["snaps"]
-            ray.get([s.restore.remote(snap) for s, snap in zip(shards, snaps)])
+            seen_dir = os.path.join(_round_dir(cfg, start_round - 1), "seen")
+            ray.get(
+                [
+                    s.restore_from.remote(os.path.join(seen_dir, f"shard-{i:03d}.npz"))
+                    for i, s in enumerate(shards)
+                ]
+            )
     elif os.path.exists(cfg.checkpoint_dir):
         shutil.rmtree(cfg.checkpoint_dir)
         os.makedirs(cfg.checkpoint_dir)
@@ -310,8 +416,10 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             )
             frontier = rd.from_arrow(frontier_tab).repartition(cfg.num_blocks)
         else:
-            prev = os.path.join(_round_dir(cfg, r - 1), "frontier_out.parquet")
-            if not os.path.exists(prev):
+            prev = os.path.join(_round_dir(cfg, r - 1), "frontier_out")
+            if not os.path.exists(prev) or not any(
+                f.endswith(".parquet") for f in os.listdir(prev)
+            ):
                 break
             frontier = rd.read_parquet(prev)
             if frontier.count() == 0:
@@ -319,45 +427,91 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
         # 1. canonicalize + hash (stateless map)
         canon = frontier.map_batches(CanonicalizeAndHash(), batch_format="pyarrow")
-        # 2. round-dedup on url_hash (shuffle #1 — fixed-width keys only);
-        # partition key is url_hash % P so the dedup is vectorized per
-        # partition instead of one task per distinct URL
-        n_dedup_parts = cfg.num_blocks
 
-        def add_pk(batch: pa.Table) -> pa.Table:
-            pk = (batch["url_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_dedup_parts)).astype(np.int64)
-            return batch.append_column("pk", pa.array(pk, pa.int64()))
-
-        deduped = (
-            canon.map_batches(add_pk, batch_format="pyarrow")
-            .groupby("pk")
-            .map_groups(round_dedup_partition, batch_format="pandas")
-            .drop_columns(["pk"])
-        )
-        # 3. URL-seen probe/insert (sharded exact-cuckoo actors; probe
-        # runs as stateless tasks carrying the actor handles)
-        survivors = deduped.map_batches(
-            seen_probe,
-            fn_kwargs={"shards": shards, "n_shards": cfg.n_seen_shards},
-            batch_format="pyarrow",
-        )
-        # 4. politeness + robots gate (shuffle #2: groupby host)
+        # 2-4. ONE shuffle per round: partition by host_hash % P, then
+        # inside each partition (vectorized): round-dedup on url_hash
+        # (valid under host partitioning — one URL belongs to exactly
+        # one host), URL-seen shard probes (batch RPCs to the cuckoo
+        # actors), per-host politeness scheduling. Fusing these removes
+        # two of three shuffle fixed costs per round. Skew note: the
+        # Zipf head host concentrates in one partition; its *granted*
+        # work is capped by the politeness budget, and dedup/probe for
+        # the hot partition stay vectorized — residual straggle is
+        # bounded by that host's frontier share (salting hook: split
+        # P by salt only for the dedup/probe phase if profiles demand).
         robots_map_local = ray.get(robots_ref)
         budget, rnd = cfg.round_budget_ms, r
-        scheduled = survivors.groupby("host").map_groups(
-            lambda g: schedule_host_batch(g, robots_map_local, budget, rnd),
-            batch_format="pandas",
-        )
-        # materialize the scheduled table once per round: it is the
-        # round's ground truth for order, deferred rows and metrics.
-        sched_batches = list(scheduled.iter_batches(batch_size=65536, batch_format="pyarrow"))
-        if not sched_batches:
-            break
-        scheduled_tab = pa.concat_tables(sched_batches, promote_options="default")
+        n_parts = cfg.num_blocks
+        shard_handles = shards
+        n_shards = cfg.n_seen_shards
 
-        granted_tab = scheduled_tab.filter(pc.equal(scheduled_tab["disposition"], "granted"))
-        deferred_tab = scheduled_tab.filter(pc.equal(scheduled_tab["disposition"], "deferred"))
-        denied_n = scheduled_tab.num_rows - granted_tab.num_rows - deferred_tab.num_rows
+        def add_part(batch: pa.Table) -> pa.Table:
+            part = (
+                batch["host_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_parts)
+            ).astype(np.int64)
+            return batch.append_column("part", pa.array(part, pa.int64()))
+
+        def process_partition(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.drop(columns=["part"])
+            df = round_dedup_partition(df)
+            tab = pa.Table.from_pandas(df, preserve_index=False)
+            tab = seen_probe(tab, shard_handles, n_shards)
+            df = tab.to_pandas()
+            if df.empty:
+                out = df.copy()
+                out["disposition"] = pd.Series([], dtype=object)
+                out["fetch_ts_ms"] = pd.Series([], dtype="int64")
+                return out
+            groups = [
+                schedule_host_batch(g, robots_map_local, budget, rnd)
+                for _, g in df.groupby("host", sort=True)
+            ]
+            return pd.concat(groups, ignore_index=True)
+
+        scheduled = (
+            canon.map_batches(add_part, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(process_partition, batch_format="pandas")
+        )
+        # materialize the scheduled dataset in the OBJECT STORE (it is
+        # the round's ground truth for order, deferred rows and
+        # metrics) — never concatenate the full frontier on the driver:
+        # only the politeness-capped granted set (≤ hosts × budget
+        # rows) is small enough to pull down.
+        t_stage = time.monotonic()
+        scheduled = scheduled.materialize()
+        stage_s = {"schedule_pipeline": round(time.monotonic() - t_stage, 2)}
+
+        def disp_partial(batch: pd.DataFrame) -> pd.DataFrame:
+            vc = batch["disposition"].value_counts()
+            return pd.DataFrame({"disposition": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+        counts = (
+            scheduled.map_batches(disp_partial, batch_format="pandas")
+            .to_pandas()
+            .groupby("disposition")["n"]
+            .sum()
+        )
+        stage_s["counts"] = round(time.monotonic() - t_stage, 2)
+        n_frontier = int(counts.sum())
+        n_deferred = int(counts.get("deferred", 0))
+        denied_n = int(counts.get("robots_denied", 0))
+        if n_frontier == 0:
+            break
+
+        granted_batches = list(
+            scheduled.filter(expr="disposition == 'granted'").iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        )
+        granted_tab = (
+            pa.concat_tables(granted_batches, promote_options="default")
+            if granted_batches
+            else None
+        )
+        if granted_tab is None:
+            granted_tab = scheduled.limit(0).to_pandas()
+            granted_tab = pa.Table.from_pandas(granted_tab, preserve_index=False)
 
         # crawl order for this round (pure sort on data columns)
         order_tab = granted_tab.select(["url", "host", "url_hash", "priority", "fetch_ts_ms"])
@@ -367,21 +521,30 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         )
         pq.write_table(order_sorted, os.path.join(rdir, "order.parquet"))
 
-        # 5. fetch
-        granted = (
-            rd.from_arrow(granted_tab).repartition(cfg.num_blocks)
-            if granted_tab.num_rows
-            else None
-        )
+        stage_s["granted_order"] = round(time.monotonic() - t_stage, 2)
+
+        # 5-6. fetch → 200-filter → image encode+sink → outlink explode,
+        # all in ONE streaming pass over the granted rows (the image
+        # parquet files are written inside the map tasks; the manifest
+        # commit below is the atomic checkpoint). Join-mode fetch runs
+        # the hash join first, then the same sink+explode stage.
         n_fetched_ok = n_outlinks = 0
-        if granted is not None:
-            if cfg.fetch_mode == "synth":
-                fetched = granted.map_batches(
-                    synthetic_fetch,
-                    fn_kwargs={"n_pages": cfg.n_pages, "n_hosts": cfg.n_hosts, "seed": cfg.seed},
-                    batch_format="pyarrow",
-                )
-            else:
+        children_ds = None
+        frag_dir = None
+        fp = None
+        if granted_tab.num_rows:
+            granted = rd.from_arrow(granted_tab).repartition(cfg.num_blocks)
+            if cfg.write_images:
+                images_root = os.path.join(cfg.checkpoint_dir, "images")
+                frag_name = f"round-{r:03d}"
+                fp = _fingerprint_table(granted_tab, ["url_hash"])
+                already = lancelike.read_manifest(images_root)["fragments"].get(frag_name)
+                if not (already and already["input_fingerprint"] == fp):
+                    frag_dir = os.path.join(images_root, frag_name)
+                    os.makedirs(frag_dir, exist_ok=True)
+            upstream = granted
+            mode = cfg.fetch_mode
+            if cfg.fetch_mode == "join":
                 if page_store_ds is None:
                     page_store_ds = (
                         rd.read_parquet(
@@ -391,81 +554,97 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                         .map_batches(pack_outlinks, batch_format="pyarrow")
                         .materialize()
                     )
-                fetched = granted.drop_columns(["disposition"]).join(
+                upstream = granted.drop_columns(["disposition"]).join(
                     page_store_ds,
                     join_type="inner",
                     num_partitions=cfg.num_blocks,
                     on=("url_hash",),
                 )
-            # materialize once: image sink, outlink explode and the count
-            # all consume it (bounded: ≤ per-round politeness budget rows)
-            ok = fetched.filter(expr="status == 200").materialize()
-
-            # 6a. image sink (input_hint rows, Lance-like fragments)
-            if cfg.write_images:
-                images = ok.map_batches(ImageRows(), batch_format="pyarrow", batch_size=256)
-                img_tab_batches = list(images.iter_batches(batch_size=4096, batch_format="pyarrow"))
-                img_tab = (
-                    pa.concat_tables(img_tab_batches, promote_options="default")
-                    if img_tab_batches
-                    else None
-                )
-                if img_tab is not None and img_tab.num_rows:
-                    fp = _fingerprint_table(granted_tab, ["url_hash"])
-                    img_tab = img_tab.sort_by("image_id")
-                    lancelike.write_fragment(
-                        os.path.join(cfg.checkpoint_dir, "images"), img_tab,
-                        partition_id=0, round_index=r, input_fingerprint=fp,
-                        extra_lineage={"round": r, "rows_in": granted_tab.num_rows},
-                    )
-
-            # 6b. outlink explode → next frontier
-            children = ok.map_batches(
-                lambda b: explode_outlinks(b, cfg.priority_decay, cfg.max_depth),
+                mode = "pre_fetched"
+            children_ds = upstream.map_batches(
+                fetch_sink_explode,
+                fn_kwargs=dict(
+                    fetch_mode=mode,
+                    n_pages=cfg.n_pages,
+                    n_hosts=cfg.n_hosts,
+                    seed=cfg.seed,
+                    decay=cfg.priority_decay,
+                    max_depth=cfg.max_depth,
+                    frag_dir=frag_dir,
+                    image_px=cfg.image_px,
+                    round_index=r,
+                    stats=stats_actor,
+                ),
                 batch_format="pyarrow",
             )
-            child_batches = list(children.iter_batches(batch_size=65536, batch_format="pyarrow"))
-            child_tab = (
-                pa.concat_tables(child_batches, promote_options="default")
-                if child_batches
-                else pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+
+        # 7. next frontier = deferred (stay admitted) + children —
+        # written as a parquet DIRECTORY by the workers (distributed),
+        # read back by the next round. No driver concat of the big side.
+        def to_frontier(batch: pa.Table) -> pa.Table:
+            batch = batch.select(["url", "depth", "priority", "seed_id"])
+            batch = batch.append_column(
+                "admitted", pa.array(np.ones(batch.num_rows, dtype=bool))
             )
-            n_fetched_ok = ok.count()
-            n_outlinks = child_tab.num_rows
-        else:
-            child_tab = pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+            return batch.cast(FRONTIER_SCHEMA)
 
-        # 7. next frontier = deferred (stay admitted) + children
-        deferred_next = deferred_tab.select(["url", "depth", "priority", "seed_id"])
-        deferred_next = deferred_next.append_column(
-            "admitted", pa.array([True] * deferred_next.num_rows, pa.bool_())
+        deferred_ds = (
+            scheduled.filter(expr="disposition == 'deferred'")
+            .map_batches(to_frontier, batch_format="pyarrow")
+            if n_deferred
+            else None
         )
-        frontier_out = pa.concat_tables(
-            [deferred_next.cast(FRONTIER_SCHEMA), child_tab.cast(FRONTIER_SCHEMA)],
-            promote_options="default",
-        )
-        pq.write_table(frontier_out, os.path.join(rdir, "frontier_out.parquet"))
+        frontier_dir = os.path.join(rdir, "frontier_out")
+        parts = [d for d in (deferred_ds, children_ds) if d is not None]
+        n_frontier_out = 0
+        if parts:
+            out_ds = parts[0] if len(parts) == 1 else parts[0].union(parts[1])
+            out_ds = out_ds.map_batches(
+                lambda b: b.cast(FRONTIER_SCHEMA), batch_format="pyarrow"
+            )
+            os.makedirs(frontier_dir, exist_ok=True)
+            out_ds.write_parquet(frontier_dir)
+            written = [f for f in os.listdir(frontier_dir) if f.endswith(".parquet")]
+            if written:
+                n_frontier_out = rd.read_parquet(frontier_dir).count()
+        n_outlinks = n_frontier_out - n_deferred
+        n_fetched_ok = ray.get(stats_actor.get.remote(r, "fetched_ok"))
+        if frag_dir is not None:
+            n_imgs = ray.get(stats_actor.get.remote(r, "images"))
+            lancelike.commit_dir_fragment(
+                os.path.join(cfg.checkpoint_dir, "images"),
+                f"round-{r:03d}", f"round-{r:03d}", n_imgs, fp,
+                extra_lineage={"round": r, "rows_in": granted_tab.num_rows},
+            )
+        stage_s["frontier_out"] = round(time.monotonic() - t_stage, 2)
 
-        # 8. seen-shard checkpoint + lineage
-        snaps = ray.get([s.snapshot.remote() for s in shards])
-        np.savez_compressed(
-            os.path.join(rdir, "seen_shards.npz"), snaps=np.array(snaps, dtype=object)
+        # 8. seen-shard checkpoint + lineage: each shard writes its own
+        # file in parallel (per-partition checkpoint; driver only
+        # barriers on completion)
+        seen_dir = os.path.join(rdir, "seen")
+        os.makedirs(seen_dir, exist_ok=True)
+        ray.get(
+            [
+                s.checkpoint_to.remote(os.path.join(seen_dir, f"shard-{i:03d}.npz"))
+                for i, s in enumerate(shards)
+            ]
         )
         m = {
             "round": r,
-            "n_frontier": scheduled_tab.num_rows,
+            "n_frontier": n_frontier,
             "n_granted": granted_tab.num_rows,
-            "n_deferred": deferred_tab.num_rows,
+            "n_deferred": n_deferred,
             "n_robots_denied": denied_n,
             "n_fetched_ok": n_fetched_ok,
             "n_outlinks": n_outlinks,
             "wall_s": round(time.monotonic() - t_start, 3),
+            "stage_s": stage_s,
         }
         metrics_rows.append(m)
         with open(os.path.join(rdir, "meta.json"), "w") as f:
             json.dump({**m, "done": True, "config": cfg.to_json()}, f, indent=1)
 
-        if frontier_out.num_rows == 0:
+        if n_frontier_out == 0:
             break
 
     # summary
@@ -474,6 +653,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     seen = np.sort(np.concatenate(seen_arrays)) if seen_arrays else np.array([], dtype=np.uint64)
     for s in shards:
         ray.kill(s)
+    ray.kill(stats_actor)
     total_granted = sum(m["n_granted"] for m in metrics_rows)
     wall = time.monotonic() - t_start
     result = {

@@ -1,0 +1,123 @@
+"""Workbook/spreadsheet source (SURVEY.md §2.1 S4).
+
+Reference semantics (pacong/scrapers/worldbank.py):
+- download a workbook (``:60-96``);
+- header sniffing: try ``header=0..6`` until a parse yields a frame
+  whose first column looks like names and which has ≥2 columns
+  (``:98-119``);
+- wide→long unpivot: for each data row, emit (name, last non-null
+  numeric value, the column label it came from) (``:121-172``);
+- drop rows with negative/unparseable prices (``:174-189``).
+
+Engine form: ``ray.data.read_binary_files`` over workbook files →
+per-file ``map_batches`` UDF. ``openpyxl``/``xlrd`` are absent in this
+container, so ``.xlsx`` decoding is stubbed behind an import-try and
+the same sniff/unpivot logic runs on CSV sheet bytes (semantically
+identical: a header row at an unknown offset + wide year columns).
+"""
+
+from __future__ import annotations
+
+import io
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.cleaning import clean_price_string
+
+try:
+    import openpyxl  # noqa: F401
+
+    HAVE_XLSX = True
+except ImportError:
+    HAVE_XLSX = False
+
+
+def _try_parse(data: bytes, header_row: int) -> pd.DataFrame | None:
+    try:
+        if data[:4] == b"PK\x03\x04":  # xlsx zip magic
+            if not HAVE_XLSX:
+                raise NotImplementedError(
+                    "xlsx decode needs openpyxl (not in this container); "
+                    "feed CSV sheet bytes instead"
+                )
+            return pd.read_excel(io.BytesIO(data), header=header_row)
+        return pd.read_csv(io.BytesIO(data), header=header_row)
+    except NotImplementedError:
+        raise
+    except Exception:
+        return None
+
+
+def sniff_header(data: bytes, max_header: int = 6) -> tuple[pd.DataFrame | None, int]:
+    """Header sniffing (worldbank.py:98-119): first header offset whose
+    parse gives ≥2 columns and a mostly-non-numeric first column."""
+    for h in range(max_header + 1):
+        df = _try_parse(data, h)
+        if df is None or df.shape[1] < 2 or df.empty:
+            continue
+        first = df.iloc[:, 0].astype(str)
+        numericish = first.str.fullmatch(r"[\d.,\-]+").mean()
+        if numericish < 0.5:
+            return df, h
+    return None, -1
+
+
+def unpivot_last_value(df: pd.DataFrame) -> pd.DataFrame:
+    """Wide→long (worldbank.py:121-172): per row, the LAST non-null
+    parseable value across the value columns + that column's label;
+    negative prices dropped."""
+    names, values, labels = [], [], []
+    value_cols = list(df.columns[1:])
+    for _, row in df.iterrows():
+        name = str(row.iloc[0]).strip()
+        if not name or name.lower() == "nan":
+            continue
+        picked = None
+        for col in reversed(value_cols):
+            v = clean_price_string(row[col])
+            if v is not None:
+                picked = (v, str(col))
+                break
+        if picked is None or picked[0] < 0:
+            continue
+        names.append(name)
+        values.append(picked[0])
+        labels.append(picked[1])
+    return pd.DataFrame({"name": names, "price": values, "period": labels})
+
+
+class WorkbookExtract:
+    """map_batches stage over read_binary_files output
+    (columns: ``bytes``, optional ``path``): sniff + unpivot per file."""
+
+    def __init__(self, bytes_col: str = "bytes", path_col: str = "path"):
+        self.bytes_col = bytes_col
+        self.path_col = path_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = []
+        paths = (
+            batch[self.path_col].to_pylist()
+            if self.path_col in batch.schema.names
+            else [""] * batch.num_rows
+        )
+        for data, path in zip(batch[self.bytes_col].to_pylist(), paths):
+            df, header = sniff_header(data)
+            if df is None:
+                continue
+            long = unpivot_last_value(df)
+            long["source_file"] = path
+            long["header_row"] = header
+            frames.append(long)
+        if not frames:
+            return pa.table(
+                {
+                    "name": pa.array([], pa.string()),
+                    "price": pa.array([], pa.float64()),
+                    "period": pa.array([], pa.string()),
+                    "source_file": pa.array([], pa.string()),
+                    "header_row": pa.array([], pa.int64()),
+                }
+            )
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)

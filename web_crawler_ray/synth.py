@@ -206,11 +206,22 @@ def gen_page_store(
     return gen_page_store_range(0, n_pages, n_pages, n_hosts, seed, max_outlinks, with_body)
 
 
+def page_pixels(url_hash: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic pixels for a page's image: a 16×16 random core
+    tiled up to (h, w). Bounded entropy (~768 B) regardless of size —
+    like real photos, the stored bytes compress, so the sink measures
+    compute + realistic IO rather than raw-noise disk bandwidth."""
+    rng = np.random.default_rng(url_hash & 0x7FFFFFFF)
+    core = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    reps = (-(-h // 16), -(-w // 16), 1)
+    return np.tile(core, reps)[:h, :w, :]
+
+
 def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str, str, int]:
     """Deterministic image+caption payload for a fetched page
     (the crawl sink's input_hint row). Pure function of url_hash."""
-    rng = np.random.default_rng(url_hash & 0x7FFFFFFF)
-    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    rng = np.random.default_rng((url_hash & 0x7FFFFFFF) ^ 0x5A5A)
+    pixels = page_pixels(url_hash, w, h)
     fmt = "jpeg" if url_hash & 1 else "png"
     data = encode_image(pixels, fmt)
     words = [CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(4)]
