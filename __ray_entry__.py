@@ -359,6 +359,47 @@ def q_validation_summary(sf_dir: str):
     return hist
 
 
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-day windowed aggregate over the events log (custom
+    operator: window id = pure function of ts, then partial agg)."""
+    from web_crawler_ray.stages.windows import tumbling_window_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    g = tumbling_window_agg(
+        ds, "ts", ["event_type"], "D",
+        {"n": ("count", None), "sum_value": ("sum", "value")},
+    )
+    return _round_cols(g, {"sum_value": 2})
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for every event, the most recent prior-or-equal
+    'signup' event of the same user (inner semantics; mirrors DuckDB
+    ASOF JOIN). Gap reported in whole microseconds (exact)."""
+    from web_crawler_ray.stages.windows import asof_join_latest
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts"]
+    )
+    joined = asof_join_latest(
+        ds, key_col="user_id", ts_col="ts",
+        right_filter=lambda g: g["event_type"] == "signup",
+        right_cols={"signup_event_id": "event_id", "signup_ts": "ts"},
+        tie_col="event_id",
+    )
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        gap = pd.to_datetime(batch["ts"]) - pd.to_datetime(batch["signup_ts"])
+        # unit-safe: pandas keeps the parquet's us resolution, so a raw
+        # int64 view would be µs here but ns elsewhere
+        batch["gap_us"] = (gap / pd.Timedelta(microseconds=1)).astype("int64")
+        batch["signup_event_id"] = batch["signup_event_id"].astype("int64")
+        return batch[["event_id", "user_id", "signup_event_id", "gap_us"]]
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
 def q_spec_pipeline(sf_dir: str):
     """§2.11 declarative pipeline spec (the zero-code YAML scraper
     surface): dict spec compiled to Ray Data stages."""
@@ -704,6 +745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_seen_metrics": q_crawl_seen_metrics,
         "q_json_extract": q_json_extract,
         "q_group_topk": q_group_topk,
+        "q_window_agg": q_window_agg,
+        "q_asof_join": q_asof_join,
         "q_validation_summary": q_validation_summary,
         "q_spec_pipeline": q_spec_pipeline,
         "q_forex_derive": q_forex_derive,
@@ -842,6 +885,19 @@ def oracle_sql() -> dict[str, str]:
                 FROM events WHERE NOT (ts >= TIMESTAMP '2024-01-01'
                                    AND ts <= TIMESTAMP '2024-01-20')
             ) WHERE n > 0
+        """,
+        "q_window_agg": """
+            SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('day', ts)
+        """,
+        "q_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   s.event_id AS signup_event_id,
+                   epoch_us(e.ts) - epoch_us(s.ts) AS gap_us
+            FROM events e ASOF JOIN (
+                SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+            ) s ON e.user_id = s.user_id AND e.ts >= s.ts
         """,
         "q_spec_pipeline": """
             SELECT l_returnflag, count(*) AS n,
