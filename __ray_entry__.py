@@ -601,6 +601,77 @@ def q_embed_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(ds, threshold=0.35)
 
 
+def q_ann_ivf(sf_dir: str):
+    """Approximate cosine top-k: IVF-style bucketed variant (probes a
+    subset of random-projection buckets; recall < 1 by design — the
+    exact path is q_ann_topk)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import ivf_cosine_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_cosine_topk(ds, [0], [qvec], dim=len(qvec), k=10, n_buckets=16, n_probe=8)
+
+
+def q_ngram_pairs(sf_dir: str):
+    """MinHash-LSH candidates verified by TRUE n-gram Jaccard against a
+    broadcast doc lookup (candidate set is small; lookup via ray.put)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    candidates = minhash_near_dup_pairs(ds, threshold=0.4)
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    return ngram_jaccard_verify(candidates, lookup, k=5, threshold=0.4)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal feature extraction: decode → per-channel stats +
+    luminance entropy (actor pool, small batches)."""
+    from web_crawler_ray.stages.multimodal import ImageFeatures
+    from web_crawler_ray.synth import gen_images
+
+    n = max(200, int(10_000 * _sf_scale(sf_dir)))
+    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=2)
+
+    def flatten(batch: pd.DataFrame) -> pd.DataFrame:
+        rgb = batch["rgb_mean"].tolist()
+        return pd.DataFrame(
+            {
+                "image_id": batch["image_id"],
+                "r_mean": [sql_round(v[0], 4) for v in rgb],
+                "g_mean": [sql_round(v[1], 4) for v in rgb],
+                "b_mean": [sql_round(v[2], 4) for v in rgb],
+                "luma_entropy": sql_round(batch["luma_entropy"], 4),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pandas")
+
+
+def q_image_resize(sf_dir: str):
+    """Multimodal resize: decode → mean-pool to 16×16 → re-encode
+    (binary in, binary out, schema preserved)."""
+    from web_crawler_ray.stages.multimodal import DecodeAndValidate, ResizeImages
+    from web_crawler_ray.synth import gen_images
+
+    n = max(200, int(5_000 * _sf_scale(sf_dir)))
+    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    resized = ds.map_batches(
+        ResizeImages, fn_constructor_kwargs={"target": 16}, batch_format="pyarrow",
+        batch_size=128, concurrency=2,
+    )
+    checked = resized.map_batches(
+        DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=2
+    )
+    return checked.select_columns(["image_id", "w", "h", "fmt", "decode_ok"])
+
+
 def q_text_metrics(sf_dir: str):
     """Language-ID, quality score, BPE-ish token count, fingerprint."""
     from web_crawler_ray.stages.text_stage import TextMetrics
@@ -754,6 +825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_css_extract": q_css_extract,
         "q_workbook_extract": q_workbook_extract,
         "q_fetch_retry": q_fetch_retry,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ngram_pairs": q_ngram_pairs,
+        "q_image_features": q_image_features,
+        "q_image_resize": q_image_resize,
     }
 
 

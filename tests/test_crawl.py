@@ -69,6 +69,21 @@ def test_order_and_seen_match_oracle(fixtures, ray_run):
     assert ray_run["res"]["total_granted"] == len(oracle["order"])
 
 
+def test_salting_invariance(fixtures, ray_run):
+    """Hot-host salting only moves work, never changes results: order
+    and seen set identical with salting disabled."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "unsalted"),
+        num_blocks=4, write_images=False, salt_hot_hosts=False,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
 def test_join_mode_equals_synth(fixtures, ray_run):
     cfg = CrawlConfig(
         n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,

@@ -90,6 +90,15 @@ class CrawlConfig:
     write_images: bool = True
     image_px: int = 32
     num_blocks: int = 16
+    # hot-host salting (SURVEY §2.12.3): a host whose frontier share
+    # exceeds hot_host_factor × (frontier / num_blocks) gets its
+    # dedup+probe spread over hot_salt_factor url-hash-salted
+    # partitions; only its (much smaller, budget-bound) survivors are
+    # re-shuffled to the host's home task for the politeness decision —
+    # the next-allowed clock stays authoritative per host.
+    salt_hot_hosts: bool = True
+    hot_host_factor: float = 1.0
+    hot_salt_factor: int = 8
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -428,35 +437,66 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # 1. canonicalize + hash (stateless map)
         canon = frontier.map_batches(CanonicalizeAndHash(), batch_format="pyarrow")
 
-        # 2-4. ONE shuffle per round: partition by host_hash % P, then
-        # inside each partition (vectorized): round-dedup on url_hash
-        # (valid under host partitioning — one URL belongs to exactly
-        # one host), URL-seen shard probes (batch RPCs to the cuckoo
-        # actors), per-host politeness scheduling. Fusing these removes
-        # two of three shuffle fixed costs per round. Skew note: the
-        # Zipf head host concentrates in one partition; its *granted*
-        # work is capped by the politeness budget, and dedup/probe for
-        # the hot partition stay vectorized — residual straggle is
-        # bounded by that host's frontier share (salting hook: split
-        # P by salt only for the dedup/probe phase if profiles demand).
+        # 2-4. ONE shuffle per round for the cold path: partition by
+        # host_hash % P, then inside each partition (vectorized):
+        # round-dedup on url_hash (valid under host partitioning — one
+        # URL belongs to exactly one host), URL-seen shard probes
+        # (batch RPCs to the cuckoo actors), per-host politeness
+        # scheduling. HOT hosts (Zipf head; frontier share > factor ×
+        # average partition) are salted: their dedup+probe spreads over
+        # hot_salt_factor url-hash partitions, and only the survivors —
+        # bounded by dedup + seen filtering — take a second, narrow
+        # shuffle to one home task per hot host where the politeness
+        # clock decides. Results are identical with salting on or off
+        # (every step is a pure per-host/per-url function); salting
+        # only changes WHERE the work runs (test-pinned).
         robots_map_local = ray.get(robots_ref)
         budget, rnd = cfg.round_budget_ms, r
         n_parts = cfg.num_blocks
         shard_handles = shards
         n_shards = cfg.n_seen_shards
 
+        hot_hosts: dict[str, int] = {}
+        if cfg.salt_hot_hosts:
+            canon = canon.materialize()
+
+            def host_partial(batch: pd.DataFrame) -> pd.DataFrame:
+                vc = batch["host"].value_counts()
+                return pd.DataFrame({"host": vc.index.to_numpy(), "n": vc.to_numpy()})
+
+            host_counts = (
+                canon.map_batches(host_partial, batch_format="pandas")
+                .to_pandas()
+                .groupby("host")["n"]
+                .sum()
+            )
+            threshold = cfg.hot_host_factor * host_counts.sum() / n_parts
+            hot_hosts = {
+                h: i for i, h in enumerate(sorted(host_counts[host_counts > threshold].index))
+            }
+
+        salt = cfg.hot_salt_factor
+
         def add_part(batch: pa.Table) -> pa.Table:
             part = (
                 batch["host_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_parts)
             ).astype(np.int64)
+            if hot_hosts:
+                hosts_np = batch["host"].to_pylist()
+                uh = batch["url_hash"].to_numpy(zero_copy_only=False)
+                for i, h in enumerate(hosts_np):
+                    hot_idx = hot_hosts.get(h)
+                    if hot_idx is not None:
+                        part[i] = n_parts + hot_idx * salt + int(uh[i] % np.uint64(salt))
             return batch.append_column("part", pa.array(part, pa.int64()))
 
-        def process_partition(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.drop(columns=["part"])
+        def dedup_probe(df: pd.DataFrame) -> pd.DataFrame:
             df = round_dedup_partition(df)
             tab = pa.Table.from_pandas(df, preserve_index=False)
             tab = seen_probe(tab, shard_handles, n_shards)
-            df = tab.to_pandas()
+            return tab.to_pandas()
+
+        def schedule_hosts(df: pd.DataFrame) -> pd.DataFrame:
             if df.empty:
                 out = df.copy()
                 out["disposition"] = pd.Series([], dtype=object)
@@ -468,11 +508,31 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             ]
             return pd.concat(groups, ignore_index=True)
 
-        scheduled = (
-            canon.map_batches(add_part, batch_format="pyarrow")
-            .groupby("part")
-            .map_groups(process_partition, batch_format="pandas")
+        def process_partition(df: pd.DataFrame) -> pd.DataFrame:
+            is_hot = bool(df["part"].iloc[0] >= n_parts) if len(df) else False
+            df = df.drop(columns=["part"])
+            df = dedup_probe(df)
+            if is_hot:
+                # politeness decided at the host's home task (2nd pass)
+                df["disposition"] = "hot_pending"
+                df["fetch_ts_ms"] = np.int64(-1)
+                return df
+            return schedule_hosts(df)
+
+        parted = canon.map_batches(add_part, batch_format="pyarrow")
+        scheduled = parted.groupby("part").map_groups(
+            process_partition, batch_format="pandas"
         )
+        if hot_hosts:
+            scheduled = scheduled.materialize()
+            cold = scheduled.filter(expr="disposition != 'hot_pending'")
+            hot_sched = (
+                scheduled.filter(expr="disposition == 'hot_pending'")
+                .drop_columns(["disposition", "fetch_ts_ms"])
+                .groupby("host")
+                .map_groups(schedule_hosts, batch_format="pandas")
+            )
+            scheduled = cold.union(hot_sched)
         # materialize the scheduled dataset in the OBJECT STORE (it is
         # the round's ground truth for order, deferred rows and
         # metrics) — never concatenate the full frontier on the driver:
