@@ -21,7 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..hashing import hash64
-from ..state.politeness import HostRules, build_robots_map, schedule_host_heap
+from ..state.politeness import build_robots_map, schedule_host_heap
 from ..synth import page_meta
 from ..urls import canonicalize_url, host_of
 
