@@ -1,0 +1,119 @@
+"""Unit tests: lance-like sink commit/resume semantics, coarse-partition
+grouped apply vs naive groupby, pipeline-spec registry."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from web_crawler_ray.io import lancelike
+from web_crawler_ray.pipelines.spec import (
+    build_pipeline,
+    create_pipeline,
+    list_pipelines,
+    register_pipeline,
+)
+from web_crawler_ray.stages.grouped import grouped_apply, partitioned_drop_duplicates
+
+
+def _tab(n=10):
+    return pa.table({"k": pa.array([i % 3 for i in range(n)]), "v": pa.array(range(n))})
+
+
+def test_lancelike_fragment_commit_and_resume_skip(tmp_path):
+    root = str(tmp_path / "ds")
+    name = lancelike.write_fragment(root, _tab(), 0, 0, "fp-a")
+    assert name == "part-00000-r000"
+    m1 = lancelike.read_manifest(root)
+    assert m1["version"] == 1 and m1["fragments"][name]["rows"] == 10
+    # identical fingerprint → idempotent skip (no version bump)
+    lancelike.write_fragment(root, _tab(), 0, 0, "fp-a")
+    assert lancelike.read_manifest(root)["version"] == 1
+    # changed fingerprint → recommit
+    lancelike.write_fragment(root, _tab(4), 0, 0, "fp-b")
+    m2 = lancelike.read_manifest(root)
+    assert m2["version"] == 2 and m2["fragments"][name]["rows"] == 4
+    # second fragment + read-back
+    lancelike.write_fragment(root, _tab(6), 1, 0, "fp-c")
+    assert lancelike.read_dataset(root).num_rows == 10
+    assert len(lancelike.dataset_paths(root)) == 2
+    # lineage sidecars exist
+    assert os.path.exists(os.path.join(root, name + ".lineage.json"))
+
+
+def test_lancelike_dir_fragment(tmp_path):
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "ds2")
+    os.makedirs(os.path.join(root, "round-000"))
+    pq.write_table(_tab(5), os.path.join(root, "round-000", "part-a.parquet"))
+    pq.write_table(_tab(7), os.path.join(root, "round-000", "part-b.parquet"))
+    lancelike.commit_dir_fragment(root, "round-000", "round-000", 12, "fp-x")
+    assert lancelike.read_dataset(root).num_rows == 12
+    # idempotent on same fingerprint
+    lancelike.commit_dir_fragment(root, "round-000", "round-000", 12, "fp-x")
+    assert lancelike.read_manifest(root)["version"] == 1
+
+
+def test_grouped_apply_matches_naive(ray_session):
+    df = pd.DataFrame(
+        {
+            "k1": [f"g{i % 17}" for i in range(500)],
+            "k2": [i % 3 for i in range(500)],
+            "v": range(500),
+        }
+    )
+
+    def reducer(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k1": [g["k1"].iloc[0]], "k2": [g["k2"].iloc[0]],
+             "s": [int(g["v"].sum())], "n": [len(g)]}
+        )
+
+    got = (
+        grouped_apply(rd.from_pandas(df).repartition(5), ["k1", "k2"], reducer)
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby(["k1", "k2"], sort=True)["v"]
+        .agg(["sum", "size"])
+        .rename(columns={"sum": "s", "size": "n"})
+        .reset_index()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"s": "int64", "n": "int64"}), want.astype({"s": "int64", "n": "int64"})
+    )
+
+
+def test_partitioned_drop_duplicates(ray_session):
+    df = pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [5, 3, 9, 9, 1], "tag": list("abcde")})
+    out = (
+        partitioned_drop_duplicates(
+            rd.from_pandas(df), ["k"], sort_keys=["k", "v"], ascending=[True, True]
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["v"].tolist() == [3, 9, 1]  # min-v winner per key, deterministic
+
+
+def test_spec_registry(ray_session):
+    register_pipeline(
+        "orders_by_priority", "orders",
+        [{"op": "groupby_agg", "keys": ["o_orderpriority"], "aggs": {"n": ["count", None]}}],
+    )
+    assert "orders_by_priority" in list_pipelines()
+    out = create_pipeline("orders_by_priority", "/root/testdata/sf0.001").to_pandas()
+    assert out["n"].sum() == 1500
+
+
+def test_spec_unknown_op():
+    with pytest.raises(ValueError, match="unknown op"):
+        build_pipeline("/root/testdata/sf0.001/orders.parquet", [{"op": "nope"}])

@@ -123,7 +123,7 @@ def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float) -> pd
 
 
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
-                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=2):
+                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=4):
     """MinHash+LSH near-duplicate pairs: signatures (actor pool) →
     groupby(band_key) → per-bucket verify → global distinct pairs."""
     exploded = ds.map_batches(
