@@ -206,6 +206,33 @@ def gen_page_store(
     return gen_page_store_range(0, n_pages, n_pages, n_hosts, seed, max_outlinks, with_body)
 
 
+def gen_page_store_distributed(
+    n_pages: int, n_hosts: int, out_dir: str, seed: int = 42,
+    max_outlinks: int = 20, with_body: bool = True, num_shards: int = 32,
+) -> str:
+    """Generate the page store with Ray workers (one task per shard over
+    ``gen_page_store_range``) and write partitioned parquet — the form a
+    10^10-row dimension table must take (the monolithic generator is a
+    small-tier convenience; both produce identical rows, test-pinned)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        tables = [
+            gen_page_store_range(
+                shard * n_pages // num_shards,
+                (shard + 1) * n_pages // num_shards,
+                n_pages, n_hosts, seed, max_outlinks, with_body,
+            )
+            for shard in batch["id"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    rd.range(num_shards, override_num_blocks=num_shards).map_batches(
+        gen, batch_size=1, batch_format="pyarrow"
+    ).write_parquet(out_dir)
+    return out_dir
+
+
 def page_pixels(url_hash: int, w: int = 32, h: int = 32) -> np.ndarray:
     """Deterministic pixels for a page's image: a 16×16 random core
     tiled up to (h, w). Bounded entropy (~768 B) regardless of size —
