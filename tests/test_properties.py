@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis) for correctness-critical invariants:
+scalar/batch cleaner agreement, canonicalization idempotence, cuckoo
+no-false-negatives, SQL-round parity with DuckDB, codec roundtrip."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_crawler_ray.codecs import decode_image, encode_image, psnr
+from web_crawler_ray.functions.cleaning import (
+    clean_percentage_batch,
+    clean_percentage_string,
+    clean_price_batch,
+    clean_price_string,
+)
+from web_crawler_ray.functions.rounding import sql_round
+from web_crawler_ray.state.cuckoo import CuckooFilter, SeenShardState
+from web_crawler_ray.urls import canonicalize_url
+
+price_text = st.text(
+    alphabet="0123456789.,-$€ abcn/%", min_size=0, max_size=16
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(price_text, min_size=1, max_size=20))
+def test_price_scalar_batch_agree(values):
+    batch = clean_price_batch(pd.Series(values))
+    for v, b in zip(values, batch):
+        s = clean_price_string(v)
+        assert (s is None and pd.isna(b)) or (
+            s is not None and not pd.isna(b) and abs(s - b) < 1e-9
+        ), (v, s, b)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(price_text, min_size=1, max_size=20))
+def test_percent_scalar_batch_agree(values):
+    batch = clean_percentage_batch(pd.Series(values))
+    for v, b in zip(values, batch):
+        s = clean_percentage_string(v)
+        assert (s is None and pd.isna(b)) or (
+            s is not None and not pd.isna(b) and abs(s - b) < 1e-9
+        ), (v, s, b)
+
+
+url_bits = st.text(alphabet="abcxyz019./-_~%#?&=:", min_size=0, max_size=30)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sampled_from(["http", "https", "HTTP", "ftp"]), url_bits)
+def test_canonicalize_idempotent(scheme, rest):
+    url = f"{scheme}://host.example{'' if rest.startswith('/') else '/'}{rest}"
+    canon = canonicalize_url(url)
+    assert canonicalize_url(canon) == canon  # idempotent (including "")
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=300, unique=True))
+def test_cuckoo_no_false_negatives(keys):
+    cf = CuckooFilter(capacity=1024, seed=3)
+    for k in keys:
+        cf.insert(k)  # may overflow to orphans — still must be findable
+    arr = np.array(keys, dtype=np.uint64)
+    assert cf.contains_batch(arr).all()
+    restored = CuckooFilter.restore(cf.serialize())
+    assert restored.contains_batch(arr).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200, unique=True))
+def test_seen_shard_exactness(keys):
+    shard = SeenShardState(0, capacity=128)  # tiny: forces spill paths
+    arr = np.array(keys, dtype=np.uint64)
+    assert shard.probe_and_add(arr).all()
+    assert not shard.probe_and_add(arr).any()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=6),
+)
+def test_sql_round_matches_duckdb(x, nd):
+    con = duckdb.connect()
+    expected = con.sql(f"SELECT round(CAST({x!r} AS DOUBLE), {nd})").fetchone()[0]
+    got = sql_round(np.array([x]), nd)[0]
+    assert got == expected or (pd.isna(got) and pd.isna(expected)), (x, nd, got, expected)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1), st.sampled_from([8, 17, 32]))
+def test_codec_roundtrip(seed, size):
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+    assert (decode_image(encode_image(px, "png")) == px).all()
+    assert psnr(px, decode_image(encode_image(px, "jpeg"))) >= 40.0

@@ -191,6 +191,14 @@ def parse_jsonp_quote(body: str) -> list[dict]:
 
 # ---------------------------------------------------------------- batch forms
 
+def _to_float(s: pd.Series) -> pd.Series:
+    """to_numeric via object dtype → always float64. Direct to_numeric on
+    a StringDtype series picks nullable Int dtypes for integer-looking
+    inputs and RAISES (despite errors="coerce") on mixed valid/invalid
+    batches during its safe int cast."""
+    return pd.to_numeric(s.astype(object), errors="coerce").astype("float64")
+
+
 def clean_price_batch(values: pd.Series) -> pd.Series:
     """Vectorized F1 (pandas str kernels; falls back to scalar only for
     the ambiguous lone-comma case)."""
@@ -207,12 +215,12 @@ def clean_price_batch(values: pd.Series) -> pd.Series:
         decimal_like = only_c & s.str.match(r"^[^,]*,\d{0,2}$", na=False)
         s = s.mask(decimal_like, s.str.replace(",", "."))
         s = s.mask(only_c & ~decimal_like, s.str.replace(",", ""))
-    return pd.to_numeric(s, errors="coerce")
+    return _to_float(s)
 
 
 def clean_percentage_batch(values: pd.Series) -> pd.Series:
     s = values.astype("string").str.strip().str.replace(_NON_PRICE, "", regex=True).str.replace(",", ".")
-    v = pd.to_numeric(s, errors="coerce")
+    v = _to_float(s)
     return v.mask(v.abs() > 100, v / 100)
 
 
