@@ -296,6 +296,34 @@ def q_ann_topk(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_crawl_resume(sf_dir: str):
+    """Checkpoint/resume demonstration (north rule): run 2 rounds, kill,
+    resume to 3; returns per-round lineage proving the resumed run
+    executed only the missing round and the final order file count."""
+    import pyarrow as pa
+
+    from web_crawler_ray.pipelines.crawl import CrawlConfig, read_crawl_order, run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
+
+    cfg_short, n_seeds = _crawl_cfg(sf_dir, "resume")
+    cfg_short.max_rounds = 2
+    seeds = gen_seeds(n_seeds, cfg_short.n_hosts, cfg_short.seed)
+    robots = gen_robots(cfg_short.n_hosts, cfg_short.seed)
+    first = run_crawl(cfg_short, seeds, robots_table=robots)
+    cfg_full, _ = _crawl_cfg(sf_dir, "resume")
+    cfg_full.max_rounds = 3
+    resumed = run_crawl(cfg_full, seeds, robots_table=robots, resume=True)
+    order = read_crawl_order(cfg_full.checkpoint_dir)
+    return pa.table(
+        {
+            "phase": pa.array(["first_run", "resumed"], pa.string()),
+            "rounds_executed": pa.array([first["rounds"], resumed["rounds"]], pa.int64()),
+            "n_seen": pa.array([first["n_seen"], resumed["n_seen"]], pa.int64()),
+            "total_order_rows": pa.array([-1, order.num_rows], pa.int64()),
+        }
+    )
+
+
 def q_json_extract(sf_dir: str):
     """M4/F11 JSON field extraction over events.props + rollup."""
     import json
@@ -814,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_dups": q_phash_dups,
         "q_crawl_order": q_crawl_order,
         "q_crawl_seen_metrics": q_crawl_seen_metrics,
+        "q_crawl_resume": q_crawl_resume,
         "q_json_extract": q_json_extract,
         "q_group_topk": q_group_topk,
         "q_window_agg": q_window_agg,
