@@ -99,6 +99,38 @@ def test_join_mode_equals_synth(fixtures, ray_run):
     )
 
 
+def test_hashjoin_mode_equals_synth(fixtures, ray_run):
+    """The full-Dataset.join fetch path (kept for comparison) produces
+    the same crawl as the broadcast semi-join and synthetic fetch."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="hashjoin", checkpoint_dir=os.path.join(fixtures["root"], "hashjoin"),
+        num_blocks=4, write_images=False,
+    )
+    run_crawl(cfg, fixtures["seeds"], page_store_path=fixtures["ps_path"],
+              robots_table=fixtures["robots"])
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+
+
+def test_other_politeness_budget_matches_oracle(fixtures):
+    """Order/seen equality must hold under a different politeness budget
+    (the budget changes grant counts, deferral waves and ordering)."""
+    budget = 20_000
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        round_budget_ms=budget, fetch_mode="synth",
+        checkpoint_dir=os.path.join(fixtures["root"], "budget20"),
+        num_blocks=4, write_images=False,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    oracle = crawl_oracle(
+        fixtures["seeds"], fixtures["robots"], N_PAGES, N_HOSTS, SEED,
+        max_rounds=ROUNDS, round_budget_ms=budget,
+    )
+    assert _order_tuples(read_crawl_order(cfg.checkpoint_dir)) == oracle["order"]
+    assert set(int(x) for x in res["seen_hashes"]) == oracle["seen"]
+
+
 def test_resume_byte_identical(fixtures, ray_run):
     ckpt = os.path.join(fixtures["root"], "resume")
     cfg_short = CrawlConfig(
