@@ -157,6 +157,39 @@ def q_join_revenue(sf_dir: str):
     return _round_cols(g, {"revenue": 2})
 
 
+def q_customer_geo(sf_dir: str):
+    """§2.4 broadcast small-side join: customer ⋈ nation ⋈ region where
+    both dimensions are tiny — ray.put the nation→region name map once,
+    look it up per batch (no shuffle for the join; only the final
+    partial-agg combine moves rows)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    region_name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nation_region = {
+        int(nk): region_name[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(nation_region)
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        lookup = ray.get(ref)
+        batch = batch.copy()
+        batch["r_name"] = batch["c_nationkey"].map(lookup)
+        return batch[["r_name", "c_acctbal"]]
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_nationkey", "c_acctbal"])
+    g = partial_grouped_agg(
+        ds.map_batches(attach, batch_format="pandas"), ["r_name"],
+        {"n_customers": ("count", None), "sum_acctbal": ("sum", "c_acctbal")},
+    )
+    return _round_cols(g, {"sum_acctbal": 2})
+
+
 def q_filter_range(sf_dir: str):
     """V1 NumericRange-style predicate push + grouped rollup."""
     ds = rd.read_parquet(
@@ -823,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_orders": q_top_orders,
         "q_top_events": q_top_events,
         "q_join_revenue": q_join_revenue,
+        "q_customer_geo": q_customer_geo,
         "q_filter_range": q_filter_range,
         "q_dedup_latest": q_dedup_latest,
         "q_event_type_hist": q_event_type_hist,
@@ -900,6 +934,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "q_customer_geo": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "q_filter_range": """
             SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
