@@ -1,0 +1,66 @@
+"""Direct tests for the summary aggregates (A1/A2/A5/O1/O2) and the
+flagship summarize() composition."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from web_crawler_ray.pipelines.clean_pipeline import run_clean_pipeline, summarize
+from web_crawler_ray.stages.aggregate import (
+    error_histogram,
+    market_summary,
+    numeric_profile,
+    top_k,
+    top_k_per_group,
+)
+from web_crawler_ray.synth import gen_raw_records
+
+
+def test_market_summary(ray_session):
+    df = pd.DataFrame({"change_percent": [1.0, -2.0, 0.0, 3.0, None]})
+    out = market_summary(rd.from_pandas(df))
+    assert out["total_count"] == 5
+    assert out["gainers"] == 2 and out["losers"] == 1 and out["unchanged"] == 1
+
+
+def test_top_k_and_per_group(ray_session):
+    df = pd.DataFrame({"g": ["a", "a", "b", "b"], "v": [3.0, 9.0, 9.0, 1.0], "id": [1, 2, 3, 4]})
+    ds = rd.from_pandas(df)
+    top = top_k(ds, "v", k=2, descending=True, tie_col="id").to_pandas()
+    # scalar descending applies to the tie column too: v desc, id desc
+    assert top["id"].tolist() == [3, 2]
+    per = top_k_per_group(ds, "g", "v", k=1, tie_col="id").to_pandas().sort_values("g")
+    assert per["id"].tolist() == [2, 3]
+
+
+def test_error_histogram(ray_session):
+    df = pd.DataFrame({"errors": ["a;b", "a", "", "b"]})
+    out = (
+        error_histogram(rd.from_pandas(df))
+        .to_pandas()
+        .sort_values("error_type")
+        .reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"error_type": "a", "n": 2},
+        {"error_type": "b", "n": 2},
+    ]
+
+
+def test_numeric_profile(ray_session):
+    ds = rd.from_pandas(pd.DataFrame({"x": [1.0, 2.0, 3.0]}))
+    out = numeric_profile(ds, "x")
+    assert out["n"] == 3 and out["sum_v"] == 6.0 and out["min_v"] == 1.0 and out["max_v"] == 3.0
+
+
+def test_flagship_summarize(ray_session):
+    raw = rd.from_arrow(gen_raw_records(2000)).repartition(4)
+    deduped = run_clean_pipeline(raw, pd.Timestamp("2024-01-22 12:00:00")).materialize()
+    summary, per_cat, gainers = summarize(deduped)
+    assert summary["total_count"] == deduped.count()
+    cats = per_cat.to_pandas()
+    assert set(cats.columns) == {"category", "n", "avg_value"}
+    assert cats["n"].sum() == deduped.count()
+    g = gainers.to_pandas()
+    assert len(g) <= 5
+    assert (g["change_percent"].diff().dropna() <= 0).all()  # descending

@@ -62,6 +62,9 @@ def summarize(deduped):
     """A1 global summary + A2 category stats + O2 top-5 movers."""
     summary = market_summary(deduped, "change_percent")
     per_cat = category_stats(deduped, "category", "change_percent")
-    gainers = top_k(deduped.filter(expr="change_percent is not null"),
-                    "change_percent", k=5, descending=True, tie_col="name_std")
+    # Ray's filter-expr parser has no "is not null"; use a pandas mask
+    non_null = deduped.map_batches(
+        lambda b: b.dropna(subset=["change_percent"]), batch_format="pandas"
+    )
+    gainers = top_k(non_null, "change_percent", k=5, descending=True, tie_col="name_std")
     return summary, per_cat, gainers
