@@ -982,7 +982,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS total_tokens,
+                   CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
                    round(avg(n_chars), 2) AS avg_chars
             FROM documents GROUP BY lang
         """,
@@ -1005,7 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_json_extract": """
             SELECT event_type, count(*) AS n,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
             FROM events GROUP BY event_type
         """,

@@ -43,7 +43,8 @@ def ray_run(fixtures):
         fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "synth"),
         num_blocks=4,
     )
-    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
     order = read_crawl_order(cfg.checkpoint_dir)
     return {"cfg": cfg, "res": res, "order": order}
 
@@ -77,7 +78,8 @@ def test_salting_invariance(fixtures, ray_run):
         fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "unsalted"),
         num_blocks=4, write_images=False, salt_hot_hosts=False,
     )
-    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
     assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
     assert set(int(x) for x in res["seen_hashes"]) == set(
         int(x) for x in ray_run["res"]["seen_hashes"]
@@ -91,7 +93,7 @@ def test_join_mode_equals_synth(fixtures, ray_run):
         num_blocks=4, write_images=False,
     )
     res = run_crawl(cfg, fixtures["seeds"], page_store_path=fixtures["ps_path"],
-                    robots_table=fixtures["robots"])
+                    robots_table=fixtures["robots"], collect_seen=True)
     order = read_crawl_order(cfg.checkpoint_dir)
     assert order.equals(ray_run["order"])
     assert set(int(x) for x in res["seen_hashes"]) == set(
@@ -122,7 +124,8 @@ def test_other_politeness_budget_matches_oracle(fixtures):
         checkpoint_dir=os.path.join(fixtures["root"], "budget20"),
         num_blocks=4, write_images=False,
     )
-    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"])
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
     oracle = crawl_oracle(
         fixtures["seeds"], fixtures["robots"], N_PAGES, N_HOSTS, SEED,
         max_rounds=ROUNDS, round_budget_ms=budget,
@@ -186,5 +189,27 @@ def test_metrics_lineage(ray_run):
     for m in ms:
         assert m["n_granted"] <= m["n_frontier"]
         assert m["n_granted"] + m["n_deferred"] + m["n_robots_denied"] == m["n_frontier"]
+        # the stored-phash invariant holds by construction (phash is
+        # computed from the DECODED payload), so the sink must never
+        # drop a row as invalid
+        assert m["n_invalid_images"] == 0
     stats = ray_run["res"]["shard_stats"]
     assert sum(s["n"] for s in stats) == ray_run["res"]["n_seen"]
+
+
+def test_no_rows_dropped_by_sink(ray_run):
+    """Every granted 200-fetch lands in the image sink: rows in the
+    committed fragments == sum of per-round n_fetched_ok."""
+    images = lancelike.read_dataset(os.path.join(ray_run["cfg"].checkpoint_dir, "images"))
+    total_ok = sum(m["n_fetched_ok"] for m in ray_run["res"]["metrics"])
+    assert images.num_rows == total_ok
+
+
+def test_seen_digest_matches_collected_set(ray_run):
+    """The per-shard digest surface (the at-scale comparison path) is
+    consistent with the opt-in collected seen array."""
+    import hashlib as _h
+    res = ray_run["res"]
+    assert res["n_seen"] == len(res["seen_hashes"])
+    assert len(res["shard_digests"]) > 0
+    assert res["seen_digest"] == _h.md5("".join(res["shard_digests"]).encode()).hexdigest()

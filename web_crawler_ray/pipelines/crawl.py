@@ -37,6 +37,7 @@ benches; mode "join" does the honest frontier⋈page_store hash join.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -144,6 +145,11 @@ class SeenShardActor:
     def seen_array(self) -> np.ndarray:
         return self.state.seen_array()
 
+    def seen_digest(self) -> str:
+        """Digest of this shard's sorted seen keys — lets two runs be
+        compared for seen-set equality without shipping any keys."""
+        return hashlib.md5(self.state.seen_array().tobytes()).hexdigest()
+
     def stats(self) -> dict:
         return {"n": len(self.state.exact), "fp_hits": self.state.fp_hits,
                 "cuckoo_count": self.state.cuckoo.count,
@@ -160,6 +166,14 @@ def round_dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
         ["url_hash", "priority", "depth", "seed_id"],
         ascending=[True, False, True, True],
         kind="mergesort",
+    )
+    # OR the admitted flag across duplicates BEFORE picking the winner:
+    # a politeness-deferred row (admitted=True, already seen-marked) that
+    # loses dedup to a higher-priority duplicate child must not hand the
+    # url to the seen probe — the child would be dropped as "seen" and
+    # the URL silently never fetched. The winner inherits admission.
+    df = df.assign(
+        admitted=df.groupby("url_hash", sort=False)["admitted"].transform("max")
     )
     return df.drop_duplicates(subset="url_hash", keep="first")
 
@@ -220,12 +234,21 @@ class CrawlStatsActor:
 
     def __init__(self):
         self.counts: dict[tuple[int, str], int] = {}
+        # (round, key) -> {batch_tag: n}; set_tagged OVERWRITES per tag,
+        # so a Ray task retry / speculative re-execution of the same
+        # block lands on the same tag instead of double-counting.
+        self.tagged: dict[tuple[int, str], dict[int, int]] = {}
 
     def add(self, round_index: int, key: str, n: int) -> None:
         self.counts[(round_index, key)] = self.counts.get((round_index, key), 0) + n
 
+    def set_tagged(self, round_index: int, key: str, tag: int, n: int) -> None:
+        self.tagged.setdefault((round_index, key), {})[tag] = n
+
     def get(self, round_index: int, key: str) -> int:
-        return self.counts.get((round_index, key), 0)
+        return self.counts.get((round_index, key), 0) + sum(
+            self.tagged.get((round_index, key), {}).values()
+        )
 
 
 def fetch_sink_explode(
@@ -249,11 +272,14 @@ def fetch_sink_explode(
     per-round Dataset executions into one."""
     if batch.num_rows == 0:
         return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+    # deterministic batch tag (url_hashes are unique post-dedup, so the
+    # min over a block identifies it): retries overwrite, not accumulate
+    btag = int(pc.min(batch["url_hash"]).as_py())
     if fetch_mode == "synth":
         batch = synthetic_fetch(batch, n_pages, n_hosts, seed)
     ok = batch.filter(pc.equal(batch["status"], 200))
     if stats is not None:
-        ray.get(stats.add.remote(round_index, "fetched_ok", ok.num_rows))
+        ray.get(stats.set_tagged.remote(round_index, "fetched_ok", btag, ok.num_rows))
     if frag_dir is not None and ok.num_rows:
         img = ImageRows(px=image_px)(ok)
         # inline invariant enforcement (north rule: every stored row
@@ -276,12 +302,13 @@ def fetch_sink_explode(
                 valid[i] = False
         if not valid.all():
             img = img.filter(pa.array(valid))
-            if stats is not None:
-                ray.get(stats.add.remote(round_index, "invalid_images", int((~valid).sum())))
+        if stats is not None:
+            ray.get(stats.set_tagged.remote(
+                round_index, "invalid_images", btag, int((~valid).sum())))
         tag = int(pc.min(ok["url_hash"]).as_py())
         pq.write_table(img, os.path.join(frag_dir, f"part-{tag:016x}.parquet"))
         if stats is not None:
-            ray.get(stats.add.remote(round_index, "images", img.num_rows))
+            ray.get(stats.set_tagged.remote(round_index, "images", btag, img.num_rows))
     return explode_outlinks(ok, decay, max_depth)
 
 
@@ -367,7 +394,8 @@ def _fingerprint_table(table: pa.Table, cols: list[str]) -> str:
 
 
 def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | None = None,
-              robots_table: pa.Table | None = None, resume: bool = False) -> dict:
+              robots_table: pa.Table | None = None, resume: bool = False,
+              collect_seen: bool = False) -> dict:
     """Run (or resume) the crawl. Returns summary dict with paths.
 
     ``seeds_table``: FIXTURES §1 table. ``page_store_path``: parquet of
@@ -601,7 +629,14 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 already = lancelike.read_manifest(images_root)["fragments"].get(frag_name)
                 if not (already and already["input_fingerprint"] == fp):
                     frag_dir = os.path.join(images_root, frag_name)
-                    os.makedirs(frag_dir, exist_ok=True)
+                    # an UNCOMMITTED fragment dir may hold stale part
+                    # files from a crashed attempt; block/batch order is
+                    # not deterministic across executions, so new part
+                    # names can differ and read_dataset would pick up
+                    # both. Clear before re-running the round.
+                    if os.path.exists(frag_dir):
+                        shutil.rmtree(frag_dir)
+                    os.makedirs(frag_dir)
             upstream = granted
             mode = cfg.fetch_mode
             if cfg.fetch_mode in ("join", "hashjoin"):
@@ -730,8 +765,15 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 n_frontier_out = rd.read_parquet(frontier_dir).count()
         n_outlinks = n_frontier_out - n_deferred
         n_fetched_ok = ray.get(stats_actor.get.remote(r, "fetched_ok"))
+        n_invalid_images = ray.get(stats_actor.get.remote(r, "invalid_images"))
         if frag_dir is not None:
-            n_imgs = ray.get(stats_actor.get.remote(r, "images"))
+            # row count derived from the WRITTEN files (parquet footer
+            # metadata only), not task-side counters — immune to retries
+            n_imgs = sum(
+                pq.read_metadata(os.path.join(frag_dir, f)).num_rows
+                for f in os.listdir(frag_dir)
+                if f.endswith(".parquet")
+            )
             lancelike.commit_dir_fragment(
                 os.path.join(cfg.checkpoint_dir, "images"),
                 f"round-{r:03d}", f"round-{r:03d}", n_imgs, fp,
@@ -757,6 +799,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             "n_deferred": n_deferred,
             "n_robots_denied": denied_n,
             "n_fetched_ok": n_fetched_ok,
+            "n_invalid_images": n_invalid_images,
             "n_outlinks": n_outlinks,
             "wall_s": round(time.monotonic() - t_start, 3),
             "stage_s": stage_s,
@@ -768,10 +811,19 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         if n_frontier_out == 0:
             break
 
-    # summary
+    # summary. Per-shard counts + digests are the default cross-run
+    # comparison surface; the concatenated seen array is OPT-IN
+    # (collect_seen=True, tests/oracle only) — at 10^10 keys pulling
+    # every shard's store to the driver would be an ~80 GB allocation.
     shard_stats = ray.get([s.stats.remote() for s in shards])
-    seen_arrays = ray.get([s.seen_array.remote() for s in shards])
-    seen = np.sort(np.concatenate(seen_arrays)) if seen_arrays else np.array([], dtype=np.uint64)
+    shard_digests = ray.get([s.seen_digest.remote() for s in shards])
+    seen_digest = hashlib.md5("".join(shard_digests).encode()).hexdigest()
+    n_seen = sum(st["n"] for st in shard_stats)
+    seen = None
+    if collect_seen:
+        seen_arrays = ray.get([s.seen_array.remote() for s in shards])
+        seen = (np.sort(np.concatenate(seen_arrays)) if seen_arrays
+                else np.array([], dtype=np.uint64))
     for s in shards:
         ray.kill(s)
     ray.kill(stats_actor)
@@ -782,7 +834,9 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         "rounds": len(metrics_rows),
         "metrics": metrics_rows,
         "shard_stats": shard_stats,
-        "n_seen": int(len(seen)),
+        "shard_digests": shard_digests,
+        "seen_digest": seen_digest,
+        "n_seen": int(n_seen),
         "seen_hashes": seen,
         "total_granted": total_granted,
         "urls_per_sec": round(total_granted / wall, 1) if wall > 0 else 0.0,

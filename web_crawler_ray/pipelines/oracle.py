@@ -78,9 +78,20 @@ def crawl_oracle(
         best: dict[int, dict] = {}
         for row in rows:
             cur = best.get(row["url_hash"])
+            if cur is None:
+                best[row["url_hash"]] = dict(row)
+                continue
             key = (-row["priority"], row["depth"], row["seed_id"])
-            if cur is None or key < (-cur["priority"], cur["depth"], cur["seed_id"]):
+            # admitted is OR-ed across duplicates (same rule as
+            # round_dedup_partition): the winner inherits admission so a
+            # deferred row shadowed by a fresh duplicate child is still
+            # exempt from the seen probe.
+            if key < (-cur["priority"], cur["depth"], cur["seed_id"]):
+                row = dict(row)
+                row["admitted"] = row["admitted"] or cur["admitted"]
                 best[row["url_hash"]] = row
+            else:
+                cur["admitted"] = cur["admitted"] or row["admitted"]
         rows = list(best.values())
         # seen probe (admitted rows skip)
         survivors = []

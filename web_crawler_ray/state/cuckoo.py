@@ -202,56 +202,133 @@ class BloomFilter:
         return obj
 
 
+class ExactPages:
+    """Exact uint64 key store as sorted immutable numpy pages + a small
+    append buffer (LSM-style). ~8 B/key instead of the ~65 B/key a
+    Python ``set[int]`` costs — at 10^10 seen URLs across shards that is
+    the difference between ~80 GB and ~700 GB of truth-store RAM.
+    Probes are vectorized ``searchsorted`` per page; the buffer is
+    bounded so ``isin`` over it stays cheap. Callers must only ``add``
+    keys that are not already present (``contains`` first)."""
+
+    BUF_CAP = 16384
+    MAX_PAGES = 8
+
+    def __init__(self):
+        self.pages: list[np.ndarray] = []
+        self._buf = np.empty(self.BUF_CAP, dtype=np.uint64)
+        self._buf_len = 0
+
+    def __len__(self) -> int:
+        return sum(len(p) for p in self.pages) + self._buf_len
+
+    def __iter__(self):
+        return iter(self.array())
+
+    def contains(self, hs: np.ndarray) -> np.ndarray:
+        hs = np.asarray(hs, dtype=np.uint64)
+        mask = np.zeros(len(hs), dtype=bool)
+        for page in self.pages:
+            pos = np.searchsorted(page, hs)
+            np.minimum(pos, len(page) - 1, out=pos)
+            mask |= page[pos] == hs
+        if self._buf_len:
+            mask |= np.isin(hs, self._buf[: self._buf_len])
+        return mask
+
+    def add(self, hs: np.ndarray) -> None:
+        """Append keys known to be absent (and unique within ``hs``)."""
+        hs = np.asarray(hs, dtype=np.uint64)
+        while len(hs):
+            take = min(len(hs), self.BUF_CAP - self._buf_len)
+            self._buf[self._buf_len : self._buf_len + take] = hs[:take]
+            self._buf_len += take
+            hs = hs[take:]
+            if self._buf_len == self.BUF_CAP:
+                self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf_len:
+            return
+        self.pages.append(np.sort(self._buf[: self._buf_len].copy()))
+        self._buf_len = 0
+        if len(self.pages) > self.MAX_PAGES:
+            # periodic merge keeps probe cost at MAX_PAGES searchsorteds;
+            # amortized O(log) like an LSM compaction
+            self.pages = [np.sort(np.concatenate(self.pages))]
+
+    def array(self) -> np.ndarray:
+        parts = list(self.pages)
+        if self._buf_len:
+            parts.append(np.sort(self._buf[: self._buf_len].copy()))
+        if not parts:
+            return np.empty(0, dtype=np.uint64)
+        return np.sort(np.concatenate(parts))
+
+    @classmethod
+    def from_sorted(cls, arr: np.ndarray) -> "ExactPages":
+        obj = cls()
+        if len(arr):
+            obj.pages = [np.asarray(arr, dtype=np.uint64)]
+        return obj
+
+
 class SeenShardState:
-    """One URL-seen shard: cuckoo fast path + exact backing set (+ bloom
-    overlay once the cuckoo saturates). Plain object so the same code
-    runs inside a Ray actor (distributed) and inside the sequential
+    """One URL-seen shard: cuckoo fast path + exact backing store (+
+    bloom overlay once the cuckoo saturates). Plain object so the same
+    code runs inside a Ray actor (distributed) and inside the sequential
     oracle (reference-semantics replay)."""
 
     def __init__(self, shard_id: int, capacity: int = 1 << 16):
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
-        self.exact: set[int] = set()
+        self.exact = ExactPages()
         self.fp_hits = 0  # cuckoo-positive but actually new
 
     def probe_and_add(self, hs: np.ndarray) -> np.ndarray:
         """Returns is_new mask; marks all probed hashes as seen.
 
-        Vectorized fast path: one cuckoo ``contains_batch`` (+ bloom)
-        over the whole batch; only filter-positive keys fall back to the
-        exact set (those are real dups + rare false positives), and only
-        genuinely-new keys pay the per-key cuckoo insert. Exactness: the
-        filter only short-circuits definite negatives; positives are
-        confirmed against the exact set."""
+        Fully vectorized: batch-local duplicates are collapsed with
+        ``np.unique`` (only the FIRST occurrence reports new — same
+        semantics as probing them sequentially); one cuckoo
+        ``contains_batch`` (+ bloom) over the unique keys; only
+        filter-positive keys fall back to the exact store (real dups +
+        rare false positives); only genuinely-new keys pay the per-key
+        cuckoo insert. Exactness: the filter only short-circuits
+        definite negatives; positives are confirmed exactly."""
         hs = np.asarray(hs, dtype=np.uint64)
-        maybe = self.cuckoo.contains_batch(hs)
+        uniq, first_idx = np.unique(hs, return_index=True)
+        maybe = self.cuckoo.contains_batch(uniq)
         if self.bloom is not None:
-            maybe |= self.bloom.contains_batch(hs)
+            maybe |= self.bloom.contains_batch(uniq)
         new = ~maybe
-        exact = self.exact
-        for i in np.nonzero(maybe)[0]:
-            if int(hs[i]) not in exact:
-                new[i] = True
-                self.fp_hits += 1
+        if maybe.any():
+            pos = np.nonzero(maybe)[0]
+            truly_seen = self.exact.contains(uniq[pos])
+            fp = ~truly_seen
+            new[pos[fp]] = True
+            self.fp_hits += int(fp.sum())
+        new_keys = uniq[new]
+        self.exact.add(new_keys)
         overflow: list[int] = []
-        for i in np.nonzero(new)[0]:
-            h = int(hs[i])
-            exact.add(h)
-            if not self.cuckoo.insert(h):
-                overflow.append(h)
+        for h in new_keys:
+            if not self.cuckoo.insert(int(h)):
+                overflow.append(int(h))
         if overflow:
             if self.bloom is None:
                 self.bloom = BloomFilter(capacity=max(1 << 18, len(self.exact) * 4))
             self.bloom.add_batch(np.array(overflow, dtype=np.uint64))
-        return new
+        out = np.zeros(len(hs), dtype=bool)
+        out[first_idx[new]] = True
+        return out
 
     def snapshot(self) -> dict:
         return {
             "shard_id": self.shard_id,
             "cuckoo": self.cuckoo.serialize(),
             "bloom": self.bloom.serialize() if self.bloom else None,
-            "exact": np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)),
+            "exact": self.exact.array(),
             "fp_hits": self.fp_hits,
         }
 
@@ -261,9 +338,9 @@ class SeenShardState:
         obj.shard_id = int(snap["shard_id"])
         obj.cuckoo = CuckooFilter.restore(snap["cuckoo"])
         obj.bloom = BloomFilter.restore(snap["bloom"]) if snap["bloom"] is not None else None
-        obj.exact = set(int(x) for x in snap["exact"])
+        obj.exact = ExactPages.from_sorted(np.asarray(snap["exact"], dtype=np.uint64))
         obj.fp_hits = int(snap["fp_hits"])
         return obj
 
     def seen_array(self) -> np.ndarray:
-        return np.sort(np.fromiter(self.exact, dtype=np.uint64, count=len(self.exact)))
+        return self.exact.array()

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .codecs import encode_image, phash64
+from .codecs import decode_image, encode_image, phash64
 from .hashing import hash64, hash64_batch
 
 SOURCE_TYPES = ["commodity", "forex", "api", "webpage", "excel"]
@@ -253,7 +253,11 @@ def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str,
     data = encode_image(pixels, fmt)
     words = [CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(4)]
     caption = " ".join(words) + f" #{url_hash & 0xFFFF}"
-    return data, fmt, caption, phash64(pixels)
+    # phash of the DECODED payload, not the source pixels: lossy jpeg
+    # quantization flips phash64(pixels) for ~5% of payloads, and the
+    # sink's north-rule invariant is phash64(decode(bytes)) == stored.
+    ph = phash64(decode_image(data)) if fmt == "jpeg" else phash64(pixels)
+    return data, fmt, caption, ph
 
 
 def gen_images(n: int, seed: int = 42, dup_rate: float = 0.01) -> pa.Table:
@@ -276,7 +280,8 @@ def gen_images(n: int, seed: int = 42, dup_rate: float = 0.01) -> pa.Table:
             caption = " ".join(
                 CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(5)
             )
-            ph = phash64(pixels)
+            # stored phash must hold for the decoded payload (see image_for_page)
+            ph = phash64(decode_image(data)) if fmt == "jpeg" else phash64(pixels)
             prev.append((data, fmt, caption, ph, w, h))
             if len(prev) > 64:
                 prev.pop(0)
