@@ -830,6 +830,89 @@ def q_crawl_seen_metrics(sf_dir: str):
 # contract functions
 # --------------------------------------------------------------------------
 
+def q_doc_token_counts(sf_dir: str):
+    """Row-level token counts (pins the per-doc tokenizer, not just the
+    grouped sums): documents → vectorized token_count_column."""
+    from web_crawler_ray.stages.text_stage import token_count_column
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(token_count_column, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: one coarse shuffle
+    on hash(key, user) collapses duplicates, then tiny partial counts."""
+    from web_crawler_ray.stages.aggregate import distinct_count
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    return distinct_count(ds, "event_type", "user_id")
+
+
+def q_profile_stats(sf_dir: str):
+    """Per-group variance/stddev profile from single-pass partial
+    moments (n, Σx, Σx²) — matches var_samp/stddev_samp at 4dp."""
+    from web_crawler_ray.stages.aggregate import moment_profile
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"])
+    return moment_profile(ds, ["l_returnflag"], "l_quantity", ndigits=4)
+
+
+def q_corr_stats(sf_dir: str):
+    """Per-group Pearson correlation from single-pass partial moments."""
+    from web_crawler_ray.stages.aggregate import corr_profile
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+    return corr_profile(ds, ["l_returnflag"], "l_quantity", "l_extendedprice", ndigits=6)
+
+
+def q_median_value(sf_dir: str):
+    """Per-event_type exact discrete quantiles (median + p90) — the
+    selected element is returned bit-exact, so no rounding is needed."""
+    from web_crawler_ray.stages.windows import group_quantile_disc
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return group_quantile_disc(ds, "event_type", "value", {"p50": 0.5, "p90": 0.9})
+
+
+def q_event_lag(sf_dir: str):
+    """Window row_number + lag over the events log, partitioned by
+    user_id (high-cardinality PARTITION BY via coarse-hash grouped
+    apply); first row per user dropped so the result is NULL-free."""
+    from web_crawler_ray.stages.windows import lag_delta
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = lag_delta(ds, "user_id", "ts", "value", "event_id", ndigits=2)
+    return out.select_columns(["event_id", "user_id", "rn", "delta"])
+
+
+def q_set_except(sf_dir: str):
+    """Set op (EXCEPT): customers with a finished ('F') order but no
+    open ('O') order. Per-batch flag partials + one tiny max-combine
+    shuffle — no row-level EXCEPT materialization."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["has_f"] = (batch["o_orderstatus"] == "F").astype("int64")
+        batch["has_o"] = (batch["o_orderstatus"] == "O").astype("int64")
+        return batch[["o_custkey", "has_f", "has_o"]]
+
+    g = partial_grouped_agg(
+        ds.map_batches(flags, batch_format="pandas"),
+        ["o_custkey"],
+        {"has_f": ("max", "has_f"), "has_o": ("max", "has_o")},
+    )
+    return g.filter(expr="has_f == 1 and has_o == 0").select_columns(["o_custkey"])
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -892,6 +975,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
         "q_image_resize": q_image_resize,
+        "q_doc_token_counts": q_doc_token_counts,
+        "q_distinct_users": q_distinct_users,
+        "q_profile_stats": q_profile_stats,
+        "q_corr_stats": q_corr_stats,
+        "q_median_value": q_median_value,
+        "q_event_lag": q_event_lag,
+        "q_set_except": q_set_except,
     }
 
 
@@ -1051,5 +1141,47 @@ def oracle_sql() -> dict[str, str]:
                    max(l_quantity) AS max_qty
             FROM lineitem WHERE l_discount > 0.01
             GROUP BY l_returnflag
+        """,
+        "q_doc_token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "q_profile_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(avg(l_quantity), 4) AS avg_v,
+                   round(var_samp(l_quantity), 4) AS var_v,
+                   round(stddev_samp(l_quantity), 4) AS std_v
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_corr_stats": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_xy
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_median_value": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        """,
+        "q_event_lag": """
+            SELECT event_id, user_id, rn, round(delta, 2) AS delta FROM (
+                SELECT event_id, user_id,
+                       row_number() OVER w AS rn,
+                       value - lag(value) OVER w AS delta
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE rn > 1
+        """,
+        "q_set_except": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         """,
     }

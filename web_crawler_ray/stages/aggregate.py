@@ -123,3 +123,79 @@ def numeric_profile(ds, col: str):
         Max(col, alias_name="max_v"),
         Mean(col, alias_name="mean_v"),
     )
+
+
+def distinct_count(ds, key: str, col: str, num_partitions: int = 32):
+    """Exact COUNT(DISTINCT col) per key. One coarse shuffle on
+    hash(key, col) collapses duplicates (each (key, col) pair lands in
+    exactly one partition), then tiny per-key partial counts combine.
+    Per-batch pre-dedup inside partitioned_drop_duplicates keeps the
+    shuffle volume ≤ the number of distinct pairs per block."""
+    from .grouped import partitioned_drop_duplicates
+
+    pairs = partitioned_drop_duplicates(
+        ds.select_columns([key, col]), [key, col], num_partitions
+    )
+    return partial_grouped_agg(pairs, [key], {"n_distinct": ("count", None)})
+
+
+def moment_profile(ds, keys: list[str], col: str, ndigits: int = 4):
+    """Per-key count / mean / sample variance / sample stddev via
+    single-pass partial moments (n, Σx, Σx²) — the shuffle carries one
+    row per (key, batch). Matches SQL var_samp/stddev_samp at ``ndigits``
+    precision (rounding absorbs the FP gap between the naive-moments
+    formula and DuckDB's numerically stable streaming algorithm; fine
+    for value ranges where Σx² stays within ~2^50)."""
+    import numpy as np
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_x"] = batch[col]
+        batch["_xx"] = batch[col] * batch[col]
+        return batch
+
+    g = partial_grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"),
+        keys,
+        {"n": ("count", None), "sx": ("sum", "_x"), "sxx": ("sum", "_xx")},
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"]
+        var = (batch["sxx"] - batch["sx"] * batch["sx"] / n) / (n - 1)
+        batch["avg_v"] = sql_round(batch["sx"] / n, ndigits)
+        batch["var_v"] = sql_round(var, ndigits)
+        batch["std_v"] = sql_round(np.sqrt(var), ndigits)
+        return batch.drop(columns=["sx", "sxx"])
+
+    return g.map_batches(finish, batch_format="pandas")
+
+
+def corr_profile(ds, keys: list[str], xcol: str, ycol: str, ndigits: int = 6):
+    """Per-key Pearson correlation from single-pass partial moments
+    (n, Σx, Σy, Σxx, Σyy, Σxy). Same shuffle shape as moment_profile."""
+    import numpy as np
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        x, y = batch[xcol], batch[ycol]
+        batch["_x"], batch["_y"] = x, y
+        batch["_xx"], batch["_yy"], batch["_xy"] = x * x, y * y, x * y
+        return batch
+
+    g = partial_grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"),
+        keys,
+        {"n": ("count", None), "sx": ("sum", "_x"), "sy": ("sum", "_y"),
+         "sxx": ("sum", "_xx"), "syy": ("sum", "_yy"), "sxy": ("sum", "_xy")},
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"]
+        cov = batch["sxy"] - batch["sx"] * batch["sy"] / n
+        vx = batch["sxx"] - batch["sx"] * batch["sx"] / n
+        vy = batch["syy"] - batch["sy"] * batch["sy"] / n
+        batch["corr_xy"] = sql_round(cov / np.sqrt(vx * vy), ndigits)
+        return batch[[*keys, "n", "corr_xy"]]
+
+    return g.map_batches(finish, batch_format="pandas")

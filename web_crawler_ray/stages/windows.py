@@ -61,3 +61,50 @@ def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: di
         return merged[merged[first_out].notna()]
 
     return grouped_apply(ds, [key_col], per_key)
+
+
+def group_quantile_disc(ds, key: str, col: str, qs: dict[str, float]):
+    """Per-key exact discrete quantiles (SQL quantile_disc semantics:
+    sorted ascending, element at index ceil(q*n)-1 — probed against
+    DuckDB). Returns one row per key with one column per entry in
+    ``qs`` ({out_col: q}).
+
+    Partitioning assumption: one key's values fit in a single task
+    (coarse hash-partitioned grouped apply) — right for bounded-
+    cardinality keys like event_type/status. For high-cardinality or
+    giant groups, switch to a sort + per-group offset selection."""
+    import math
+
+    import numpy as np
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 **{out: pd.Series(dtype="float64") for out in qs}})
+        v = np.sort(g[col].to_numpy())
+        n = len(v)
+        row = {key: [g[key].iloc[0]]}
+        for out, q in qs.items():
+            row[out] = [float(v[max(0, math.ceil(q * n) - 1)])]
+        return pd.DataFrame(row)
+
+    return grouped_apply(ds, [key], per_group)
+
+
+def lag_delta(ds, key: str, ts_col: str, val_col: str, tie_col: str,
+              ndigits: int = 2):
+    """Window row_number + lag-delta per key: rows ordered by
+    (ts, tie) within each key get rn = row_number() and
+    delta = value - lag(value); the first row of each key (no lag) is
+    dropped so the output is NULL-free. Coarse hash-partitioned on the
+    key — scales with key cardinality like any PARTITION BY."""
+    from ..functions.rounding import sql_round
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        out = g.copy()
+        out["rn"] = pd.RangeIndex(1, len(g) + 1).astype("int64")
+        out["delta"] = sql_round(out[val_col] - out[val_col].shift(1), ndigits)
+        return out[out["rn"] > 1]
+
+    return grouped_apply(ds, [key], per_key)
