@@ -34,6 +34,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 import web_crawler_ray  # noqa: E402
+from web_crawler_ray.config import auto_blocks, auto_concurrency  # noqa: E402
 from web_crawler_ray.functions.rounding import sql_round  # noqa: E402
 
 from ray import cloudpickle as _rcp  # noqa: E402
@@ -488,7 +489,7 @@ def q_forex_derive(sf_dir: str):
     from web_crawler_ray.synth import gen_forex_quotes
 
     n = max(1000, int(100_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_forex_quotes(n)).repartition(4)
+    ds = rd.from_arrow(gen_forex_quotes(n)).repartition(auto_blocks())
 
     def derive(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -511,7 +512,7 @@ def q_css_extract(sf_dir: str):
     from web_crawler_ray.synth import gen_page_store
 
     n = max(500, int(20_000 * _sf_scale(sf_dir)))
-    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(8)
+    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(auto_blocks())
     html = pages.filter(expr="content_type == 'text/html'")
     config = {
         "container": "tr",
@@ -523,7 +524,7 @@ def q_css_extract(sf_dir: str):
     }
     out = html.map_batches(
         CssExtract, fn_constructor_kwargs={"config": config},
-        batch_format="pyarrow", concurrency=2,
+        batch_format="pyarrow", concurrency=auto_concurrency(),
     )
     return out.map_batches(
         lambda b: b.dropna(subset=["name", "price"]), batch_format="pandas"
@@ -567,7 +568,7 @@ def q_fetch_retry(sf_dir: str):
         url: (int(status), b"body")
         for url, status in zip(store["url"].to_pylist(), store["status"].to_pylist())
     }
-    urls = rd.from_arrow(store.select(["url"])).repartition(4)
+    urls = rd.from_arrow(store.select(["url"])).repartition(auto_blocks())
     fetched = urls.map_batches(
         FetcherActor,
         fn_constructor_kwargs={
@@ -575,7 +576,7 @@ def q_fetch_retry(sf_dir: str):
             "sleep_fn": lambda _s: None,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=auto_concurrency(),
     )
     return partial_grouped_agg(
         fetched.drop_columns(["body"]),
@@ -620,7 +621,7 @@ def q_clean_flagship(sf_dir: str):
     from web_crawler_ray.synth import gen_raw_records
 
     n = max(1000, int(1_000_000 * _sf_scale(sf_dir)))
-    raw = rd.from_arrow(gen_raw_records(n)).repartition(8)
+    raw = rd.from_arrow(gen_raw_records(n)).repartition(auto_blocks())
     now = pd.Timestamp("2024-01-22 12:00:00")
     out = run_clean_pipeline(raw, now)
     return out.select_columns(["name_std", "symbol", "price_value", "change_percent", "category", "source"])
@@ -632,7 +633,7 @@ def q_html_parse(sf_dir: str):
     from web_crawler_ray.synth import gen_page_store
 
     n = max(500, int(50_000 * _sf_scale(sf_dir)))
-    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(8)
+    pages = rd.from_arrow(gen_page_store(n, n_hosts=50)).repartition(auto_blocks())
     return pages.map_batches(ExtractRecords(), batch_format="pyarrow")
 
 
@@ -677,17 +678,16 @@ def q_ann_ivf(sf_dir: str):
 
 
 def q_ngram_pairs(sf_dir: str):
-    """MinHash-LSH candidates verified by TRUE n-gram Jaccard against a
-    broadcast doc lookup (candidate set is small; lookup via ray.put)."""
-    import pyarrow.parquet as pq
-
+    """MinHash-LSH candidates verified by TRUE n-gram Jaccard: only the
+    candidate ID set is broadcast; candidate texts are gathered with a
+    streaming semi-join scan of the documents table (payload ∝
+    candidates, never the corpus)."""
     from web_crawler_ray.stages.dedup import minhash_near_dup_pairs, ngram_jaccard_verify
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     candidates = minhash_near_dup_pairs(ds, threshold=0.4)
-    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    lookup = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
-    return ngram_jaccard_verify(candidates, lookup, k=5, threshold=0.4)
+    docs_ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ngram_jaccard_verify(candidates, docs_ds, k=5, threshold=0.4)
 
 
 def q_image_features(sf_dir: str):
@@ -697,8 +697,8 @@ def q_image_features(sf_dir: str):
     from web_crawler_ray.synth import gen_images
 
     n = max(200, int(10_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(4)
-    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=2)
+    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
+    out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
 
     def flatten(batch: pd.DataFrame) -> pd.DataFrame:
         rgb = batch["rgb_mean"].tolist()
@@ -722,13 +722,13 @@ def q_image_resize(sf_dir: str):
     from web_crawler_ray.synth import gen_images
 
     n = max(200, int(5_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
     resized = ds.map_batches(
         ResizeImages, fn_constructor_kwargs={"target": 16}, batch_format="pyarrow",
-        batch_size=128, concurrency=2,
+        batch_size=128, concurrency=auto_concurrency(),
     )
     checked = resized.map_batches(
-        DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=2
+        DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency()
     )
     return checked.select_columns(["image_id", "w", "h", "fmt", "decode_ok"])
 
@@ -738,7 +738,7 @@ def q_text_metrics(sf_dir: str):
     from web_crawler_ray.stages.text_stage import TextMetrics
 
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=2).select_columns(
+    return ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=auto_concurrency(0.5)).select_columns(
         ["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"]
     )
 
@@ -750,8 +750,8 @@ def q_image_validate(sf_dir: str):
     from web_crawler_ray.synth import gen_images
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(4)
-    out = ds.map_batches(DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=2)
+    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
+    out = ds.map_batches(DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
     return out.select_columns(["image_id", "fmt", "decode_ok", "phash_ok"])
 
 
@@ -761,7 +761,7 @@ def q_phash_dups(sf_dir: str):
     from web_crawler_ray.synth import gen_images
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(4)
+    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
     return phash_dup_groups(ds)
 
 
@@ -829,6 +829,61 @@ def q_crawl_seen_metrics(sf_dir: str):
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
+
+def q_yaml_scraper(sf_dir: str):
+    """§2.11 zero-code scraper from a reference-shaped YAML dict
+    (settings.yaml:81-192 keys: parser/json_path/field_mapping/
+    validation/cleaning) compiled onto Ray Data stages. Pages are built
+    distributively from the part table (pre-fetched mode — nothing
+    broadcast); rows missing the required price field are dropped by
+    the spec's validation block."""
+    import json
+
+    import pyarrow as pa
+
+    from web_crawler_ray.pipelines.scraper_spec import compile_scraper
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        bodies = []
+        for pk, name, price in zip(batch["p_partkey"], batch["p_name"], batch["p_retailprice"]):
+            item = {"commodity_name": name, "key": int(pk)}
+            if pk % 97 != 0:  # some pages lack the required field
+                item["current_price"] = f"{price!r} USD"
+            bodies.append(json.dumps({"data": {"items": [item]}}))
+        return pd.DataFrame({
+            "url": [f"https://api.demo/part/{pk}" for pk in batch["p_partkey"]],
+            "body": bodies,
+        })
+
+    parts = rd.read_parquet(_t(sf_dir, "part"),
+                            columns=["p_partkey", "p_name", "p_retailprice"])
+    pages = parts.map_batches(to_pages, batch_format="pandas")
+
+    spec = {
+        "enabled": True,
+        "name": "demo_api",
+        "type": "commodity",
+        "urls": "https://api.demo/part/{id}",
+        "method": "requests",
+        "parser": "json",
+        "json_path": "data.items",
+        "field_mapping": {"pkey": "key", "name": "commodity_name",
+                          "price": "current_price"},
+        "validation": {"required_fields": ["name", "price"],
+                       "formats": {"price": "number"}},
+        "cleaning": {"fields": {"price": "remove_currency"},
+                     "transforms": {"price": "float"}},
+    }
+    out = compile_scraper(spec, pages_ds=pages)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["price"] = sql_round(batch["price"].astype("float64"), 2)
+        batch["pkey"] = batch["pkey"].astype("int64")
+        return batch[["pkey", "name", "price"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
 
 def q_doc_token_counts(sf_dir: str):
     """Row-level token counts (pins the per-doc tokenizer, not just the
@@ -975,6 +1030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
         "q_image_resize": q_image_resize,
+        "q_yaml_scraper": q_yaml_scraper,
         "q_doc_token_counts": q_doc_token_counts,
         "q_distinct_users": q_distinct_users,
         "q_profile_stats": q_profile_stats,
@@ -1141,6 +1197,11 @@ def oracle_sql() -> dict[str, str]:
                    max(l_quantity) AS max_qty
             FROM lineitem WHERE l_discount > 0.01
             GROUP BY l_returnflag
+        """,
+        "q_yaml_scraper": """
+            SELECT p_partkey AS pkey, p_name AS name,
+                   round(p_retailprice, 2) AS price
+            FROM part WHERE p_partkey % 97 <> 0
         """,
         "q_doc_token_counts": """
             SELECT doc_id,

@@ -52,3 +52,32 @@ class EngineConfig:
                 kwargs[f.name] = raw
         kwargs.update(overrides)
         return cls(**kwargs)
+
+
+def auto_concurrency(frac: float = 0.25, minimum: int = 2, reserve: int = 2) -> int:
+    """Actor-pool size derived from the cluster instead of a hardcoded
+    constant: ``frac`` of cluster CPUs, capped at CPUs - ``reserve`` so
+    a pool never starves the upstream read/generate stage (a pool sized
+    == session CPUs deadlocks the streaming executor silently), floored
+    at ``minimum`` so tiny test sessions still get a pool. The 0.25
+    default keeps TWO pools in one pipeline plus task stages under the
+    session CPU count; single-pool pipelines pass frac=0.5."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(minimum, min(cpus - reserve, int(cpus * frac)))
+
+
+def auto_blocks(per_cpu: int = 2, minimum: int = 4) -> int:
+    """Partition count for repartition(): a small multiple of cluster
+    CPUs so every core has work without over-fragmenting blocks."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(minimum, cpus * per_cpu)

@@ -58,7 +58,7 @@ from ..io import lancelike
 from ..state.cuckoo import SeenShardState
 from ..state.politeness import build_robots_map, schedule_host_batch
 from ..synth import gen_robots, image_for_page, page_meta, page_pixels
-from ..urls import CanonicalizeAndHash
+from ..urls import CanonicalizeAndHash, host_of
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -386,13 +386,6 @@ def _round_dir(cfg: CrawlConfig, r: int) -> str:
     return os.path.join(cfg.checkpoint_dir, f"round-{r:03d}")
 
 
-def _fingerprint_table(table: pa.Table, cols: list[str]) -> str:
-    """Order-insensitive fingerprint of selected columns (sorted rows)."""
-    sub = table.select(cols)
-    df = sub.to_pandas().sort_values(cols, kind="mergesort")
-    return fingerprint_bytes(df.to_csv(index=False).encode())
-
-
 def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | None = None,
               robots_table: pa.Table | None = None, resume: bool = False,
               collect_seen: bool = False) -> dict:
@@ -486,15 +479,18 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
         hot_hosts: dict[str, int] = {}
         if cfg.salt_hot_hosts:
-            canon = canon.materialize()
-
+            # Hot-host DETECTION is a placement heuristic only (salting
+            # is result-invariant, test-pinned), so it counts hosts on
+            # the RAW frontier — no canon.materialize() copy of the
+            # whole frontier in the object store, just a cheap counting
+            # pass whose shuffle payload is one row per (host, batch).
             def host_partial(batch: pd.DataFrame) -> pd.DataFrame:
-                vc = batch["host"].value_counts()
+                vc = batch["url"].map(host_of).value_counts()
                 return pd.DataFrame({"host": vc.index.to_numpy(), "n": vc.to_numpy()})
 
             host_counts = (
-                canon.map_batches(host_partial, batch_format="pandas")
-                .to_pandas()
+                frontier.map_batches(host_partial, batch_format="pandas")
+                .to_pandas()  # one row per (host, batch) — tiny
                 .groupby("host")["n"]
                 .sum()
             )
@@ -587,27 +583,43 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         if n_frontier == 0:
             break
 
-        granted_batches = list(
-            scheduled.filter(expr="disposition == 'granted'").iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-        )
-        granted_tab = (
-            pa.concat_tables(granted_batches, promote_options="default")
-            if granted_batches
-            else None
-        )
-        if granted_tab is None:
-            granted_tab = scheduled.limit(0).to_pandas()
-            granted_tab = pa.Table.from_pandas(granted_tab, preserve_index=False)
+        n_granted = int(counts.get("granted", 0))
+        granted_ds = scheduled.filter(expr="disposition == 'granted'")
 
-        # crawl order for this round (pure sort on data columns)
-        order_tab = granted_tab.select(["url", "host", "url_hash", "priority", "fetch_ts_ms"])
-        order_tab = order_tab.append_column("round", pa.array([r] * order_tab.num_rows, pa.int32()))
-        order_sorted = order_tab.sort_by(
-            [("fetch_ts_ms", "ascending"), ("host", "ascending"), ("url_hash", "ascending")]
-        )
-        pq.write_table(order_sorted, os.path.join(rdir, "order.parquet"))
+        # crawl order for this round: distributed sort + DIRECTORY
+        # write, streamed by the workers — the granted rows never
+        # concatenate on the driver (at millions of hosts the
+        # politeness-capped set is itself big). read_crawl_order
+        # reassembles the global order from the sort columns.
+        order_dir = os.path.join(rdir, "order")
+        os.makedirs(order_dir, exist_ok=True)
+        if n_granted:
+
+            def add_round(batch: pa.Table) -> pa.Table:
+                return batch.append_column(
+                    "round", pa.array(np.full(batch.num_rows, r, dtype=np.int32))
+                )
+
+            (
+                granted_ds.select_columns(
+                    ["url", "host", "url_hash", "priority", "fetch_ts_ms"]
+                )
+                .map_batches(add_round, batch_format="pyarrow")
+                .sort(["fetch_ts_ms", "host", "url_hash"])
+                .write_parquet(order_dir)
+            )
+
+        # the ONLY per-round driver pull is the granted url_hash column
+        # (8 B/row): it is the broadcast payload for the semi-join fetch
+        # and the input fingerprint of the image fragment.
+        granted_hashes = None
+        if n_granted and (cfg.write_images or cfg.fetch_mode == "join"):
+            granted_hashes = np.sort(
+                granted_ds.select_columns(["url_hash"])
+                .to_pandas()["url_hash"]
+                .to_numpy()
+                .astype(np.uint64)
+            )
 
         stage_s["granted_order"] = round(time.monotonic() - t_stage, 2)
 
@@ -620,12 +632,14 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         children_ds = None
         frag_dir = None
         fp = None
-        if granted_tab.num_rows:
-            granted = rd.from_arrow(granted_tab).repartition(cfg.num_blocks)
+        if n_granted:
+            granted = granted_ds.repartition(cfg.num_blocks)
             if cfg.write_images:
                 images_root = os.path.join(cfg.checkpoint_dir, "images")
                 frag_name = f"round-{r:03d}"
-                fp = _fingerprint_table(granted_tab, ["url_hash"])
+                # order-insensitive fingerprint of the granted url_hash
+                # set (already sorted)
+                fp = hashlib.md5(granted_hashes.tobytes()).hexdigest()
                 already = lancelike.read_manifest(images_root)["fragments"].get(frag_name)
                 if not (already and already["input_fingerprint"] == fp):
                     frag_dir = os.path.join(images_root, frag_name)
@@ -666,8 +680,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                     # set, membership-filter the page store with a scan
                     # (no shuffle), and map the page attributes onto the
                     # granted rows from the (small) filtered result.
-                    granted_hashes = granted_tab["url_hash"].to_numpy(zero_copy_only=False)
-                    href = ray.put(np.sort(granted_hashes))
+                    href = ray.put(granted_hashes)
 
                     def semi_filter(batch: pa.Table) -> pa.Table:
                         wanted = ray.get(href)
@@ -777,7 +790,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             lancelike.commit_dir_fragment(
                 os.path.join(cfg.checkpoint_dir, "images"),
                 f"round-{r:03d}", f"round-{r:03d}", n_imgs, fp,
-                extra_lineage={"round": r, "rows_in": granted_tab.num_rows},
+                extra_lineage={"round": r, "rows_in": n_granted},
             )
         stage_s["frontier_out"] = round(time.monotonic() - t_stage, 2)
 
@@ -795,7 +808,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         m = {
             "round": r,
             "n_frontier": n_frontier,
-            "n_granted": granted_tab.num_rows,
+            "n_granted": n_granted,
             "n_deferred": n_deferred,
             "n_robots_denied": denied_n,
             "n_fetched_ok": n_fetched_ok,
@@ -848,16 +861,34 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
 
 def read_crawl_order(checkpoint_dir: str) -> pa.Table:
-    """Global crawl order: per-round order files concatenated in round
-    order (each already sorted by (fetch_ts, host, url_hash)) with a
-    global rank column."""
+    """Global crawl order: per-round order DIRECTORIES (written
+    distributed by the sort stage) re-assembled in round order; the
+    within-round order is recomputed from the sort columns
+    (fetch_ts, host, url_hash) — content, not file layout, defines it.
+    Adds a global rank column."""
     tables = []
     r = 0
     while True:
-        path = os.path.join(checkpoint_dir, f"round-{r:03d}", "order.parquet")
-        if not os.path.exists(path):
+        odir = os.path.join(checkpoint_dir, f"round-{r:03d}", "order")
+        legacy = os.path.join(checkpoint_dir, f"round-{r:03d}", "order.parquet")
+        if os.path.isdir(odir):
+            files = sorted(
+                os.path.join(odir, f) for f in os.listdir(odir) if f.endswith(".parquet")
+            )
+            if files:
+                tab = pa.concat_tables(
+                    [pq.read_table(f) for f in files], promote_options="default"
+                )
+                tables.append(
+                    tab.sort_by(
+                        [("fetch_ts_ms", "ascending"), ("host", "ascending"),
+                         ("url_hash", "ascending")]
+                    )
+                )
+        elif os.path.exists(legacy):
+            tables.append(pq.read_table(legacy))
+        else:
             break
-        tables.append(pq.read_table(path))
         r += 1
     if not tables:
         return pa.table({"rank": pa.array([], pa.int64()), "url": pa.array([], pa.string())})

@@ -74,11 +74,58 @@ def _apply_op(ds, op: dict):
     raise ValueError(f"unknown op: {kind}")
 
 
+def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
+    """Columns the spec actually touches, for pruning at the read.
+    Conservative: every identifier referenced by any op, minus names the
+    pipeline itself creates, intersected with the file schema (so expr
+    tokens that aren't columns never break the read)."""
+    import ast as _ast
+
+    import pyarrow.parquet as _pq
+
+    def expr_names(e: str) -> set[str]:
+        try:
+            tree = _ast.parse(e, mode="eval")
+        except SyntaxError:
+            return set()
+        return {n.id for n in _ast.walk(tree) if isinstance(n, _ast.Name)}
+
+    needed: set[str] = set()
+    created: set[str] = set()
+    for op in ops:
+        kind = op["op"]
+        if kind == "select":
+            needed |= set(op["columns"])
+        elif kind == "filter":
+            needed |= expr_names(op["expr"])
+        elif kind == "with_column":
+            needed |= expr_names(op["expr"])
+            created.add(op["name"])
+        elif kind == "rename":
+            needed |= set(op["mapping"])
+            created |= set(op["mapping"].values())
+        elif kind == "groupby_agg":
+            needed |= set(op["keys"])
+            for out, (fn, col) in op["aggs"].items():
+                if col:
+                    needed.add(col)
+                created.add(out)
+        elif kind == "round":
+            needed |= set(op["spec"])
+        elif kind == "sort":
+            needed |= set(op["keys"])
+    cols = sorted((needed - created) & set(_pq.read_schema(source_path).names))
+    return cols or None
+
+
 def build_pipeline(source: str | object, ops: list[dict]):
     """Compile a spec into a Dataset pipeline. ``source`` is a parquet
-    path (columns pruned to what the spec touches would be a further
-    optimization) or an existing Dataset."""
-    ds = rd.read_parquet(source) if isinstance(source, str) else source
+    path — read with ``columns=`` pruned to what the spec references —
+    or an existing Dataset."""
+    if isinstance(source, str):
+        ds = rd.read_parquet(source, columns=_spec_columns(source, ops))
+    else:
+        ds = source
     for op in ops:
         ds = _apply_op(ds, op)
     return ds

@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import text as T
+from ..config import auto_concurrency
 from .grouped import grouped_apply, partitioned_drop_duplicates
 
 
@@ -123,9 +124,10 @@ def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float) -> pd
 
 
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
-                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=4):
+                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=None):
     """MinHash+LSH near-duplicate pairs: signatures (actor pool) →
     groupby(band_key) → per-bucket verify → global distinct pairs."""
+    concurrency = concurrency or auto_concurrency(0.5)
     exploded = ds.map_batches(
         MinHashSignatures,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k,
@@ -190,23 +192,47 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8):
         )
 
     exploded = ds.map_batches(SimHashStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-                              batch_format="pyarrow", concurrency=2)
+                              batch_format="pyarrow", concurrency=auto_concurrency())
     pairs = grouped_apply(exploded, ["band_key"], verify)
     return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
 
 
-def ngram_jaccard_verify(ds_pairs, docs_lookup: dict, k: int = 5, threshold: float = 0.5,
-                         id_a="id_a", id_b="id_b"):
-    """Verify candidate pairs with true k-gram Jaccard. ``docs_lookup``
-    is a broadcast {id: text} dict (ray.put on the driver, captured in
-    the closure) — valid because candidate verification only ever needs
-    the candidate subset, which is small relative to the corpus."""
+def ngram_jaccard_verify(ds_pairs, docs_ds, k: int = 5, threshold: float = 0.5,
+                         id_a="id_a", id_b="id_b", id_col="doc_id", text_col="text"):
+    """Verify candidate pairs with true k-gram Jaccard, shipping only
+    candidate texts. The candidate PAIR set is small by construction
+    (bounded by the LSH bands), so: broadcast the candidate id SET,
+    semi-join filter the documents table with a streaming scan (no
+    shuffle, the corpus never leaves its blocks), pull just the
+    |candidates| matching texts, and verify the pairs distributively
+    against that small broadcast lookup. The broadcast payload is
+    ∝ candidates, never the corpus."""
     import ray
 
-    ref = ray.put(docs_lookup)
+    pairs = ds_pairs.materialize()
+    id_tab = pairs.select_columns([id_a, id_b]).to_pandas()
+    ids = np.unique(
+        np.concatenate([id_tab[id_a].to_numpy(), id_tab[id_b].to_numpy()])
+    )
+    ids_ref = ray.put(np.sort(ids))
+
+    def semi_filter(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        v = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, v)
+        np.minimum(pos, max(len(wanted) - 1, 0), out=pos)
+        mask = wanted[pos] == v if len(wanted) else np.zeros(len(v), dtype=bool)
+        return batch.filter(pa.array(mask))
+
+    texts = (
+        docs_ds.select_columns([id_col, text_col])
+        .map_batches(semi_filter, batch_format="pyarrow")
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(ref)
+        lookup = ray.get(lookup_ref)
         keep, jac = [], []
         for a, b in zip(batch[id_a], batch[id_b]):
             ja = T.jaccard(T.char_shingles(lookup.get(a, ""), k), T.char_shingles(lookup.get(b, ""), k))
@@ -216,7 +242,7 @@ def ngram_jaccard_verify(ds_pairs, docs_lookup: dict, k: int = 5, threshold: flo
         batch["jaccard"] = jac
         return batch[np.array(keep, dtype=bool)]
 
-    return ds_pairs.map_batches(verify, batch_format="pandas")
+    return pairs.map_batches(verify, batch_format="pandas")
 
 
 def phash_dup_groups(ds, phash_col: str = "phash", id_col: str = "image_id"):

@@ -16,13 +16,26 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from ..config import auto_concurrency
 from ..functions.rounding import sql_round
 
 
 def _as_matrix(column) -> np.ndarray:
-    """list<float> Arrow column → (n, d) float32 matrix, zero-copy-ish."""
+    """list<float> / fixed_size_list<float> Arrow column → (n, d)
+    float32 matrix without a Python-object round-trip: flatten the list
+    values buffer (zero-copy for non-null fixed-width data) and
+    reshape. Assumes uniform embedding dim (enforced by reshape)."""
     arr = column.combine_chunks() if hasattr(column, "combine_chunks") else column
-    return np.asarray(arr.to_pylist(), dtype=np.float32)
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float32)
+    if pa.types.is_fixed_size_list(arr.type):
+        d = arr.type.list_size
+        flat = arr.values.to_numpy(zero_copy_only=False)
+    else:
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(flat) // n
+    return flat.astype(np.float32, copy=False).reshape(n, d)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -68,10 +81,11 @@ class BruteForceTopK:
 
 
 def cosine_topk(ds, query_ids, query_vecs, k: int = 10,
-                id_col: str = "vec_id", vec_col: str = "embedding", concurrency: int = 2):
+                id_col: str = "vec_id", vec_col: str = "embedding", concurrency: int | None = None):
     """Exact brute-force cosine top-k for a (small) query set against the
     full embedding dataset. Two-stage: per-batch partial top-k (actor
     pool, matmul) → groupby(query_id) exact merge (tiny shuffle)."""
+    concurrency = concurrency or auto_concurrency()
     ref = ray.put({"ids": list(query_ids), "vecs": [list(v) for v in query_vecs]})
     partials = ds.map_batches(
         BruteForceTopK,
@@ -116,25 +130,43 @@ def ivf_cosine_topk(ds, query_ids, query_vecs, dim: int, k: int = 10, n_buckets:
     rng_assign = IVFBucketAssign(dim, n_buckets)
     qmat = _normalize(np.asarray([list(v) for v in query_vecs], dtype=np.float32))
     probe = np.argsort(-(qmat @ rng_assign.centroids.T), axis=1)[:, :n_probe]
-    wanted = sorted({int(b) for row in probe for b in row})
+    wanted = np.array(sorted({int(b) for row in probe for b in row}), dtype=np.int32)
+    wanted_ref = ray.put(wanted)
+
+    def bucket_filter(batch: pa.Table) -> pa.Table:
+        # vectorized membership mask — never a per-row Python filter
+        b = batch["ivf_bucket"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(b, ray.get(wanted_ref))))
+
+    # At scale the bucket assignment is materialized ONCE (written
+    # partitioned by ivf_bucket) and reused across query batches; here a
+    # single fused assign→filter pass serves the one query set.
     bucketed = ds.map_batches(
         IVFBucketAssign,
         fn_constructor_kwargs={"dim": dim, "n_buckets": n_buckets, "vec_col": vec_col},
         batch_format="pyarrow",
-        concurrency=2,
-    ).filter(lambda row: row["ivf_bucket"] in set(wanted))
+        concurrency=auto_concurrency(),
+    ).map_batches(bucket_filter, batch_format="pyarrow")
     return cosine_topk(bucketed, query_ids, query_vecs, k, id_col, vec_col)
 
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
-                             n_buckets: int = 32, id_col: str = "vec_id", vec_col: str = "embedding"):
+                             n_buckets: int | None = None, target_bucket_rows: int = 4096,
+                             id_col: str = "vec_id", vec_col: str = "embedding"):
     """Embedding-cosine near-dup: bucket by random-projection sign bits
-    (LSH for cosine), compare only within buckets."""
+    (LSH for cosine), compare only within buckets. The bucket-bit count
+    SCALES with corpus size (≈ corpus / target_bucket_rows buckets,
+    min 32) so the within-bucket all-pairs stays bounded at ~4k rows
+    per bucket instead of O(n²/const) as the corpus grows."""
+    if n_buckets is None:
+        n = ds.count()  # parquet metadata count — no data scan
+        n_buckets = max(32, 1 << int(np.ceil(np.log2(max(1, n // target_bucket_rows + 1)))))
+    n_bits = int(np.log2(n_buckets))
 
     class SignLSH:
         def __init__(self):
             rng = np.random.default_rng(13)
-            self.planes = rng.standard_normal((int(np.log2(n_buckets)), dim)).astype(np.float32)
+            self.planes = rng.standard_normal((n_bits, dim)).astype(np.float32)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mat = _normalize(_as_matrix(batch[vec_col]))
@@ -146,7 +178,7 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                 {
                     "bucket": pa.array(key, pa.int64()),
                     id_col: batch[id_col],
-                    "vec": pa.array([v.tobytes() for v in _normalize(_as_matrix(batch[vec_col]))], pa.binary()),
+                    "vec": pa.array([v.tobytes() for v in mat], pa.binary()),
                 }
             )
 
@@ -168,5 +200,5 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
             }
         )
 
-    exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=2)
+    exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=auto_concurrency())
     return exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
