@@ -57,8 +57,8 @@ from ..hashing import fingerprint_bytes
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
 from ..state.politeness import build_robots_map, schedule_host_batch
-from ..synth import gen_robots, image_for_page, page_meta, page_pixels
-from ..urls import CanonicalizeAndHash, host_of
+from ..synth import gen_robots, image_for_page, image_for_page_full, page_meta, page_pixels
+from ..urls import CanonicalizeAndHash
 
 FRONTIER_SCHEMA = pa.schema(
     [
@@ -281,30 +281,48 @@ def fetch_sink_explode(
     if stats is not None:
         ray.get(stats.set_tagged.remote(round_index, "fetched_ok", btag, ok.num_rows))
     if frag_dir is not None and ok.num_rows:
-        img = ImageRows(px=image_px)(ok)
-        # inline invariant enforcement (north rule: every stored row
-        # decodes; PSNR≥40 dB for lossy; phash matches) — the sink
-        # validates what it writes, invalid rows are dropped + counted.
-        # NOTE: decode_image/page_pixels must be imported at MODULE top:
-        # a runtime `from ..x import y` inside this by-value-shipped
-        # function would try a real package import in the worker.
-        valid = np.ones(img.num_rows, dtype=bool)
-        for i, (data, ph, uh) in enumerate(
-            zip(img["bytes"].to_pylist(), img["phash"].to_pylist(), ok["url_hash"].to_pylist())
-        ):
+        # image generation + inline invariant enforcement (north rule:
+        # every stored row decodes; PSNR≥40 dB for lossy; phash of the
+        # decoded payload matches stored) in ONE pass — the stored
+        # phash comes from the decoded payload (image_for_page_full),
+        # so generation and validation share a single decode per row.
+        # NOTE: image_for_page_full/psnr must be imported at MODULE
+        # top: a runtime `from ..x import y` inside this
+        # by-value-shipped function would try a real package import in
+        # the worker.
+        ids, datas, fmts, caps, phs = [], [], [], [], []
+        n_invalid = 0
+        for uh in ok["url_hash"].to_pylist():
+            uh = int(uh)
             try:
-                px = decode_image(data)
+                data, fmt, caption, ph, decoded, src = image_for_page_full(
+                    uh, image_px, image_px
+                )
+                ok_row = (decoded == src).all() if fmt == "png" else psnr(decoded, src) >= 40.0
             except Exception:
-                valid[i] = False
+                ok_row = False
+            if not ok_row:
+                n_invalid += 1
                 continue
-            ref = page_pixels(int(uh), image_px, image_px)
-            if phash64(px) != ph or psnr(px, ref) < 40.0:
-                valid[i] = False
-        if not valid.all():
-            img = img.filter(pa.array(valid))
+            ids.append(f"img-{uh:016x}")
+            datas.append(data)
+            fmts.append(fmt)
+            caps.append(caption)
+            phs.append(ph)
+        img = pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(datas, pa.binary()),
+                "w": pa.array([image_px] * len(ids), pa.int32()),
+                "h": pa.array([image_px] * len(ids), pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(phs, pa.int64()),
+            }
+        )
         if stats is not None:
             ray.get(stats.set_tagged.remote(
-                round_index, "invalid_images", btag, int((~valid).sum())))
+                round_index, "invalid_images", btag, n_invalid))
         tag = int(pc.min(ok["url_hash"]).as_py())
         pq.write_table(img, os.path.join(frag_dir, f"part-{tag:016x}.parquet"))
         if stats is not None:
@@ -484,12 +502,17 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             # the RAW frontier — no canon.materialize() copy of the
             # whole frontier in the object store, just a cheap counting
             # pass whose shuffle payload is one row per (host, batch).
-            def host_partial(batch: pd.DataFrame) -> pd.DataFrame:
-                vc = batch["url"].map(host_of).value_counts()
-                return pd.DataFrame({"host": vc.index.to_numpy(), "n": vc.to_numpy()})
+            # Host extraction is a vectorized Arrow regex (the handful
+            # of URLs where this differs from full canonicalization only
+            # shifts the heuristic, never the results).
+            def host_partial(batch: pa.Table) -> pa.Table:
+                ex = pc.extract_regex(batch["url"], pattern=r"^[A-Za-z+.\-]+://(?P<host>[^/?#]+)")
+                hosts = pc.utf8_lower(pc.struct_field(ex, "host"))
+                vc = hosts.drop_null().value_counts()
+                return pa.table({"host": vc.field("values"), "n": vc.field("counts")})
 
             host_counts = (
-                frontier.map_batches(host_partial, batch_format="pandas")
+                frontier.map_batches(host_partial, batch_format="pyarrow")
                 .to_pandas()  # one row per (host, batch) — tiny
                 .groupby("host")["n"]
                 .sum()

@@ -123,10 +123,60 @@ def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float) -> pd
     )
 
 
+def _verify_lsh_partition(part: pd.DataFrame, id_col: str, threshold: float,
+                          num_perm: int) -> pd.DataFrame:
+    """Vectorized per-PARTITION LSH verification: one numpy pass over
+    every bucket in the hash partition instead of one pandas DataFrame
+    per bucket (buckets are tiny and numerous — per-bucket Python
+    overhead dominated the stage). Signature matrices are compared
+    all-pairs per bucket via broadcasting; identical output (sorted
+    ids, same threshold rule) to the per-bucket reference
+    ``_pairs_from_bucket``."""
+    part = part.drop_duplicates(subset=["band_key", id_col]).sort_values(
+        ["band_key", id_col], kind="mergesort"
+    )
+    if part.empty:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+    sigs = np.frombuffer(b"".join(part["sig"]), dtype=np.uint64).reshape(-1, num_perm)
+    keys = part["band_key"].to_numpy()
+    ids = part[id_col].to_numpy()
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    a_out, b_out, est = [], [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        g = e - s
+        if g < 2:
+            continue
+        m = sigs[s:e]
+        eq = (m[:, None, :] == m[None, :, :]).mean(axis=2)
+        iu, ju = np.triu_indices(g, 1)
+        jac = eq[iu, ju]
+        hit = jac >= threshold
+        if hit.any():
+            a_out.append(ids[s + iu[hit]])
+            b_out.append(ids[s + ju[hit]])
+            est.append(jac[hit])
+    if not a_out:
+        return pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "est_jaccard": pd.Series(dtype="float64")}
+        )
+    return pd.DataFrame(
+        {"id_a": np.concatenate(a_out).astype("int64"),
+         "id_b": np.concatenate(b_out).astype("int64"),
+         "est_jaccard": np.concatenate(est).astype("float64")}
+    )
+
+
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
                            num_perm=64, bands=16, k=5, threshold=0.6, concurrency=None):
     """MinHash+LSH near-duplicate pairs: signatures (actor pool) →
-    groupby(band_key) → per-bucket verify → global distinct pairs."""
+    one shuffle on hash(band_key) → vectorized per-partition bucket
+    verify → global distinct pairs."""
+    from .grouped import _stable_pk
+
     concurrency = concurrency or auto_concurrency(0.5)
     exploded = ds.map_batches(
         MinHashSignatures,
@@ -135,8 +185,21 @@ def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = grouped_apply(
-        exploded, ["band_key"], lambda g: _pairs_from_bucket(g, id_col, threshold)
+
+    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__pk"] = _stable_pk(batch, ["band_key"], 32)
+        return batch
+
+    pairs = (
+        exploded.map_batches(add_pk, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(
+            lambda p: _verify_lsh_partition(
+                p.drop(columns="__pk"), id_col, threshold, num_perm
+            ),
+            batch_format="pandas",
+        )
     )
     # same pair can surface from multiple bands → distinct
     return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])

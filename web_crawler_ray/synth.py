@@ -244,19 +244,31 @@ def page_pixels(url_hash: int, w: int = 32, h: int = 32) -> np.ndarray:
     return np.tile(core, reps)[:h, :w, :]
 
 
-def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str, str, int]:
-    """Deterministic image+caption payload for a fetched page
-    (the crawl sink's input_hint row). Pure function of url_hash."""
+def image_for_page_full(
+    url_hash: int, w: int = 32, h: int = 32
+) -> tuple[bytes, str, str, int, np.ndarray, np.ndarray]:
+    """Deterministic image+caption payload for a fetched page (the
+    crawl sink's input_hint row), plus the decoded payload and source
+    pixels so the sink can validate WITHOUT a second decode. Pure
+    function of url_hash.
+
+    phash is computed from the DECODED payload, not the source pixels:
+    lossy jpeg quantization flips phash64(pixels) for ~5% of payloads,
+    and the sink's north-rule invariant is
+    phash64(decode(bytes)) == stored."""
     rng = np.random.default_rng((url_hash & 0x7FFFFFFF) ^ 0x5A5A)
     pixels = page_pixels(url_hash, w, h)
     fmt = "jpeg" if url_hash & 1 else "png"
     data = encode_image(pixels, fmt)
     words = [CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(4)]
     caption = " ".join(words) + f" #{url_hash & 0xFFFF}"
-    # phash of the DECODED payload, not the source pixels: lossy jpeg
-    # quantization flips phash64(pixels) for ~5% of payloads, and the
-    # sink's north-rule invariant is phash64(decode(bytes)) == stored.
-    ph = phash64(decode_image(data)) if fmt == "jpeg" else phash64(pixels)
+    decoded = decode_image(data) if fmt == "jpeg" else pixels
+    return data, fmt, caption, phash64(decoded), decoded, pixels
+
+
+def image_for_page(url_hash: int, w: int = 32, h: int = 32) -> tuple[bytes, str, str, int]:
+    """Payload-only view of :func:`image_for_page_full`."""
+    data, fmt, caption, ph, _, _ = image_for_page_full(url_hash, w, h)
     return data, fmt, caption, ph
 
 
