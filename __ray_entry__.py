@@ -694,10 +694,10 @@ def q_image_features(sf_dir: str):
     """Multimodal feature extraction: decode → per-channel stats +
     luminance entropy (actor pool, small batches)."""
     from web_crawler_ray.stages.multimodal import ImageFeatures
-    from web_crawler_ray.synth import gen_images
+    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(10_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
+    ds = gen_images_ds(n)
     out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
 
     def flatten(batch: pd.DataFrame) -> pd.DataFrame:
@@ -719,10 +719,10 @@ def q_image_resize(sf_dir: str):
     """Multimodal resize: decode → mean-pool to 16×16 → re-encode
     (binary in, binary out, schema preserved)."""
     from web_crawler_ray.stages.multimodal import DecodeAndValidate, ResizeImages
-    from web_crawler_ray.synth import gen_images
+    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(5_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
+    ds = gen_images_ds(n)
     resized = ds.map_batches(
         ResizeImages, fn_constructor_kwargs={"target": 16}, batch_format="pyarrow",
         batch_size=128, concurrency=auto_concurrency(),
@@ -747,10 +747,10 @@ def q_image_validate(sf_dir: str):
     """input_hint invariant check over the synthetic image corpus:
     decode_ok + phash_ok per row (multimodal actor-pool stage)."""
     from web_crawler_ray.stages.multimodal import DecodeAndValidate
-    from web_crawler_ray.synth import gen_images
+    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
+    ds = gen_images_ds(n)
     out = ds.map_batches(DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
     return out.select_columns(["image_id", "fmt", "decode_ok", "phash_ok"])
 
@@ -758,11 +758,11 @@ def q_image_validate(sf_dir: str):
 def q_phash_dups(sf_dir: str):
     """D4 exact perceptual-hash duplicate groups over the image corpus."""
     from web_crawler_ray.stages.dedup import phash_dup_groups
-    from web_crawler_ray.synth import gen_images
+    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = rd.from_arrow(gen_images(n)).repartition(auto_blocks())
-    return phash_dup_groups(ds)
+    # 5% dup rate so dup groups exist even at the smallest tier (n=200)
+    return phash_dup_groups(gen_images_ds(n, dup_rate=0.05))
 
 
 # --------------------------------------------------------------------------

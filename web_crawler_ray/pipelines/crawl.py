@@ -100,6 +100,10 @@ class CrawlConfig:
     salt_hot_hosts: bool = True
     hot_host_factor: float = 1.0
     hot_salt_factor: int = 8
+    # granted sets at or below this size take the single-driver-pass
+    # order write (one traversal, single file); larger sets stream a
+    # distributed sort + directory write
+    driver_order_rows: int = 1 << 18
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -244,6 +248,19 @@ class CrawlStatsActor:
 
     def set_tagged(self, round_index: int, key: str, tag: int, n: int) -> None:
         self.tagged.setdefault((round_index, key), {})[tag] = n
+
+    def set_disp(self, round_index: int, tag: int, counts: dict) -> None:
+        """Per-task disposition histogram, folded into the schedule pass
+        so no separate counting traversal of the scheduled dataset is
+        needed. Tagged (overwrite-on-retry) like set_tagged."""
+        self.tagged.setdefault((round_index, "__disp"), {})[tag] = dict(counts)
+
+    def disp_counts(self, round_index: int) -> dict:
+        out: dict[str, int] = {}
+        for c in self.tagged.get((round_index, "__disp"), {}).values():
+            for k, v in c.items():
+                out[k] = out.get(k, 0) + int(v)
+        return out
 
     def get(self, round_index: int, key: str) -> int:
         return self.counts.get((round_index, key), 0) + sum(
@@ -553,7 +570,16 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 schedule_host_batch(g, robots_map_local, budget, rnd)
                 for _, g in df.groupby("host", sort=True)
             ]
-            return pd.concat(groups, ignore_index=True)
+            out = pd.concat(groups, ignore_index=True)
+            # fold the disposition histogram into this pass (tagged by
+            # min url_hash — unique per task, retry-overwriting) so no
+            # separate counting traversal of `scheduled` is needed
+            if len(out):
+                vc = out["disposition"].value_counts()
+                ray.get(stats_actor.set_disp.remote(
+                    rnd, int(out["url_hash"].min()),
+                    {str(k): int(v) for k, v in vc.items()}))
+            return out
 
         def process_partition(df: pd.DataFrame) -> pd.DataFrame:
             is_hot = bool(df["part"].iloc[0] >= n_parts) if len(df) else False
@@ -589,18 +615,9 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         scheduled = scheduled.materialize()
         stage_s = {"schedule_pipeline": round(time.monotonic() - t_stage, 2)}
 
-        def disp_partial(batch: pd.DataFrame) -> pd.DataFrame:
-            vc = batch["disposition"].value_counts()
-            return pd.DataFrame({"disposition": vc.index.to_numpy(), "n": vc.to_numpy()})
-
-        counts = (
-            scheduled.map_batches(disp_partial, batch_format="pandas")
-            .to_pandas()
-            .groupby("disposition")["n"]
-            .sum()
-        )
-        stage_s["counts"] = round(time.monotonic() - t_stage, 2)
-        n_frontier = int(counts.sum())
+        # disposition histogram was folded into the schedule tasks
+        counts = ray.get(stats_actor.disp_counts.remote(r))
+        n_frontier = int(sum(counts.values()))
         n_deferred = int(counts.get("deferred", 0))
         denied_n = int(counts.get("robots_denied", 0))
         if n_frontier == 0:
@@ -609,14 +626,39 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         n_granted = int(counts.get("granted", 0))
         granted_ds = scheduled.filter(expr="disposition == 'granted'")
 
-        # crawl order for this round: distributed sort + DIRECTORY
-        # write, streamed by the workers — the granted rows never
-        # concatenate on the driver (at millions of hosts the
-        # politeness-capped set is itself big). read_crawl_order
-        # reassembles the global order from the sort columns.
+        # crawl order for this round. Size-adaptive: below the
+        # threshold one driver pass over the 5 ORDER COLUMNS sorts and
+        # writes a single file (and yields the url_hash broadcast array
+        # for free — one traversal instead of three Dataset
+        # executions); above it, a distributed sort + directory write
+        # streams through the workers and the granted rows never touch
+        # the driver. read_crawl_order reassembles either layout.
         order_dir = os.path.join(rdir, "order")
         os.makedirs(order_dir, exist_ok=True)
-        if n_granted:
+        granted_hashes = None
+        if n_granted and n_granted <= cfg.driver_order_rows:
+            order_tab = pa.concat_tables(
+                list(
+                    granted_ds.select_columns(
+                        ["url", "host", "url_hash", "priority", "fetch_ts_ms"]
+                    ).iter_batches(batch_size=65536, batch_format="pyarrow")
+                ),
+                promote_options="default",
+            )
+            order_tab = order_tab.append_column(
+                "round", pa.array(np.full(order_tab.num_rows, r, dtype=np.int32))
+            )
+            pq.write_table(
+                order_tab.sort_by(
+                    [("fetch_ts_ms", "ascending"), ("host", "ascending"),
+                     ("url_hash", "ascending")]
+                ),
+                os.path.join(order_dir, "part-all.parquet"),
+            )
+            granted_hashes = np.sort(
+                order_tab["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        elif n_granted:
 
             def add_round(batch: pa.Table) -> pa.Table:
                 return batch.append_column(
@@ -631,18 +673,16 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 .sort(["fetch_ts_ms", "host", "url_hash"])
                 .write_parquet(order_dir)
             )
-
-        # the ONLY per-round driver pull is the granted url_hash column
-        # (8 B/row): it is the broadcast payload for the semi-join fetch
-        # and the input fingerprint of the image fragment.
-        granted_hashes = None
-        if n_granted and (cfg.write_images or cfg.fetch_mode == "join"):
-            granted_hashes = np.sort(
-                granted_ds.select_columns(["url_hash"])
-                .to_pandas()["url_hash"]
-                .to_numpy()
-                .astype(np.uint64)
-            )
+            # the ONLY driver pull in this branch is the url_hash
+            # column (8 B/row): broadcast payload for the semi-join
+            # fetch + image fragment fingerprint
+            if cfg.write_images or cfg.fetch_mode == "join":
+                granted_hashes = np.sort(
+                    granted_ds.select_columns(["url_hash"])
+                    .to_pandas()["url_hash"]
+                    .to_numpy()
+                    .astype(np.uint64)
+                )
 
         stage_s["granted_order"] = round(time.monotonic() - t_stage, 2)
 
@@ -796,9 +836,13 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             )
             os.makedirs(frontier_dir, exist_ok=True)
             out_ds.write_parquet(frontier_dir)
-            written = [f for f in os.listdir(frontier_dir) if f.endswith(".parquet")]
-            if written:
-                n_frontier_out = rd.read_parquet(frontier_dir).count()
+            # row count from parquet footers (local metadata reads, no
+            # Ray job)
+            n_frontier_out = sum(
+                pq.read_metadata(os.path.join(frontier_dir, f)).num_rows
+                for f in os.listdir(frontier_dir)
+                if f.endswith(".parquet")
+            )
         n_outlinks = n_frontier_out - n_deferred
         n_fetched_ok = ray.get(stats_actor.get.remote(r, "fetched_ok"))
         n_invalid_images = ray.get(stats_actor.get.remote(r, "invalid_images"))

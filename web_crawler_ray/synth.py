@@ -317,6 +317,60 @@ def gen_images(n: int, seed: int = 42, dup_rate: float = 0.01) -> pa.Table:
     )
 
 
+def image_record(i: int, seed: int = 42, dup_rate: float = 0.01) -> dict:
+    """One image+caption row as a PURE function of its index — the
+    shardable analogue of ``gen_images`` (whose dup chain is sequential).
+    A ~dup_rate slice of indices reuses the payload of a deterministic
+    earlier index, so phash-dup groups exist at any parallelism."""
+    h = int(hash64(f"imgdup-{seed}-{i}"))
+    eff = i
+    if i > 0 and (h % 10_000) < int(dup_rate * 10_000):
+        eff = i - 1 - ((h >> 16) % min(i, 64))
+    rng = np.random.default_rng((seed << 20) ^ eff)
+    sizes = (32, 64, 128)
+    w = int(sizes[int(rng.integers(3))])
+    hh = int(sizes[int(rng.integers(3))])
+    # full-rank random pixels (NOT a tiled core): phash needs distinct
+    # low-frequency content per image, and tiling collapses it
+    pixels = rng.integers(0, 256, size=(hh, w, 3), dtype=np.uint8)
+    fmt = "jpeg" if rng.random() < 0.5 else "png"
+    data = encode_image(pixels, fmt)
+    caption = " ".join(
+        CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(5)
+    )
+    ph = phash64(decode_image(data)) if fmt == "jpeg" else phash64(pixels)
+    return {"image_id": f"img-{i:08d}", "bytes": data, "w": w, "h": hh,
+            "fmt": fmt, "caption": caption, "phash": ph}
+
+
+def gen_images_ds(n: int, seed: int = 42, dup_rate: float = 0.01, blocks: int | None = None):
+    """Distributed image corpus: generation runs INSIDE map_batches over
+    ``ray.data.range(n)`` (per-index pure function), so fixture
+    construction scales with the cluster instead of serializing on the
+    driver. Same schema as ``gen_images``."""
+    import ray.data as rd
+
+    from .config import auto_blocks
+
+    def gen(batch: pa.Table) -> pa.Table:
+        rows = [image_record(int(i), seed, dup_rate) for i in batch["id"].to_pylist()]
+        return pa.table(
+            {
+                "image_id": pa.array([r["image_id"] for r in rows], pa.string()),
+                "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+                "w": pa.array([r["w"] for r in rows], pa.int32()),
+                "h": pa.array([r["h"] for r in rows], pa.int32()),
+                "fmt": pa.array([r["fmt"] for r in rows], pa.string()),
+                "caption": pa.array([r["caption"] for r in rows], pa.string()),
+                "phash": pa.array([r["phash"] for r in rows], pa.int64()),
+            }
+        )
+
+    return rd.range(n, override_num_blocks=blocks or auto_blocks()).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
 def gen_robots(n_hosts: int, seed: int = 42) -> pa.Table:
     """FIXTURES.md §6 — per-host crawl delay + disallow prefixes."""
     rng = np.random.default_rng(seed + 1)
