@@ -677,6 +677,25 @@ def q_ann_ivf(sf_dir: str):
     return ivf_cosine_topk(ds, [0], [qvec], dim=len(qvec), k=10, n_buckets=16, n_probe=8)
 
 
+def q_ann_ivf_index(sf_dir: str):
+    """IVF with a MATERIALIZED hive-partitioned index: bucket assignment
+    written once, the query reads only its probed buckets' partitions
+    (partition pruning at the read) — the corpus-scale ANN path.
+    Results identical to q_ann_ivf (same codebook seed/params)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import ivf_build_index, ivf_query_index
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = ivf_build_index(ds, dim=len(qvec), path=f"/tmp/wcr_ivf_index_{sf_tag}",
+                           n_buckets=16)
+    return ivf_query_index(path, [0], [qvec], dim=len(qvec), k=10,
+                           n_buckets=16, n_probe=8)
+
+
 def q_ngram_pairs(sf_dir: str):
     """MinHash-LSH candidates verified by TRUE n-gram Jaccard: only the
     candidate ID set is broadcast; candidate texts are gathered with a
@@ -946,6 +965,79 @@ def q_event_lag(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "rn", "delta"])
 
 
+def q_cumsum(sf_dir: str):
+    """Running SUM() OVER (PARTITION BY user ORDER BY ts): per-user
+    cumulative value, sequential adds in window order (bit-compatible
+    with the SQL running sum)."""
+    from web_crawler_ray.stages.windows import cumulative_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = cumulative_sum(ds, "user_id", "ts", "value", "event_id")
+    return out.select_columns(["event_id", "user_id", "cum"])
+
+
+def q_jaccard_allpairs(sf_dir: str):
+    """TRUE k-gram Jaccard, all-pairs over an explicitly small filtered
+    subset (every 3rd doc): per-doc shingle sets built distributively,
+    the subset broadcast once (bounded by the filter — this is the
+    exact-verification path; the corpus-scale path is LSH candidates in
+    q_ngram_pairs). STRING shingles so DuckDB can replay it exactly."""
+    import ray
+
+    k = 5
+
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [
+            frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+            for t in batch["text"].str.lower()
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "sh": sets})
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"]).map_batches(
+        lambda b: b[(b["doc_id"] % 3 == 0) & (b["text"].str.len() >= k)],
+        batch_format="pandas",
+    )
+    subset = ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    ref = ray.put(list(zip(subset["doc_id"].tolist(), subset["sh"].tolist())))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        others = ray.get(ref)
+        a_out, b_out, jac_out = [], [], []
+        for my_id, my_sh in zip(batch["doc_id"], batch["sh"]):
+            for other_id, other_sh in others:
+                if other_id <= my_id:
+                    continue
+                inter = len(my_sh & other_sh)
+                jac = inter / (len(my_sh) + len(other_sh) - inter)
+                if jac >= 0.4:
+                    a_out.append(my_id); b_out.append(other_id); jac_out.append(jac)
+        return pd.DataFrame({
+            "id_a": pd.Series(a_out, dtype="int64"),
+            "id_b": pd.Series(b_out, dtype="int64"),
+            "jaccard": sql_round(pd.Series(jac_out, dtype="float64"), 6),
+        })
+
+    return (
+        rd.from_pandas(subset)
+        .repartition(auto_blocks())
+        .map_batches(pairs, batch_format="pandas")
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the events log (30-min gap): per
+    (user, session) event count and start/end epoch-us. The
+    log-processing staple for training-data pipelines."""
+    from web_crawler_ray.stages.windows import sessionize
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds, "user_id", "ts", "event_id", gap_ms=30 * 60 * 1000)
+
+
 def q_set_except(sf_dir: str):
     """Set op (EXCEPT): customers with a finished ('F') order but no
     open ('O') order. Per-batch flag partials + one tiny max-combine
@@ -1027,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_workbook_extract": q_workbook_extract,
         "q_fetch_retry": q_fetch_retry,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_index": q_ann_ivf_index,
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
         "q_image_resize": q_image_resize,
@@ -1038,6 +1131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_median_value": q_median_value,
         "q_event_lag": q_event_lag,
         "q_set_except": q_set_except,
+        "q_cumsum": q_cumsum,
+        "q_jaccard_allpairs": q_jaccard_allpairs,
+        "q_sessionize": q_sessionize,
     }
 
 
@@ -1244,5 +1340,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "q_cumsum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS cum
+            FROM events
+        """,
+        "q_sessionize": """
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+            FROM (
+                SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS session_id
+                FROM (
+                    SELECT user_id, ts, event_id,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                                THEN 1 ELSE 0 END AS new_sess
+                    FROM events
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+            )
+            GROUP BY user_id, session_id
+        """,
+        "q_jaccard_allpairs": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct([substr(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)]) AS sh
+                FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 5
+            )
+            SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ) WHERE jac >= 0.4
         """,
     }

@@ -212,7 +212,9 @@ def clean_price_batch(values: pd.Series) -> pd.Series:
         s = s.mask(both & ~dot_last, s.str.replace(".", "", regex=False).str.replace(",", "."))
     only_c = has_c & ~has_d
     if only_c.any():
-        decimal_like = only_c & s.str.match(r"^[^,]*,\d{0,2}$", na=False)
+        # reference rule (processor.py:59-61): EXACTLY one comma whose
+        # tail is ≤2 CHARS (not necessarily digits) → decimal separator
+        decimal_like = only_c & s.str.match(r"^[^,]*,[^,]{0,2}$", na=False)
         s = s.mask(decimal_like, s.str.replace(",", "."))
         s = s.mask(only_c & ~decimal_like, s.str.replace(",", ""))
     return _to_float(s)

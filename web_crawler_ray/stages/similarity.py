@@ -202,3 +202,59 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
 
     exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=auto_concurrency())
     return exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def ivf_build_index(ds, dim: int, path: str, n_buckets: int = 16,
+                    vec_col: str = "embedding", concurrency: int | None = None) -> str:
+    """Materialize the IVF bucket assignment ONCE as hive-partitioned
+    parquet (one directory per ivf_bucket). This is the corpus-scale
+    complement to ``ivf_cosine_topk``'s fused assign→filter: the
+    assignment pass runs once, and every subsequent query batch reads
+    ONLY its probed buckets' partitions (partition pruning at the
+    read), instead of re-bucketing the corpus per query set."""
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    ds.map_batches(
+        IVFBucketAssign,
+        fn_constructor_kwargs={"dim": dim, "n_buckets": n_buckets, "vec_col": vec_col},
+        batch_format="pyarrow",
+        concurrency=concurrency or auto_concurrency(),
+    ).write_parquet(path, partition_cols=["ivf_bucket"])
+    return path
+
+
+def ivf_query_index(path: str, query_ids, query_vecs, dim: int, k: int = 10,
+                    n_buckets: int = 16, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Approximate cosine top-k against a prebuilt IVF index: derive the
+    probed buckets from the (deterministic, seed-shared) codebook, read
+    only those hive partitions, brute-force within them. Identical
+    results to ``ivf_cosine_topk`` on the same corpus/params."""
+    import ray.data as rd
+
+    assign = IVFBucketAssign(dim, n_buckets)
+    qmat = _normalize(np.asarray([list(v) for v in query_vecs], dtype=np.float32))
+    probe = np.argsort(-(qmat @ assign.centroids.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(b) for row in probe for b in row})
+    # partition-pruned read: only the probed buckets' files are opened
+    import os
+
+    dirs = [f"{path}/ivf_bucket={b}" for b in wanted]
+    paths = [
+        os.path.join(d, f)
+        for d in dirs
+        if os.path.isdir(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        import pandas as pd
+
+        return rd.from_pandas(pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"), id_col: pd.Series(dtype="int64"),
+             "score": pd.Series(dtype="float64"), "rank": pd.Series(dtype="int64")}))
+    ds = rd.read_parquet(paths, columns=[id_col, vec_col])
+    return cosine_topk(ds, query_ids, query_vecs, k, id_col, vec_col)

@@ -108,3 +108,49 @@ def lag_delta(ds, key: str, ts_col: str, val_col: str, tie_col: str,
         return out[out["rn"] > 1]
 
     return grouped_apply(ds, [key], per_key)
+
+
+def cumulative_sum(ds, key: str, ts_col: str, val_col: str, tie_col: str,
+                   out_col: str = "cum", ndigits: int = 2):
+    """Running SUM() OVER (PARTITION BY key ORDER BY ts, tie): rows keep
+    their identity and gain a cumulative column. Sequential adds in
+    order, matching the SQL window's left-to-right running sum. Coarse
+    hash-partitioned on the key."""
+    from ..functions.rounding import sql_round
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort").copy()
+        g[out_col] = sql_round(g[val_col].cumsum(), ndigits)
+        return g
+
+    return grouped_apply(ds, [key], per_key)
+
+
+def sessionize(ds, key: str, ts_col: str, tie_col: str, gap_ms: int,
+               aggs: bool = True):
+    """Gap-based sessionization: within each key, rows ordered by
+    (ts, tie) start a new session when the gap to the previous row
+    exceeds ``gap_ms``. Returns per-session aggregates (n_events,
+    start/end epoch-us) — the log-processing staple for training-data
+    pipelines. Coarse hash-partitioned on the key like any
+    PARTITION BY."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tie_col], kind="mergesort")
+        ts = pd.to_datetime(g[ts_col])
+        gap = ts.diff() > pd.Timedelta(milliseconds=gap_ms)
+        session_id = gap.cumsum().astype("int64") + 1
+        out = g.assign(session_id=session_id,
+                       __us=ts.astype("datetime64[us]").astype("int64"))
+        if not aggs:
+            return out.drop(columns="__us")
+        res = (
+            out.groupby("session_id", sort=True)
+            .agg(n_events=("session_id", "size"), start_us=("__us", "min"),
+                 end_us=("__us", "max"))
+            .reset_index()
+        )
+        res.insert(0, key, g[key].iloc[0])
+        return res
+
+    return grouped_apply(ds, [key], per_key)
