@@ -1026,6 +1026,149 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_css_extract_oracle(sf_dir: str):
+    """M3 CSS extraction proven against SQL: HTML pages are built
+    distributively from the supplier table, extracted with the same
+    CssExtract stage (selector + uppercase/float transforms), and the
+    result must equal a plain projection of the source table."""
+    from web_crawler_ray.stages.css_extract import CssExtract
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        bodies = [
+            "<table><tr class='r'>"
+            f"<td class='n'>{name}</td><td class='p'>${bal!r}</td>"
+            "</tr></table>"
+            for name, bal in zip(batch["s_name"], batch["s_acctbal"])
+        ]
+        return pd.DataFrame({
+            "url": ["https://x.test/s/" + str(k) for k in batch["s_suppkey"]],
+            "body": bodies,
+        })
+
+    pages = rd.read_parquet(
+        _t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"]
+    ).map_batches(to_pages, batch_format="pandas")
+    config = {
+        "container": "tr.r",
+        "fields": {
+            "name": {"selector": "td.n", "transform": "uppercase"},
+            "price": {"selector": "td.p", "transform": "float"},
+        },
+    }
+    out = pages.map_batches(
+        CssExtract, fn_constructor_kwargs={"config": config},
+        batch_format="pyarrow", concurrency=auto_concurrency(),
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["price"] = sql_round(batch["price"].astype("float64"), 2)
+        return batch[["name", "price"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_workbook_oracle(sf_dir: str):
+    """S4 header-sniff + last-non-null unpivot proven against SQL: one
+    CSV sheet per region (junk preamble rows, wide year columns with
+    deterministic blanks) built from the nation table; the unpivot's
+    pick-last-period rule is replayed as a SQL CASE."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.sources.tabular import WorkbookExtract
+
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"])
+    out_dir = f"/tmp/wcr_wb_oracle_{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    rows = list(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+                    nation["n_regionkey"].to_pylist()))
+    for rk in sorted({r for _, _, r in rows}):
+        lines = [",junk,"] * (rk % 3)
+        lines.append("Name,2021,2022,2023")
+        for nk, name, nrk in rows:
+            if nrk != rk:
+                continue
+            v = [f"{nk * 10 + 1.5}",
+                 "" if nk % 4 == 0 else f"{nk * 10 + 2.5}",
+                 "" if nk % 3 == 0 else f"{nk * 10 + 3.5}"]
+            lines.append(",".join([name] + v))
+        with open(f"{out_dir}/region{rk}.csv", "w") as f:
+            f.write("\n".join(lines))
+    files = rd.read_binary_files(out_dir, include_paths=True)
+    out = files.map_batches(WorkbookExtract(), batch_format="pyarrow")
+    return out.select_columns(["name", "price", "period"])
+
+
+def q_fetch_retry_oracle(sf_dir: str):
+    """S1/S2 retry policy proven against SQL: URLs derived from the
+    customer table; every 7th key is flaky-once (one 503 then success →
+    2 attempts), every 13th is absent (404, non-retryable). The
+    transport's page map is bounded by the dimension table (demo-scale
+    mode; the corpus-scale path is pre-fetched pages_ds)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.sources.http_fetch import FakeTransport, FetcherActor
+
+    keys = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey"])["c_custkey"].to_pylist()
+    pages = {
+        f"https://api.test/c/{k}": (200, b"ok")
+        for k in keys if k % 13 != 0
+    }
+    flaky = {f"https://api.test/c/{k}": 1 for k in keys if k % 7 == 0}
+
+    def to_urls(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": ["https://api.test/c/" + str(k) for k in batch["c_custkey"]],
+            "ckey": batch["c_custkey"].astype("int64"),
+        })
+
+    urls = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"]).map_batches(
+        to_urls, batch_format="pandas"
+    )
+    fetched = urls.map_batches(
+        FetcherActor,
+        fn_constructor_kwargs={
+            "transport_factory": lambda: FakeTransport(pages, flaky=flaky),
+            "sleep_fn": lambda _s: None,
+        },
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    )
+    return fetched.select_columns(["ckey", "status", "attempts"])
+
+
+def q_forex_rules_oracle(sf_dir: str):
+    """V3 business rules + A5 error histogram proven against SQL:
+    quotes derived from orders with every 11th key violating
+    bid ≤ ask; the rule engine's violation counts must equal the SQL
+    predicate counts."""
+    import numpy as np
+
+    from web_crawler_ray.stages.aggregate import error_histogram
+    from web_crawler_ray.stages.validate import ApplyRules, forex_business_rules
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        bid = batch["o_totalprice"]
+        factor = np.where(batch["o_orderkey"] % 11 == 0, 0.9, 1.001)
+        ask = bid * factor
+        return pd.DataFrame({
+            "bid_price": bid, "ask_price": ask, "mid_price": (bid + ask) / 2,
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    quotes = ds.map_batches(build, batch_format="pandas")
+    validated = quotes.map_batches(ApplyRules(forex_business_rules()), batch_format="pandas")
+    hist = error_histogram(validated.filter(expr="n_errors > 0")).to_pandas()
+    if hist.empty:
+        hist = pd.DataFrame({"error_type": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64")})
+    return hist
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the events log (30-min gap): per
     (user, session) event count and start/end epoch-us. The
@@ -1134,6 +1277,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cumsum": q_cumsum,
         "q_jaccard_allpairs": q_jaccard_allpairs,
         "q_sessionize": q_sessionize,
+        "q_css_extract_oracle": q_css_extract_oracle,
+        "q_workbook_oracle": q_workbook_oracle,
+        "q_fetch_retry_oracle": q_fetch_retry_oracle,
+        "q_forex_rules_oracle": q_forex_rules_oracle,
     }
 
 
@@ -1346,6 +1493,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id
                          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS cum
             FROM events
+        """,
+        "q_css_extract_oracle": """
+            SELECT upper(s_name) AS name, round(s_acctbal, 2) AS price
+            FROM supplier
+        """,
+        "q_workbook_oracle": """
+            SELECT n_name AS name,
+                   CASE WHEN n_nationkey % 3 <> 0 THEN n_nationkey * 10 + 3.5
+                        WHEN n_nationkey % 4 <> 0 THEN n_nationkey * 10 + 2.5
+                        ELSE n_nationkey * 10 + 1.5 END AS price,
+                   CASE WHEN n_nationkey % 3 <> 0 THEN '2023'
+                        WHEN n_nationkey % 4 <> 0 THEN '2022'
+                        ELSE '2021' END AS period
+            FROM nation
+        """,
+        "q_fetch_retry_oracle": """
+            SELECT c_custkey AS ckey,
+                   CAST(CASE WHEN c_custkey % 13 = 0 THEN 404 ELSE 200 END AS INTEGER) AS status,
+                   CAST(CASE WHEN c_custkey % 7 = 0 THEN 2 ELSE 1 END AS INTEGER) AS attempts
+            FROM customer
+        """,
+        "q_forex_rules_oracle": """
+            SELECT 'bid_le_ask' AS error_type, CAST(count(*) AS BIGINT) AS n
+            FROM orders WHERE o_orderkey % 11 = 0
         """,
         "q_sessionize": """
             SELECT user_id, session_id, count(*) AS n_events,
