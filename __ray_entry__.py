@@ -752,6 +752,77 @@ def q_image_resize(sf_dir: str):
     return checked.select_columns(["image_id", "w", "h", "fmt", "decode_ok"])
 
 
+def q_video_frames(sf_dir: str):
+    """Multimodal video plumbing: synthetic-container clips built
+    distributively → actor-pool frame sampling (every 2nd frame,
+    per-frame decode validation). Binary in, list<binary> out."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_ray.codecs import encode_video
+    from web_crawler_ray.stages.multimodal import VideoFrameSample
+
+    n = max(100, int(2_000 * _sf_scale(sf_dir)))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        # encode_video captured in the closure (shipped by value) — a
+        # runtime package import here would fail in workers
+        ids, vids = [], []
+        for i in batch["id"].to_pylist():
+            rng = np.random.default_rng(900 + int(i))
+            k = 3 + int(i) % 6
+            frames = [rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                      for _ in range(k)]
+            ids.append(f"vid-{int(i):06d}")
+            vids.append(encode_video(frames, "png" if i % 2 else "jpeg"))
+        return pa.table({"video_id": pa.array(ids, pa.string()),
+                         "video": pa.array(vids, pa.binary())})
+
+    ds = rd.range(n, override_num_blocks=auto_blocks()).map_batches(gen, batch_format="pyarrow")
+    out = ds.map_batches(VideoFrameSample, fn_constructor_kwargs={"stride": 2},
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=auto_concurrency())
+    return out.select_columns(["video_id", "n_frames", "n_sampled", "decode_ok"])
+
+
+def q_audio_features(sf_dir: str):
+    """Multimodal audio: int16-PCM clips built distributively →
+    actor-pool duration/RMS/peak/zero-crossing features (PCM needs no
+    external decoder — this stage is fully real)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_ray.stages.multimodal import AudioFeatures
+
+    n = max(200, int(5_000 * _sf_scale(sf_dir)))
+    rate = 16_000
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids, clips = [], []
+        for i in batch["id"].to_pylist():
+            i = int(i)
+            length = 1000 + (i % 5) * 500
+            t = np.arange(length, dtype=np.float64)
+            freq = 110.0 * (1 + i % 8)
+            x = 0.5 * np.sin(2 * np.pi * freq * t / rate)
+            clips.append((x * 32767).astype("<i2").tobytes())
+            ids.append(f"aud-{i:06d}")
+        return pa.table({"audio_id": pa.array(ids, pa.string()),
+                         "audio": pa.array(clips, pa.binary())})
+
+    ds = rd.range(n, override_num_blocks=auto_blocks()).map_batches(gen, batch_format="pyarrow")
+    out = ds.map_batches(AudioFeatures, fn_constructor_kwargs={"sample_rate": rate},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=auto_concurrency())
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("duration_s", "rms", "peak", "zcr"):
+            batch[c] = sql_round(batch[c], 6)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_text_metrics(sf_dir: str):
     """Language-ID, quality score, BPE-ish token count, fingerprint."""
     from web_crawler_ray.stages.text_stage import TextMetrics
@@ -1281,6 +1352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_workbook_oracle": q_workbook_oracle,
         "q_fetch_retry_oracle": q_fetch_retry_oracle,
         "q_forex_rules_oracle": q_forex_rules_oracle,
+        "q_video_frames": q_video_frames,
+        "q_audio_features": q_audio_features,
     }
 
 

@@ -55,3 +55,57 @@ def test_ivf_index_equals_fused(ray_session, tmp_path):
     import os
     parts = [d for d in os.listdir(path) if d.startswith("ivf_bucket=")]
     assert len(parts) > 1
+
+
+def test_video_container_roundtrip():
+    from web_crawler_ray.codecs import decode_image, decode_video, encode_image, encode_video
+
+    rng = np.random.default_rng(1)
+    frames = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(4)]
+    data = encode_video(frames, "png")
+    payloads = decode_video(data)
+    assert len(payloads) == 4
+    for f, p in zip(frames, payloads):
+        assert (decode_image(p) == f).all()
+        assert p == encode_image(f, "png")
+
+
+def test_video_frame_sample_stage(ray_session):
+    from web_crawler_ray.codecs import encode_video
+    from web_crawler_ray.stages.multimodal import VideoFrameSample
+
+    rng = np.random.default_rng(2)
+    vids = [
+        encode_video([rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                      for _ in range(k)], "png")
+        for k in (5, 2, 7)
+    ] + [b"not a video"]
+    tab = pa.table({"video_id": [f"v{i}" for i in range(4)],
+                    "video": pa.array(vids, pa.binary())})
+    out = (rd.from_arrow(tab)
+           .map_batches(VideoFrameSample, fn_constructor_kwargs={"stride": 2},
+                        batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values("video_id").reset_index(drop=True))
+    assert list(out["n_frames"]) == [5, 2, 7, 0]
+    assert list(out["n_sampled"]) == [3, 1, 4, 0]
+    assert list(out["decode_ok"]) == [True, True, True, False]
+
+
+def test_audio_features_stage(ray_session):
+    from web_crawler_ray.stages.multimodal import AudioFeatures
+
+    rate = 8000
+    t = np.arange(rate, dtype=np.float64)  # exactly 1 s
+    x = 0.5 * np.sin(2 * np.pi * 100 * t / rate)  # integer periods
+    pcm = (x * 32767).astype("<i2").tobytes()
+    tab = pa.table({"audio_id": ["a0"], "audio": pa.array([pcm], pa.binary())})
+    out = (rd.from_arrow(tab)
+           .map_batches(AudioFeatures, fn_constructor_kwargs={"sample_rate": rate},
+                        batch_format="pyarrow", concurrency=2)
+           .to_pandas())
+    assert abs(out["duration_s"][0] - 1.0) < 1e-9
+    # sine RMS = amplitude / sqrt(2) over whole periods
+    assert abs(out["rms"][0] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out["peak"][0] - 0.5) < 1e-3
+    # 100 Hz → 200 zero crossings/s
+    assert abs(out["zcr"][0] - 200 / rate) < 1e-3

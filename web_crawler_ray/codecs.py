@@ -99,3 +99,39 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+# -- synthetic video container -----------------------------------------------
+# A trivial deterministic multi-frame container (magic + frame index +
+# concatenated encoded frames) standing in for mp4/webm, which need a
+# real decoder this container lacks. The Ray-side plumbing (binary
+# column in, sampled frames out, actor pools, small batches) is real.
+
+_VIDEO_MAGIC = b"VSYN"
+
+
+def encode_video(frames: list, fmt: str = "png") -> bytes:
+    """frames: list of (h, w, 3) uint8 arrays → container bytes."""
+    payloads = [encode_image(f, fmt) for f in frames]
+    out = bytearray(_VIDEO_MAGIC)
+    out += len(payloads).to_bytes(4, "little")
+    for p in payloads:
+        out += len(p).to_bytes(4, "little")
+    for p in payloads:
+        out += p
+    return bytes(out)
+
+
+def decode_video(data: bytes) -> list:
+    """Container bytes → list of per-frame ENCODED payloads (decode a
+    frame with :func:`decode_image`)."""
+    if data[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a VSYN container")
+    n = int.from_bytes(data[4:8], "little")
+    lens = [int.from_bytes(data[8 + 4 * i : 12 + 4 * i], "little") for i in range(n)]
+    off = 8 + 4 * n
+    frames = []
+    for ln in lens:
+        frames.append(data[off : off + ln])
+        off += ln
+    return frames

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..codecs import decode_image, encode_image, phash64, psnr
+from ..codecs import decode_image, decode_video, encode_image, phash64, psnr
 
 
 class DecodeAndValidate:
@@ -122,3 +122,70 @@ def decode_video_frames(*_args, **_kwargs):
         "video decode is stubbed: no av/ffmpeg in the sandbox. The actor "
         "shape is identical to DecodeAndValidate with a frames list column."
     )
+
+
+class VideoFrameSample:
+    """Actor stage: synthetic-container video column → every ``stride``-th
+    frame re-emitted as a list<binary> column (+ frame counts). Each
+    sampled frame is decoded once to validate it. The real-codec path
+    (mp4/webm) swaps ``decode_video`` for an av/ffmpeg call with the
+    SAME actor/batch shape — see ``decode_video_frames``."""
+
+    def __init__(self, stride: int = 2, video_col: str = "video"):
+        self.stride = max(1, stride)
+        self.video_col = video_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # decode_video imported at MODULE top: a runtime relative import
+        # here would fail in by-value-shipped workers
+        sampled, n_frames, n_sampled, ok = [], [], [], []
+        for data in batch[self.video_col].to_pylist():
+            try:
+                frames = decode_video(data)
+                pick = frames[:: self.stride]
+                for p in pick:
+                    decode_image(p)  # validate each sampled frame
+                sampled.append(pick)
+                n_frames.append(len(frames))
+                n_sampled.append(len(pick))
+                ok.append(True)
+            except Exception:
+                sampled.append([])
+                n_frames.append(0)
+                n_sampled.append(0)
+                ok.append(False)
+        return (
+            batch.drop_columns([self.video_col])
+            .append_column("frames", pa.array(sampled, pa.list_(pa.binary())))
+            .append_column("n_frames", pa.array(n_frames, pa.int32()))
+            .append_column("n_sampled", pa.array(n_sampled, pa.int32()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+class AudioFeatures:
+    """Actor stage: int16-PCM audio column → duration / RMS / peak /
+    zero-crossing-rate. PCM needs no external decoder, so this stage is
+    fully real; a compressed-codec front (mp3/flac) would decode in
+    ``__init__``-loaded state with the same batch shape."""
+
+    def __init__(self, sample_rate: int = 16_000, audio_col: str = "audio"):
+        self.rate = sample_rate
+        self.audio_col = audio_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dur, rms, peak, zcr = [], [], [], []
+        for data in batch[self.audio_col].to_pylist():
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            n = len(x)
+            dur.append(n / self.rate)
+            rms.append(float(np.sqrt((x * x).mean())) if n else 0.0)
+            peak.append(float(np.abs(x).max()) if n else 0.0)
+            zcr.append(float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0)
+        return (
+            batch.drop_columns([self.audio_col])
+            .append_column("duration_s", pa.array(dur, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("peak", pa.array(peak, pa.float64()))
+            .append_column("zcr", pa.array(zcr, pa.float64()))
+        )
