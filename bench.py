@@ -45,6 +45,10 @@ BENCH_QUERIES = [
     "q_text_metrics",
     "q_clean_flagship",
     "q_image_validate",
+    "q_sessionize",
+    "q_yaml_scraper",
+    "q_distinct_users",
+    "q_ann_ivf_index",
 ]
 
 

@@ -506,7 +506,10 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # clock decides. Results are identical with salting on or off
         # (every step is a pure per-host/per-url function); salting
         # only changes WHERE the work runs (test-pinned).
-        robots_map_local = ray.get(robots_ref)
+        # broadcast handle only — tasks ray.get the map from the object
+        # store (once per worker, shared memory), instead of pickling
+        # the whole dict into every task closure
+        robots_handle = robots_ref
         budget, rnd = cfg.round_budget_ms, r
         n_parts = cfg.num_blocks
         shard_handles = shards
@@ -566,8 +569,9 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 out["disposition"] = pd.Series([], dtype=object)
                 out["fetch_ts_ms"] = pd.Series([], dtype="int64")
                 return out
+            robots_map = ray.get(robots_handle)  # object-store read, cached per worker
             groups = [
-                schedule_host_batch(g, robots_map_local, budget, rnd)
+                schedule_host_batch(g, robots_map, budget, rnd)
                 for _, g in df.groupby("host", sort=True)
             ]
             out = pd.concat(groups, ignore_index=True)
