@@ -90,3 +90,45 @@ def test_robots_allowed():
     assert not robots_allowed("https://h/admin/x", rules)
     assert robots_allowed("https://h/p/2", rules)
     assert robots_allowed("https://h/anything", None)
+
+
+def test_exact_pages_disk_spill(tmp_path):
+    """ExactPages with a tiny spill threshold behaves identically to the
+    in-RAM store and actually memmaps its merged pages to disk."""
+    import os
+
+    from web_crawler_ray.state.cuckoo import ExactPages
+
+    rng = np.random.default_rng(5)
+    keys = rng.choice(np.arange(1_000_000, dtype=np.uint64), size=60_000, replace=False)
+
+    ram = ExactPages()
+    spill = ExactPages(spill_dir=str(tmp_path / "spill"), spill_threshold=10_000)
+    spill.BUF_CAP = ram.BUF_CAP = 1024  # force many flushes + merges
+    for chunk in np.array_split(keys, 37):
+        ram.add(chunk)
+        spill.add(chunk)
+    probe = np.concatenate([keys[:500], np.arange(2_000_000, 2_000_500, dtype=np.uint64)])
+    assert (ram.contains(probe) == spill.contains(probe)).all()
+    assert spill.contains(probe)[:500].all()
+    assert not spill.contains(probe)[500:].any()
+    assert len(spill) == len(keys)
+    assert (ram.array() == spill.array()).all()
+    spill_files = os.listdir(tmp_path / "spill")
+    assert spill_files, "expected memmapped page files on disk"
+
+
+def test_seen_shard_with_spill_matches_plain(tmp_path):
+    from web_crawler_ray.state.cuckoo import SeenShardState
+
+    rng = np.random.default_rng(6)
+    keys = rng.integers(0, 2**63, size=5_000, dtype=np.uint64)
+    plain = SeenShardState(0, capacity=1 << 14)
+    spilled = SeenShardState(0, capacity=1 << 14,
+                             spill_dir=str(tmp_path / "s"), spill_threshold=1_000)
+    spilled.exact.BUF_CAP = 512
+    for chunk in np.array_split(keys, 9):
+        a = plain.probe_and_add(chunk)
+        b = spilled.probe_and_add(chunk)
+        assert (a == b).all()
+    assert (plain.seen_array() == spilled.seen_array()).all()

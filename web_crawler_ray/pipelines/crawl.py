@@ -85,6 +85,9 @@ class CrawlConfig:
     # eviction chains (observed 5× round slowdown at 88% load). 1<<20
     # slots ≈ 2 MiB/shard — memory is the cheap axis here.
     seen_shard_capacity: int = 1 << 20
+    # optional exact-store disk spill (ExactPages memmap pages) — set to
+    # a directory to bound shard RAM regardless of seen-set size
+    seen_spill_dir: str | None = None
     priority_decay: float = 0.85
     fetch_mode: str = "join"  # "join" | "synth"
     checkpoint_dir: str = "/tmp/crawl_ckpt"
@@ -113,8 +116,12 @@ class CrawlConfig:
 class SeenShardActor:
     """One URL-seen shard (SURVEY §2.3 T7). Batch RPCs only."""
 
-    def __init__(self, shard_id: int, capacity: int):
-        self.state = SeenShardState(shard_id, capacity)
+    def __init__(self, shard_id: int, capacity: int, spill_dir: str | None = None):
+        self.state = SeenShardState(
+            shard_id, capacity,
+            spill_dir=None if spill_dir is None else os.path.join(
+                spill_dir, f"shard-{shard_id:03d}"),
+        )
 
     def probe_and_add(self, hashes: np.ndarray) -> np.ndarray:
         return self.state.probe_and_add(hashes)
@@ -434,7 +441,8 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     robots_ref = ray.put(build_robots_map(robots_table))
 
     shards = [
-        SeenShardActor.remote(i, cfg.seen_shard_capacity) for i in range(cfg.n_seen_shards)
+        SeenShardActor.remote(i, cfg.seen_shard_capacity, cfg.seen_spill_dir)
+        for i in range(cfg.n_seen_shards)
     ]
     stats_actor = CrawlStatsActor.remote()
 

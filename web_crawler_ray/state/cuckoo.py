@@ -209,15 +209,37 @@ class ExactPages:
     the difference between ~80 GB and ~700 GB of truth-store RAM.
     Probes are vectorized ``searchsorted`` per page; the buffer is
     bounded so ``isin`` over it stays cheap. Callers must only ``add``
-    keys that are not already present (``contains`` first)."""
+    keys that are not already present (``contains`` first).
+
+    Disk spill (the >10^9-keys-per-shard story): pass ``spill_dir`` and
+    pages whose merged size exceeds ``spill_threshold`` keys are
+    memmapped to a file — probes still run ``searchsorted`` against the
+    memmap (OS page cache absorbs the hot prefix), and resident RAM is
+    bounded by the buffer + small pages regardless of key count."""
 
     BUF_CAP = 16384
     MAX_PAGES = 8
 
-    def __init__(self):
+    def __init__(self, spill_dir: str | None = None,
+                 spill_threshold: int = 4_000_000):
         self.pages: list[np.ndarray] = []
         self._buf = np.empty(self.BUF_CAP, dtype=np.uint64)
         self._buf_len = 0
+        self.spill_dir = spill_dir
+        self.spill_threshold = spill_threshold
+        self._spill_seq = 0
+
+    def _maybe_spill(self, merged: np.ndarray) -> np.ndarray:
+        """Swap a large merged page for a read-only memmap of it."""
+        if self.spill_dir is None or len(merged) < self.spill_threshold:
+            return merged
+        import os
+
+        os.makedirs(self.spill_dir, exist_ok=True)
+        path = os.path.join(self.spill_dir, f"page-{self._spill_seq:06d}.u64")
+        self._spill_seq += 1
+        merged.tofile(path)
+        return np.memmap(path, dtype=np.uint64, mode="r")
 
     def __len__(self) -> int:
         return sum(len(p) for p in self.pages) + self._buf_len
@@ -254,8 +276,10 @@ class ExactPages:
         self._buf_len = 0
         if len(self.pages) > self.MAX_PAGES:
             # periodic merge keeps probe cost at MAX_PAGES searchsorteds;
-            # amortized O(log) like an LSM compaction
-            self.pages = [np.sort(np.concatenate(self.pages))]
+            # amortized O(log) like an LSM compaction. The merged page
+            # spills to a memmap file past the threshold.
+            merged = np.sort(np.concatenate([np.asarray(p) for p in self.pages]))
+            self.pages = [self._maybe_spill(merged)]
 
     def array(self) -> np.ndarray:
         parts = list(self.pages)
@@ -279,11 +303,12 @@ class SeenShardState:
     code runs inside a Ray actor (distributed) and inside the sequential
     oracle (reference-semantics replay)."""
 
-    def __init__(self, shard_id: int, capacity: int = 1 << 16):
+    def __init__(self, shard_id: int, capacity: int = 1 << 16,
+                 spill_dir: str | None = None, spill_threshold: int = 4_000_000):
         self.shard_id = shard_id
         self.cuckoo = CuckooFilter(capacity, seed=shard_id)
         self.bloom: BloomFilter | None = None
-        self.exact = ExactPages()
+        self.exact = ExactPages(spill_dir=spill_dir, spill_threshold=spill_threshold)
         self.fp_hits = 0  # cuckoo-positive but actually new
 
     def probe_and_add(self, hs: np.ndarray) -> np.ndarray:
