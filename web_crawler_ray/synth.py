@@ -34,8 +34,17 @@ PRICE_FORMS = ["{:.2f}", "{:,.2f}", "$ {:.2f}", "{:.2f} USD", "€{:,.2f}"]
 CAPTION_WORDS = ["黄金", "白银", "原油", "market", "daily", "chart", "价格", "走势", "index", "close"]
 
 
+_HOSTS_MEMO: dict[int, list] = {}
+
+
 def hosts_list(n_hosts: int) -> list[str]:
-    return [f"h{k}.example.test" for k in range(n_hosts)]
+    # plain-dict memo (NOT lru_cache — see zipf_cdf note): page_meta
+    # calls this once per page, and rebuilding n_hosts f-strings per
+    # call was ~80% of the synthetic-fetch kernel's cost
+    cached = _HOSTS_MEMO.get(n_hosts)
+    if cached is None:
+        cached = _HOSTS_MEMO[n_hosts] = [f"h{k}.example.test" for k in range(n_hosts)]
+    return cached
 
 
 _ZIPF_MEMO: dict[tuple[int, float], np.ndarray] = {}
