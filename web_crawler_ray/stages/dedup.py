@@ -235,28 +235,75 @@ class SimHashStage:
         )
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    return _POPCNT8[np.ascontiguousarray(x).view(np.uint8).reshape(len(x), 8)].sum(
+        axis=1, dtype=np.int64
+    )
+
+
+def _verify_simhash_partition(part: pd.DataFrame, id_col: str,
+                              max_hamming: int) -> pd.DataFrame:
+    """One numpy pass over every band bucket in a hash partition:
+    per-bucket all-pairs XOR + table-lookup popcount (same output as
+    the per-pair Python formulation, minus the per-bucket overhead)."""
+    part = part.drop_duplicates(subset=["band_key", id_col]).sort_values(
+        ["band_key", id_col], kind="mergesort"
+    )
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+    if part.empty:
+        return empty
+    ids = part[id_col].to_numpy()
+    keys = part["band_key"].to_numpy()
+    hs = part["simhash"].to_numpy().view(np.uint64)  # same bits, unsigned view
+    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    a_out, b_out, d_out = [], [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        g = e - s
+        if g < 2:
+            continue
+        m = hs[s:e]
+        iu, ju = np.triu_indices(g, 1)
+        d = _popcount64(m[iu] ^ m[ju])
+        hit = d <= max_hamming
+        if hit.any():
+            a_out.append(ids[s + iu[hit]])
+            b_out.append(ids[s + ju[hit]])
+            d_out.append(d[hit])
+    if not a_out:
+        return empty
+    return pd.DataFrame(
+        {"id_a": np.concatenate(a_out).astype("int64"),
+         "id_b": np.concatenate(b_out).astype("int64"),
+         "hamming": np.concatenate(d_out).astype("int64")}
+    )
+
+
 def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8):
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
-        ids = rows[id_col].to_numpy()
-        hs = rows["simhash"].to_numpy()
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = bin((int(hs[i]) ^ int(hs[j])) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[i]); b_out.append(ids[j]); d_out.append(d)
-        return pd.DataFrame(
-            {
-                "id_a": pd.Series(a_out, dtype="int64"),
-                "id_b": pd.Series(b_out, dtype="int64"),
-                "hamming": pd.Series(d_out, dtype="int64"),
-            }
-        )
+    from .grouped import _stable_pk
 
     exploded = ds.map_batches(SimHashStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
                               batch_format="pyarrow", concurrency=auto_concurrency())
-    pairs = grouped_apply(exploded, ["band_key"], verify)
+
+    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__pk"] = _stable_pk(batch, ["band_key"], 32)
+        return batch
+
+    pairs = (
+        exploded.map_batches(add_pk, batch_format="pandas")
+        .groupby("__pk")
+        .map_groups(
+            lambda p: _verify_simhash_partition(p.drop(columns="__pk"), id_col, max_hamming),
+            batch_format="pandas",
+        )
+    )
     return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
 
 

@@ -187,11 +187,14 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
         ids = rows[id_col].to_numpy()
         mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in rows["vec"]]) if len(rows) else np.zeros((0, dim))
         sims = mat @ mat.T
-        a_out, b_out, s_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    a_out.append(int(ids[i])); b_out.append(int(ids[j])); s_out.append(round(float(sims[i, j]), 6))
+        # vectorized upper-triangle threshold (a Python pair loop is
+        # O(bucket²) interpreter time — fatal at the ~4k-row target
+        # bucket size)
+        iu, ju = np.triu_indices(len(ids), 1)
+        hit = sims[iu, ju] >= threshold
+        a_out = ids[iu[hit]].astype("int64")
+        b_out = ids[ju[hit]].astype("int64")
+        s_out = [round(float(v), 6) for v in sims[iu[hit], ju[hit]]]
         return pd.DataFrame(
             {
                 "id_a": pd.Series(a_out, dtype="int64"),
