@@ -1097,6 +1097,38 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_clean_prices_oracle(sf_dir: str):
+    """F1 price cleaning proven against SQL: lineitem prices are
+    formatted as messy currency strings — US thousands style
+    ("$1,234.56") for even keys, European style ("1.234,56 €") for odd
+    keys — then recovered with the vectorized cleaner. The recovered
+    value must equal SQL round(price, 2) exactly (strings are built
+    from the pre-rounded value, so no tie ambiguity)."""
+    from web_crawler_ray.functions.cleaning import clean_price_batch
+
+    def build_and_clean(batch: pd.DataFrame) -> pd.DataFrame:
+        v2 = sql_round(batch["l_extendedprice"], 2)
+        us = v2.map(lambda x: f"${x:,.2f}")
+        # European: swap thousands/decimal separators
+        eu = us.str.replace("$", "", regex=False).map(
+            lambda s: s.translate(str.maketrans(",.", ".,")) + " €"
+        )
+        odd = (batch["l_orderkey"].astype("int64") + batch["l_linenumber"]) % 2 == 1
+        messy = us.mask(odd, eu)
+        out = pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "price": clean_price_batch(messy),
+        })
+        return out
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return ds.map_batches(build_and_clean, batch_format="pandas")
+
+
 def q_css_extract_oracle(sf_dir: str):
     """M3 CSS extraction proven against SQL: HTML pages are built
     distributively from the supplier table, extracted with the same
@@ -1348,6 +1380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cumsum": q_cumsum,
         "q_jaccard_allpairs": q_jaccard_allpairs,
         "q_sessionize": q_sessionize,
+        "q_clean_prices_oracle": q_clean_prices_oracle,
         "q_css_extract_oracle": q_css_extract_oracle,
         "q_workbook_oracle": q_workbook_oracle,
         "q_fetch_retry_oracle": q_fetch_retry_oracle,
@@ -1566,6 +1599,11 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER (PARTITION BY user_id
                          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS cum
             FROM events
+        """,
+        "q_clean_prices_oracle": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 2) AS price
+            FROM lineitem
         """,
         "q_css_extract_oracle": """
             SELECT upper(s_name) AS name, round(s_acctbal, 2) AS price
