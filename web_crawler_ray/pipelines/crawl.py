@@ -134,7 +134,10 @@ class SeenShardActor:
         checkpointing, north rule) — all shards write in parallel, the
         driver only barriers on completion."""
         snap = self.state.snapshot()
-        np.savez_compressed(path, **{k: v for k, v in snap.items() if v is not None},
+        # uncompressed outer container: the cuckoo bytes inside are
+        # already zlib-compressed by serialize(), and recompressing the
+        # 8 MB bucket arrays cost more per round than writing them
+        np.savez(path, **{k: v for k, v in snap.items() if v is not None},
                             has_bloom=np.bool_(snap["bloom"] is not None))
         return len(self.state.exact)
 
@@ -708,6 +711,11 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         frag_dir = None
         fp = None
         if n_granted:
+            # repartition is deliberate: the granted filter leaves many
+            # small sparse blocks (one per schedule partition), and
+            # consolidating to num_blocks even blocks is measurably
+            # faster for the fetch/sink stage than inheriting them
+            # (A/B: 54s vs 68s at sf0.1)
             granted = granted_ds.repartition(cfg.num_blocks)
             if cfg.write_images:
                 images_root = os.path.join(cfg.checkpoint_dir, "images")
