@@ -86,6 +86,22 @@ def test_salting_invariance(fixtures, ray_run):
     )
 
 
+def test_sliced_robots_equals_broadcast(fixtures, ray_run):
+    """robots_mode='sliced' (partition-local rule slices, the
+    10^7-hosts path) produces identical order and seen set."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "sliced"),
+        num_blocks=4, write_images=False, robots_mode="sliced",
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
 def test_join_mode_equals_synth(fixtures, ray_run):
     cfg = CrawlConfig(
         n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,

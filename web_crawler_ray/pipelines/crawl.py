@@ -53,7 +53,7 @@ import ray
 import ray.data as rd
 
 from ..codecs import decode_image, phash64, psnr
-from ..hashing import fingerprint_bytes
+from ..hashing import fingerprint_bytes, hash64
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
 from ..state.politeness import build_robots_map, schedule_host_batch
@@ -103,6 +103,11 @@ class CrawlConfig:
     salt_hot_hosts: bool = True
     hot_host_factor: float = 1.0
     hot_salt_factor: int = 8
+    # robots rule distribution: "broadcast" ships the whole map once via
+    # the object store; "sliced" shards it by host_hash % num_blocks so
+    # each schedule task reads only its partition's slice (the
+    # 10^7-hosts path — per-task payload stops growing with host count)
+    robots_mode: str = "broadcast"
     # granted sets at or below this size take the single-driver-pass
     # order write (one traversal, single file); larger sets stream a
     # distributed sort + directory write
@@ -441,7 +446,21 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     """
     if robots_table is None:
         robots_table = gen_robots(cfg.n_hosts, cfg.seed)
-    robots_ref = ray.put(build_robots_map(robots_table))
+    robots_map_full = build_robots_map(robots_table)
+    robots_ref = None
+    robots_slice_refs: list | None = None
+    if cfg.robots_mode == "sliced":
+        # partition-local robots slices (the 10^7-host path): rules are
+        # sharded by the SAME host_hash % num_blocks key the politeness
+        # shuffle uses, so each schedule task fetches only its
+        # partition's slice — per-task payload ∝ hosts / num_blocks
+        # instead of the whole rules map.
+        slices: list[dict] = [{} for _ in range(cfg.num_blocks)]
+        for host, rules in robots_map_full.items():
+            slices[int(hash64(host)) % cfg.num_blocks][host] = rules
+        robots_slice_refs = [ray.put(s) for s in slices]
+    else:
+        robots_ref = ray.put(robots_map_full)
 
     shards = [
         SeenShardActor.remote(i, cfg.seen_shard_capacity, cfg.seen_spill_dir)
@@ -517,10 +536,14 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # clock decides. Results are identical with salting on or off
         # (every step is a pure per-host/per-url function); salting
         # only changes WHERE the work runs (test-pinned).
-        # broadcast handle only — tasks ray.get the map from the object
-        # store (once per worker, shared memory), instead of pickling
-        # the whole dict into every task closure
+        # handles only — tasks ray.get rules from the object store (once
+        # per worker, shared memory), instead of pickling the map into
+        # every task closure. In "sliced" mode a task resolves its
+        # partition's slice from any of its hosts (all hosts in a
+        # partition share host_hash % num_blocks by construction).
         robots_handle = robots_ref
+        slice_handles = robots_slice_refs
+        n_blocks_cfg = cfg.num_blocks
         budget, rnd = cfg.round_budget_ms, r
         n_parts = cfg.num_blocks
         shard_handles = shards
@@ -580,7 +603,11 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 out["disposition"] = pd.Series([], dtype=object)
                 out["fetch_ts_ms"] = pd.Series([], dtype="int64")
                 return out
-            robots_map = ray.get(robots_handle)  # object-store read, cached per worker
+            if slice_handles is not None:
+                idx = int(hash64(df["host"].iloc[0])) % n_blocks_cfg
+                robots_map = ray.get(slice_handles[idx])
+            else:
+                robots_map = ray.get(robots_handle)  # object-store read, cached per worker
             groups = [
                 schedule_host_batch(g, robots_map, budget, rnd)
                 for _, g in df.groupby("host", sort=True)
