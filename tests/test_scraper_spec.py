@@ -110,3 +110,44 @@ def test_regex_parser_spec(ray_session):
     df = out.to_pandas().sort_values("key").reset_index(drop=True)
     assert list(df["key"]) == ["a", "b", "c"]
     assert list(df["val"]) == [1.0, 22.0, 333.0]
+
+
+YAML_BLOCK = """
+generic_scrapers:
+  coingecko_demo:
+    enabled: true
+    name: "CoinGecko demo"
+    type: "commodity"
+    urls: "https://api.test/price"
+    method: "requests"
+    parser: "json"
+    field_mapping:
+      name: "name"
+      current_price: "usd"
+    headers:
+      Accept: "application/json"
+    validation:
+      required_fields: ["name", "current_price"]
+    cleaning:
+      transforms:
+        current_price: "float"
+  disabled_one:
+    enabled: false
+    parser: "html"
+"""
+
+
+def test_yaml_block_ports_verbatim(ray_session):
+    """A reference-shaped YAML document compiles directly: enabled
+    blocks only, reference keys honored end to end."""
+    from web_crawler_ray.pipelines.scraper_spec import compile_from_yaml, load_scraper_specs
+
+    specs = load_scraper_specs(YAML_BLOCK)
+    assert list(specs) == ["coingecko_demo"]  # disabled block skipped
+    out = compile_from_yaml(
+        YAML_BLOCK, pages_ds=_pages_ds({"https://api.test/price": JSON_PAGE})
+    )
+    df = out["coingecko_demo"].to_pandas().sort_values("name").reset_index(drop=True)
+    assert list(df["name"]) == ["bitcoin", "ethereum"]
+    assert list(df["current_price"]) == [65000.5, 3400.25]
+    assert set(df["source"]) == {"CoinGecko demo"}

@@ -188,3 +188,33 @@ def compile_scraper(spec: dict, *, pages_ds=None, transport_factory=None,
         return batch
 
     return ds.map_batches(add_source, batch_format="pandas")
+
+
+def load_scraper_specs(yaml_text: str) -> dict:
+    """Parse a reference-shaped YAML document (settings.yaml structure:
+    top-level ``generic_scrapers`` / ``simple_scrapers`` maps, each
+    entry a scraper block with an ``enabled`` flag — see
+    pacong/config/settings.yaml:80-192) into {name: spec}. Only enabled
+    blocks are returned, mirroring register_generic_scrapers
+    (generic_scraper.py:424-447)."""
+    import yaml
+
+    doc = yaml.safe_load(yaml_text) or {}
+    out: dict = {}
+    for section in ("generic_scrapers", "simple_scrapers"):
+        for name, block in (doc.get(section) or {}).items():
+            if isinstance(block, dict) and block.get("enabled", False):
+                out[name] = {**block, "name": block.get("name", name)}
+    # a bare single-scraper document (no section wrapper) also works
+    if not out and doc and "parser" in doc:
+        out[doc.get("name", "scraper")] = doc
+    return out
+
+
+def compile_from_yaml(yaml_text: str, **kwargs) -> dict:
+    """YAML text → {scraper_name: Dataset}; kwargs forwarded to
+    :func:`compile_scraper` (pages_ds / transport_factory / hooks)."""
+    return {
+        name: compile_scraper(spec, **kwargs)
+        for name, spec in load_scraper_specs(yaml_text).items()
+    }
