@@ -442,22 +442,22 @@ def gen_raw_records(n: int, seed: int = 42) -> pa.Table:
     sym_pool = ["GC1:COM", "XAUUSD:CUR", "GC1", "AB", "??", ""]
     name_pool = COMMODITY_NAMES + ["", "Commodity", "Price", "AB", "Oil   (WTI)"]
     base = np.datetime64("2024-01-22T12:00:00", "us")
-    names, symbols, prices, changes, sources, ts = [], [], [], [], [], []
-    for _ in range(n):
-        names.append(name_pool[int(rng.integers(len(name_pool)))])
-        symbols.append(sym_pool[int(rng.integers(len(sym_pool)))])
-        prices.append(price_pool[int(rng.integers(len(price_pool)))])
-        changes.append(change_pool[int(rng.integers(len(change_pool)))])
-        sources.append(f"src{int(rng.integers(4))}")
-        jitter = int(rng.integers(-60 * 3600, 60 * 3600))  # ±60 h: trips TimestampRule
-        ts.append(base + np.timedelta64(jitter, "s"))
+    # vectorized column draws (same pools/distributions as the original
+    # per-row loop, ~70× faster at bench sizes)
+    names = np.array(name_pool, dtype=object)[rng.integers(0, len(name_pool), size=n)]
+    symbols = np.array(sym_pool, dtype=object)[rng.integers(0, len(sym_pool), size=n)]
+    prices = np.array(price_pool, dtype=object)[rng.integers(0, len(price_pool), size=n)]
+    changes = np.array(change_pool, dtype=object)[rng.integers(0, len(change_pool), size=n)]
+    sources = np.array([f"src{k}" for k in range(4)], dtype=object)[rng.integers(0, 4, size=n)]
+    jitter = rng.integers(-60 * 3600, 60 * 3600, size=n)  # ±60 h: trips TimestampRule
+    ts = base + jitter.astype("timedelta64[s]")
     return pa.table(
         {
-            "name": pa.array(names, pa.string()),
-            "symbol": pa.array(symbols, pa.string()),
-            "price": pa.array(prices, pa.string()),
-            "change": pa.array(changes, pa.string()),
-            "source": pa.array(sources, pa.string()),
+            "name": pa.array(list(names), pa.string()),
+            "symbol": pa.array(list(symbols), pa.string()),
+            "price": pa.array(list(prices), pa.string()),
+            "change": pa.array(list(changes), pa.string()),
+            "source": pa.array(list(sources), pa.string()),
             "timestamp": pa.array(ts, pa.timestamp("us")),
         }
     )
