@@ -52,6 +52,12 @@ def test_query_matches_oracle(name, duck):
         f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
     )
     assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    # the driver's value hash is dtype-sensitive (round-1 lesson: 3549
+    # vs 3549.0 hash-mismatch) — pin dtype equality, not just values
+    for col in ray_df.columns:
+        assert str(ray_df[col].dtype) == str(sql_df[col].dtype), (
+            f"{name}.{col}: dtype ray={ray_df[col].dtype} vs sql={sql_df[col].dtype}"
+        )
     for col in ray_df.columns:
         a, b = ray_df[col], sql_df[col]
         for i, (x, y) in enumerate(zip(a, b)):
