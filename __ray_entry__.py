@@ -1036,6 +1036,41 @@ def q_event_lag(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "rn", "delta"])
 
 
+def q_semi_join(sf_dir: str):
+    """J3 semi join as a first-class operator: orders having at least
+    one high-quantity lineitem (right side deduped to distinct keys →
+    duplication-free inner hash join)."""
+    from web_crawler_ray.stages.joins import semi_join
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    hot = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_quantity"]
+    ).filter(expr="l_quantity > 49").select_columns(["l_orderkey"])
+    out = semi_join(orders, hot, on="o_orderkey", right_on="l_orderkey")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_totalprice"] = sql_round(batch["o_totalprice"], 2)
+        return batch[["o_orderkey", "o_totalprice"]]
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def q_anti_join(sf_dir: str):
+    """J3 anti join: customers with no finished ('F') order
+    (left-outer against the deduped key set, keep marker-null rows)."""
+    from web_crawler_ray.stages.joins import anti_join
+
+    customers = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey", "c_name"])
+    okeys = (
+        rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey", "o_orderstatus"])
+        .filter(expr="o_orderstatus == 'F'")
+        .select_columns(["o_custkey"])
+    )
+    out = anti_join(customers, okeys, on="c_custkey", right_on="o_custkey")
+    return out.select_columns(["c_custkey", "c_name"])
+
+
 def q_cumsum(sf_dir: str):
     """Running SUM() OVER (PARTITION BY user ORDER BY ts): per-user
     cumulative value, sequential adds in window order (bit-compatible
@@ -1377,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_median_value": q_median_value,
         "q_event_lag": q_event_lag,
         "q_set_except": q_set_except,
+        "q_semi_join": q_semi_join,
+        "q_anti_join": q_anti_join,
         "q_cumsum": q_cumsum,
         "q_jaccard_allpairs": q_jaccard_allpairs,
         "q_sessionize": q_sessionize,
@@ -1593,6 +1630,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "q_semi_join": """
+            SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity > 49
+            )
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            )
         """,
         "q_cumsum": """
             SELECT event_id, user_id,
