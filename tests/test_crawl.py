@@ -117,6 +117,23 @@ def test_join_mode_equals_synth(fixtures, ray_run):
     )
 
 
+def test_join_mode_rescan_gate_equals_cached(fixtures, ray_run):
+    """page_store_cache_rows=0 forces the lazy re-scan path (no
+    whole-store materialize — the 100-TB shape); results identical to
+    the cached path and the synth oracle."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="join", checkpoint_dir=os.path.join(fixtures["root"], "rescan"),
+        num_blocks=4, write_images=False, page_store_cache_rows=0,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], page_store_path=fixtures["ps_path"],
+                    robots_table=fixtures["robots"], collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
 def test_hashjoin_mode_equals_synth(fixtures, ray_run):
     """The full-Dataset.join fetch path (kept for comparison) produces
     the same crawl as the broadcast semi-join and synthetic fetch."""

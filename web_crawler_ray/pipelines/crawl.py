@@ -112,6 +112,12 @@ class CrawlConfig:
     # order write (one traversal, single file); larger sets stream a
     # distributed sort + directory write
     driver_order_rows: int = 1 << 18
+    # join-mode page-store cache gate: at or below this many rows the
+    # pruned store is materialized ONCE in the object store and reused
+    # across rounds; above it every round re-scans the parquet through
+    # the streaming semi-filter (a 100-TB page store must never be
+    # pinned whole in the object store)
+    page_store_cache_rows: int = 10_000_000
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -362,6 +368,17 @@ def fetch_sink_explode(
     return explode_outlinks(ok, decay, max_depth)
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a parquet file/dir from footer metadata only (no scan)."""
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def pack_outlinks(batch: pa.Table) -> pa.Table:
     """list<string> outlinks → newline-joined string (Ray's hash join
     rejects list-typed non-key columns; URLs cannot contain newlines)."""
@@ -499,6 +516,15 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     for r in range(start_round, cfg.max_rounds):
         rdir = _round_dir(cfg, r)
         os.makedirs(rdir, exist_ok=True)
+        # every round we enter is NOT committed (meta.json done rounds are
+        # skipped via start_round); a crashed attempt may have left
+        # uniquely-named part files in the distributed-write dirs, which
+        # would be read/counted alongside the new attempt's files — clear
+        # them like frag_dir below.
+        for stale in ("order", "frontier_out"):
+            sdir = os.path.join(rdir, stale)
+            if os.path.isdir(sdir):
+                shutil.rmtree(sdir)
         if r == 0:
             frontier_tab = pa.table(
                 {
@@ -765,14 +791,18 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             mode = cfg.fetch_mode
             if cfg.fetch_mode in ("join", "hashjoin"):
                 if page_store_ds is None:
-                    page_store_ds = (
-                        rd.read_parquet(
-                            page_store_path,
-                            columns=["url_hash", "status", "outlinks", "fetch_ms"],
-                        )
-                        .map_batches(pack_outlinks, batch_format="pyarrow")
-                        .materialize()
-                    )
+                    page_store_ds = rd.read_parquet(
+                        page_store_path,
+                        columns=["url_hash", "status", "outlinks", "fetch_ms"],
+                    ).map_batches(pack_outlinks, batch_format="pyarrow")
+                    # size gate: only a SMALL store gets pinned in the
+                    # object store for round reuse; a big one stays lazy
+                    # and every round re-scans parquet through the
+                    # streaming semi-filter (footer-metadata count only)
+                    if _parquet_rows(page_store_path) <= cfg.page_store_cache_rows:
+                        page_store_ds = page_store_ds.materialize()
+                    # else: page_store_ds stays LAZY — each round's
+                    # semi_filter consumption re-executes the scan
                 if cfg.fetch_mode == "hashjoin":
                     # full hash join: repartitions BOTH sides every round —
                     # kept for comparison; 5× slower than the broadcast
@@ -800,45 +830,20 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                         mask = wanted[pos] == uh
                         return batch.filter(pa.array(mask))
 
-                    hits = pa.concat_tables(
-                        list(
-                            page_store_ds.map_batches(
-                                semi_filter, batch_format="pyarrow"
-                            ).iter_batches(batch_size=65536, batch_format="pyarrow")
-                        ),
-                        promote_options="default",
+                    # the filtered hits stay a DATASET (page content —
+                    # outlinks ≈ hundreds of bytes/row — never touches
+                    # the driver); both join sides are ≤ the politeness
+                    # budget, so the join shuffle is granted-sized, not
+                    # page-store-sized.
+                    hits_ds = page_store_ds.map_batches(
+                        semi_filter, batch_format="pyarrow"
                     )
-                    lookup_ref = ray.put(
-                        {
-                            int(h): (int(s), o, int(f))
-                            for h, s, o, f in zip(
-                                hits["url_hash"].to_pylist(),
-                                hits["status"].to_pylist(),
-                                hits["outlinks"].to_pylist(),
-                                hits["fetch_ms"].to_pylist(),
-                            )
-                        }
+                    upstream = granted.drop_columns(["disposition"]).join(
+                        hits_ds,
+                        join_type="inner",
+                        num_partitions=cfg.num_blocks,
+                        on=("url_hash",),
                     )
-
-                    def attach(batch: pa.Table) -> pa.Table:
-                        lookup = ray.get(lookup_ref)
-                        status, outlinks, fetch_ms, keep = [], [], [], []
-                        for uh in batch["url_hash"].to_pylist():
-                            page = lookup.get(int(uh))
-                            keep.append(page is not None)
-                            if page is None:
-                                continue
-                            status.append(page[0])
-                            outlinks.append(page[1])
-                            fetch_ms.append(page[2])
-                        batch = batch.filter(pa.array(keep))
-                        return (
-                            batch.append_column("status", pa.array(status, pa.int32()))
-                            .append_column("outlinks", pa.array(outlinks, pa.string()))
-                            .append_column("fetch_ms", pa.array(fetch_ms, pa.int32()))
-                        )
-
-                    upstream = granted.map_batches(attach, batch_format="pyarrow")
                 mode = "pre_fetched"
             children_ds = upstream.map_batches(
                 fetch_sink_explode,

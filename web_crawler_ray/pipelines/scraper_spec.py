@@ -48,8 +48,10 @@ from ..stages.css_extract import _TRANSFORMS, extract_fields, validate_value
 from ..stages.parse import parse_json_records, parse_regex_records
 
 _CLEANERS = {
-    # generic_scraper.py:404-415 semantics, regex/stdlib only
-    "remove_currency": lambda s: re.sub(r"[^\d.,\-]", "", str(s).strip()),
+    # generic_scraper.py:404-415 semantics, regex/stdlib only.
+    # remove_currency matches the reference regex exactly
+    # (generic_scraper.py:408-409 strips '-' too, so "-5%" → "5").
+    "remove_currency": lambda s: re.sub(r"[^\d.,]", "", str(s).strip()),
     "normalize_whitespace": lambda s: " ".join(str(s).split()),
     "remove_html": lambda s: re.sub(r"<[^>]+>", "", str(s)),
 }

@@ -90,31 +90,40 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             return set()
         return {n.id for n in _ast.walk(tree) if isinstance(n, _ast.Name)}
 
+    # Positional tracking: a referenced name is a SOURCE column only if
+    # no EARLIER op created it. A with_column/rename may redefine an
+    # existing source column (e.g. with_column('price', 'price * 2'));
+    # its defining expr still reads the source column, so the need is
+    # recorded before the creation — global subtraction would prune it.
     needed: set[str] = set()
     created: set[str] = set()
+
+    def need(names) -> None:
+        needed.update(n for n in names if n not in created)
+
     for op in ops:
         kind = op["op"]
         if kind == "select":
-            needed |= set(op["columns"])
+            need(op["columns"])
         elif kind == "filter":
-            needed |= expr_names(op["expr"])
+            need(expr_names(op["expr"]))
         elif kind == "with_column":
-            needed |= expr_names(op["expr"])
+            need(expr_names(op["expr"]))
             created.add(op["name"])
         elif kind == "rename":
-            needed |= set(op["mapping"])
+            need(op["mapping"])
             created |= set(op["mapping"].values())
         elif kind == "groupby_agg":
-            needed |= set(op["keys"])
+            need(op["keys"])
             for out, (fn, col) in op["aggs"].items():
                 if col:
-                    needed.add(col)
+                    need([col])
                 created.add(out)
         elif kind == "round":
-            needed |= set(op["spec"])
+            need(op["spec"])
         elif kind == "sort":
-            needed |= set(op["keys"])
-    cols = sorted((needed - created) & set(_pq.read_schema(source_path).names))
+            need(op["keys"])
+    cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
 

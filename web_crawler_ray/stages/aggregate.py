@@ -162,7 +162,10 @@ def moment_profile(ds, keys: list[str], col: str, ndigits: int = 4):
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         n = batch["n"]
-        var = (batch["sxx"] - batch["sx"] * batch["sx"] / n) / (n - 1)
+        # SQL var_samp/stddev_samp return NULL for single-row groups;
+        # (n - 1) division would yield inf/NaN-with-sign noise instead —
+        # mask n == 1 to NaN (pandas' NULL) deliberately.
+        var = ((batch["sxx"] - batch["sx"] * batch["sx"] / n) / (n - 1)).where(n > 1)
         batch["avg_v"] = sql_round(batch["sx"] / n, ndigits)
         batch["var_v"] = sql_round(var, ndigits)
         batch["std_v"] = sql_round(np.sqrt(var), ndigits)

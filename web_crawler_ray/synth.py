@@ -271,7 +271,11 @@ def image_for_page_full(
     data = encode_image(pixels, fmt)
     words = [CAPTION_WORDS[int(rng.integers(len(CAPTION_WORDS)))] for _ in range(4)]
     caption = " ".join(words) + f" #{url_hash & 0xFFFF}"
-    decoded = decode_image(data) if fmt == "jpeg" else pixels
+    # decode BOTH formats: the sink's "every stored row decodes"
+    # invariant must actually exercise the PNG path too (returning the
+    # source pixels as 'decoded' would make (decoded == src).all()
+    # trivially true for PNG rows).
+    decoded = decode_image(data)
     return data, fmt, caption, phash64(decoded), decoded, pixels
 
 
