@@ -208,12 +208,18 @@ def q_filter_range(sf_dir: str):
 def q_dedup_latest(sf_dir: str):
     """D1 exact latest-wins dedup (processor.py:335-380) over events:
     per (user_id, event_type) keep max ts, tie-break max event_id."""
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(_t(sf_dir, "events")).num_rows
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["user_id", "event_type", "event_id", "ts", "value"]
     )
 
-    def reduce(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], ascending=[False, False], kind="mergesort").head(1)
+    def reduce_partition(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["user_id", "event_type", "ts", "event_id"],
+            ascending=[True, True, False, False], kind="mergesort",
+        ).drop_duplicates(subset=["user_id", "event_type"], keep="first")
         return pd.DataFrame(
             {
                 "user_id": g["user_id"].values,
@@ -223,9 +229,10 @@ def q_dedup_latest(sf_dir: str):
             }
         )
 
-    from web_crawler_ray.stages.grouped import grouped_apply
+    from web_crawler_ray.stages.grouped import partitioned_apply
 
-    return grouped_apply(ds, ["user_id", "event_type"], reduce)
+    return partitioned_apply(ds, ["user_id", "event_type"], reduce_partition,
+                             n_rows_hint=n_rows)
 
 
 def q_event_type_hist(sf_dir: str):
@@ -623,7 +630,7 @@ def q_clean_flagship(sf_dir: str):
     n = max(1000, int(1_000_000 * _sf_scale(sf_dir)))
     raw = rd.from_arrow(gen_raw_records(n)).repartition(auto_blocks())
     now = pd.Timestamp("2024-01-22 12:00:00")
-    out = run_clean_pipeline(raw, now)
+    out = run_clean_pipeline(raw, now, n_rows_hint=n)
     return out.select_columns(["name_std", "symbol", "price_value", "change_percent", "category", "source"])
 
 
@@ -639,18 +646,24 @@ def q_html_parse(sf_dir: str):
 
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate candidate pairs over documents."""
+    import pyarrow.parquet as pq
+
     from web_crawler_ray.stages.dedup import minhash_near_dup_pairs
 
+    n_docs = pq.read_metadata(_t(sf_dir, "documents")).num_rows  # footer only
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return minhash_near_dup_pairs(ds, threshold=0.5)
+    return minhash_near_dup_pairs(ds, threshold=0.5, n_docs_hint=n_docs)
 
 
 def q_simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs over documents."""
+    import pyarrow.parquet as pq
+
     from web_crawler_ray.stages.dedup import simhash_near_dup_pairs
 
+    n_docs = pq.read_metadata(_t(sf_dir, "documents")).num_rows
     ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    return simhash_near_dup_pairs(ds, max_hamming=12)
+    return simhash_near_dup_pairs(ds, max_hamming=12, n_docs_hint=n_docs)
 
 
 def q_embed_near_dup(sf_dir: str):

@@ -117,3 +117,54 @@ def test_spec_registry(ray_session):
 def test_spec_unknown_op():
     with pytest.raises(ValueError, match="unknown op"):
         build_pipeline("/root/testdata/sf0.001/orders.parquet", [{"op": "nope"}])
+
+
+def test_latest_wins_vectorized_matches_reducer(ray_session):
+    """The vectorized D1 partition pass (sort + drop_duplicates +
+    source-union fix-up) equals the per-group reducer on a fixture with
+    dup keys, ts ties, multi-source keys and empty sources."""
+    import numpy as np
+
+    from web_crawler_ray.stages.dedup import (
+        _latest_wins_partition,
+        dedup_latest_wins,
+        latest_wins_reducer,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 2000
+    df = pd.DataFrame(
+        {
+            "sym": [f"s{int(i)}" for i in rng.integers(0, 400, n)],
+            "ts": rng.integers(0, 5, n).astype("int64"),  # many ties
+            "uid": np.arange(n, dtype="int64"),
+            "source": rng.choice(["alpha", "beta", "gamma", ""], n),
+            "v": rng.random(n),
+        }
+    )
+    want = (
+        pd.concat(
+            [
+                latest_wins_reducer(g, "ts", "uid", "source")
+                for _, g in df.groupby("sym", sort=True)
+            ],
+            ignore_index=True,
+        )
+        .sort_values("sym")
+        .reset_index(drop=True)
+    )
+    # partition-level pass over the whole frame
+    got_part = (
+        _latest_wins_partition(df, ["sym"], "ts", "uid", "source")
+        .sort_values("sym")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_part, want)
+    # full Dataset path (shuffle + per-partition pass)
+    got_ds = (
+        dedup_latest_wins(rd.from_pandas(df).repartition(6), ["sym"], "ts", "uid", "source")
+        .to_pandas()
+        .sort_values("sym")
+        .reset_index(drop=True)[want.columns.tolist()]
+    )
+    pd.testing.assert_frame_equal(got_ds, want)

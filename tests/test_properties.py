@@ -97,3 +97,35 @@ def test_codec_roundtrip(seed, size):
     px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
     assert (decode_image(encode_image(px, "png")) == px).all()
     assert psnr(px, decode_image(encode_image(px, "jpeg"))) >= 40.0
+
+
+_texts_st = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("abcdefg THEqux0123.!é")), max_size=60
+    ),
+    max_size=12,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_st)
+def test_minhash_batch_matches_scalar(texts):
+    from web_crawler_ray.functions import text as T
+
+    a, b = T.minhash_params(32, 7)
+    sigs = T.minhash_signatures_batch(texts, a, b, k=5)
+    keys = T.lsh_band_keys_batch(sigs, 8) if len(texts) else None
+    for i, t in enumerate(texts):
+        ref = T.minhash_signature(T.char_shingles(t, 5), a, b)
+        assert (sigs[i] == ref).all(), (i, t)
+        assert keys[i].tolist() == T.lsh_band_keys(ref, 8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_st)
+def test_simhash_batch_matches_scalar(texts):
+    from web_crawler_ray.functions import text as T
+
+    got = T.simhash64_batch(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == T.simhash64(t), (i, t)

@@ -105,6 +105,37 @@ def char_shingles(text: str, k: int = 5) -> set[int]:
     return {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
 
 
+# -- vectorized CRC32 (exact zlib.crc32 bits, table-driven) ------------------
+
+def _build_crc_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
+    return t
+
+
+_CRC_TABLE = _build_crc_table()
+
+
+def crc32_windows(buf: np.ndarray, starts: np.ndarray, k: int) -> np.ndarray:
+    """zlib.crc32 of every k-byte window ``buf[s:s+k]`` — one table-lookup
+    step per window BYTE POSITION (k vectorized steps over all windows at
+    once), not one Python call per window. Bit-identical to zlib."""
+    crc = np.full(len(starts), 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(k):
+        crc = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ buf[starts + j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
+def crc32_rows(mat: np.ndarray) -> np.ndarray:
+    """zlib.crc32 of each ROW of a 2-D uint8 matrix (vectorized across
+    rows, one step per column)."""
+    crc = np.full(mat.shape[0], 0xFFFFFFFF, dtype=np.uint32)
+    for j in range(mat.shape[1]):
+        crc = (crc >> np.uint32(8)) ^ _CRC_TABLE[(crc ^ mat[:, j]) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 # -- MinHash ----------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
@@ -128,6 +159,76 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
     prod = (a[:, None] * x[None, :]) % _MERSENNE
     sig = (prod + b[:, None]) % _MERSENNE
     return sig.min(axis=1).astype(np.uint64)
+
+
+def minhash_signatures_batch(texts: list[str], a: np.ndarray, b: np.ndarray,
+                             k: int = 5) -> np.ndarray:
+    """MinHash signatures for a WHOLE batch of texts in one numpy pass:
+    all docs' k-byte shingle windows are crc32-hashed together
+    (table-driven, k vectorized steps), then per-perm (a·x+b) mod p is
+    reduced per-doc with ``np.minimum.reduceat``. Bit-identical to
+    ``minhash_signature(char_shingles(t, k), a, b)`` per text (duplicate
+    shingles don't change a min; property-tested)."""
+    num_perm = len(a)
+    n = len(texts)
+    sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return sigs
+    bufs: list[bytes] = []
+    starts: list[np.ndarray] = []
+    doc_of_window: list[np.ndarray] = []
+    offset = 0
+    short: list[tuple[int, bytes]] = []  # (row, enc) for 0 < len(text) < k
+    rows_with_windows: list[int] = []
+    for i, t in enumerate(texts):
+        t = (t or "").lower()
+        if not t:
+            continue
+        enc = t.encode()
+        if len(t) < k:
+            short.append((i, enc))
+            continue
+        n_win = len(enc) - k + 1
+        bufs.append(enc)
+        starts.append(np.arange(offset, offset + n_win, dtype=np.int64))
+        doc_of_window.append(np.full(n_win, i, dtype=np.int64))
+        rows_with_windows.append(i)
+        offset += len(enc)
+    shingle_vals: list[np.ndarray] = []
+    shingle_docs: list[np.ndarray] = []
+    if bufs:
+        buf = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        shingle_vals.append(crc32_windows(buf, np.concatenate(starts), k))
+        shingle_docs.append(np.concatenate(doc_of_window))
+    if short:
+        shingle_vals.append(np.array([zlib.crc32(e) for _, e in short], dtype=np.uint32))
+        shingle_docs.append(np.array([i for i, _ in short], dtype=np.int64))
+    if not shingle_vals:
+        return sigs
+    x = np.concatenate(shingle_vals).astype(np.uint64)
+    docs = np.concatenate(shingle_docs)
+    order = np.argsort(docs, kind="stable")
+    x, docs = x[order], docs[order]
+    present, seg_starts = np.unique(docs, return_index=True)
+    for p in range(num_perm):
+        v = (a[p] * x) % _MERSENNE
+        v = (v + b[p]) % _MERSENNE
+        sigs[present, p] = np.minimum.reduceat(v, seg_starts)
+    return sigs
+
+
+def lsh_band_keys_batch(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """LSH band keys for a signature MATRIX (n_docs × num_perm):
+    per-band crc32 over the band's signature bytes, vectorized across
+    docs. Same values as ``lsh_band_keys`` per row."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    as_bytes = np.ascontiguousarray(sigs).view(np.uint8).reshape(n, num_perm * 8)
+    keys = np.empty((n, bands), dtype=np.int64)
+    for i in range(bands):
+        band = np.ascontiguousarray(as_bytes[:, i * rows * 8 : (i + 1) * rows * 8])
+        keys[:, i] = crc32_rows(band).astype(np.int64) | (i << 32)
+    return keys
 
 
 def lsh_band_keys(sig: np.ndarray, bands: int) -> list[int]:
@@ -164,3 +265,41 @@ def simhash64(text: str) -> int:
         acc += np.where(bits == 1, cnt, -cnt)
     value = int("".join("1" if v > 0 else "0" for v in acc[::-1]), 2)
     return value - (1 << 64) if value >= (1 << 63) else value
+
+
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """SimHash64 for a whole batch in one pass: every token is hashed
+    ONCE per batch (np.unique over all docs' tokens → one crc32 pair per
+    distinct token), then each doc's accumulator is a single vectorized
+    gather+sum over its token rows. Bit-identical to ``simhash64`` per
+    text (property-tested)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    toks_per_doc: list[list[str]] = []
+    all_toks: list[str] = []
+    for t in texts:
+        toks = [w.lower() for w in WORD_RE.findall(t or "")]
+        toks_per_doc.append(toks)
+        all_toks.extend(toks)
+    if not all_toks:
+        return out
+    uniq, inverse = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+    h = np.empty(len(uniq), dtype=np.uint64)
+    for i, tok in enumerate(uniq):
+        h[i] = np.uint64(zlib.crc32(tok.encode())) | (
+            np.uint64(zlib.crc32(tok[::-1].encode() + b"#")) << np.uint64(32)
+        )
+    # (n_uniq × 64) ±1 sign matrix
+    bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    signs = np.where(bits == 1, np.int64(1), np.int64(-1))
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    pos = 0
+    for d, toks in enumerate(toks_per_doc):
+        m = len(toks)
+        if m == 0:
+            continue
+        acc = signs[inverse[pos : pos + m]].sum(axis=0)
+        pos += m
+        value = int(weights[acc > 0].sum())
+        out[d] = value - (1 << 64) if value >= (1 << 63) else value
+    return out

@@ -44,7 +44,7 @@ def default_rules(now: pd.Timestamp, max_age_hours: int = 48):
     ]
 
 
-def run_clean_pipeline(raw_ds, now: pd.Timestamp):
+def run_clean_pipeline(raw_ds, now: pd.Timestamp, n_rows_hint: int | None = None):
     """raw records Dataset → (valid deduped Dataset). The invalid stream
     is a second filter on the same validated Dataset (lineage kept as
     the errors column, not an exception path)."""
@@ -53,7 +53,7 @@ def run_clean_pipeline(raw_ds, now: pd.Timestamp):
     valid = validated.filter(expr="n_errors == 0")
     deduped = dedup_latest_wins(
         valid, keys=["name_std", "symbol"], ts_col="timestamp", tie_col="price_value",
-        source_col="source",
+        source_col="source", n_rows_hint=n_rows_hint,
     )
     return deduped
 

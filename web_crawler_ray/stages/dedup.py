@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..functions import text as T
 from ..config import auto_concurrency
-from .grouped import grouped_apply, partitioned_drop_duplicates
+from .grouped import partitioned_apply, partitioned_drop_duplicates
 
 
 def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_col: str | None) -> pd.DataFrame:
@@ -43,11 +43,49 @@ def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_c
     return winner
 
 
-def dedup_latest_wins(ds, keys: list[str], ts_col: str, tie_col: str, source_col: str | None = None):
-    """D1 as coarse-hash-partitioned shuffle + vectorized per-partition
-    pandas groupby (one task per partition, not per key)."""
-    return grouped_apply(
-        ds, keys, lambda g: latest_wins_reducer(g, ts_col, tie_col, source_col)
+def _latest_wins_partition(part: pd.DataFrame, keys: list[str], ts_col: str,
+                           tie_col: str, source_col: str | None) -> pd.DataFrame:
+    """Vectorized per-partition D1: one stable sort + drop_duplicates
+    picks every key group's winner, and the source-union fix-up touches
+    ONLY keys with >1 distinct truthy source (the rare case) — no
+    per-group Python call on the 10^8-distinct-keys path. Output is
+    identical to mapping :func:`latest_wins_reducer` over each group
+    (property-tested)."""
+    part = part.sort_values(
+        [*keys, ts_col, tie_col],
+        ascending=[True] * len(keys) + [False, False],
+        kind="mergesort",
+    )
+    winners = part.drop_duplicates(subset=keys, keep="first")
+    if source_col is not None and source_col in part.columns and len(part):
+        src = part[[*keys, source_col]]
+        src = src[src[source_col].astype(bool)].drop_duplicates()
+        multi = src[src.duplicated(subset=keys, keep=False)]
+        if len(multi):
+            joined = (
+                multi.sort_values([*keys, source_col], kind="mergesort")
+                .groupby(keys, sort=False)[source_col]
+                .agg(",".join)
+                .reset_index()
+                .rename(columns={source_col: "__union_src"})
+            )
+            winners = winners.merge(joined, on=keys, how="left")
+            hit = winners["__union_src"].notna()
+            winners.loc[hit, source_col] = winners.loc[hit, "__union_src"]
+            winners = winners.drop(columns="__union_src")
+    return winners
+
+
+def dedup_latest_wins(ds, keys: list[str], ts_col: str, tie_col: str, source_col: str | None = None,
+                      n_rows_hint: int | None = None):
+    """D1 as coarse-hash-partitioned shuffle + ONE vectorized pass per
+    partition (sort + drop_duplicates + rare-key source-union fix-up),
+    not one Python call per key group. ``n_rows_hint`` gates small-input
+    block consolidation before the shuffle."""
+    return partitioned_apply(
+        ds, keys,
+        lambda p: _latest_wins_partition(p, keys, ts_col, tie_col, source_col),
+        num_partitions=32, n_rows_hint=n_rows_hint,
     )
 
 
@@ -69,8 +107,12 @@ def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 class MinHashSignatures:
     """map_batches stage: text → minhash signature + LSH band keys,
-    exploded to one row per (band_key, id). Permutations built once per
-    actor (__init__), matmul-vectorized per batch."""
+    exploded to one row per (band_key, id). Whole-batch numpy kernels
+    (one crc32 table pass over every doc's shingle windows, reduceat
+    per-doc minima, vectorized band crc) — bit-identical to the per-doc
+    formulation (property-tested). Stateless after the round-2 rewrite
+    (permutation params are two 512-B arrays shipped in the closure),
+    so it runs as a TASK pool — no actor spin-up per query."""
 
     def __init__(self, num_perm: int = 64, bands: int = 16, k: int = 5,
                  text_col: str = "text", id_col: str = "doc_id", seed: int = 7):
@@ -82,20 +124,16 @@ class MinHashSignatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_ids, out_keys, out_sigs = [], [], []
-        for doc_id, txt in zip(ids, texts):
-            sh = T.char_shingles(txt, self.k)
-            sig = T.minhash_signature(sh, self.a, self.b)
-            for key in T.lsh_band_keys(sig, self.bands):
-                out_ids.append(doc_id)
-                out_keys.append(key)
-                out_sigs.append(sig.tobytes())
+        n = len(texts)
+        sigs = T.minhash_signatures_batch(texts, self.a, self.b, self.k)
+        keys = T.lsh_band_keys_batch(sigs, self.bands)
+        rep = np.repeat(np.arange(n, dtype=np.int64), self.bands)
+        sig_bytes = [s.tobytes() for s in sigs]  # one bytes obj per doc
         return pa.table(
             {
-                "band_key": pa.array(out_keys, pa.int64()),
-                self.id_col: pa.array(out_ids),
-                "sig": pa.array(out_sigs, pa.binary()),
+                "band_key": pa.array(keys.reshape(-1), pa.int64()),
+                self.id_col: batch[self.id_col].take(pa.array(rep)),
+                "sig": pa.array([sig_bytes[i] for i in rep], pa.binary()),
             }
         )
 
@@ -171,38 +209,29 @@ def _verify_lsh_partition(part: pd.DataFrame, id_col: str, threshold: float,
 
 
 def minhash_near_dup_pairs(ds, text_col="text", id_col="doc_id",
-                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=None):
-    """MinHash+LSH near-duplicate pairs: signatures (actor pool) →
-    one shuffle on hash(band_key) → vectorized per-partition bucket
-    verify → global distinct pairs."""
-    from .grouped import _stable_pk
+                           num_perm=64, bands=16, k=5, threshold=0.6, concurrency=None,
+                           n_docs_hint: int | None = None):
+    """MinHash+LSH near-duplicate pairs: signatures (task pool, batch
+    numpy kernels) → one shuffle on hash(band_key) → vectorized
+    per-partition bucket verify → global distinct pairs.
+    ``n_docs_hint`` (parquet footer count — metadata-only) gates
+    small-input block consolidation. ``concurrency`` kept for API
+    compatibility (task pools self-scale)."""
+    sign = MinHashSignatures(num_perm=num_perm, bands=bands, k=k,
+                             text_col=text_col, id_col=id_col)
+    exploded = ds.map_batches(sign, batch_format="pyarrow")
 
-    concurrency = concurrency or auto_concurrency(0.5)
-    exploded = ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "k": k,
-                               "text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        concurrency=concurrency,
+    n_exploded = None if n_docs_hint is None else n_docs_hint * bands
+    pairs = partitioned_apply(
+        exploded, ["band_key"],
+        lambda p: _verify_lsh_partition(p, id_col, threshold, num_perm),
+        num_partitions=32, n_rows_hint=n_exploded,
     )
-
-    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__pk"] = _stable_pk(batch, ["band_key"], 32)
-        return batch
-
-    pairs = (
-        exploded.map_batches(add_pk, batch_format="pandas")
-        .groupby("__pk")
-        .map_groups(
-            lambda p: _verify_lsh_partition(
-                p.drop(columns="__pk"), id_col, threshold, num_perm
-            ),
-            batch_format="pandas",
-        )
+    # same pair can surface from multiple bands → distinct (pairs are
+    # verify output: always ≪ exploded rows)
+    return partitioned_drop_duplicates(
+        pairs, ["id_a", "id_b"], num_partitions=8, n_rows_hint=n_exploded,
     )
-    # same pair can surface from multiple bands → distinct
-    return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
 
 
 class SimHashStage:
@@ -216,21 +245,19 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        ids = batch[self.id_col].to_pylist()
-        out_ids, out_band, out_hash = [], [], []
-        for doc_id, txt in zip(ids, texts):
-            h = T.simhash64(txt)
-            hu = h & ((1 << 64) - 1)
-            for band in range(4):
-                chunk = (hu >> (band * 16)) & 0xFFFF
-                out_ids.append(doc_id)
-                out_band.append((band << 16) | chunk)
-                out_hash.append(h)
+        n = len(texts)
+        h = T.simhash64_batch(texts)  # int64, one token-hash per DISTINCT token per batch
+        hu = h.view(np.uint64)
+        bands = np.arange(4, dtype=np.uint64)
+        # (n × 4) band keys: (band << 16) | 16-bit chunk
+        keys = ((bands[None, :] << np.uint64(16))
+                | ((hu[:, None] >> (bands[None, :] * np.uint64(16))) & np.uint64(0xFFFF)))
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
         return pa.table(
             {
-                "band_key": pa.array(out_band, pa.int64()),
-                self.id_col: pa.array(out_ids),
-                "simhash": pa.array(out_hash, pa.int64()),
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                self.id_col: batch[self.id_col].take(pa.array(rep)),
+                "simhash": pa.array(np.repeat(h, 4), pa.int64()),
             }
         )
 
@@ -285,26 +312,19 @@ def _verify_simhash_partition(part: pd.DataFrame, id_col: str,
     )
 
 
-def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8):
-    from .grouped import _stable_pk
-
-    exploded = ds.map_batches(SimHashStage, fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-                              batch_format="pyarrow", concurrency=auto_concurrency())
-
-    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__pk"] = _stable_pk(batch, ["band_key"], 32)
-        return batch
-
-    pairs = (
-        exploded.map_batches(add_pk, batch_format="pandas")
-        .groupby("__pk")
-        .map_groups(
-            lambda p: _verify_simhash_partition(p.drop(columns="__pk"), id_col, max_hamming),
-            batch_format="pandas",
-        )
+def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8,
+                           n_docs_hint: int | None = None):
+    exploded = ds.map_batches(SimHashStage(text_col=text_col, id_col=id_col),
+                              batch_format="pyarrow")
+    n_exploded = None if n_docs_hint is None else n_docs_hint * 4
+    pairs = partitioned_apply(
+        exploded, ["band_key"],
+        lambda p: _verify_simhash_partition(p, id_col, max_hamming),
+        num_partitions=32, n_rows_hint=n_exploded,
     )
-    return partitioned_drop_duplicates(pairs, ["id_a", "id_b"])
+    return partitioned_drop_duplicates(
+        pairs, ["id_a", "id_b"], num_partitions=8, n_rows_hint=n_exploded,
+    )
 
 
 def ngram_jaccard_verify(ds_pairs, docs_ds, k: int = 5, threshold: float = 0.5,
@@ -357,18 +377,26 @@ def ngram_jaccard_verify(ds_pairs, docs_ds, k: int = 5, threshold: float = 0.5,
 
 def phash_dup_groups(ds, phash_col: str = "phash", id_col: str = "image_id"):
     """D4 — exact perceptual-hash dup groups over the image corpus:
-    groupby(phash), keep groups of size > 1, emit (phash, n, ids)."""
-
-    def collect(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
+    hash-partition on phash, keep groups of size > 1, emit
+    (phash, n_dups, ids). Vectorized per partition: singleton keys
+    (the vast majority) are dropped by a duplicated() mask before any
+    per-group work; the id join runs only over actual dup groups."""
+    def collect_partition(part: pd.DataFrame) -> pd.DataFrame:
+        sub = part[part.duplicated(subset=[phash_col], keep=False)].copy()
+        if sub.empty:
             return pd.DataFrame(
-                {
-                    phash_col: pd.Series([], dtype="int64"),
-                    "n_dups": pd.Series([], dtype="int64"),
-                    "ids": pd.Series([], dtype=object),
-                }
+                {phash_col: pd.Series([], dtype="int64"),
+                 "n_dups": pd.Series([], dtype="int64"),
+                 "ids": pd.Series([], dtype=object)}
             )
-        ids = ",".join(sorted(map(str, group[id_col])))
-        return pd.DataFrame({phash_col: [group[phash_col].iloc[0]], "n_dups": [len(group)], "ids": [ids]})
+        sub["__sid"] = sub[id_col].astype(str)
+        sub = sub.sort_values([phash_col, "__sid"], kind="mergesort")
+        g = sub.groupby(phash_col, sort=True)["__sid"]
+        out = pd.DataFrame(
+            {phash_col: g.size().index.astype("int64"),
+             "n_dups": g.size().to_numpy().astype("int64"),
+             "ids": g.agg(",".join).to_numpy()}
+        )
+        return out
 
-    return grouped_apply(ds, [phash_col], collect)
+    return partitioned_apply(ds, [phash_col], collect_partition, num_partitions=32)

@@ -20,54 +20,72 @@ def _stable_pk(df: pd.DataFrame, keys: list[str], num_partitions: int) -> pd.Ser
     return (h % num_partitions).astype("int64")
 
 
-def grouped_apply(ds, keys: list[str], fn, num_partitions: int = 32):
-    """Apply ``fn(group_df) -> df`` per distinct ``keys`` group, with one
-    shuffle on a coarse hash of the keys. ``fn`` must not depend on
-    cross-group state. Groups are processed in sorted key order within a
-    partition (determinism)."""
+def _maybe_coalesce(ds, n_rows_hint: int | None, max_rows: int = 2_000_000,
+                    blocks: int = 16):
+    """Consolidate a KNOWN-small dataset into few blocks before the
+    groupby shuffle: Ray's sort launches one map + one reduce task per
+    block, and dozens of near-empty blocks cost more in task overhead
+    than the data moves. Unknown or large inputs keep natural blocks."""
+    if n_rows_hint is not None and n_rows_hint <= max_rows:
+        return ds.repartition(blocks)
+    return ds
+
+
+def partitioned_apply(ds, keys: list[str], partition_fn, num_partitions: int = 32,
+                      n_rows_hint: int | None = None):
+    """One shuffle on a coarse hash of ``keys``, then ``partition_fn``
+    runs ONCE per partition over all of its key groups (every row of a
+    key group is guaranteed co-located). Use this — with a vectorized
+    ``partition_fn`` (sort + drop_duplicates / groupby-agg) — instead of
+    ``grouped_apply`` whenever the per-group reduction is expressible in
+    pandas/numpy: at 10^8 distinct keys a per-group Python call is the
+    bottleneck, one pass per partition is not."""
 
     def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["__pk"] = _stable_pk(batch, keys, num_partitions)
         return batch
 
+    return (
+        _maybe_coalesce(ds.map_batches(add_pk, batch_format="pandas"), n_rows_hint)
+        .groupby("__pk")
+        .map_groups(
+            lambda p: partition_fn(p.drop(columns="__pk")), batch_format="pandas"
+        )
+    )
+
+
+def grouped_apply(ds, keys: list[str], fn, num_partitions: int = 32,
+                  n_rows_hint: int | None = None):
+    """Apply ``fn(group_df) -> df`` per distinct ``keys`` group, with one
+    shuffle on a coarse hash of the keys. ``fn`` must not depend on
+    cross-group state. Groups are processed in sorted key order within a
+    partition (determinism). For reductions expressible as vectorized
+    frame ops prefer :func:`partitioned_apply` (no per-group Python)."""
+
     def apply_partition(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.drop(columns="__pk")
         outs = [fn(g) for _, g in part.groupby(keys, sort=True, dropna=False)]
         outs = [o for o in outs if o is not None and len(o)]
         if not outs:
             return fn(part.iloc[0:0])  # typed-empty from the fn itself
         return pd.concat(outs, ignore_index=True)
 
-    return (
-        ds.map_batches(add_pk, batch_format="pandas")
-        .groupby("__pk")
-        .map_groups(apply_partition, batch_format="pandas")
-    )
+    return partitioned_apply(ds, keys, apply_partition, num_partitions, n_rows_hint)
 
 
 def partitioned_drop_duplicates(ds, keys: list[str], num_partitions: int = 32,
                                 sort_keys: list[str] | None = None,
-                                ascending: list[bool] | None = None):
+                                ascending: list[bool] | None = None,
+                                n_rows_hint: int | None = None):
     """Exact distinct-by-keys with a deterministic winner per group:
     rows are sorted by ``sort_keys`` (default: the keys) inside each
     hash partition and the first row per key group wins. One shuffle,
     fully vectorized."""
 
-    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__pk"] = _stable_pk(batch, keys, num_partitions)
-        return batch
-
     def dedup(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.drop(columns="__pk")
         sk = sort_keys or keys
         asc = ascending or [True] * len(sk)
         part = part.sort_values(sk, ascending=asc, kind="mergesort")
         return part.drop_duplicates(subset=keys, keep="first")
 
-    return (
-        ds.map_batches(add_pk, batch_format="pandas")
-        .groupby("__pk")
-        .map_groups(dedup, batch_format="pandas")
-    )
+    return partitioned_apply(ds, keys, dedup, num_partitions, n_rows_hint)
