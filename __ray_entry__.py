@@ -441,6 +441,14 @@ def q_window_agg(sf_dir: str):
     return _round_cols(g, {"sum_value": 2})
 
 
+
+def _nrows(sf_dir: str, table: str) -> int:
+    """Parquet footer row count (metadata only) — shuffle coalesce hint."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(_t(sf_dir, table)).num_rows
+
+
 def q_asof_join(sf_dir: str):
     """As-of join: for every event, the most recent prior-or-equal
     'signup' event of the same user (inner semantics; mirrors DuckDB
@@ -454,7 +462,7 @@ def q_asof_join(sf_dir: str):
         ds, key_col="user_id", ts_col="ts",
         right_filter=lambda g: g["event_type"] == "signup",
         right_cols={"signup_event_id": "event_id", "signup_ts": "ts"},
-        tie_col="event_id",
+        tie_col="event_id", n_rows_hint=_nrows(sf_dir, "events"),
     )
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1033,7 +1041,8 @@ def q_median_value(sf_dir: str):
     from web_crawler_ray.stages.windows import group_quantile_disc
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
-    return group_quantile_disc(ds, "event_type", "value", {"p50": 0.5, "p90": 0.9})
+    return group_quantile_disc(ds, "event_type", "value", {"p50": 0.5, "p90": 0.9},
+                               n_rows_hint=_nrows(sf_dir, "events"))
 
 
 def q_event_lag(sf_dir: str):
@@ -1045,7 +1054,8 @@ def q_event_lag(sf_dir: str):
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
-    out = lag_delta(ds, "user_id", "ts", "value", "event_id", ndigits=2)
+    out = lag_delta(ds, "user_id", "ts", "value", "event_id", ndigits=2,
+                    n_rows_hint=_nrows(sf_dir, "events"))
     return out.select_columns(["event_id", "user_id", "rn", "delta"])
 
 
@@ -1093,7 +1103,8 @@ def q_cumsum(sf_dir: str):
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
     )
-    out = cumulative_sum(ds, "user_id", "ts", "value", "event_id")
+    out = cumulative_sum(ds, "user_id", "ts", "value", "event_id",
+                         n_rows_hint=_nrows(sf_dir, "events"))
     return out.select_columns(["event_id", "user_id", "cum"])
 
 
@@ -1320,6 +1331,67 @@ def q_forex_rules_oracle(sf_dir: str):
     return hist
 
 
+
+def q_forex_derive_oracle(sf_dir: str):
+    """F9 derivations (pair/mid/spread) + V3 rules proven end-to-end
+    against SQL: quotes built deterministically from orders (every 11th
+    key violates bid ≤ ask, every 13th the 10% spread cap), run through
+    the REAL derive + rule-engine path; survivors and all five derived
+    columns must equal the SQL arithmetic replay exactly (identical
+    IEEE double expressions on both sides — no rounding needed)."""
+    import numpy as np
+
+    from web_crawler_ray.stages.validate import ApplyRules, forex_business_rules
+
+    pairs = ["CNY/TWD", "USD/CNY", "EUR/USD", "GBP/JPY"]
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].astype("int64")
+        bid = batch["o_totalprice"] / 1000.0
+        ask = np.where(k % 11 == 0, bid * 0.9,
+                       np.where(k % 13 == 0, bid * 1.2, bid * 1.004))
+        return pd.DataFrame({
+            "quote_id": k,
+            "pair": np.array(pairs, dtype=object)[(k % 4).to_numpy()],
+            "bid_price": bid.to_numpy(),
+            "ask_price": ask,
+        })
+
+    def derive(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["mid_price"] = (batch["bid_price"] + batch["ask_price"]) / 2
+        batch["spread"] = batch["ask_price"] - batch["bid_price"]
+        return batch
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    derived = ds.map_batches(build, batch_format="pandas").map_batches(
+        derive, batch_format="pandas"
+    )
+    validated = derived.map_batches(ApplyRules(forex_business_rules()), batch_format="pandas")
+    return validated.filter(expr="n_errors == 0").select_columns(
+        ["quote_id", "pair", "bid_price", "ask_price", "mid_price", "spread"]
+    )
+
+
+def q_phash_dups_oracle(sf_dir: str):
+    """D4 dup-group semantics proven against SQL: an images-shaped table
+    derived from part (phash = p_partkey % 37 forces collisions,
+    zero-padded ids make lexicographic == numeric order) through the
+    REAL phash_dup_groups stage; groups/counts/joined ids must equal
+    GROUP BY ... HAVING count(*) > 1 + ordered string_agg."""
+    from web_crawler_ray.stages.dedup import phash_dup_groups
+
+    def to_images(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64")
+        return pd.DataFrame({
+            "image_id": ["img-%08d" % int(k) for k in pk],
+            "phash": (pk % 37).to_numpy(),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    return phash_dup_groups(ds.map_batches(to_images, batch_format="pandas"))
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the events log (30-min gap): per
     (user, session) event count and start/end epoch-us. The
@@ -1329,7 +1401,8 @@ def q_sessionize(sf_dir: str):
     ds = rd.read_parquet(
         _t(sf_dir, "events"), columns=["event_id", "user_id", "ts"]
     )
-    return sessionize(ds, "user_id", "ts", "event_id", gap_ms=30 * 60 * 1000)
+    return sessionize(ds, "user_id", "ts", "event_id", gap_ms=30 * 60 * 1000,
+                      n_rows_hint=_nrows(sf_dir, "events"))
 
 
 def q_set_except(sf_dir: str):
@@ -1435,6 +1508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_workbook_oracle": q_workbook_oracle,
         "q_fetch_retry_oracle": q_fetch_retry_oracle,
         "q_forex_rules_oracle": q_forex_rules_oracle,
+        "q_forex_derive_oracle": q_forex_derive_oracle,
+        "q_phash_dups_oracle": q_phash_dups_oracle,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
     }
@@ -1691,6 +1766,43 @@ def oracle_sql() -> dict[str, str]:
         "q_forex_rules_oracle": """
             SELECT 'bid_le_ask' AS error_type, CAST(count(*) AS BIGINT) AS n
             FROM orders WHERE o_orderkey % 11 = 0
+        """,
+        "q_forex_derive_oracle": """
+            SELECT quote_id, pair, bid_price, ask_price,
+                   (bid_price + ask_price) / 2 AS mid_price,
+                   ask_price - bid_price AS spread
+            FROM (
+                SELECT o_orderkey AS quote_id,
+                       CASE o_orderkey % 4 WHEN 0 THEN 'CNY/TWD'
+                            WHEN 1 THEN 'USD/CNY' WHEN 2 THEN 'EUR/USD'
+                            ELSE 'GBP/JPY' END AS pair,
+                       o_totalprice / 1000.0 AS bid_price,
+                       CASE WHEN o_orderkey % 11 = 0 THEN (o_totalprice / 1000.0) * 0.9
+                            WHEN o_orderkey % 13 = 0 THEN (o_totalprice / 1000.0) * 1.2
+                            ELSE (o_totalprice / 1000.0) * 1.004 END AS ask_price
+                FROM orders
+            )
+            WHERE bid_price <= ask_price
+              AND (ask_price - bid_price) <= bid_price * 0.1
+        """,
+        "q_phash_dups_oracle": """
+            SELECT phash, CAST(count(*) AS BIGINT) AS n_dups,
+                   string_agg(image_id, ',' ORDER BY image_id) AS ids
+            FROM (
+                SELECT 'img-' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS image_id,
+                       p_partkey % 37 AS phash
+                FROM part
+            )
+            GROUP BY phash HAVING count(*) > 1
+        """,
+        "q_sink_roundtrip": """
+            SELECT format, rows FROM (
+                SELECT 'parquet' AS format, CAST(count(*) AS BIGINT) AS rows FROM part
+                UNION ALL
+                SELECT 'csv', CAST(count(*) AS BIGINT) FROM part
+                UNION ALL
+                SELECT 'json', CAST(count(*) AS BIGINT) FROM part
+            )
         """,
         "q_sessionize": """
             SELECT user_id, session_id, count(*) AS n_events,

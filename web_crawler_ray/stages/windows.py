@@ -10,7 +10,7 @@ from __future__ import annotations
 import pandas as pd
 
 from .aggregate import partial_grouped_agg
-from .grouped import grouped_apply
+from .grouped import partitioned_apply
 
 
 def tumbling_window_agg(ds, ts_col: str, key_cols: list[str], freq: str,
@@ -34,7 +34,7 @@ def tumbling_window_agg(ds, ts_col: str, key_cols: list[str], freq: str,
 
 
 def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: dict[str, str],
-                     tie_col: str):
+                     tie_col: str, n_rows_hint: int | None = None):
     """Per-key as-of join against a filtered subset of the SAME log:
     for each row, attach the most recent earlier-or-equal row matching
     ``right_filter`` (pandas mask fn) for the same key. Inner semantics
@@ -44,26 +44,32 @@ def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: di
     ``pd.merge_asof`` per key group over ts-sorted frames. Right-side
     ties on ts break toward max ``tie_col`` (sorted last)."""
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        left = group.sort_values([ts_col, tie_col], kind="mergesort")
-        right = group[right_filter(group)].sort_values([ts_col, tie_col], kind="mergesort")
-        out_schema = {new: pd.Series(dtype=group[src].dtype) for new, src in right_cols.items()}
+    def per_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # ONE merge_asof per partition with by=key (C kernel across all
+        # key groups at once); ties on ts resolve to the LAST right row
+        # in (ts, tie) sort order = max tie, same as the per-key form
+        left = part.sort_values([ts_col, tie_col], kind="mergesort")
+        right = part[right_filter(part)].sort_values([ts_col, tie_col], kind="mergesort")
+        out_schema = {new: pd.Series(dtype=part[src].dtype) for new, src in right_cols.items()}
         if right.empty:
             return pd.DataFrame({**{c: pd.Series(dtype=left[c].dtype) for c in left.columns},
                                  **out_schema})
-        right_view = pd.DataFrame({ts_col: right[ts_col].values})
+        right_view = pd.DataFrame({key_col: right[key_col].values,
+                                   ts_col: right[ts_col].values})
         for new, src in right_cols.items():
             right_view[new] = right[src].values
         merged = pd.merge_asof(
-            left, right_view, on=ts_col, direction="backward", allow_exact_matches=True,
+            left, right_view, on=ts_col, by=key_col,
+            direction="backward", allow_exact_matches=True,
         )
         first_out = next(iter(right_cols))
         return merged[merged[first_out].notna()]
 
-    return grouped_apply(ds, [key_col], per_key)
+    return partitioned_apply(ds, [key_col], per_partition, n_rows_hint=n_rows_hint)
 
 
-def group_quantile_disc(ds, key: str, col: str, qs: dict[str, float]):
+def group_quantile_disc(ds, key: str, col: str, qs: dict[str, float],
+                        n_rows_hint: int | None = None):
     """Per-key exact discrete quantiles (SQL quantile_disc semantics:
     sorted ascending, element at index ceil(q*n)-1 — probed against
     DuckDB). Returns one row per key with one column per entry in
@@ -73,26 +79,29 @@ def group_quantile_disc(ds, key: str, col: str, qs: dict[str, float]):
     (coarse hash-partitioned grouped apply) — right for bounded-
     cardinality keys like event_type/status. For high-cardinality or
     giant groups, switch to a sort + per-group offset selection."""
-    import math
-
     import numpy as np
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
             return pd.DataFrame({key: pd.Series(dtype=object),
                                  **{out: pd.Series(dtype="float64") for out in qs}})
-        v = np.sort(g[col].to_numpy())
-        n = len(v)
-        row = {key: [g[key].iloc[0]]}
+        p = p.sort_values([key, col], kind="mergesort")
+        keys_arr = p[key].to_numpy()
+        v = p[col].to_numpy()
+        change = np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]])
+        starts = np.nonzero(change)[0]
+        n = np.diff(np.concatenate([starts, [len(v)]]))
+        row = {key: keys_arr[starts]}
         for out, q in qs.items():
-            row[out] = [float(v[max(0, math.ceil(q * n) - 1)])]
+            idx = starts + np.maximum(0, np.ceil(q * n).astype(np.int64) - 1)
+            row[out] = v[idx].astype("float64")
         return pd.DataFrame(row)
 
-    return grouped_apply(ds, [key], per_group)
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
 def lag_delta(ds, key: str, ts_col: str, val_col: str, tie_col: str,
-              ndigits: int = 2):
+              ndigits: int = 2, n_rows_hint: int | None = None):
     """Window row_number + lag-delta per key: rows ordered by
     (ts, tie) within each key get rn = row_number() and
     delta = value - lag(value); the first row of each key (no lag) is
@@ -100,34 +109,35 @@ def lag_delta(ds, key: str, ts_col: str, val_col: str, tie_col: str,
     key — scales with key cardinality like any PARTITION BY."""
     from ..functions.rounding import sql_round
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="mergesort")
-        out = g.copy()
-        out["rn"] = pd.RangeIndex(1, len(g) + 1).astype("int64")
-        out["delta"] = sql_round(out[val_col] - out[val_col].shift(1), ndigits)
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort")
+        g = p.groupby(key, sort=False)
+        out = p.copy()
+        out["rn"] = (g.cumcount() + 1).astype("int64")
+        out["delta"] = sql_round(out[val_col] - g[val_col].shift(1), ndigits)
         return out[out["rn"] > 1]
 
-    return grouped_apply(ds, [key], per_key)
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
 def cumulative_sum(ds, key: str, ts_col: str, val_col: str, tie_col: str,
-                   out_col: str = "cum", ndigits: int = 2):
+                   out_col: str = "cum", ndigits: int = 2, n_rows_hint: int | None = None):
     """Running SUM() OVER (PARTITION BY key ORDER BY ts, tie): rows keep
     their identity and gain a cumulative column. Sequential adds in
     order, matching the SQL window's left-to-right running sum. Coarse
     hash-partitioned on the key."""
     from ..functions.rounding import sql_round
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="mergesort").copy()
-        g[out_col] = sql_round(g[val_col].cumsum(), ndigits)
-        return g
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort").copy()
+        p[out_col] = sql_round(p.groupby(key, sort=False)[val_col].cumsum(), ndigits)
+        return p
 
-    return grouped_apply(ds, [key], per_key)
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
 def sessionize(ds, key: str, ts_col: str, tie_col: str, gap_ms: int,
-               aggs: bool = True):
+               aggs: bool = True, n_rows_hint: int | None = None):
     """Gap-based sessionization: within each key, rows ordered by
     (ts, tie) start a new session when the gap to the previous row
     exceeds ``gap_ms``. Returns per-session aggregates (n_events,
@@ -135,22 +145,28 @@ def sessionize(ds, key: str, ts_col: str, tie_col: str, gap_ms: int,
     pipelines. Coarse hash-partitioned on the key like any
     PARTITION BY."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, tie_col], kind="mergesort")
-        ts = pd.to_datetime(g[ts_col])
-        gap = ts.diff() > pd.Timedelta(milliseconds=gap_ms)
-        session_id = gap.cumsum().astype("int64") + 1
-        out = g.assign(session_id=session_id,
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort")
+        ts = pd.to_datetime(p[ts_col])
+        keys_arr = p[key].to_numpy()
+        new_key = pd.Series(
+            [True] + list(keys_arr[1:] != keys_arr[:-1]), index=p.index
+        ) if len(p) else pd.Series(dtype=bool)
+        # a key's first row always breaks, so cross-key ts diffs are inert
+        brk = new_key | (ts.diff() > pd.Timedelta(milliseconds=gap_ms))
+        run = brk.cumsum().astype("int64")
+        base = run.where(new_key).ffill().astype("int64")
+        session_id = run - base + 1
+        out = p.assign(session_id=session_id,
                        __us=ts.astype("datetime64[us]").astype("int64"))
         if not aggs:
             return out.drop(columns="__us")
         res = (
-            out.groupby("session_id", sort=True)
+            out.groupby([key, "session_id"], sort=True)
             .agg(n_events=("session_id", "size"), start_us=("__us", "min"),
                  end_us=("__us", "max"))
             .reset_index()
         )
-        res.insert(0, key, g[key].iloc[0])
-        return res
+        return res[[key, "session_id", "n_events", "start_us", "end_us"]]
 
-    return grouped_apply(ds, [key], per_key)
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
