@@ -652,6 +652,85 @@ def q_html_parse(sf_dir: str):
     return pages.map_batches(ExtractRecords(), batch_format="pyarrow")
 
 
+
+
+def q_clean_flagship_oracle(sf_dir: str):
+    """The FLAGSHIP pipeline (clean → validate → D1 latest-wins dedup
+    with source union) proven end-to-end against SQL: messy raw records
+    are built deterministically from lineitem (5 names exercising
+    whitespace collapse, the alias map and every category branch;
+    US/EU-locale price strings; signed percent strings; 3 sources per
+    key group; unique in-group timestamps), run through the REAL
+    run_clean_pipeline, and every surviving row + joined source set must
+    equal the SQL window/aggregate replay."""
+    import numpy as np
+
+    from web_crawler_ray.pipelines.clean_pipeline import run_clean_pipeline
+
+    names = np.array(["  gold\t futures ", "WTI  Crude", "Silver", "copper",
+                      "Natural Gas"], dtype=object)
+    now = pd.Timestamp("2024-01-22 12:00:00")
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        k = (batch["l_orderkey"].astype("int64") * 8 + batch["l_linenumber"].astype("int64"))
+        price2 = sql_round(batch["l_extendedprice"], 2)
+        us = price2.map(lambda x: f"${x:,.2f}")
+        eu = us.str.replace("$", "", regex=False).map(
+            lambda t: t.translate(str.maketrans(",.", ".,")) + " €"
+        )
+        messy = us.mask((k % 2).eq(1), eu)
+        chg = ((k % 41).astype("float64") - 20) / 10.0
+        return pd.DataFrame({
+            "name": names[(k % 5).to_numpy()],
+            "symbol": "SYM" + (k % 97).astype(str),
+            "price": messy.to_numpy(),
+            "change": chg.map(lambda v: f"{v:+.1f}%").to_numpy(),
+            "timestamp": now - pd.to_timedelta(((k // 485) % 86400).to_numpy(), unit="s"),
+            "source": "src" + (k % 3).astype(str),
+        })
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    raw = ds.map_batches(build, batch_format="pandas")
+    out = run_clean_pipeline(raw, now, n_rows_hint=_nrows(sf_dir, "lineitem"))
+    return out.select_columns(
+        ["name_std", "symbol", "price_value", "change_percent", "category", "source"]
+    )
+
+
+def q_html_parse_oracle(sf_dir: str):
+    """M1 HTML-table extractor proven against SQL: one well-formed
+    table page per supplier (header row + data row with US-formatted
+    price cell and signed percent cell) through the REAL ExtractRecords
+    dispatch; names/prices/changes must equal the SQL replay exactly
+    (price strings are built from pre-rounded values, so the cleaner
+    recovers them bit-exactly)."""
+    import numpy as np
+
+    from web_crawler_ray.stages.parse import ExtractRecords
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        price = sql_round(batch["s_acctbal"].abs() + 1.0, 2)
+        chg = np.where(batch["s_suppkey"] % 2 == 1, "+2.50%", "-1.25%")
+        bodies = [
+            "<table><tr><td>Commodity</td><td>Price</td><td>Change</td></tr>"
+            f"<tr><td>{str(n).upper()}</td><td>${v:,.2f}</td><td>{c}</td></tr></table>"
+            for n, v, c in zip(batch["s_name"], price, chg)
+        ]
+        return pd.DataFrame({
+            "url": ["https://host.test/s/%d" % int(k) for k in batch["s_suppkey"]],
+            "content_type": "text/html",
+            "body": bodies,
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey", "s_name", "s_acctbal"])
+    pages = ds.map_batches(to_pages, batch_format="pandas")
+    out = pages.map_batches(ExtractRecords(), batch_format="pyarrow")
+    return out.select_columns(["name", "price", "change_percent"])
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-duplicate candidate pairs over documents."""
     import pyarrow.parquet as pq
@@ -696,6 +775,30 @@ def q_ann_ivf(sf_dir: str):
     qvec = qtab["embedding"].to_pylist()[0]
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     return ivf_cosine_topk(ds, [0], [qvec], dim=len(qvec), k=10, n_buckets=16, n_probe=8)
+
+
+
+def q_ann_ivf_oracle(sf_dir: str):
+    """IVF machinery proven exact against SQL: with n_probe == n_buckets
+    every bucket is probed, so the IVF pipeline (bucket assign →
+    membership filter → brute-force within probed buckets → merge) must
+    reproduce the EXACT cosine top-10 — same oracle as q_ann_topk."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import ivf_cosine_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab.filter(pd.Series(qtab["vec_id"].to_pylist()).eq(0).to_numpy())["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    out = ivf_cosine_topk(ds, [0], [qvec], dim=len(qvec), k=10,
+                          n_buckets=16, n_probe=16)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = sql_round(batch["score"], 4)
+        return batch[["query_id", "vec_id", "score", "rank"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
 
 
 def q_ann_ivf_index(sf_dir: str):
@@ -1464,7 +1567,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_exact_dedup": q_doc_exact_dedup,
         "q_ann_topk": q_ann_topk,
         "q_clean_flagship": q_clean_flagship,
+        "q_clean_flagship_oracle": q_clean_flagship_oracle,
         "q_html_parse": q_html_parse,
+        "q_html_parse_oracle": q_html_parse_oracle,
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embed_near_dup": q_embed_near_dup,
@@ -1486,6 +1591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_workbook_extract": q_workbook_extract,
         "q_fetch_retry": q_fetch_retry,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_oracle": q_ann_ivf_oracle,
         "q_ann_ivf_index": q_ann_ivf_index,
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
@@ -1623,6 +1729,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
             FROM s ORDER BY score6 DESC, vec_id LIMIT 10
         """,
+        "q_ann_ivf_oracle": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score6
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   round(score6, 4) AS score,
+                   CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
+            FROM s ORDER BY score6 DESC, vec_id LIMIT 10
+        """,
         "q_json_extract": """
             SELECT event_type, count(*) AS n,
                    CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1742,6 +1861,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice, 2) AS price
             FROM lineitem
+        """,
+        "q_clean_flagship_oracle": """
+            WITH rec AS (
+                SELECT k,
+                    CASE k % 5 WHEN 0 THEN 'gold futures' WHEN 1 THEN 'WTI Crude'
+                         WHEN 2 THEN 'Silver' WHEN 3 THEN 'copper'
+                         ELSE '天然气' END AS name_std,
+                    CASE k % 5 WHEN 0 THEN '贵金属' WHEN 1 THEN '能源'
+                         WHEN 2 THEN '贵金属' WHEN 3 THEN '工业金属'
+                         ELSE '能源' END AS category,
+                    'SYM' || CAST(k % 97 AS VARCHAR) AS symbol,
+                    (CAST(k % 41 AS DOUBLE) - 20) / 10.0 AS change_percent,
+                    price_value,
+                    'src' || CAST(k % 3 AS VARCHAR) AS source,
+                    (k // 485) % 86400 AS ts_off
+                FROM (
+                    SELECT l_orderkey * 8 + l_linenumber AS k,
+                           round(l_extendedprice, 2) AS price_value
+                    FROM lineitem
+                )
+            ),
+            win AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY name_std, symbol
+                    ORDER BY ts_off ASC, price_value DESC) AS rn
+                FROM rec
+            ),
+            srcs AS (
+                SELECT name_std, symbol,
+                       count(DISTINCT source) AS nsrc,
+                       string_agg(DISTINCT source, ',' ORDER BY source) AS srcjoin
+                FROM rec GROUP BY name_std, symbol
+            )
+            SELECT w.name_std, w.symbol, w.price_value, w.change_percent, w.category,
+                   CASE WHEN s.nsrc > 1 THEN s.srcjoin ELSE w.source END AS source
+            FROM win w JOIN srcs s USING (name_std, symbol)
+            WHERE w.rn = 1
+        """,
+        "q_html_parse_oracle": """
+            SELECT upper(s_name) AS name,
+                   round(abs(s_acctbal) + 1.0, 2) AS price,
+                   CASE WHEN s_suppkey % 2 = 1 THEN 2.5 ELSE -1.25 END AS change_percent
+            FROM supplier
         """,
         "q_css_extract_oracle": """
             SELECT upper(s_name) AS name, round(s_acctbal, 2) AS price
