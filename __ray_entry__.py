@@ -820,6 +820,42 @@ def q_ann_ivf_index(sf_dir: str):
                            n_buckets=16, n_probe=8)
 
 
+def q_ann_ivf_index_oracle(sf_dir: str):
+    """The MATERIALIZED-index IVF path proven exact against SQL: with
+    n_probe == n_buckets every hive partition is read back, so build →
+    partition-pruned read → brute-force → merge must reproduce the
+    exact cosine top-10 (same oracle as q_ann_topk)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import ivf_build_index, ivf_query_index
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab.filter(pd.Series(qtab["vec_id"].to_pylist()).eq(0).to_numpy())["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = ivf_build_index(ds, dim=len(qvec), path=f"/tmp/wcr_ivf_index_oracle_{sf_tag}",
+                           n_buckets=16)
+    out = ivf_query_index(path, [0], [qvec], dim=len(qvec), k=10,
+                          n_buckets=16, n_probe=16)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = sql_round(batch["score"], 4)
+        return batch[["query_id", "vec_id", "score", "rank"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+def q_embed_allpairs(sf_dir: str):
+    """EXACT embedding-cosine near-dup pairs (all-pairs matmul against
+    a broadcast float64 corpus, streaming left side) — the DuckDB-
+    checkable exact sibling of the sign-LSH q_embed_near_dup."""
+    from web_crawler_ray.stages.similarity import embedding_allpairs_exact
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return embedding_allpairs_exact(ds, threshold=0.35)
+
+
 def q_ngram_pairs(sf_dir: str):
     """MinHash-LSH candidates verified by TRUE n-gram Jaccard: only the
     candidate ID set is broadcast; candidate texts are gathered with a
@@ -955,6 +991,19 @@ def q_text_metrics(sf_dir: str):
     return ds.map_batches(TextMetrics, batch_format="pyarrow", concurrency=auto_concurrency(0.5)).select_columns(
         ["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred", "quality", "fingerprint"]
     )
+
+
+def q_text_metrics_oracle(sf_dir: str):
+    """The SQL-expressible slice of TextMetrics (whitespace tokens,
+    BPE-ish tokens, stopword-score language ID with the first-max
+    alphabetical tie-break) through the REAL stage; quality/fingerprint
+    stay rows-only (unicode isalpha + crc32 aren't DuckDB-expressible)."""
+    from web_crawler_ray.stages.text_stage import TextMetrics
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(
+        TextMetrics, batch_format="pyarrow", concurrency=auto_concurrency(0.5)
+    ).select_columns(["doc_id", "n_tokens", "n_bpe_tokens", "lang_pred"])
 
 
 def q_image_validate(sf_dir: str):
@@ -1573,7 +1622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_pairs": q_minhash_pairs,
         "q_simhash_pairs": q_simhash_pairs,
         "q_embed_near_dup": q_embed_near_dup,
+        "q_embed_allpairs": q_embed_allpairs,
         "q_text_metrics": q_text_metrics,
+        "q_text_metrics_oracle": q_text_metrics_oracle,
         "q_image_validate": q_image_validate,
         "q_phash_dups": q_phash_dups,
         "q_crawl_order": q_crawl_order,
@@ -1592,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fetch_retry": q_fetch_retry,
         "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_oracle": q_ann_ivf_oracle,
+        "q_ann_ivf_index_oracle": q_ann_ivf_index_oracle,
         "q_ann_ivf_index": q_ann_ivf_index,
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
@@ -1741,6 +1793,55 @@ def oracle_sql() -> dict[str, str]:
                    round(score6, 4) AS score,
                    CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
             FROM s ORDER BY score6 DESC, vec_id LIMIT 10
+        """,
+        "q_ann_ivf_index_oracle": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            s AS (
+                SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS score6
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT CAST(0 AS BIGINT) AS query_id, vec_id,
+                   round(score6, 4) AS score,
+                   CAST(row_number() OVER (ORDER BY score6 DESC, vec_id) AS BIGINT) AS rank
+            FROM s ORDER BY score6 DESC, vec_id LIMIT 10
+        """,
+        "q_embed_allpairs": """
+            SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                                CAST(e2.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE round(list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                               CAST(e2.embedding AS DOUBLE[])), 6) >= 0.35
+        """,
+        "q_text_metrics_oracle": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     len(regexp_extract_all(text, '[a-zA-Z]+|\d+|[^\sa-zA-Z\d]')) AS n_bpe_tokens,
+                     (regexp_extract_all(lower(text), '[a-z]+'))[1:200] AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens, n_bpe_tokens,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','den','mit','von'], x))) AS s_de,
+                len(list_filter(words, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','de','que','y','en','un','es','los','por'], x))) AS s_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','de','et','est','un','que','les','des','en'], x))) AS s_fr
+              FROM w
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
         """,
         "q_json_extract": """
             SELECT event_type, count(*) AS n,

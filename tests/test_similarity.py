@@ -109,3 +109,36 @@ def test_audio_features_stage(ray_session):
     assert abs(out["peak"][0] - 0.5) < 1e-3
     # 100 Hz → 200 zero crossings/s
     assert abs(out["zcr"][0] - 200 / rate) < 1e-3
+
+
+def test_allpairs_exact_vs_numpy_and_lsh_subset(ray_session):
+    from web_crawler_ray.stages.similarity import (
+        embedding_allpairs_exact,
+        embedding_near_dup_pairs,
+    )
+
+    tab, vecs = _corpus(seed=11)
+    ds = rd.from_arrow(tab).repartition(4)
+    thr = 0.5
+    out = embedding_allpairs_exact(ds, threshold=thr).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    nv = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype(np.float64)
+    sims = np.round(nv @ nv.T, 6)
+    iu, ju = np.triu_indices(N, 1)
+    expect = {(int(a), int(b)) for a, b in zip(iu[sims[iu, ju] >= thr], ju[sims[iu, ju] >= thr])}
+    assert got == expect
+    assert (out["id_a"] < out["id_b"]).all()
+    # LSH candidates that verify are a subset of the exact answer
+    lsh = embedding_near_dup_pairs(rd.from_arrow(tab), threshold=thr, dim=DIM,
+                                   n_buckets=4).to_pandas()
+    assert set(zip(lsh["id_a"], lsh["id_b"])) <= expect
+
+
+def test_allpairs_exact_refuses_big_corpus(ray_session):
+    from web_crawler_ray.stages.similarity import embedding_allpairs_exact
+
+    tab, _ = _corpus()
+    import pytest
+
+    with pytest.raises(ValueError, match="small-subset"):
+        embedding_allpairs_exact(rd.from_arrow(tab), threshold=0.5, max_corpus_rows=10)

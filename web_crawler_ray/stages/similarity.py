@@ -62,20 +62,20 @@ class BruteForceTopK:
         ids = np.asarray(batch[self.id_col].to_pylist())
         mat = _normalize(_as_matrix(batch[self.vec_col]))
         scores = mat @ self.qmat.T  # (n, q)
-        k = min(self.k, len(ids))
-        out_q, out_id, out_s = [], [], []
-        for qi in range(scores.shape[1]):
-            col = scores[:, qi]
-            top = np.argpartition(-col, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
-            for i in top:
-                out_q.append(self.qids[qi])
-                out_id.append(ids[i])
-                out_s.append(float(col[i]))
+        n, nq = scores.shape
+        k = min(self.k, n)
+        if k < n:
+            top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, q)
+        else:
+            top = np.broadcast_to(np.arange(n)[:, None], (n, nq))
+        out_q = np.repeat(self.qids, top.shape[0])
+        out_id = ids[top.T.ravel()]
+        out_s = np.take_along_axis(scores, top, axis=0).T.ravel()
         return pa.table(
             {
-                "query_id": pa.array(out_q, pa.int64()),
-                self.id_col: pa.array(out_id, pa.int64()),
-                "score": pa.array(out_s, pa.float64()),
+                "query_id": pa.array(out_q.astype(np.int64), pa.int64()),
+                self.id_col: pa.array(out_id.astype(np.int64), pa.int64()),
+                "score": pa.array(out_s.astype(np.float64), pa.float64()),
             }
         )
 
@@ -205,6 +205,49 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
 
     exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=auto_concurrency())
     return exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def embedding_allpairs_exact(ds, threshold: float = 0.35,
+                             id_col: str = "vec_id", vec_col: str = "embedding",
+                             max_corpus_rows: int = 200_000):
+    """EXACT all-pairs cosine near-dup — the small-subset exact path
+    (``embedding_near_dup_pairs``'s sign-LSH is the 100-TB path, same
+    contract). The normalized corpus matrix is broadcast ONCE
+    (``ray.put``, float64 so scores agree with a double-precision SQL
+    oracle at 6 decimals); the left side then STREAMS through
+    ``map_batches`` — each batch does one C matmul against the
+    broadcast and keeps (id_a < id_b, round(cos,6) >= threshold). No
+    shuffle; quadratic in corpus size by definition, so it refuses
+    corpora above ``max_corpus_rows``."""
+    corpus = pa.concat_tables(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if corpus.num_rows > max_corpus_rows:
+        raise ValueError(
+            f"exact all-pairs is the small-subset path (n={corpus.num_rows} > "
+            f"{max_corpus_rows}); use embedding_near_dup_pairs for large corpora")
+    c_ids = np.asarray(corpus[id_col].to_pylist(), dtype=np.int64)
+    c_mat = _normalize(_as_matrix(corpus[vec_col]).astype(np.float64))
+    ref = ray.put({"ids": c_ids, "mat": c_mat})
+
+    class AllPairs:
+        def __init__(self):
+            c = ray.get(ref)  # once per actor
+            self.c_ids, self.c_mat = c["ids"], c["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            b_mat = _normalize(_as_matrix(batch[vec_col]).astype(np.float64))
+            sims = sql_round(b_mat @ self.c_mat.T, 6)
+            keep = (sims >= threshold) & (self.c_ids[None, :] > b_ids[:, None])
+            bi, ci = np.nonzero(keep)
+            return pa.table(
+                {
+                    "id_a": pa.array(b_ids[bi], pa.int64()),
+                    "id_b": pa.array(self.c_ids[ci], pa.int64()),
+                    "cosine": pa.array(sims[bi, ci], pa.float64()),
+                }
+            )
+
+    return ds.map_batches(AllPairs, batch_format="pyarrow", concurrency=auto_concurrency())
 
 
 def ivf_build_index(ds, dim: int, path: str, n_buckets: int = 16,
