@@ -129,3 +129,32 @@ def test_simhash_batch_matches_scalar(texts):
     got = T.simhash64_batch(texts)
     for i, t in enumerate(texts):
         assert got[i] == T.simhash64(t), (i, t)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_st)
+def test_quality_batch_matches_scalar(texts):
+    from web_crawler_ray.functions import text as T
+
+    assert T.quality_scores_batch(texts) == [T.quality_score(t) for t in texts]
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts_st)
+def test_fingerprint_matches_naive_window_join(texts):
+    import zlib
+
+    from web_crawler_ray.functions import text as T
+
+    for t in texts:
+        toks = T.TOKEN_RE.findall(t.lower())
+        if not toks:
+            expect = 0
+        elif len(toks) <= 8:
+            expect = zlib.crc32(" ".join(toks).encode())
+        else:
+            expect = min(
+                zlib.crc32(" ".join(toks[i : i + 8]).encode())
+                for i in range(len(toks) - 7)
+            )
+        assert T.doc_fingerprint(t) == expect

@@ -84,14 +84,87 @@ def doc_fingerprint(text: str, window: int = 8) -> int:
     toks = TOKEN_RE.findall((text or "").lower())
     if not toks:
         return 0
+    buf = " ".join(toks).encode()
     if len(toks) <= window:
-        return zlib.crc32(" ".join(toks).encode())
+        return zlib.crc32(buf)
+    # byte offsets of each token in the joined buffer: one slice + one
+    # C crc call per window instead of an 8-string join + encode
+    # (crc32(buf[s:e]) == crc32(" ".join(toks[i:i+w]).encode()) because
+    # the window's bytes are identical either way)
+    blens = [len(t.encode()) for t in toks]
+    starts = [0] * len(toks)
+    pos = 0
+    for i, bl in enumerate(blens):
+        starts[i] = pos
+        pos += bl + 1
+    crc = zlib.crc32
     best = 0xFFFFFFFF
+    last = window - 1
     for i in range(len(toks) - window + 1):
-        h = zlib.crc32(" ".join(toks[i : i + window]).encode())
+        j = i + last
+        h = crc(buf[starts[i] : starts[j] + blens[j]])
         if h < best:
             best = h
     return best
+
+
+# alpha-or-space lookup for the ASCII plane; non-ASCII codepoints are
+# classified once per distinct codepoint per batch (str.isalpha /
+# str.isspace stay the semantic definition — the table just caches it)
+_ASCII_ALPHA_SPACE = np.array(
+    [chr(i).isalpha() or chr(i).isspace() for i in range(128)], dtype=bool
+)
+
+
+def alpha_space_counts(texts: list[str]) -> np.ndarray:
+    """Per-text count of chars where ``c.isalpha() or c.isspace()`` —
+    bit-identical to the scalar genexpr in :func:`quality_score`, but
+    one UTF-32 decode + table lookup over the whole batch instead of
+    ~10^6 Python-level genexpr frames per 5k docs."""
+    n_texts = len(texts)
+    if n_texts == 0:
+        return np.zeros(0, dtype=np.int64)
+    lens = np.fromiter((len(t or "") for t in texts), dtype=np.int64, count=n_texts)
+    joined = "".join(t or "" for t in texts)
+    if not joined:
+        return np.zeros(n_texts, dtype=np.int64)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    mask = np.zeros(len(codes), dtype=bool)
+    is_ascii = codes < 128
+    mask[is_ascii] = _ASCII_ALPHA_SPACE[codes[is_ascii]]
+    if not is_ascii.all():
+        hi = codes[~is_ascii]
+        uniq = np.unique(hi)
+        vals = np.fromiter(
+            ((lambda ch: ch.isalpha() or ch.isspace())(chr(int(c))) for c in uniq),
+            dtype=bool, count=len(uniq),
+        )
+        mask[~is_ascii] = vals[np.searchsorted(uniq, hi)]
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    csum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+    return csum[ends] - csum[starts]
+
+
+def quality_scores_batch(texts: list[str], toks_list: list[list[str]] | None = None) -> list[float]:
+    """Batch :func:`quality_score` (identical output, property-tested):
+    alpha counts via :func:`alpha_space_counts`, the rest is per-doc C
+    calls (set(), len()) + the same final ``round(x, 6)``."""
+    if toks_list is None:
+        toks_list = [TOKEN_RE.findall(t or "") for t in texts]
+    alpha_counts = alpha_space_counts(texts)
+    out = []
+    for t, toks, a in zip(texts, toks_list, alpha_counts):
+        n = len(t or "")
+        n_tok = len(toks)
+        if n == 0 or n_tok == 0:
+            out.append(0.0)
+            continue
+        alpha = a / n
+        uniq_ratio = len(set(toks)) / n_tok
+        length_score = min(1.0, n_tok / 100.0)
+        out.append(round(0.4 * alpha + 0.3 * uniq_ratio + 0.3 * length_score, 6))
+    return out
 
 
 def char_shingles(text: str, k: int = 5) -> set[int]:

@@ -23,14 +23,15 @@ class TextMetrics:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
-        n_tok, n_bpe, langs, quality, fps = [], [], [], [], []
-        for t in texts:
-            toks = T.TOKEN_RE.findall(t or "")
-            n_tok.append(len(toks))
-            n_bpe.append(T.bpe_token_count(t))
-            langs.append(T.lang_id(t))
-            quality.append(T.quality_score(t))
-            fps.append(T.doc_fingerprint(t))
+        # tokenize ONCE per doc and share across metrics; quality's
+        # per-char alpha ratio runs as one UTF-32 table pass over the
+        # whole batch (quality_scores_batch ≡ scalar, property-tested)
+        toks_list = [T.TOKEN_RE.findall(t or "") for t in texts]
+        n_tok = [len(x) for x in toks_list]
+        n_bpe = [T.bpe_token_count(t) for t in texts]
+        langs = [T.lang_id(t) for t in texts]
+        quality = T.quality_scores_batch(texts, toks_list)
+        fps = [T.doc_fingerprint(t) for t in texts]
         return (
             batch.append_column("n_tokens", pa.array(n_tok, pa.int64()))
             .append_column("n_bpe_tokens", pa.array(n_bpe, pa.int64()))
