@@ -134,7 +134,7 @@ def distinct_count(ds, key: str, col: str, num_partitions: int = 32):
     from .grouped import partitioned_drop_duplicates
 
     pairs = partitioned_drop_duplicates(
-        ds.select_columns([key, col]), [key, col], num_partitions
+        ds.select_columns([key, col]), [key, col], num_partitions, pre_dedup=True
     )
     return partial_grouped_agg(pairs, [key], {"n_distinct": ("count", None)})
 

@@ -100,8 +100,10 @@ def add_content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "co
 def dedup_exact(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: hash-partition on content hash, keep min id per group."""
     hashed = ds.map_batches(lambda b: add_content_hash(b, text_col), batch_format="pyarrow")
+    # pre_dedup: the min-id winner per hash survives batch-local
+    # selection, so the shuffle carries one row per (batch, hash)
     return partitioned_drop_duplicates(
-        hashed, ["content_hash"], sort_keys=["content_hash", id_col]
+        hashed, ["content_hash"], sort_keys=["content_hash", id_col], pre_dedup=True
     )
 
 

@@ -32,16 +32,25 @@ def _maybe_coalesce(ds, n_rows_hint: int | None, max_rows: int = 2_000_000,
 
 
 def partitioned_apply(ds, keys: list[str], partition_fn, num_partitions: int = 32,
-                      n_rows_hint: int | None = None):
+                      n_rows_hint: int | None = None, pre_combine=None):
     """One shuffle on a coarse hash of ``keys``, then ``partition_fn``
     runs ONCE per partition over all of its key groups (every row of a
     key group is guaranteed co-located). Use this — with a vectorized
     ``partition_fn`` (sort + drop_duplicates / groupby-agg) — instead of
     ``grouped_apply`` whenever the per-group reduction is expressible in
     pandas/numpy: at 10^8 distinct keys a per-group Python call is the
-    bottleneck, one pass per partition is not."""
+    bottleneck, one pass per partition is not.
+
+    ``pre_combine`` (optional, ``df -> df``) runs on each input batch
+    BEFORE the shuffle — the map-side combiner. For reductions where a
+    batch-local pass can only shrink the input without changing the
+    final answer (drop_duplicates with a winner-preserving sort,
+    partial counts), this caps shuffle volume at the per-batch-distinct
+    count instead of the raw row count."""
 
     def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
+        if pre_combine is not None:
+            batch = pre_combine(batch)
         batch = batch.copy()
         batch["__pk"] = _stable_pk(batch, keys, num_partitions)
         return batch
@@ -76,11 +85,20 @@ def grouped_apply(ds, keys: list[str], fn, num_partitions: int = 32,
 def partitioned_drop_duplicates(ds, keys: list[str], num_partitions: int = 32,
                                 sort_keys: list[str] | None = None,
                                 ascending: list[bool] | None = None,
-                                n_rows_hint: int | None = None):
+                                n_rows_hint: int | None = None,
+                                pre_dedup: bool = False):
     """Exact distinct-by-keys with a deterministic winner per group:
     rows are sorted by ``sort_keys`` (default: the keys) inside each
     hash partition and the first row per key group wins. One shuffle,
-    fully vectorized."""
+    fully vectorized.
+
+    ``pre_dedup=True`` additionally runs the same winner-selection on
+    each input batch BEFORE the shuffle (map-side combiner): the global
+    winner survives batch-local selection because winner-of-winners
+    under a fixed sort order is the global winner, so results are
+    identical while the shuffle carries at most one row per (batch,
+    key). Enable it when duplicates are frequent and the non-key
+    columns of tied rows are identical (or there are no ties)."""
 
     def dedup(part: pd.DataFrame) -> pd.DataFrame:
         sk = sort_keys or keys
@@ -88,4 +106,5 @@ def partitioned_drop_duplicates(ds, keys: list[str], num_partitions: int = 32,
         part = part.sort_values(sk, ascending=asc, kind="mergesort")
         return part.drop_duplicates(subset=keys, keep="first")
 
-    return partitioned_apply(ds, keys, dedup, num_partitions, n_rows_hint)
+    return partitioned_apply(ds, keys, dedup, num_partitions, n_rows_hint,
+                             pre_combine=dedup if pre_dedup else None)
