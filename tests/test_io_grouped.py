@@ -168,3 +168,42 @@ def test_latest_wins_vectorized_matches_reducer(ray_session):
         .reset_index(drop=True)[want.columns.tolist()]
     )
     pd.testing.assert_frame_equal(got_ds, want)
+
+
+def test_pre_dedup_combiner_identical_results(ray_session):
+    """pre_dedup=True (map-side combiner) must produce exactly the rows
+    of pre_dedup=False for a winner-preserving sort order."""
+    import numpy as np
+
+    from web_crawler_ray.stages.grouped import partitioned_drop_duplicates
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, n),
+            "v": rng.integers(0, 8, n),
+            "uid": np.arange(n, dtype=np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+
+    def run(pre):
+        return (
+            partitioned_drop_duplicates(
+                ds, ["k", "v"], sort_keys=["k", "v", "uid"], pre_dedup=pre
+            )
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(run(True), run(False))
+    # and vs plain pandas
+    want = (
+        df.sort_values(["k", "v", "uid"], kind="mergesort")
+        .drop_duplicates(subset=["k", "v"], keep="first")
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(run(True)[want.columns.tolist()], want)
