@@ -1579,6 +1579,94 @@ def q_set_except(sf_dir: str):
     return g.filter(expr="has_f == 1 and has_o == 0").select_columns(["o_custkey"])
 
 
+def q_range_join(sf_dir: str):
+    """Equi-key + interval join (J5, target-side): line items shipped
+    within 60 days of their order's date, rolled up per order
+    priority. One hash shuffle per side on the equi-key; the range
+    predicate is a vectorized Arrow filter, never a second shuffle."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.joins import range_join
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_shipdate", "l_extendedprice"]
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def add_hi(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_hi"] = batch["o_orderdate"] + pd.Timedelta(days=60)
+        return batch
+
+    orders = orders.map_batches(add_hi, batch_format="pandas")
+    joined = range_join(li, orders, "l_orderkey", "o_orderkey",
+                        "l_shipdate", "o_orderdate", "o_hi")
+    g = partial_grouped_agg(
+        joined, ["o_orderpriority"],
+        {"n": ("count", None), "sum_price": ("sum", "l_extendedprice")},
+    )
+    return _round_cols(g, {"sum_price": 2})
+
+
+def q_rolling_avg(sf_dir: str):
+    """Moving average window: AVG(value) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) —
+    C-level rolling kernel per coarse hash partition."""
+    from web_crawler_ray.stages.windows import rolling_agg
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "ts", "value"]
+    )
+    # ndigits=4, not 2: the 4-row mean of 2-decimal values terminates
+    # within 4 decimals (sum/4 is an exponent shift), so a 4-digit
+    # round has no half-way boundary for either engine to straddle —
+    # at 2 digits the mean lands EXACTLY on half-cents (e.g. 41.185)
+    # and the engines' double-summation order decides the hash.
+    out = rolling_agg(ds, "user_id", "ts", "value", "event_id", window=4,
+                      ndigits=4, n_rows_hint=_nrows(sf_dir, "events"))
+    return out.select_columns(["event_id", "user_id", "roll_avg"])
+
+
+def q_group_rank(sf_dir: str):
+    """Per-customer order ranking: row_number + dense_rank by
+    totalprice desc, top-3 kept (SQL QUALIFY rn <= 3)."""
+    from web_crawler_ray.stages.windows import group_rank
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    out = group_rank(ds, "o_custkey", "o_totalprice", "o_orderkey", k=3,
+                     n_rows_hint=_nrows(sf_dir, "orders"))
+    return out.select_columns(["o_custkey", "o_orderkey", "rn", "dr"])
+
+
+def q_string_agg(sf_dir: str):
+    """Ordered string_agg per nation: customer names joined ','-wise
+    in custkey order — the grouped-concat sink for label/metadata
+    packing."""
+    from web_crawler_ray.stages.aggregate import grouped_string_agg
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_nationkey", "c_name", "c_custkey"]
+    )
+    return grouped_string_agg(ds, "c_nationkey", "c_name", "c_custkey",
+                              n_rows_hint=_nrows(sf_dir, "customer"))
+
+
+def q_pivot_status(sf_dir: str):
+    """Conditional-aggregation pivot: totalprice sums per order
+    priority, one column per order status — map-side partials, one
+    tiny combine shuffle."""
+    from web_crawler_ray.stages.aggregate import pivot_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    return pivot_sum(ds, "o_orderpriority", "o_orderstatus", "o_totalprice",
+                     {"sum_open": "O", "sum_finished": "F", "sum_pending": "P"})
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -1670,6 +1758,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_dups_oracle": q_phash_dups_oracle,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
+        "q_range_join": q_range_join,
+        "q_rolling_avg": q_rolling_avg,
+        "q_group_rank": q_group_rank,
+        "q_string_agg": q_string_agg,
+        "q_pivot_status": q_pivot_status,
     }
 
 
@@ -2085,6 +2178,45 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             GROUP BY user_id, session_id
+        """,
+        "q_range_join": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY o_orderpriority
+        """,
+        "q_rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS roll_avg
+            FROM events
+        """,
+        "q_group_rank": """
+            SELECT o_custkey, o_orderkey, rn, dr FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+                       dense_rank() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC) AS dr
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "q_string_agg": """
+            SELECT c_nationkey,
+                   string_agg(c_name, ',' ORDER BY c_custkey) AS members
+            FROM customer GROUP BY c_nationkey
+        """,
+        "q_pivot_status": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS sum_open,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS sum_finished,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS sum_pending,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
         """,
         "q_jaccard_allpairs": """
             WITH s AS (

@@ -88,3 +88,92 @@ def test_timestamps():
 def test_browser_stub_fails_fast():
     with pytest.raises(NotImplementedError, match="chromedriver"):
         SeleniumTransport()
+
+
+def test_rolling_agg(ray_session):
+    from web_crawler_ray.stages.windows import rolling_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+                 "2024-01-05", "2024-01-01", "2024-01-02"]
+            ),
+            "id": [1, 2, 3, 4, 5, 6, 7],
+            "v": [1.0, 2.0, 3.0, 4.0, 5.0, 10.0, 20.0],
+        }
+    )
+    out = (
+        rolling_agg(rd.from_pandas(df), "k", "ts", "v", "id", window=3)
+        .to_pandas().sort_values("id")
+    )
+    # a: 1, (1+2)/2, (1+2+3)/3, (2+3+4)/3, (3+4+5)/3; b: 10, 15
+    assert out["roll_avg"].tolist() == [1.0, 1.5, 2.0, 3.0, 4.0, 10.0, 15.0]
+
+
+def test_group_rank(ray_session):
+    from web_crawler_ray.stages.windows import group_rank
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "a", "a", "b"],
+            "id": [1, 2, 3, 4, 5],
+            "v": [9.0, 9.0, 7.0, 5.0, 1.0],
+        }
+    )
+    out = (
+        group_rank(rd.from_pandas(df), "k", "v", "id", k=3)
+        .to_pandas().sort_values(["k", "rn"]).reset_index(drop=True)
+    )
+    # ties on v=9.0 break toward smaller id for rn; dense_rank shares 1
+    assert out[["k", "id", "rn", "dr"]].values.tolist() == [
+        ["a", 1, 1, 1], ["a", 2, 2, 1], ["a", 3, 3, 2], ["b", 5, 1, 1]
+    ]
+
+
+def test_range_join(ray_session):
+    from web_crawler_ray.stages.joins import range_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"key": [1, 1, 2, 3], "ts": [5, 50, 7, 7], "lv": ["p", "q", "r", "s"]}
+    ))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rkey": [1, 2], "lo": [0, 10], "hi": [10, 20], "rv": ["x", "y"]}
+    ))
+    out = (
+        range_join(left, right, "key", "rkey", "ts", "lo", "hi")
+        .to_pandas().sort_values("lv")
+    )
+    # key1@5 in [0,10]; key1@50 outside; key2@7 outside [10,20]; key3 no match
+    assert out["lv"].tolist() == ["p"] and out["rv"].tolist() == ["x"]
+
+
+def test_grouped_string_agg_and_pivot(ray_session):
+    from web_crawler_ray.stages.aggregate import grouped_string_agg, pivot_sum
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "a"],
+            "name": ["n3", "n1", "n4", "n2"],
+            "o": [3, 1, 4, 2],
+            "status": ["O", "F", "O", "O"],
+            "v": [1.5, 2.5, 4.0, 8.0],
+        }
+    )
+    agg = (
+        grouped_string_agg(rd.from_pandas(df), "k", "name", "o")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert agg["members"].tolist() == ["n1,n2,n3", "n4"]
+
+    piv = (
+        pivot_sum(rd.from_pandas(df), "k", "status", "v",
+                  {"sum_o": "O", "sum_f": "F", "sum_p": "P"})
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert piv["sum_o"].tolist() == [9.5, 4.0]
+    assert piv["sum_f"][0] == 2.5
+    # SQL NULL semantics: groups with no matching pivot value stay null
+    assert pd.isna(piv["sum_f"][1]) and pd.isna(piv["sum_p"]).all()
+    assert piv["n"].tolist() == [3, 1]

@@ -174,6 +174,68 @@ def moment_profile(ds, keys: list[str], col: str, ndigits: int = 4):
     return g.map_batches(finish, batch_format="pandas")
 
 
+def grouped_string_agg(ds, key: str, val_col: str, order_col: str,
+                       sep: str = ",", out_col: str = "members",
+                       num_partitions: int = 32, n_rows_hint: int | None = None):
+    """SQL ``string_agg(val, sep ORDER BY order_col)`` per key: one
+    coarse shuffle on the key, then a (key, order)-sorted C sort + one
+    ``str.join`` per key group inside each partition.
+
+    Partitioning assumption: one key's concatenated string fits a
+    task's heap (bounded-cardinality keys / bounded group width). For
+    giant groups, cap or switch to a list sink."""
+    from .grouped import partitioned_apply
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, order_col], kind="mergesort")
+        res = (
+            p.groupby(key, sort=True)[val_col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .reset_index()
+        )
+        return res.rename(columns={val_col: out_col})
+
+    return partitioned_apply(
+        ds.select_columns([key, val_col, order_col]),
+        [key], per_partition, num_partitions, n_rows_hint=n_rows_hint,
+    )
+
+
+def pivot_sum(ds, key: str, pivot_col: str, val_col: str,
+              pivot_values: dict[str, str], ndigits: int = 2):
+    """Conditional-aggregation pivot: one output column
+    ``out = SUM(CASE WHEN pivot_col = v THEN val END)`` per
+    ``pivot_values`` entry ({out_col: v}), plus ``n = COUNT(*)``,
+    grouped by ``key``. The pivot-value set must be known and small
+    (it becomes the schema). Map-side partials (vectorized ``where``
+    masks) + one tiny combine shuffle — one row per (key, batch)
+    moves, never the raw rows."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cols = {key: batch[key]}
+        for out, v in pivot_values.items():
+            cols[out] = batch[val_col].where(batch[pivot_col] == v)
+        cols["n"] = 1
+        return (
+            pd.DataFrame(cols)
+            .groupby(key, sort=False)
+            .sum(min_count=1)
+            .reset_index()
+        )
+
+    combine = [Sum(out, alias_name=out) for out in pivot_values]
+    combine.append(Sum("n", alias_name="n"))
+    g = ds.map_batches(partial, batch_format="pandas").groupby(key).aggregate(*combine)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        for out in pivot_values:
+            batch[out] = sql_round(batch[out], ndigits)
+        batch["n"] = batch["n"].astype("int64")
+        return batch
+
+    return g.map_batches(finish, batch_format="pandas")
+
+
 def corr_profile(ds, keys: list[str], xcol: str, ycol: str, ndigits: int = 6):
     """Per-key Pearson correlation from single-pass partial moments
     (n, Σx, Σy, Σxx, Σyy, Σxy). Same shuffle shape as moment_profile."""

@@ -65,6 +65,38 @@ def semi_join(left, keys_ds, on: str, right_on: str | None = None,
     return joined.drop_columns([_MARKER])
 
 
+def range_join(left, right, on: str, right_on: str, ts_col: str,
+               lo_col: str, hi_col: str, num_partitions: int = 8):
+    """Equi-key + interval join: ``left.on == right.right_on AND
+    right.lo_col <= left.ts_col <= right.hi_col`` (inclusive both
+    ends, SQL BETWEEN). No reference counterpart — a target-side
+    addition for event-in-window joins (events within N days of an
+    order, prices inside a validity interval).
+
+    Shape: one hash shuffle of each side on the equi-key
+    (``Dataset.join``), then a vectorized Arrow range filter per
+    batch — the range predicate never forces a second shuffle.
+    Partitioning assumption: intermediate cardinality is the EQUI-key
+    match count before the range filter, so a skewed equi-key inflates
+    a partition exactly like any hash join — salt hot keys upstream if
+    one key dominates."""
+    import pyarrow.compute as pc
+
+    joined = left.join(
+        right, join_type="inner", num_partitions=num_partitions,
+        on=(on,), right_on=(right_on,),
+    )
+
+    def in_range(batch):
+        mask = pc.and_(
+            pc.greater_equal(batch[ts_col], batch[lo_col]),
+            pc.less_equal(batch[ts_col], batch[hi_col]),
+        )
+        return batch.filter(mask)
+
+    return joined.map_batches(in_range, batch_format="pyarrow")
+
+
 def anti_join(left, keys_ds, on: str, right_on: str | None = None,
               num_partitions: int = 8):
     """Rows of ``left`` whose ``on`` value does NOT appear in

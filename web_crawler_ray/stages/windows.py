@@ -136,6 +136,50 @@ def cumulative_sum(ds, key: str, ts_col: str, val_col: str, tie_col: str,
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
+def rolling_agg(ds, key: str, ts_col: str, val_col: str, tie_col: str,
+                window: int, out_col: str = "roll_avg", ndigits: int = 2,
+                n_rows_hint: int | None = None):
+    """Moving average per key: AVG(val) OVER (PARTITION BY key ORDER BY
+    ts, tie ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW). Computed
+    as a C-level pandas ``groupby().rolling()`` over (ts, tie)-sorted
+    rows — one sort + one rolling pass per partition, no per-group
+    Python. Coarse hash-partitioned on the key like any PARTITION BY."""
+    from ..functions.rounding import sql_round
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort").reset_index(drop=True)
+        roll = (
+            p.groupby(key, sort=False)[val_col]
+            .rolling(window, min_periods=1)
+            .mean()
+            .reset_index(level=0, drop=True)
+        )
+        p[out_col] = sql_round(roll, ndigits)
+        return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def group_rank(ds, key: str, val_col: str, tie_col: str, k: int | None = None,
+               n_rows_hint: int | None = None):
+    """row_number() and dense_rank() OVER (PARTITION BY key ORDER BY
+    val DESC, tie ASC), optionally keeping only rn <= k (SQL QUALIFY).
+    One sort + cumcount/rank C kernels per partition; dense_rank ties
+    are on exact ``val_col`` equality, same doubles both engines see."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, val_col, tie_col],
+                          ascending=[True, False, True], kind="mergesort").copy()
+        g = p.groupby(key, sort=False)
+        p["rn"] = (g.cumcount() + 1).astype("int64")
+        p["dr"] = g[val_col].rank(method="dense", ascending=False).astype("int64")
+        if k is not None:
+            p = p[p["rn"] <= k]
+        return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
 def sessionize(ds, key: str, ts_col: str, tie_col: str, gap_ms: int,
                aggs: bool = True, n_rows_hint: int | None = None):
     """Gap-based sessionization: within each key, rows ordered by
