@@ -1667,6 +1667,42 @@ def q_pivot_status(sf_dir: str):
                      {"sum_open": "O", "sum_finished": "F", "sum_pending": "P"})
 
 
+def q_kmeans_step(sf_dir: str):
+    """One distributed Lloyd assignment over the embedding corpus
+    (fixed seed centroids = first 8 vectors): row-level (vec_id,
+    cluster, d2) — broadcast centroids, zero data shuffle."""
+    from web_crawler_ray.stages.similarity import kmeans_assign_step
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return kmeans_assign_step(ds, k=8)
+
+
+def q_train_split(sf_dir: str):
+    """Deterministic hash train/test split of the document corpus
+    (Knuth multiplicative bucket on doc_id, 80/20), rolled up per
+    split — reproducible across runs/cluster sizes, zero shuffle."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.sampling import hash_split
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    tagged = hash_split(ds, "doc_id", train_frac=0.8)
+    return partial_grouped_agg(
+        tagged, ["split"], {"n": ("count", None), "sum_chars": ("sum", "n_chars")}
+    )
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic downsampling (rebalance the
+    en-heavy corpus): keep-rate 0.5 for en, 1.0 for zh, 0.25
+    otherwise, decided by pure hash arithmetic — row-level output
+    proves the exact kept set."""
+    from web_crawler_ray.stages.sampling import stratified_sample
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "lang"])
+    return stratified_sample(ds, "doc_id", "lang", {"en": 0.5, "zh": 1.0},
+                             default_rate=0.25)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -1763,6 +1799,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_rank": q_group_rank,
         "q_string_agg": q_string_agg,
         "q_pivot_status": q_pivot_status,
+        "q_kmeans_step": q_kmeans_step,
+        "q_train_split": q_train_split,
+        "q_stratified_sample": q_stratified_sample,
     }
 
 
@@ -2217,6 +2256,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS sum_pending,
                    count(*) AS n
             FROM orders GROUP BY o_orderpriority
+        """,
+        "q_kmeans_step": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            dist AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS d2
+                FROM embeddings e, c
+            )
+            SELECT vec_id, cluster, round(d2, 6) AS d2 FROM (
+                SELECT vec_id, cid AS cluster, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn
+                FROM dist
+            ) WHERE rn = 1
+        """,
+        "q_train_split": """
+            SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+                        THEN 'train' ELSE 'test' END AS split,
+                   count(*) AS n,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+                  CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
         """,
         "q_jaccard_allpairs": """
             WITH s AS (

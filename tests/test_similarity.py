@@ -142,3 +142,48 @@ def test_allpairs_exact_refuses_big_corpus(ray_session):
 
     with pytest.raises(ValueError, match="small-subset"):
         embedding_allpairs_exact(rd.from_arrow(tab), threshold=0.5, max_corpus_rows=10)
+
+
+def test_kmeans_assign_step(ray_session):
+    import numpy as np
+    import pandas as pd
+    from web_crawler_ray.stages.similarity import kmeans_assign_step
+
+    # two well-separated 4-d blobs; seeds (ids 0,1) are one per blob
+    rng = np.random.default_rng(7)
+    a = rng.normal(0.0, 0.1, (6, 4)).astype("float32")
+    b = rng.normal(5.0, 0.1, (6, 4)).astype("float32")
+    vecs = [a[0], b[0], *a[1:], *b[1:]]  # ids 0,1 are the seeds
+    df = pd.DataFrame({"vec_id": range(12), "embedding": [v.tolist() for v in vecs]})
+    out = (
+        kmeans_assign_step(rd.from_pandas(df), k=2)
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # blob membership recovered exactly; seeds have d2 == 0 to themselves
+    assert out["cluster"].tolist() == [0, 1] + [0] * 5 + [1] * 5
+    assert out.loc[0, "d2"] == 0.0 and out.loc[1, "d2"] == 0.0
+    assert (out.loc[2:, "d2"] > 0).all()
+
+
+def test_hash_split_and_stratified_sample(ray_session):
+    import pandas as pd
+    from web_crawler_ray.stages.sampling import hash_bucket, hash_split, stratified_sample
+    import numpy as np
+
+    df = pd.DataFrame({"id": range(1000), "s": ["a", "b"] * 500})
+    split = hash_split(rd.from_pandas(df), "id", train_frac=0.8).to_pandas()
+    frac = (split["split"] == "train").mean()
+    assert 0.75 < frac < 0.85  # hash buckets are near-uniform
+    # determinism: same id -> same split on a re-run
+    split2 = hash_split(rd.from_pandas(df), "id", train_frac=0.8).to_pandas()
+    assert split.sort_values("id")["split"].tolist() == split2.sort_values("id")["split"].tolist()
+
+    samp = stratified_sample(rd.from_pandas(df), "id", "s", {"a": 0.5},
+                             default_rate=0.1).to_pandas()
+    kept_a = (samp["s"] == "a").sum(); kept_b = (samp["s"] == "b").sum()
+    assert 200 < kept_a < 300 and 20 < kept_b < 80
+    # kept set == the pure-arithmetic predicate (SQL-replayable)
+    ids = df["id"].to_numpy()
+    b = hash_bucket(ids, 1000)
+    thr = np.where(df["s"].to_numpy() == "a", 500, 100)
+    assert sorted(samp["id"]) == sorted(ids[b < thr])

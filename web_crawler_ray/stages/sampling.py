@@ -1,0 +1,66 @@
+"""Deterministic sampling / splitting (training-data curation suite).
+
+Every decision is a pure modular-hash function of the id column —
+Knuth multiplicative hashing over int64 — so splits and samples are
+reproducible across runs and cluster sizes, require ZERO shuffle
+(each row decides independently inside map_batches), and are
+SQL-replayable exactly (integer arithmetic only, no engine RNG).
+
+No reference counterpart: the reference is a scraper; these are the
+train/test-split and per-stratum downsampling stages a 100-TB
+training-data pipeline puts between dedup and the sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+# Knuth's multiplicative constant; bucket = (id * K) mod 2^32 mod M.
+# int64 is enough: id * K stays below 2^63 for ids < ~3.5e9; for wider
+# id spaces pre-fold the id (id mod 2^31) first.
+KNUTH = 2654435761
+
+
+def hash_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
+    """Deterministic bucket in [0, mod) per id — the primitive both
+    stages and their SQL oracles share."""
+    return ((ids.astype(np.int64) * KNUTH) % (1 << 32)) % mod
+
+
+def hash_split(ds, id_col: str, train_frac: float = 0.8, mod: int = 10,
+               out_col: str = "split"):
+    """Tag each row 'train' / 'test' by hash bucket: bucket <
+    train_frac * mod → train. Stateless per-row decision — streams at
+    any scale, stable under repartitioning, and a given id always
+    lands in the same split (the property random() splits lose)."""
+    thresh = int(round(train_frac * mod))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        b = hash_bucket(batch[id_col].to_numpy(), mod)
+        batch = batch.copy()
+        batch[out_col] = np.where(b < thresh, "train", "test")
+        return batch
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      mod: int = 1000):
+    """Per-stratum deterministic downsampling: keep a row iff its hash
+    bucket (in [0, mod)) falls below rate[stratum] * mod. Rebalances
+    skewed strata (the over-represented-language / boilerplate-source
+    problem) without a shuffle or an RNG; nested samples at decreasing
+    rates are strict subsets (bucket < r2*mod ⊂ bucket < r1*mod)."""
+    thresholds = {s: int(round(r * mod)) for s, r in rates.items()}
+    default_thresh = int(round(default_rate * mod))
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        b = hash_bucket(batch[id_col].to_numpy(), mod)
+        thr = (
+            batch[stratum_col].map(thresholds).fillna(default_thresh).to_numpy()
+        )
+        return batch[b < thr]
+
+    return ds.map_batches(keep, batch_format="pandas")

@@ -304,3 +304,40 @@ def ivf_query_index(path: str, query_ids, query_vecs, dim: int, k: int = 10,
              "score": pd.Series(dtype="float64"), "rank": pd.Series(dtype="int64")}))
     ds = rd.read_parquet(paths, columns=[id_col, vec_col])
     return cosine_topk(ds, query_ids, query_vecs, k, id_col, vec_col)
+
+
+def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id",
+                       vec_col: str = "embedding", ndigits: int = 6):
+    """One Lloyd-iteration ASSIGNMENT over the embedding corpus with
+    fixed seed centroids (the first ``k`` vectors by id, the
+    deterministic k-means++ stand-in): broadcast the (k, d) centroid
+    matrix once (``ray.put``), assign per batch via vectorized squared-L2
+    argmin, emit (id, cluster, d2). Zero data shuffle — the canonical
+    distributed k-means shape; a full Lloyd pass is this stage plus a
+    tiny per-cluster mean combine, iterated with re-broadcast
+    centroids.
+
+    Ties (two centroids at the exact same double distance) break
+    toward the smaller cluster id, mirroring SQL
+    ``row_number() ... ORDER BY d2, cid``."""
+    seeds = ds.filter(expr=f"{id_col} < {k}").take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    cmat = np.asarray([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    cref = ray.put(cmat)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)  # (k, d) float64, from the object store
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        # direct (x - c)^2 per element, matching the SQL replay's
+        # list_transform term order (the expansion |x|^2 - 2xc + |c|^2
+        # has different FP error); (B, k, d) stays small at batch size
+        d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cluster = np.argmin(d2, axis=1).astype(np.int64)
+        best = d2[np.arange(len(m)), cluster]
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(cluster),
+            "d2": pa.array(sql_round(best, ndigits)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
