@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_yaml_scraper",
     "q_distinct_users",
     "q_ann_ivf_index",
+    "q_range_join",
+    "q_rolling_avg",
+    "q_kmeans_step",
 ]
 
 

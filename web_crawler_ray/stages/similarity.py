@@ -59,7 +59,7 @@ class BruteForceTopK:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[self.id_col].to_pylist())
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         mat = _normalize(_as_matrix(batch[self.vec_col]))
         scores = mat @ self.qmat.T  # (n, q)
         n, nq = scores.shape
