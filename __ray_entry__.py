@@ -1703,6 +1703,31 @@ def q_stratified_sample(sf_dir: str):
                              default_rate=0.25)
 
 
+_CURATE_RATES = {"en": 0.5, "zh": 1.0}
+_CURATE_DEFAULT_RATE = 0.25
+
+
+def q_corpus_curate(sf_dir: str):
+    """Composite corpus-curation flagship (quality gate → exact dedup
+    → stratified language rebalance): row-level curated set proving
+    the exact surviving (doc_id, lang, n_chars, n_tokens,
+    content_hash) rows end to end."""
+    from web_crawler_ray.pipelines.curate import curate_corpus
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text", "lang", "n_chars"]
+    )
+    return curate_corpus(ds, _CURATE_RATES, _CURATE_DEFAULT_RATE)
+
+
+def q_corpus_curate_stats(sf_dir: str):
+    """Per-language curation report over the curated set: docs kept,
+    total tokens, avg doc length (the data-mixture numbers)."""
+    from web_crawler_ray.pipelines.curate import corpus_stats
+
+    return corpus_stats(q_corpus_curate(sf_dir))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -1802,6 +1827,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans_step": q_kmeans_step,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
+        "q_corpus_curate": q_corpus_curate,
+        "q_corpus_curate_stats": q_corpus_curate_stats,
     }
 
 
@@ -2286,6 +2313,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+        """,
+        "q_corpus_curate": r"""
+            WITH m AS (
+              SELECT doc_id, lang, n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     md5(text) AS content_hash
+              FROM documents
+            ), g AS (
+              SELECT * FROM m
+              WHERE n_tokens >= 25 AND n_chars / n_tokens < 8.0
+            ), d AS (
+              SELECT * FROM g
+              QUALIFY row_number() OVER (PARTITION BY content_hash
+                                         ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, lang, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   content_hash
+            FROM d
+            WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+                  CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+        """,
+        "q_corpus_curate_stats": r"""
+            WITH m AS (
+              SELECT doc_id, lang, n_chars,
+                     len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                     md5(text) AS content_hash
+              FROM documents
+            ), g AS (
+              SELECT * FROM m
+              WHERE n_tokens >= 25 AND n_chars / n_tokens < 8.0
+            ), d AS (
+              SELECT * FROM g
+              QUALIFY row_number() OVER (PARTITION BY content_hash
+                                         ORDER BY doc_id) = 1
+            ), s AS (
+              SELECT * FROM d
+              WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+                    CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM s GROUP BY lang
         """,
         "q_jaccard_allpairs": """
             WITH s AS (

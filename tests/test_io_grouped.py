@@ -207,3 +207,41 @@ def test_pre_dedup_combiner_identical_results(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(run(True)[want.columns.tolist()], want)
+
+
+def test_curate_corpus_semantics(ray_session):
+    """Quality gate drops short/junk docs; duplicate text keeps the
+    min-doc_id row (even across langs); sample keeps zh at rate 1.0."""
+    from web_crawler_ray.pipelines.curate import corpus_stats, curate_corpus
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [
+                "w " * 30,            # 30 tokens, passes gate
+                "w " * 30,            # exact dup of doc 1 → dropped (min id wins)
+                "short doc",          # < 25 tokens → gated out
+                "x" * 400 + " y",     # 2 tokens → gated out (and junk ratio)
+                "z " * 40,            # zh doc, passes
+                "q " * 25,            # passes
+            ],
+            "lang": ["en", "fr", "en", "en", "zh", "zh"],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    ds = rd.from_pandas(docs).repartition(3)
+    out = (
+        curate_corpus(ds, {"zh": 1.0, "en": 1.0, "fr": 1.0}, default_rate=1.0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 5, 6]
+    assert out.loc[0, "lang"] == "en"  # min-id winner keeps ITS lang, not the dup's
+    assert out["n_tokens"].tolist() == [30, 40, 25]
+    stats = corpus_stats(
+        curate_corpus(ds, {"zh": 1.0, "en": 1.0, "fr": 1.0}, default_rate=1.0)
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    assert stats["lang"].tolist() == ["en", "zh"]
+    assert stats["n_docs"].tolist() == [1, 2]
+    assert stats["total_tokens"].tolist() == [30, 65]
