@@ -1168,6 +1168,54 @@ def q_distinct_users(sf_dir: str):
     return distinct_count(ds, "event_type", "user_id")
 
 
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT(DISTINCT user_id) per event_type —
+    the scale path past q_distinct_users' exact shuffle: register
+    blocks (4 KiB/key/block) are all that crosses the wire, so cost is
+    cardinality-independent. Deterministic (stable hash), accuracy
+    ~1.6% at p=12, pinned against the exact count in
+    tests/test_io_grouped.py. No SQL oracle: DuckDB's approx HLL uses
+    a different hash, so only the exact sibling is SQL-expressible."""
+    from web_crawler_ray.stages.sketch import hll_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
+    return hll_distinct(ds, "event_type", "user_id")
+
+
+def q_left_join(sf_dir: str):
+    """Left-outer hash join: every customer joined to its URGENT
+    orders, customers with none kept as null rows — per segment we
+    report join rows, orderless customers, and urgent spend. The
+    priority filter is pushed below the join so the right side
+    shrinks before the shuffle."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    cust = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    j = cust.join(orders, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["no_order"] = batch["o_orderkey"].isna().astype("int64")
+        batch["o_totalprice"] = batch["o_totalprice"].fillna(0.0)
+        return batch[["c_mktsegment", "no_order", "o_totalprice"]]
+
+    g = partial_grouped_agg(
+        j.map_batches(mark, batch_format="pandas"),
+        ["c_mktsegment"],
+        {"n_rows": ("count", None), "n_no_order": ("sum", "no_order"),
+         "sum_urgent": ("sum", "o_totalprice")},
+    )
+    return _round_cols(g, {"sum_urgent": 2})
+
+
 def q_profile_stats(sf_dir: str):
     """Per-group variance/stddev profile from single-pass partial
     moments (n, Σx, Σx²) — matches var_samp/stddev_samp at 4dp."""
@@ -1829,6 +1877,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": q_stratified_sample,
         "q_corpus_curate": q_corpus_curate,
         "q_corpus_curate_stats": q_corpus_curate_stats,
+        "q_approx_distinct": q_approx_distinct,
+        "q_left_join": q_left_join,
     }
 
 
@@ -2333,6 +2383,18 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+        """,
+        "q_left_join": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_no_order,
+                   round(sum(coalesce(o.o_totalprice, 0)), 2) AS sum_urgent
+            FROM customer c LEFT JOIN (
+                SELECT o_orderkey, o_custkey, o_totalprice
+                FROM orders WHERE o_orderpriority = '1-URGENT'
+            ) o ON c.c_custkey = o.o_custkey
+            GROUP BY c_mktsegment
         """,
         "q_corpus_curate_stats": r"""
             WITH m AS (

@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q_range_join",
     "q_rolling_avg",
     "q_kmeans_step",
+    "q_corpus_curate_stats",
+    "q_left_join",
+    "q_approx_distinct",
 ]
 
 

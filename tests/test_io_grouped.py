@@ -245,3 +245,47 @@ def test_curate_corpus_semantics(ray_session):
     assert stats["lang"].tolist() == ["en", "zh"]
     assert stats["n_docs"].tolist() == [1, 2]
     assert stats["total_tokens"].tolist() == [30, 65]
+
+
+def test_hll_distinct_accuracy_and_parallel_invariance(ray_session):
+    """HLL estimate within 3% of exact at p=12, and bit-identical
+    across different block layouts (register max-merge is associative)."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import hll_distinct
+
+    rng = np.random.default_rng(7)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.random(n) < 0.5, "a", "b"),
+            "v": rng.integers(0, 20_000, n),
+        }
+    )
+    exact = df.groupby("k")["v"].nunique()
+    out1 = (
+        hll_distinct(rd.from_pandas(df).repartition(2), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    out2 = (
+        hll_distinct(rd.from_pandas(df).repartition(13), "k", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out1, out2)  # layout-invariant
+    for _, row in out1.iterrows():
+        rel = abs(row["n_distinct_approx"] - exact[row["k"]]) / exact[row["k"]]
+        assert rel < 0.03, (row["k"], row["n_distinct_approx"], exact[row["k"]])
+
+
+def test_hll_leading_zeros_exact():
+    """Bisection CLZ matches int.bit_length on random 64-bit words."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import _leading_zeros64
+
+    rng = np.random.default_rng(3)
+    w = rng.integers(0, 2**63, 1000, dtype=np.uint64) * 2 + rng.integers(0, 2, 1000, dtype=np.uint64)
+    w[:5] = [0, 1, 2**63, 2**63 - 1, 2**32]
+    got = _leading_zeros64(w)
+    want = [64 - int(x).bit_length() for x in w]
+    assert got.tolist() == want
