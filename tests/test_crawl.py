@@ -86,6 +86,29 @@ def test_salting_invariance(fixtures, ray_run):
     )
 
 
+def test_order_push_equals_pull(fixtures, ray_run):
+    """order_push=False (driver pulls granted rows from the scheduled
+    dataset) produces the identical order file and seen set as the
+    default push mode (tasks piggyback order rows on the stats RPC) —
+    the two paths are interchangeable layouts of the same rows. Also
+    pins that the auto gate enabled push for this shape (the politeness
+    bound fits driver_order_rows)."""
+    from web_crawler_ray.pipelines.crawl import DEFAULT_DELAY_MS  # gate sanity
+
+    assert N_HOSTS * (60_000 // DEFAULT_DELAY_MS) <= CrawlConfig.order_push_bound_rows
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=os.path.join(fixtures["root"], "pullorder"),
+        num_blocks=4, write_images=False, order_push=False,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
 def test_sliced_robots_equals_broadcast(fixtures, ray_run):
     """robots_mode='sliced' (partition-local rule slices, the
     10^7-hosts path) produces identical order and seen set."""

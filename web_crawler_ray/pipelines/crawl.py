@@ -56,7 +56,7 @@ from ..codecs import decode_image, phash64, psnr
 from ..hashing import fingerprint_bytes, hash64
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
-from ..state.politeness import build_robots_map, schedule_host_batch
+from ..state.politeness import DEFAULT_DELAY_MS, build_robots_map, schedule_host_batch
 from ..synth import gen_robots, image_for_page, image_for_page_full, page_meta, page_pixels
 from ..urls import CanonicalizeAndHash
 
@@ -112,6 +112,15 @@ class CrawlConfig:
     # order write (one traversal, single file); larger sets stream a
     # distributed sort + directory write
     driver_order_rows: int = 1 << 18
+    # order-push: schedule tasks piggyback their granted order rows on
+    # the per-task stats RPC, so the driver writes the round's order
+    # file without a SECOND Dataset execution (filter + pull) over the
+    # materialized schedule. None = auto: enabled iff the politeness
+    # bound Σ_hosts max(1, budget//delay) — a hard cap on granted rows
+    # per round, known before the round runs — fits
+    # order_push_bound_rows (~100 B/row worst case through one actor).
+    order_push: bool | None = None
+    order_push_bound_rows: int = 1 << 19
     # join-mode page-store cache gate: at or below this many rows the
     # pruned store is materialized ONCE in the object store and reused
     # across rounds; above it every round re-scans the parquet through
@@ -275,6 +284,22 @@ class CrawlStatsActor:
         so no separate counting traversal of the scheduled dataset is
         needed. Tagged (overwrite-on-retry) like set_tagged."""
         self.tagged.setdefault((round_index, "__disp"), {})[tag] = dict(counts)
+
+    def set_sched(self, round_index: int, tag: int, counts: dict, order) -> None:
+        """Combined per-task schedule report: disposition histogram +
+        (order-push mode) the task's granted order rows as one Arrow
+        table — one actor roundtrip per task, overwrite-on-retry. The
+        pushed payload is politeness-bounded (Σ max(1, budget//delay)
+        over the task's hosts), never frontier-sized."""
+        self.tagged.setdefault((round_index, "__disp"), {})[tag] = dict(counts)
+        if order is not None:
+            self.tagged.setdefault((round_index, "__order"), {})[tag] = order
+
+    def order_chunks(self, round_index: int) -> list:
+        return list(self.tagged.get((round_index, "__order"), {}).values())
+
+    def drop_order(self, round_index: int) -> None:
+        self.tagged.pop((round_index, "__order"), None)
 
     def disp_counts(self, round_index: int) -> dict:
         out: dict[str, int] = {}
@@ -485,6 +510,21 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     ]
     stats_actor = CrawlStatsActor.remote()
 
+    # order-push gate: granted rows per round are hard-capped by the
+    # politeness budget, computable from the robots rules BEFORE any
+    # round runs. Only when that cap fits the driver threshold do
+    # schedule tasks piggyback order rows on their stats RPC.
+    order_push = cfg.order_push
+    if order_push is None:
+        granted_bound = sum(
+            max(1, cfg.round_budget_ms // max(rules.delay_ms, 1))
+            for rules in robots_map_full.values()
+        )
+        granted_bound += max(0, cfg.n_hosts - len(robots_map_full)) * max(
+            1, cfg.round_budget_ms // DEFAULT_DELAY_MS
+        )
+        order_push = granted_bound <= cfg.order_push_bound_rows
+
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     start_round = 0
     if resume:
@@ -571,6 +611,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         slice_handles = robots_slice_refs
         n_blocks_cfg = cfg.num_blocks
         budget, rnd = cfg.round_budget_ms, r
+        push_order = order_push
         n_parts = cfg.num_blocks
         shard_handles = shards
         n_shards = cfg.n_seen_shards
@@ -639,14 +680,25 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 for _, g in df.groupby("host", sort=True)
             ]
             out = pd.concat(groups, ignore_index=True)
-            # fold the disposition histogram into this pass (tagged by
-            # min url_hash — unique per task, retry-overwriting) so no
-            # separate counting traversal of `scheduled` is needed
+            # fold the disposition histogram (and, in push mode, this
+            # task's granted order rows) into this pass — tagged by min
+            # url_hash (unique per task since round-dedup leaves one
+            # row per url_hash, so disjoint tasks have distinct mins;
+            # retry overwrites its own tag). No separate counting or
+            # order traversal of `scheduled` is needed.
             if len(out):
                 vc = out["disposition"].value_counts()
-                ray.get(stats_actor.set_disp.remote(
+                order_tab = None
+                if push_order:
+                    g = out.loc[
+                        out["disposition"] == "granted",
+                        ["url", "host", "url_hash", "priority", "fetch_ts_ms"],
+                    ]
+                    if len(g):
+                        order_tab = pa.Table.from_pandas(g, preserve_index=False)
+                ray.get(stats_actor.set_sched.remote(
                     rnd, int(out["url_hash"].min()),
-                    {str(k): int(v) for k, v in vc.items()}))
+                    {str(k): int(v) for k, v in vc.items()}, order_tab))
             return out
 
         def process_partition(df: pd.DataFrame) -> pd.DataFrame:
@@ -682,6 +734,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         t_stage = time.monotonic()
         scheduled = scheduled.materialize()
         stage_s = {"schedule_pipeline": round(time.monotonic() - t_stage, 2)}
+        t_stage = time.monotonic()
 
         # disposition histogram was folded into the schedule tasks
         counts = ray.get(stats_actor.disp_counts.remote(r))
@@ -704,7 +757,30 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         order_dir = os.path.join(rdir, "order")
         os.makedirs(order_dir, exist_ok=True)
         granted_hashes = None
-        if n_granted and n_granted <= cfg.driver_order_rows:
+        if n_granted and order_push:
+            # push mode: the schedule tasks already delivered their
+            # granted rows with the stats RPC — assemble, sort, write.
+            # No second Dataset execution touches `scheduled`.
+            chunks = ray.get(stats_actor.order_chunks.remote(r))
+            stats_actor.drop_order.remote(r)
+            order_tab = pa.concat_tables(chunks, promote_options="default")
+            assert order_tab.num_rows == n_granted, (
+                f"order-push rows {order_tab.num_rows} != granted {n_granted}"
+            )
+            order_tab = order_tab.append_column(
+                "round", pa.array(np.full(order_tab.num_rows, r, dtype=np.int32))
+            )
+            pq.write_table(
+                order_tab.sort_by(
+                    [("fetch_ts_ms", "ascending"), ("host", "ascending"),
+                     ("url_hash", "ascending")]
+                ),
+                os.path.join(order_dir, "part-all.parquet"),
+            )
+            granted_hashes = np.sort(
+                order_tab["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+        elif n_granted and n_granted <= cfg.driver_order_rows:
             order_tab = pa.concat_tables(
                 list(
                     granted_ds.select_columns(
@@ -753,6 +829,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 )
 
         stage_s["granted_order"] = round(time.monotonic() - t_stage, 2)
+        t_stage = time.monotonic()
 
         # 5-6. fetch → 200-filter → image encode+sink → outlink explode,
         # all in ONE streaming pass over the granted rows (the image
