@@ -21,6 +21,7 @@ import sys
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -490,6 +491,66 @@ def q_spec_pipeline(sf_dir: str):
         {"op": "round", "spec": {"revenue": 2}},
     ]
     return build_pipeline(_t(sf_dir, "lineitem"), ops)
+
+
+def q_spec_join(sf_dir: str):
+    """§2.11 declarative spec with the join op: zero-code lineitem ⋈
+    orders revenue rollup — the same shape as q_join_revenue but
+    compiled from a dict spec (join + derive + agg + round)."""
+    from web_crawler_ray.pipelines.spec import build_pipeline
+
+    ops = [
+        {"op": "with_column", "name": "rev",
+         "expr": "l_extendedprice * (1 - l_discount)"},
+        {"op": "select", "columns": ["l_orderkey", "rev"]},
+        {"op": "join", "right": _t(sf_dir, "orders"),
+         "on": ["l_orderkey"], "right_on": ["o_orderkey"],
+         "right_columns": ["o_orderkey", "o_orderstatus"]},
+        {"op": "groupby_agg", "keys": ["o_orderstatus"],
+         "aggs": {"n": ["count", None], "revenue": ["sum", "rev"]}},
+        {"op": "round", "spec": {"revenue": 2}},
+    ]
+    return build_pipeline(_t(sf_dir, "lineitem"), ops)
+
+
+def q_full_outer_join(sf_dir: str):
+    """Full-outer join of two order slices that each miss rows from the
+    other (urgent vs high-value orders on o_orderkey): counts of
+    matched / left-only / right-only rows prove both null-extension
+    directions."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    def flag(name):
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            batch[name] = np.int64(1)
+            return batch
+
+        return add
+
+    urgent = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_orderkey"]
+    ).rename_columns(["u_key"]).map_batches(flag("u_flag"), batch_format="pandas")
+    high = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    ).filter(expr="o_totalprice > 150000.0").select_columns(
+        ["o_orderkey"]
+    ).rename_columns(["h_key"]).map_batches(flag("h_flag"), batch_format="pandas")
+    j = urgent.join(high, join_type="full_outer", num_partitions=8,
+                    on=("u_key",), right_on=("h_key",))
+
+    def mark(batch: pd.DataFrame) -> pd.DataFrame:
+        u = batch["u_flag"].notna()
+        h = batch["h_flag"].notna()
+        out = pd.DataFrame(
+            {"side": np.select([u & h, u & ~h], ["both", "left_only"], "right_only")}
+        )
+        return out
+
+    return partial_grouped_agg(
+        j.map_batches(mark, batch_format="pandas"), ["side"], {"n": ("count", None)}
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1879,6 +1940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_curate_stats": q_corpus_curate_stats,
         "q_approx_distinct": q_approx_distinct,
         "q_left_join": q_left_join,
+        "q_spec_join": q_spec_join,
+        "q_full_outer_join": q_full_outer_join,
     }
 
 
@@ -2383,6 +2446,25 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+        """,
+        "q_spec_join": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderstatus
+        """,
+        "q_full_outer_join": """
+            WITH u AS (SELECT o_orderkey AS u_key FROM orders
+                       WHERE o_orderpriority = '1-URGENT'),
+                 h AS (SELECT o_orderkey AS h_key FROM orders
+                       WHERE o_totalprice > 150000.0)
+            SELECT CASE WHEN u_key IS NOT NULL AND h_key IS NOT NULL THEN 'both'
+                        WHEN u_key IS NOT NULL THEN 'left_only'
+                        ELSE 'right_only' END AS side,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM u FULL OUTER JOIN h ON u_key = h_key
+            GROUP BY side
         """,
         "q_left_join": """
             SELECT c_mktsegment,

@@ -289,3 +289,47 @@ def test_hll_leading_zeros_exact():
     got = _leading_zeros64(w)
     want = [64 - int(x).bit_length() for x in w]
     assert got.tolist() == want
+
+
+def test_spec_join_ops(ray_session):
+    """Spec-compiler join family: join (hash), lookup (broadcast),
+    semi_join and anti_join ops compile and match pandas reference."""
+    sf = "/root/testdata/sf0.001"
+    cust, nation = f"{sf}/customer.parquet", f"{sf}/nation.parquet"
+
+    out = (
+        build_pipeline(
+            cust,
+            [
+                {"op": "lookup", "right": nation, "key": "c_nationkey",
+                 "right_key": "n_nationkey", "value": "n_name", "out": "nation"},
+                {"op": "groupby_agg", "keys": ["nation"],
+                 "aggs": {"n": ["count", None]}},
+            ],
+        )
+        .to_pandas().sort_values("nation").reset_index(drop=True)
+    )
+    cdf = pd.read_parquet(cust)
+    ndf = pd.read_parquet(nation)
+    want = (
+        cdf.merge(ndf, left_on="c_nationkey", right_on="n_nationkey")
+        .groupby("n_name").size().rename("n").reset_index()
+        .rename(columns={"n_name": "nation"})
+    )
+    assert out["nation"].tolist() == want["nation"].tolist()
+    assert out["n"].tolist() == want["n"].tolist()
+
+    # semi/anti partition customers exactly
+    semi = build_pipeline(
+        cust,
+        [{"op": "semi_join", "right": f"{sf}/orders.parquet",
+          "on": "c_custkey", "right_on": "o_custkey"}],
+    ).count()
+    anti = build_pipeline(
+        cust,
+        [{"op": "anti_join", "right": f"{sf}/orders.parquet",
+          "on": "c_custkey", "right_on": "o_custkey"}],
+    ).count()
+    odf = pd.read_parquet(f"{sf}/orders.parquet")
+    n_with = cdf["c_custkey"].isin(odf["o_custkey"]).sum()
+    assert semi == n_with and anti == len(cdf) - n_with

@@ -18,6 +18,16 @@ Spec format (list of op dicts, applied in order):
     {"op": "round",       "spec": {"col": ndigits}}
     {"op": "sort",        "keys": [...], "descending": [...]}
     {"op": "limit",       "n": 10}
+    {"op": "join",        "right": "/path.parquet", "on": [...],
+                          "right_on": [...], "right_columns": [...],
+                          "how": "inner"|"left_outer"|..., "num_partitions": N}
+    {"op": "lookup",      "right": "/path.parquet", "key": col,
+                          "right_key": col, "value": col, "out": name}
+                          # broadcast small-side join: the right table is
+                          # read ONCE into a key→value dict and shipped
+                          # via the object store — no shuffle
+    {"op": "semi_join",   "right": "/path.parquet", "on": col, "right_on": col}
+    {"op": "anti_join",   "right": "/path.parquet", "on": col, "right_on": col}
 """
 
 from __future__ import annotations
@@ -71,6 +81,30 @@ def _apply_op(ds, op: dict):
         return ds.sort(op["keys"], descending=op.get("descending", False))
     if kind == "limit":
         return ds.limit(op["n"])
+    if kind == "join":
+        right = rd.read_parquet(op["right"], columns=op.get("right_columns"))
+        return ds.join(
+            right,
+            join_type=op.get("how", "inner"),
+            num_partitions=op.get("num_partitions", 8),
+            on=tuple(op["on"]),
+            right_on=tuple(op["right_on"]) if op.get("right_on") else None,
+        )
+    if kind == "lookup":
+        import pyarrow.parquet as _pq
+
+        from ..stages.joins import broadcast_lookup
+
+        rk = op.get("right_key", op["key"])
+        tab = _pq.read_table(op["right"], columns=[rk, op["value"]])
+        mapping = dict(zip(tab[rk].to_pylist(), tab[op["value"]].to_pylist()))
+        return broadcast_lookup(ds, mapping, op["key"], op["out"])
+    if kind in ("semi_join", "anti_join"):
+        from ..stages.joins import anti_join, semi_join
+
+        right = rd.read_parquet(op["right"], columns=[op.get("right_on", op["on"])])
+        fn = semi_join if kind == "semi_join" else anti_join
+        return fn(ds, right, op["on"], op.get("right_on"))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -123,6 +157,14 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             need(op["spec"])
         elif kind == "sort":
             need(op["keys"])
+        elif kind == "join":
+            need(op["on"])
+            created |= set(op.get("right_columns") or [])
+        elif kind == "lookup":
+            need([op["key"]])
+            created.add(op["out"])
+        elif kind in ("semi_join", "anti_join"):
+            need([op["on"]])
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
