@@ -493,6 +493,17 @@ def q_spec_pipeline(sf_dir: str):
     return build_pipeline(_t(sf_dir, "lineitem"), ops)
 
 
+def q_graph_scores(sf_dir: str):
+    """Iterative graph analytics: 2 HITS power iterations over the
+    bipartite order↔part edge list (distinct lineitem pairs). All-Ray:
+    per-iteration hash join + map-side partial sums; score tables stay
+    node-sized and never touch the driver."""
+    from web_crawler_ray.stages.graph import bipartite_power_scores
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey", "l_partkey"])
+    return bipartite_power_scores(ds, "l_orderkey", "l_partkey", iterations=2)
+
+
 def q_spec_join(sf_dir: str):
     """§2.11 declarative spec with the join op: zero-code lineitem ⋈
     orders revenue rollup — the same shape as q_join_revenue but
@@ -1942,6 +1953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_join": q_left_join,
         "q_spec_join": q_spec_join,
         "q_full_outer_join": q_full_outer_join,
+        "q_graph_scores": q_graph_scores,
     }
 
 
@@ -2446,6 +2458,22 @@ def oracle_sql() -> dict[str, str]:
             FROM d
             WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
+        """,
+        "q_graph_scores": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS lk, l_partkey AS rk
+                       FROM lineitem),
+            dl AS (SELECT lk, count(*) AS d_l FROM e GROUP BY lk),
+            dr AS (SELECT rk, count(*) AS d_r FROM e GROUP BY rk),
+            sr0 AS (SELECT rk, CAST(1 AS DOUBLE) AS s FROM dr),
+            sl1 AS (SELECT e.lk, sum(sr0.s / dr.d_r) AS s FROM e
+                    JOIN sr0 USING (rk) JOIN dr USING (rk) GROUP BY e.lk),
+            sr1 AS (SELECT e.rk, sum(sl1.s / dl.d_l) AS s FROM e
+                    JOIN sl1 USING (lk) JOIN dl USING (lk) GROUP BY e.rk),
+            sl2 AS (SELECT e.lk, sum(sr1.s / dr.d_r) AS s FROM e
+                    JOIN sr1 USING (rk) JOIN dr USING (rk) GROUP BY e.lk),
+            sr2 AS (SELECT e.rk, sum(sl2.s / dl.d_l) AS s FROM e
+                    JOIN sl2 USING (lk) JOIN dl USING (lk) GROUP BY e.rk)
+            SELECT rk AS l_partkey, round(s, 6) AS score FROM sr2
         """,
         "q_spec_join": """
             SELECT o_orderstatus,

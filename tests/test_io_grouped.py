@@ -333,3 +333,43 @@ def test_spec_join_ops(ray_session):
     odf = pd.read_parquet(f"{sf}/orders.parquet")
     n_with = cdf["c_custkey"].isin(odf["o_custkey"]).sum()
     assert semi == n_with and anti == len(cdf) - n_with
+
+
+def test_bipartite_power_scores_paths_agree(ray_session):
+    """Graph power iteration: broadcast fast path == join scale path ==
+    hand-computed pandas reference on a small bipartite graph."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import bipartite_power_scores
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame(
+        {"o": rng.integers(0, 40, 400), "p": rng.integers(0, 25, 400)}
+    )
+    ds = rd.from_pandas(edges).repartition(4)
+
+    def reference():
+        e = edges.drop_duplicates()
+        d_o = e.groupby("o").size()
+        d_p = e.groupby("p").size()
+        s_p = pd.Series(1.0, index=d_p.index)
+        for _ in range(2):
+            contrib = e["p"].map(s_p / d_p)
+            s_o = pd.DataFrame({"o": e["o"], "c": contrib}).groupby("o")["c"].sum()
+            contrib2 = e["o"].map(s_o / d_o)
+            s_p = pd.DataFrame({"p": e["p"], "c": contrib2}).groupby("p")["c"].sum()
+        return s_p.round(6)
+
+    want = reference()
+    fast = (
+        bipartite_power_scores(ds, "o", "p", iterations=2)
+        .to_pandas().sort_values("p").reset_index(drop=True)
+    )
+    slow = (
+        bipartite_power_scores(ds, "o", "p", iterations=2,
+                               num_partitions=4, broadcast_nodes_max=0)
+        .to_pandas().sort_values("p").reset_index(drop=True)
+    )
+    assert fast["p"].tolist() == sorted(want.index.tolist())
+    assert np.allclose(fast["score"], want.loc[fast["p"]].to_numpy())
+    pd.testing.assert_frame_equal(slow, fast)

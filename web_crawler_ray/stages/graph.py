@@ -1,0 +1,170 @@
+"""Iterative graph analytics over an edge list — HITS/PageRank-style
+power iteration expressed as per-iteration Ray Data joins + partial
+aggregates (no driver-side score pulls, no whole-graph materialization
+on any single node).
+
+Scale shape: the edge list is the big table and is touched once per
+half-iteration through a hash join on the propagating side's key; the
+score tables are node-sized. Every aggregation is a map-side partial
+sum + tiny combine. The edge list (with degrees attached) is reused
+every iteration — ``cache_edges=True`` pins it in the object store,
+which is right while edges fit cluster memory; at a 100-TB edge list
+pass ``cache_edges=False`` and each iteration re-scans the lazy
+pipeline instead (same results, the streaming executor re-executes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .grouped import partitioned_apply, partitioned_drop_duplicates
+from ..functions.rounding import sql_round
+
+
+def grouped_sum(ds, key: str, col: str, out: str, num_partitions: int = 16):
+    """Exact per-key sum for MODERATE/HIGH-cardinality keys: batch-local
+    pre-combine, one coarse hash shuffle, vectorized per-partition sum.
+    (``Dataset.groupby().aggregate()`` degrades badly past ~10^3 keys —
+    measured 11 s vs 0.3 s on 1.5×10^4 keys.)"""
+
+    def psum(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(key, sort=True)[col].sum().rename(out).reset_index()
+
+    def pre(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(key, sort=False)[col].sum().rename(out).reset_index().rename(
+            columns={out: col}
+        )
+
+    return partitioned_apply(ds, [key], psum, num_partitions, pre_combine=pre)
+
+
+def _broadcast_power(e, left: str, right: str, iterations: int, ndigits: int):
+    """Fast path for node sets that fit one machine: degree and score
+    arrays are broadcast via the object store, each half-iteration is a
+    single map_batches pass over the edges with batch-local pre-combine
+    (one row per (node, batch) comes back), no joins, no shuffles."""
+    import ray
+    import ray.data as rd
+
+    def degrees(col):
+        # one map pass (batch-local counts) + node-sized driver combine
+        # — Dataset.groupby().aggregate() is ~100× slower at 10^4+ keys
+        part = e.map_batches(
+            lambda b: b.groupby(col, sort=False).size().rename("d").reset_index(),
+            batch_format="pandas",
+        ).to_pandas()
+        ser = part.groupby(col)["d"].sum().sort_index()
+        return ser.index.to_numpy(), ser.to_numpy().astype(np.float64)
+
+    l_keys, l_deg = degrees(left)
+    r_keys, r_deg = degrees(right)
+    s_r = np.ones(len(r_keys), dtype=np.float64)
+
+    def half_step(src_col, dst_col, src_keys, contrib):
+        ref = ray.put((src_keys, contrib))
+
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            keys, c = ray.get(ref)
+            vals = c[np.searchsorted(keys, batch[src_col].to_numpy())]
+            g = (
+                pd.DataFrame({dst_col: batch[dst_col], "c": vals})
+                .groupby(dst_col, sort=False)["c"].sum().reset_index()
+            )
+            return g
+
+        part = e.map_batches(fn, batch_format="pandas").to_pandas()
+        return part.groupby(dst_col)["c"].sum()  # node-sized driver combine
+
+    for _ in range(iterations):
+        s_l_ser = half_step(right, left, r_keys, s_r / r_deg)
+        s_l = s_l_ser.reindex(l_keys).fillna(0.0).to_numpy()
+        s_r_ser = half_step(left, right, l_keys, s_l / l_deg)
+        s_r = s_r_ser.reindex(r_keys).fillna(0.0).to_numpy()
+
+    return rd.from_pandas(
+        pd.DataFrame({right: r_keys, "score": sql_round(pd.Series(s_r), ndigits)})
+    )
+
+
+def bipartite_power_scores(edges_ds, left: str, right: str, iterations: int = 2,
+                           num_partitions: int = 16, ndigits: int = 6,
+                           cache_edges: bool = True,
+                           broadcast_nodes_max: int = 5_000_000):
+    """HITS-style mutual-reinforcement scores on a bipartite graph.
+
+    With E the distinct (left, right) edge set, deg_l/deg_r the node
+    degrees and s_r(0) = 1.0:
+
+        s_l(t+1) = Σ_{(l,r) ∈ E} s_r(t)  / deg_r
+        s_r(t+1) = Σ_{(l,r) ∈ E} s_l(t+1) / deg_l
+
+    Returns one row per right node: (right, score) with score rounded
+    to ``ndigits`` (SQL-replayable by unrolling the iterations into
+    chained CTEs)."""
+    e = partitioned_drop_duplicates(
+        edges_ds.select_columns([left, right]), [left, right],
+        num_partitions, pre_dedup=True,
+    )
+    if cache_edges:
+        e = e.materialize()
+    # small-graph gate: when the node sets fit one machine, propagate
+    # through broadcast arrays (one map pass per half-iteration, no
+    # joins). Edge count bounds node count, and is free on the
+    # materialized edge set — a conservative, zero-cost probe. The
+    # join path below is the 10^9-node scale shape.
+    if cache_edges and e.count() <= broadcast_nodes_max:
+        return _broadcast_power(e, left, right, iterations, ndigits)
+    def add_one(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_one"] = np.int64(1)
+        return batch
+
+    ones = e.map_batches(add_one, batch_format="pandas")
+    deg_l = grouped_sum(ones, left, "_one", "d_l", num_partitions)
+    deg_r = grouped_sum(ones, right, "_one", "d_r", num_partitions)
+    # Materialize between joins: each Dataset.join spawns its own
+    # aggregator-actor pool, and a DAG chaining several joins holds all
+    # pools alive at once — on a small session that starves the task
+    # slots and the pipeline hangs (same failure mode as oversized
+    # map_batches pools). The barriers keep at most one join's pool
+    # live; everything materialized is edge- or node-sized and stays
+    # distributed in the object store.
+    e = e.join(deg_l, join_type="inner", num_partitions=num_partitions,
+               on=(left,)).materialize()
+    e = e.join(deg_r, join_type="inner", num_partitions=num_partitions,
+               on=(right,))
+    if cache_edges:
+        e = e.materialize()
+
+    # s_r(0) = 1.0 for every right node
+    def init_score(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({right: batch[right], "s": 1.0})
+
+    s_r = deg_r.map_batches(init_score, batch_format="pandas")
+
+    def over(d_col):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            batch["c"] = batch["s"] / batch[d_col]
+            return batch
+        return fn
+
+    for _ in range(iterations):
+        j = e.join(s_r, join_type="inner", num_partitions=num_partitions,
+                   on=(right,))
+        s_l = grouped_sum(
+            j.map_batches(over("d_r"), batch_format="pandas"),
+            left, "c", "s", num_partitions,
+        ).materialize()  # node-sized barrier — see join-pool note above
+        j2 = e.join(s_l, join_type="inner", num_partitions=num_partitions,
+                    on=(left,))
+        s_r = grouped_sum(
+            j2.map_batches(over("d_l"), batch_format="pandas"),
+            right, "c", "s", num_partitions,
+        ).materialize()
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["score"] = sql_round(batch["s"], ndigits)
+        return batch[[right, "score"]]
+
+    return s_r.map_batches(finish, batch_format="pandas")
