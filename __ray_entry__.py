@@ -1797,6 +1797,16 @@ def q_kmeans_step(sf_dir: str):
     return kmeans_assign_step(ds, k=8)
 
 
+def q_kmeans_lloyd(sf_dir: str):
+    """Full distributed Lloyd's k-means, 2 iterations (assign → update
+    → assign): broadcast centroids, zero-shuffle assignment, centroid
+    update as map-side partials with a k-row driver combine."""
+    from web_crawler_ray.stages.similarity import kmeans_lloyd
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=8, iterations=2)
+
+
 def q_train_split(sf_dir: str):
     """Deterministic hash train/test split of the document corpus
     (Knuth multiplicative bucket on doc_id, 80/20), rolled up per
@@ -1945,6 +1955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": q_string_agg,
         "q_pivot_status": q_pivot_status,
         "q_kmeans_step": q_kmeans_step,
+        "q_kmeans_lloyd": q_kmeans_lloyd,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
         "q_corpus_curate": q_corpus_curate,
@@ -2425,6 +2436,46 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY vec_id
                            ORDER BY d2, cid) AS rn
                 FROM dist
+            ) WHERE rn = 1
+        """,
+        "q_kmeans_lloyd": """
+            WITH c0 AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            d1 AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS d2
+                FROM embeddings e, c0 c
+            ),
+            a1 AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cid) AS rn
+                    FROM d1
+                ) WHERE rn = 1
+            ),
+            cm AS (
+                SELECT a1.cluster AS cid, u.i AS i,
+                       avg(CAST(e.embedding[u.i] AS DOUBLE)) AS v
+                FROM a1 JOIN embeddings e USING (vec_id)
+                CROSS JOIN range(1, 65) u(i)
+                GROUP BY a1.cluster, u.i
+            ),
+            c1 AS (SELECT cid, list(v ORDER BY i) AS cv FROM cm GROUP BY cid),
+            d2t AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS d2
+                FROM embeddings e, c1 c
+            )
+            SELECT vec_id, cluster, round(d2, 6) AS d2 FROM (
+                SELECT vec_id, cid AS cluster, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                           ORDER BY d2, cid) AS rn
+                FROM d2t
             ) WHERE rn = 1
         """,
         "q_train_split": """

@@ -187,3 +187,24 @@ def test_hash_split_and_stratified_sample(ray_session):
     b = hash_bucket(ids, 1000)
     thr = np.where(df["s"].to_numpy() == "a", 500, 100)
     assert sorted(samp["id"]) == sorted(ids[b < thr])
+
+
+def test_kmeans_lloyd_converges(ray_session):
+    """Mean within-cluster d2 is non-increasing across Lloyd iterations
+    (the property that makes the update step worth running)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(300, 64))
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": [list(map(float, v)) for v in vecs]})
+    ds = rd.from_pandas(df).repartition(3)
+    costs = []
+    for iters in (1, 2, 3):
+        out = kmeans_lloyd(ds, k=4, iterations=iters).to_pandas()
+        costs.append(out["d2"].sum())
+        assert len(out) == 300 and out["cluster"].between(0, 3).all()
+    assert costs[1] <= costs[0] + 1e-9 and costs[2] <= costs[1] + 1e-9

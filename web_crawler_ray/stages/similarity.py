@@ -341,3 +341,61 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id",
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_lloyd(ds, k: int = 8, iterations: int = 2, id_col: str = "vec_id",
+                 vec_col: str = "embedding", ndigits: int = 6):
+    """Full distributed Lloyd's k-means: ``iterations`` assignments with
+    a centroid update between consecutive ones (so ``iterations=2`` =
+    assign → update → assign). Each assignment is the zero-shuffle
+    broadcast pattern of :func:`kmeans_assign_step`; each update is a
+    map-side partial (per-batch per-cluster vector sum + count) whose
+    combine is k×batches tiny rows on the driver — the only data that
+    ever leaves the workers. Scale-independent of corpus size."""
+    seeds = ds.filter(expr=f"{id_col} < {k}").take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    cmat = np.asarray([list(r[vec_col]) for r in seeds], dtype=np.float64)
+
+    def assign_tables(cref):
+        def assign(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cref)
+            m = _as_matrix(batch[vec_col]).astype(np.float64)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cluster = np.argmin(d2, axis=1).astype(np.int64)
+            best = d2[np.arange(len(m)), cluster]
+            return pa.table({
+                id_col: batch[id_col],
+                "cluster": pa.array(cluster),
+                "d2": pa.array(sql_round(best, ndigits)),
+            })
+        return assign
+
+    for _ in range(iterations - 1):
+        cref = ray.put(cmat)
+
+        def partial_update(batch: pa.Table, _cref=cref) -> pa.Table:
+            cents = ray.get(_cref)
+            m = _as_matrix(batch[vec_col]).astype(np.float64)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cluster = np.argmin(d2, axis=1)
+            kk, d = cents.shape
+            sums = np.zeros((kk, d), dtype=np.float64)
+            np.add.at(sums, cluster, m)
+            counts = np.bincount(cluster, minlength=kk).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                "n": pa.array(counts),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial_update, batch_format="pyarrow").to_pandas()
+        kk, d = cmat.shape
+        sums = np.zeros((kk, d)); counts = np.zeros(kk, dtype=np.int64)
+        for _, row in parts.iterrows():  # k×batches rows — tiny
+            sums[row["cluster"]] += np.asarray(row["vsum"])
+            counts[row["cluster"]] += row["n"]
+        nonempty = counts > 0
+        cmat = cmat.copy()
+        cmat[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    return ds.map_batches(assign_tables(ray.put(cmat)), batch_format="pyarrow")
