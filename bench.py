@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q_corpus_curate_stats",
     "q_left_join",
     "q_approx_distinct",
+    "q_graph_scores",
+    "q_kmeans_lloyd",
 ]
 
 

@@ -274,3 +274,38 @@ def test_seen_digest_matches_collected_set(ray_run):
     assert res["n_seen"] == len(res["seen_hashes"])
     assert len(res["shard_digests"]) > 0
     assert res["seen_digest"] == _h.md5("".join(res["shard_digests"]).encode()).hexdigest()
+
+
+def test_crashed_attempt_stale_files_cleared(fixtures, ray_run):
+    """A crashed mid-round attempt leaves uniquely-named part files in
+    the round's order/ and frontier_out/ dirs; re-running the round
+    must clear them (not read/count them alongside the new attempt's
+    files) and still produce the exact pull-run order."""
+    import pyarrow as pa
+
+    ckpt = os.path.join(fixtures["root"], "crashed")
+    cfg_short = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS - 1,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    run_crawl(cfg_short, fixtures["seeds"], robots_table=fixtures["robots"])
+    # fabricate a crashed attempt of the NEXT (uncommitted) round:
+    # stale part files with names a fresh attempt would never reuse
+    rdir = os.path.join(ckpt, f"round-{ROUNDS - 1:03d}")
+    for sub in ("order", "frontier_out"):
+        os.makedirs(os.path.join(rdir, sub), exist_ok=True)
+        pq.write_table(
+            pa.table({"url": ["https://stale.example/x"],
+                      "url_hash": pa.array([1], pa.uint64())}),
+            os.path.join(rdir, sub, "part-deadbeefdeadbeef.parquet"),
+        )
+    cfg_full = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    res = run_crawl(cfg_full, fixtures["seeds"], robots_table=fixtures["robots"],
+                    resume=True, collect_seen=True)
+    assert read_crawl_order(ckpt).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
