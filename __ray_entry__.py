@@ -1797,6 +1797,38 @@ def q_kmeans_step(sf_dir: str):
     return kmeans_assign_step(ds, k=8)
 
 
+def q_quantile_cont(sf_dir: str):
+    """Per-event_type interpolated quantiles (median + p95, SQL
+    quantile_cont semantics) — one coarse shuffle, per-partition C
+    kernels."""
+    from web_crawler_ray.stages.windows import group_quantile_cont
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return group_quantile_cont(ds, "event_type", "value",
+                               {"p50": 0.5, "p95": 0.95},
+                               n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_set_intersect(sf_dir: str):
+    """Distinct key intersection of two derived sets (urgent-order
+    customers ∩ high-balance customers) via the semi-join stage over
+    deduplicated keys."""
+    from web_crawler_ray.stages.grouped import partitioned_drop_duplicates
+    from web_crawler_ray.stages.joins import semi_join
+
+    urgent_cust = partitioned_drop_duplicates(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_custkey", "o_orderpriority"])
+        .filter(expr="o_orderpriority == '1-URGENT'")
+        .select_columns(["o_custkey"]),
+        ["o_custkey"], pre_dedup=True,
+    )
+    rich = rd.read_parquet(
+        _t(sf_dir, "customer"), columns=["c_custkey", "c_acctbal"]
+    ).filter(expr="c_acctbal > 5000.0").select_columns(["c_custkey"])
+    return semi_join(urgent_cust, rich, "o_custkey", "c_custkey")
+
+
 def q_kmeans_lloyd(sf_dir: str):
     """Full distributed Lloyd's k-means, 2 iterations (assign → update
     → assign): broadcast centroids, zero-shuffle assignment, centroid
@@ -1956,6 +1988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_status": q_pivot_status,
         "q_kmeans_step": q_kmeans_step,
         "q_kmeans_lloyd": q_kmeans_lloyd,
+        "q_quantile_cont": q_quantile_cont,
+        "q_set_intersect": q_set_intersect,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
         "q_corpus_curate": q_corpus_curate,
@@ -2437,6 +2471,18 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d2, cid) AS rn
                 FROM dist
             ) WHERE rn = 1
+        """,
+        "q_quantile_cont": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events GROUP BY event_type
+        """,
+        "q_set_intersect": """
+            SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_acctbal > 5000.0)
         """,
         "q_kmeans_lloyd": """
             WITH c0 AS (

@@ -100,6 +100,43 @@ def group_quantile_disc(ds, key: str, col: str, qs: dict[str, float],
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
+def group_quantile_cont(ds, key: str, col: str, qs: dict[str, float],
+                        ndigits: int = 6, n_rows_hint: int | None = None):
+    """Per-key INTERPOLATED quantiles (SQL quantile_cont semantics:
+    linear interpolation at rank q*(n-1), 0-based over the ascending
+    sort). Same partitioning shape and assumption as
+    :func:`group_quantile_disc`."""
+    import numpy as np
+
+    from ..functions.rounding import sql_round
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 **{out: pd.Series(dtype="float64") for out in qs}})
+        p = p.sort_values([key, col], kind="mergesort")
+        keys_arr = p[key].to_numpy()
+        v = p[col].to_numpy().astype(np.float64)
+        change = np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]])
+        starts = np.nonzero(change)[0]
+        n = np.diff(np.concatenate([starts, [len(v)]]))
+        row = {key: keys_arr[starts]}
+        for out, q in qs.items():
+            pos = q * (n - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = v[starts + lo]
+            # lo + (hi - lo)*frac, the same FP expression DuckDB's
+            # quantile_cont evaluates (algebraic rearrangements round
+            # differently)
+            val = vlo + (v[starts + hi] - vlo) * frac
+            row[out] = sql_round(pd.Series(val), ndigits).to_numpy()
+        return pd.DataFrame(row)
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
 def lag_delta(ds, key: str, ts_col: str, val_col: str, tie_col: str,
               ndigits: int = 2, n_rows_hint: int | None = None):
     """Window row_number + lag-delta per key: rows ordered by
