@@ -1797,6 +1797,24 @@ def q_kmeans_step(sf_dir: str):
     return kmeans_assign_step(ds, k=8)
 
 
+def q_unnest_embeddings(sf_dir: str):
+    """General explode/unnest: one row per list element with ordinality,
+    driven entirely by Arrow list offsets + np.repeat (no Python per
+    row). Row-level against SQL unnest WITH ORDINALITY."""
+    from web_crawler_ray.stages.explode import explode_column
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+    ).filter(expr="vec_id < 100")
+    out = explode_column(ds, "embedding", out_col="val", index_col="i")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["val"] = sql_round(batch["val"].astype("float64"), 6)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def q_quantile_cont(sf_dir: str):
     """Per-event_type interpolated quantiles (median + p95, SQL
     quantile_cont semantics) — one coarse shuffle, per-partition C
@@ -1990,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kmeans_lloyd": q_kmeans_lloyd,
         "q_quantile_cont": q_quantile_cont,
         "q_set_intersect": q_set_intersect,
+        "q_unnest_embeddings": q_unnest_embeddings,
         "q_train_split": q_train_split,
         "q_stratified_sample": q_stratified_sample,
         "q_corpus_curate": q_corpus_curate,
@@ -2471,6 +2490,12 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY d2, cid) AS rn
                 FROM dist
             ) WHERE rn = 1
+        """,
+        "q_unnest_embeddings": """
+            SELECT vec_id, round(CAST(embedding[i.i] AS DOUBLE), 6) AS val,
+                   CAST(i.i AS BIGINT) AS i
+            FROM embeddings CROSS JOIN range(1, 65) i(i)
+            WHERE vec_id < 100
         """,
         "q_quantile_cont": """
             SELECT event_type,

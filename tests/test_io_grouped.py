@@ -373,3 +373,24 @@ def test_bipartite_power_scores_paths_agree(ray_session):
     assert fast["p"].tolist() == sorted(want.index.tolist())
     assert np.allclose(fast["score"], want.loc[fast["p"]].to_numpy())
     pd.testing.assert_frame_equal(slow, fast)
+
+
+def test_explode_column_edges(ray_session):
+    """Null and empty lists produce no rows; ordinality is 1-based per
+    parent; non-list columns repeat."""
+    from web_crawler_ray.stages.explode import explode_column
+
+    tab = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "tags": pa.array([["a", "b"], [], None, ["c"]], pa.list_(pa.string())),
+        }
+    )
+    out = (
+        explode_column(rd.from_arrow(tab).repartition(2), "tags",
+                       out_col="tag", index_col="pos")
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    )
+    assert out["id"].tolist() == [1, 1, 4]
+    assert out["tag"].tolist() == ["a", "b", "c"]
+    assert out["pos"].tolist() == [1, 2, 1]
