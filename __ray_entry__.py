@@ -1908,6 +1908,101 @@ def q_corpus_curate_stats(sf_dir: str):
     return corpus_stats(q_corpus_curate(sf_dir))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-10 most frequent users via the two-pass Misra–Gries
+    sketch: per-batch ≤m-counter summaries (cardinality-independent
+    exchange) → O(m) driver merge → broadcast exact recount of the ≤m
+    candidates. The scale path past a full groupby count when the key
+    is per-URL/per-host at 10^10 — counts returned are exact, so the
+    SQL oracle is an exact GROUP BY/ORDER BY/LIMIT."""
+    from web_crawler_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", k=10, m=512,
+                         n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_rollup_pricing(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): quantity sums +
+    counts at all three levels, rolled-up keys NULL — raw rows touched
+    once at the finest level, coarser levels derived from it."""
+    from web_crawler_ray.stages.aggregate import rollup_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_sum(ds, ["l_returnflag", "l_linestatus"], "l_quantity",
+                      sum_col="sum_qty")
+
+
+def q_ntile(sf_dir: str):
+    """ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC,
+    event_id): SQL bucket sizing (first n%4 buckets one row bigger),
+    closed-form vectorized bucket ids, coarse hash-partitioned."""
+    from web_crawler_ray.stages.windows import ntile
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    out = ntile(ds, "event_type", "value", "event_id", n_buckets=4,
+                n_rows_hint=_nrows(sf_dir, "events"))
+    return out.select_columns(["event_id", "event_type", "tile"])
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-10 documents for a keyword query — lexical retrieval
+    over the corpus in two map-only streaming passes (df/avgdl partials,
+    then broadcast-idf scoring with per-batch top-k); tokenization and
+    the Robertson +1-idf formula replayed exactly in the SQL oracle."""
+    from web_crawler_ray.stages.text_rank import bm25_search
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bm25_search(ds, "text", "doc_id", _BM25_TERMS, k=10)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Semi-join with a bloom-filter pushdown: lineitems of URGENT
+    orders. The bloom (built from the order keys, OR-merged, broadcast
+    once) prunes the probe side map-side before the exact semi-join
+    removes false positives — the shuffle carries candidates only, the
+    result is exactly the semi-join (same SQL oracle shape as
+    q_semi_join proves it)."""
+    from web_crawler_ray.stages.joins import bloom_semi_join
+
+    line = rd.read_parquet(
+        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    urgent = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
+    out = bloom_semi_join(line, urgent, on="l_orderkey", right_on="o_orderkey")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["l_quantity"] = sql_round(batch["l_quantity"], 2)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas").select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+
+
+def q_first_last(sf_dir: str):
+    """first_value/last_value per user over (ts, event_id) order plus
+    the group size — exact stored doubles, no arithmetic."""
+    from web_crawler_ray.stages.windows import group_first_last
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    return group_first_last(ds, "user_id", "ts", "event_id", "value",
+                            n_rows_hint=_nrows(sf_dir, "events"))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2018,6 +2113,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_spec_join": q_spec_join,
         "q_full_outer_join": q_full_outer_join,
         "q_graph_scores": q_graph_scores,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_rollup_pricing": q_rollup_pricing,
+        "q_ntile": q_ntile,
+        "q_bm25_search": q_bm25_search,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_first_last": q_first_last,
     }
 
 
@@ -2664,5 +2765,64 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_heavy_hitters": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10
+        """,
+        "q_rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id) AS BIGINT) AS tile
+            FROM events
+        """,
+        "q_bm25_search": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+            ), stats AS (
+              SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+                     (SELECT CAST(sum(dl) AS DOUBLE) FROM dl)
+                     / (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl
+            ), tf AS (
+              SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+              WHERE tok IN ('hash', 'join', 'vector') GROUP BY doc_id, tok
+            ), df AS (
+              SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok
+            )
+            SELECT tf.doc_id AS doc_id,
+                   round(sum( ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                              * (tf.tf * 2.2)
+                              / (tf.tf + 1.2 * (1.0 - 0.75
+                                                + 0.75 * dl.dl / stats.avgdl)) ),
+                         4) AS score
+            FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats
+            GROUP BY tf.doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 10
+        """,
+        "q_bloom_semi_join": """
+            SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
+            FROM lineitem
+            WHERE l_orderkey IN (
+                SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            )
+        """,
+        "q_first_last": """
+            SELECT user_id,
+                   first(value ORDER BY ts, event_id) AS first_v,
+                   last(value ORDER BY ts, event_id) AS last_v,
+                   count(*) AS n
+            FROM events GROUP BY user_id
         """,
     }

@@ -64,3 +64,25 @@ def test_flagship_summarize(ray_session):
     g = gainers.to_pandas()
     assert len(g) <= 5
     assert (g["change_percent"].diff().dropna() <= 0).all()  # descending
+
+
+def test_rollup_sum_levels(ray_session):
+    """ROLLUP emits every prefix level with NULL rolled-up keys and
+    sums that reconcile: finest rows sum to their level-1 parent, and
+    level-1 rows to the grand total."""
+    from web_crawler_ray.stages.aggregate import rollup_sum
+
+    df = pd.DataFrame({
+        "x": ["a", "a", "b", "b", "b"],
+        "y": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = rollup_sum(rd.from_pandas(df).repartition(2), ["x", "y"], "v")
+    finest = out[out["y"].notna()]
+    level1 = out[out["y"].isna() & out["x"].notna()]
+    total = out[out["x"].isna()]
+    assert len(finest) == 4 and len(level1) == 2 and len(total) == 1
+    assert sorted(level1["sum_v"]) == [3.0, 12.0]
+    assert total["sum_v"].iloc[0] == 15.0 and total["n"].iloc[0] == 5
+    got_a = finest[finest["x"] == "a"].set_index("y")["sum_v"]
+    assert got_a["p"] == 1.0 and got_a["q"] == 2.0

@@ -394,3 +394,70 @@ def test_explode_column_edges(ray_session):
     assert out["id"].tolist() == [1, 1, 4]
     assert out["tag"].tolist() == ["a", "b", "c"]
     assert out["pos"].tolist() == [1, 2, 1]
+
+
+def test_heavy_hitters_exact_and_fallback(ray_session):
+    """Two-pass Misra–Gries top-k equals the exact top-k on a skewed
+    corpus; with m too small for the guarantee the exact fallback
+    kicks in and the result is still exact."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    # zipf-ish skew over 2000 keys
+    keys = (rng.zipf(1.3, 50_000) % 2000).astype("int64")
+    df = pd.DataFrame({"k": keys})
+    exact = (df["k"].value_counts().rename("cnt").rename_axis("k").reset_index()
+             .sort_values(["cnt", "k"], ascending=[False, True], kind="mergesort")
+             .head(10).reset_index(drop=True))
+    for m in (512, 4):  # m=4 forces the guarantee gate → exact fallback
+        out = heavy_hitters(rd.from_pandas(df).repartition(8), "k", k=10, m=m,
+                            n_rows_hint=len(df))
+        pd.testing.assert_frame_equal(
+            out.reset_index(drop=True).astype({"cnt": "int64"}),
+            exact.astype({"cnt": "int64"}), check_names=False)
+
+
+def test_mg_compress_guarantee():
+    """MG compression never under-counts a key by more than the
+    removed pivot, and keeps at most m counters."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import _mg_compress
+
+    rng = np.random.default_rng(5)
+    counts = pd.Series(rng.integers(1, 100, 500),
+                       index=np.arange(500)).astype("int64")
+    out = _mg_compress(counts, 50)
+    assert len(out) <= 50
+    pivot = np.sort(counts.to_numpy())[::-1][50]
+    for k, v in out.items():
+        assert counts[k] - v == pivot
+
+
+def test_bloom_semi_join_exact(ray_session):
+    """Bloom-pushdown semi-join returns EXACTLY the plain semi-join
+    (bloom false positives removed by the exact fix-up), independent of
+    block layout, including with a deliberately tiny/collision-heavy
+    bloom."""
+    import numpy as np
+
+    from web_crawler_ray.stages.joins import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({"k": rng.integers(0, 5000, 20_000), "v": np.arange(20_000)})
+    right = pd.DataFrame({"rk": rng.integers(0, 5000, 300)})
+    want = (
+        semi_join(rd.from_pandas(left), rd.from_pandas(right), on="k", right_on="rk")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert 0 < len(want) < len(left)
+    for bits in (20, 10):  # 2^10 bits over 300 keys → many false positives
+        got = (
+            bloom_semi_join(rd.from_pandas(left).repartition(7),
+                            rd.from_pandas(right).repartition(3),
+                            on="k", right_on="rk", bits_log2=bits)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])

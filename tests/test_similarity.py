@@ -208,3 +208,47 @@ def test_kmeans_lloyd_converges(ray_session):
         costs.append(out["d2"].sum())
         assert len(out) == 300 and out["cluster"].between(0, 3).all()
     assert costs[1] <= costs[0] + 1e-9 and costs[2] <= costs[1] + 1e-9
+
+
+def test_bm25_search_formula_and_layout_invariance(ray_session):
+    """BM25 scores match a directly-computed Robertson +1-idf formula
+    on a tiny corpus, and are block-layout-invariant (df/avgdl partials
+    merge associatively; per-batch top-k is winner-preserving)."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.text_rank import bm25_search
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "hash join hash probe build",
+            "vector scan filter",
+            "sort merge join",
+            "nothing relevant here at all",
+        ],
+    })
+    terms = ["hash", "join"]
+    # direct formula
+    toks = [t.split() for t in docs["text"]]
+    dls = [len(t) for t in toks]
+    n, avgdl = 4.0, sum(dls) / 4.0
+    dfs = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    exp = {}
+    for i, tk in enumerate(toks):
+        s = 0.0
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                idf = math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avgdl))
+        if s > 0:
+            exp[docs["doc_id"][i]] = float(sql_round(pd.Series([s]), 4).iloc[0])
+    for parts in (1, 3):
+        out = bm25_search(rd.from_pandas(docs).repartition(parts),
+                          "text", "doc_id", terms, k=10)
+        assert dict(zip(out["doc_id"], out["score"])) == exp
+        assert out["doc_id"].tolist() == [1, 3]  # hash-heavy doc first

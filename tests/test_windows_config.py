@@ -177,3 +177,44 @@ def test_grouped_string_agg_and_pivot(ray_session):
     # SQL NULL semantics: groups with no matching pivot value stay null
     assert pd.isna(piv["sum_f"][1]) and pd.isna(piv["sum_p"]).all()
     assert piv["n"].tolist() == [3, 1]
+
+
+def test_ntile_bucket_sizing(ray_session):
+    """SQL ntile rule: first n%b buckets get ceil(n/b) rows — checked
+    for n=10/b=4 (3,3,2,2), n=3/b=4 (one row per bucket), and
+    descending value order within the key."""
+    from web_crawler_ray.stages.windows import ntile
+
+    df = pd.DataFrame({
+        "k": ["a"] * 10 + ["b"] * 3,
+        "v": list(range(10)) + [5.0, 1.0, 9.0],
+        "id": list(range(13)),
+    })
+    out = (ntile(rd.from_pandas(df).repartition(3), "k", "v", "id", 4)
+           .to_pandas().sort_values(["k", "v"], ascending=[True, False])
+           .reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    assert a["tile"].tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    b = out[out["k"] == "b"]
+    assert b["v"].tolist() == [9.0, 5.0, 1.0]
+    assert b["tile"].tolist() == [1, 2, 3]
+
+
+def test_group_first_last(ray_session):
+    """first/last per key follow (ts, tie) order exactly; values pass
+    through untouched."""
+    from web_crawler_ray.stages.windows import group_first_last
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-01", "2024-01-01",
+                              "2024-01-05", "2024-01-04"]),
+        "id": [10, 11, 9, 3, 4],
+        "v": [5.0, 6.0, 7.0, 8.0, 9.0],
+    })
+    out = (group_first_last(rd.from_pandas(df).repartition(2), "k", "ts", "id", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # key 1: order is (01-01,id9)->7.0 first, (01-02,id10)->5.0 last
+    assert out.loc[0, "first_v"] == 7.0 and out.loc[0, "last_v"] == 5.0
+    assert out.loc[1, "first_v"] == 9.0 and out.loc[1, "last_v"] == 8.0
+    assert out["n"].tolist() == [3, 2]

@@ -264,3 +264,42 @@ def corr_profile(ds, keys: list[str], xcol: str, ycol: str, ndigits: int = 6):
         return batch[[*keys, "n", "corr_xy"]]
 
     return g.map_batches(finish, batch_format="pandas")
+
+
+def rollup_sum(ds, keys: list[str], val_col: str, sum_col: str = "sum_v",
+               ndigits: int = 2):
+    """GROUP BY ROLLUP(*keys): SUM(val) + COUNT(*) at every prefix
+    level of ``keys`` (finest → grand total), rolled-up key columns
+    NULL like SQL.
+
+    Shape: the raw rows are aggregated ONCE at the finest level
+    (map-side partials + one small combine shuffle via
+    :func:`partial_grouped_agg`); every coarser level re-aggregates the
+    finest-level result, never the input. Partitioning assumption: the
+    finest-level distinct-key count is driver-small (rollup keys are
+    categorical by construction — a rollup over a high-cardinality key
+    is a different operator). Sums of sums equal direct sums exactly
+    here only up to FP associativity, so outputs are rounded at a fixed
+    precision on both engine and oracle sides like every other
+    aggregate in this module."""
+    finest = partial_grouped_agg(
+        ds, keys, {sum_col: ("sum", val_col), "n": ("count", None)}
+    ).to_pandas()
+
+    frames = [finest[[*keys, sum_col, "n"]]]
+    for lvl in range(len(keys) - 1, -1, -1):
+        keep = keys[:lvl]
+        if keep:
+            df = (finest.groupby(keep, sort=True, dropna=False)[[sum_col, "n"]]
+                  .sum().reset_index())
+        else:
+            df = pd.DataFrame({sum_col: [finest[sum_col].sum()],
+                               "n": [finest["n"].sum()]})
+        for k in keys[lvl:]:
+            df[k] = None
+        frames.append(df[[*keys, sum_col, "n"]])
+
+    out = pd.concat(frames, ignore_index=True)
+    out[sum_col] = sql_round(out[sum_col], ndigits)
+    out["n"] = out["n"].astype("int64")
+    return out

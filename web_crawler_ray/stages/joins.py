@@ -112,3 +112,62 @@ def anti_join(left, keys_ds, on: str, right_on: str | None = None,
         return batch[batch[_MARKER].isna()].drop(columns=[_MARKER])
 
     return joined.map_batches(keep_misses, batch_format="pandas")
+
+
+def bloom_semi_join(left, keys_ds, on: str, right_on: str | None = None,
+                    bits_log2: int = 20, k_hashes: int = 4,
+                    num_partitions: int = 8):
+    """Exact semi-join with a bloom-filter pushdown — the scale pattern
+    for "big probe side, medium build side": the build side streams once
+    into per-batch bloom bitmaps (OR-merged on the driver in O(2^bits/8)
+    bytes, broadcast once via ``ray.put``), the probe side is filtered
+    map-side to bloom candidates (false positives only, never false
+    negatives), and the surviving — typically tiny — candidate set goes
+    through the exact :func:`semi_join` to remove the false positives.
+    Result is therefore EXACTLY the semi-join, but the shuffle carries
+    only the candidates: at a 1% hit rate the exchange shrinks 100×.
+
+    Hashes are Kirsch–Mitzenmacher double hashing over the stable
+    64-bit row hash (deterministic across processes/parallelism).
+    """
+    import numpy as np
+    import ray as _ray
+
+    rkey = right_on or on
+    m_bits = 1 << bits_log2
+    mask = np.uint64(m_bits - 1)
+
+    def _positions(col: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=np.uint64)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)  # odd → full-period stride
+        i = np.arange(k_hashes, dtype=np.uint64)[:, None]
+        return ((h1 + i * h2) & mask).astype(np.int64)  # (k, n)
+
+    def build_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+        if len(batch):
+            pos = _positions(batch[rkey]).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    merged = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in keys_ds.select_columns([rkey]).map_batches(
+            build_partial, batch_format="pandas").iter_batches(batch_format="pandas"):
+        for raw in b["bitmap"]:
+            merged |= np.frombuffer(raw, dtype=np.uint8)
+    bloom_ref = _ray.put(merged)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        bloom = _ray.get(bloom_ref)
+        pos = _positions(batch[on])  # (k, n)
+        hit = np.ones(len(batch), dtype=bool)
+        for row in pos:
+            hit &= (bloom[row >> 3] & (1 << (row & 7)).astype(np.uint8)) != 0
+        return batch[hit]
+
+    candidates = left.map_batches(probe, batch_format="pandas")
+    return semi_join(candidates, keys_ds, on, right_on=rkey,
+                     num_partitions=num_partitions)

@@ -63,6 +63,112 @@ def _hll_estimate(regs: np.ndarray) -> int:
     return int(round(est))
 
 
+def _mg_compress(counts: pd.Series, m: int) -> pd.Series:
+    """Misra–Gries compression: keep at most ``m`` counters by
+    subtracting the (m+1)-th largest count from all and dropping the
+    non-positives. Each surviving counter under-counts by at most the
+    total mass removed — the standard mergeable-summaries guarantee
+    (Agarwal et al., PODS'12): after merging any number of summaries
+    the under-count is bounded by n/m."""
+    if len(counts) <= m:
+        return counts
+    sorted_c = np.sort(counts.to_numpy())[::-1]
+    pivot = sorted_c[m]
+    out = counts - pivot
+    return out[out > 0]
+
+
+def mg_partial(df: pd.DataFrame, key: str, m: int) -> pd.DataFrame:
+    """Per-batch Misra–Gries summary: exact batch counts compressed to
+    ≤ m counters. An exact count table IS a valid MG summary, so
+    compressing it preserves the merge guarantee."""
+    if not len(df):
+        return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
+                             "cnt": pd.Series([], dtype="int64")})
+    vc = df[key].value_counts(sort=False)
+    vc = _mg_compress(vc, m)
+    return pd.DataFrame({key: vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")})
+
+
+def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
+                  n_rows_hint: int | None = None) -> pd.DataFrame:
+    """Exact top-k most frequent ``key`` values via a two-pass
+    Misra–Gries sketch — the scale path past an exact groupby count
+    when the key cardinality is huge (per-URL, per-host at 10^10).
+
+    Pass 1 ships one ≤``m``-row summary per input batch (shuffle volume
+    O(batches × m), cardinality-independent) and stream-merges them on
+    the driver in O(m) memory — the same bounded single-reducer shape as
+    the HLL estimate above. Pass 2 broadcasts the ≤m candidate keys and
+    recounts them exactly in one streaming map + tiny driver sum, so the
+    returned counts are EXACT, not estimates.
+
+    Correctness gate: MG guarantees every key with true count > n/m
+    survives pass 1, so the result equals the exact top-k whenever the
+    k-th exact count clears that bar. The gate is checked against the
+    pass-2 exact counts; below it the function falls back to the exact
+    one-shuffle count (and a larger ``m`` should be chosen).
+    """
+    n_total = n_rows_hint if n_rows_hint is not None else ds.count()
+    partials = ds.map_batches(lambda b: mg_partial(b, key, m),
+                              batch_format="pandas")
+
+    merged: pd.Series | None = None
+    for batch in partials.iter_batches(batch_format="pandas"):
+        if not len(batch):
+            continue
+        # an iterated batch may coalesce several map outputs → the same
+        # key can appear twice; collapse to unique labels BEFORE add()
+        # (Series.add on duplicate labels cross-joins them)
+        part = batch.groupby(key, sort=False)["cnt"].sum()
+        merged = part if merged is None else merged.add(part, fill_value=0)
+        if len(merged) > 4 * m:
+            merged = _mg_compress(merged, m)
+    if merged is None or not len(merged):
+        return pd.DataFrame({key: [], "cnt": pd.Series([], dtype="int64")})
+    merged = _mg_compress(merged, m)
+
+    # pass 2: exact recount of the ≤m candidates (broadcast membership)
+    cand = np.sort(merged.index.to_numpy())
+
+    def recount(b: pd.DataFrame) -> pd.DataFrame:
+        sub = b[b[key].isin(cand)]
+        if not len(sub):
+            return pd.DataFrame({key: pd.Series([], dtype=b[key].dtype),
+                                 "cnt": pd.Series([], dtype="int64")})
+        vc = sub[key].value_counts(sort=False)
+        return pd.DataFrame({key: vc.index.to_numpy(),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    exact: pd.Series | None = None
+    for batch in ds.map_batches(recount, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        if not len(batch):
+            continue
+        part = batch.groupby(key, sort=False)["cnt"].sum()
+        exact = part if exact is None else exact.add(part, fill_value=0)
+
+    out = (exact.rename("cnt").rename_axis(key).reset_index()
+           .sort_values(["cnt", key], ascending=[False, True], kind="mergesort")
+           .head(k).reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype("int64")
+    if len(out) < k or int(out["cnt"].iloc[-1]) * m <= n_total:
+        # guarantee not met — the sketch may have dropped a true top-k
+        # key; recompute exactly (one coarse-partitioned shuffle)
+        from .grouped import partitioned_apply
+
+        def count_part(p: pd.DataFrame) -> pd.DataFrame:
+            vc = p[key].value_counts(sort=False)
+            return pd.DataFrame({key: vc.index.to_numpy(),
+                                 "cnt": vc.to_numpy().astype("int64")})
+
+        full = partitioned_apply(ds, [key], count_part,
+                                 n_rows_hint=n_rows_hint).to_pandas()
+        out = (full.sort_values(["cnt", key], ascending=[False, True],
+                                kind="mergesort").head(k).reset_index(drop=True))
+    return out
+
+
 def hll_distinct(ds, key: str, col: str, p: int = 12,
                  num_partitions: int = 32, n_rows_hint: int | None = None):
     """Approximate COUNT(DISTINCT col) per key via HyperLogLog.

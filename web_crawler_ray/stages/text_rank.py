@@ -1,0 +1,99 @@
+"""BM25 keyword search over a document corpus — the lexical-retrieval
+counterpart to ``stages/similarity.py``'s embedding ANN (training-data
+pipelines filter/select corpus slices by keyword relevance all the
+time; target-side addition, no reference counterpart).
+
+Shape at 100 TB: pass 1 streams the corpus once and ships one tiny
+(#terms+2)-value partial per batch (document frequencies, doc count,
+total token count) — the exchanged state is O(batches × terms),
+corpus-size-independent. The per-term IDFs and the average document
+length are then broadcast into pass 2, which scores each batch
+vectorized and emits only its local top-k; the driver merges ≤ k rows
+per batch. No shuffle at all — both passes are map-only.
+
+Tokenization is ``[a-z0-9]+`` over lowercased text, exactly
+replayable in SQL as ``regexp_extract_all(lower(text), '[a-z0-9]+')``
+so the whole operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+
+from ..functions.rounding import sql_round
+
+TOK_RE = re.compile(r"[a-z0-9]+")
+
+K1 = 1.2
+B = 0.75
+
+
+def _term_freqs(texts: list[str], terms: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc term-frequency matrix (docs × terms) and doc
+    lengths: one regex pass per doc, then one ``==`` mask + bincount per
+    term over the flattened token array — no per-token Python."""
+    toks_per_doc = [TOK_RE.findall((t or "").lower()) for t in texts]
+    dl = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    n = len(texts)
+    if dl.sum() == 0:
+        return np.zeros((n, len(terms)), dtype=np.int64), dl
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_per_doc if t])
+    doc_ids = np.repeat(np.arange(n), dl)
+    tf = np.zeros((n, len(terms)), dtype=np.int64)
+    for j, term in enumerate(terms):
+        mask = flat == term
+        if mask.any():
+            tf[:, j] = np.bincount(doc_ids[mask], minlength=n)
+    return tf, dl
+
+
+def bm25_search(ds, text_col: str, id_col: str, terms: list[str], k: int = 10,
+                ndigits: int = 4) -> pd.DataFrame:
+    """Exact BM25 top-k (Robertson/Sparck-Jones, the `+1` idf variant):
+    score(d) = Σ_t ln((N - df_t + 0.5)/(df_t + 0.5) + 1)
+                 · tf · (k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+
+    Two streaming map-only passes (see module docstring); ties at equal
+    rounded score break by ascending ``id_col`` on both engine and
+    oracle sides."""
+    terms = sorted(set(terms))
+
+    def stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _term_freqs(list(batch[text_col]), terms)
+        row = {"n_docs": np.int64(len(batch)), "total_len": dl.sum()}
+        for j in range(len(terms)):
+            row[f"df_{j}"] = np.int64((tf[:, j] > 0).sum())
+        return pd.DataFrame([row])
+
+    totals: pd.Series | None = None
+    for b in ds.map_batches(stats_partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        s = b.sum()
+        totals = s if totals is None else totals + s
+    n_docs = float(totals["n_docs"])
+    avgdl = float(totals["total_len"]) / n_docs
+    idf = np.array([
+        math.log((n_docs - float(totals[f"df_{j}"]) + 0.5)
+                 / (float(totals[f"df_{j}"]) + 0.5) + 1.0)
+        for j in range(len(terms))
+    ])
+
+    def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _term_freqs(list(batch[text_col]), terms)
+        tf_f = tf.astype(np.float64)
+        norm = K1 * (1.0 - B + B * dl[:, None] / avgdl)
+        score = ((tf_f * (K1 + 1.0)) / (tf_f + norm) * idf[None, :]).sum(axis=1)
+        out = pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                            "score": sql_round(pd.Series(score), ndigits)})
+        out = out[tf.sum(axis=1) > 0]
+        return out.sort_values(["score", id_col], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    partials = ds.map_batches(score_topk, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["score", id_col], ascending=[False, True],
+                                 kind="mergesort")
+            .head(k).reset_index(drop=True))

@@ -7,6 +7,7 @@ log: partition by key, sort by ts within partition).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from .aggregate import partial_grouped_agg
@@ -213,6 +214,52 @@ def group_rank(ds, key: str, val_col: str, tie_col: str, k: int | None = None,
         if k is not None:
             p = p[p["rn"] <= k]
         return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def ntile(ds, key: str, val_col: str, tie_col: str, n_buckets: int,
+          out_col: str = "tile", descending: bool = True,
+          n_rows_hint: int | None = None):
+    """ntile(n) OVER (PARTITION BY key ORDER BY val [DESC], tie) with
+    SQL bucket sizing: the first ``n mod b`` buckets get ``ceil(n/b)``
+    rows, the rest ``floor(n/b)`` — the same rule DuckDB/ANSI use.
+    Vectorized: one sort per partition, bucket ids from the in-group
+    row index by closed-form arithmetic (no per-group Python). Coarse
+    hash-partitioned on the key like any PARTITION BY."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, val_col, tie_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort").copy()
+        g = p.groupby(key, sort=False)
+        i = g.cumcount().to_numpy()                      # 0-based in-group idx
+        n = g[val_col].transform("size").to_numpy()      # group size per row
+        q, r = n // n_buckets, n % n_buckets             # floor size, big buckets
+        big_span = r * (q + 1)                           # rows covered by big buckets
+        in_big = i < big_span
+        tile_big = i // np.maximum(q + 1, 1)
+        tile_small = r + (i - big_span) // np.maximum(q, 1)
+        p[out_col] = (np.where(in_big, tile_big, tile_small) + 1).astype("int64")
+        return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def group_first_last(ds, key: str, ts_col: str, tie_col: str, val_col: str,
+                     n_rows_hint: int | None = None):
+    """first_value/last_value per key over (ts, tie) order, plus the
+    group size — SQL ``first(val ORDER BY ts, tie)`` / ``last(...)``.
+    No arithmetic on the values (exact stored doubles pass through),
+    one sort + groupby-first/last C kernels per coarse partition."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort")
+        return (p.groupby(key, sort=True)
+                .agg(first_v=(val_col, "first"), last_v=(val_col, "last"),
+                     n=(val_col, "size"))
+                .reset_index()
+                .astype({"n": "int64"}))
 
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
