@@ -2003,6 +2003,33 @@ def q_first_last(sf_dir: str):
                             n_rows_hint=_nrows(sf_dir, "events"))
 
 
+def q_phash_near_dup(sf_dir: str):
+    """Image near-dedup by perceptual-hash hamming distance: 4×16-bit
+    band LSH + vectorized XOR/popcount verify — EXACT for hamming ≤ 3
+    by pigeonhole, proven against an all-pairs bit_count SQL replay.
+    The images-shaped table is derived deterministically from part
+    (4 variants per base hash at hamming 1–3) so both engines compute
+    the identical corpus."""
+    from web_crawler_ray.stages.dedup import hash_near_dup_pairs
+
+    def to_images(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64").to_numpy()
+        base, var = pk // 4, pk % 4
+        h = ((base * 2654435761) % 65536
+             + ((base * 40503) % 65536) * 65536
+             + ((base * 2246822519) % 65536) * 4294967296
+             + ((base * 3266489917) % 32768) * 281474976710656)
+        mask = np.select([var == 1, var == 2, var == 3], [1, 3, 7], default=0)
+        return pd.DataFrame({"image_id": pk, "phash": (h ^ mask).astype("int64")})
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    return hash_near_dup_pairs(
+        ds.map_batches(to_images, batch_format="pandas"),
+        "phash", "image_id", max_hamming=3,
+        n_rows_hint=_nrows(sf_dir, "part"),
+    )
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2119,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_search": q_bm25_search,
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_first_last": q_first_last,
+        "q_phash_near_dup": q_phash_near_dup,
     }
 
 
@@ -2824,5 +2852,23 @@ def oracle_sql() -> dict[str, str]:
                    last(value ORDER BY ts, event_id) AS last_v,
                    count(*) AS n
             FROM events GROUP BY user_id
+        """,
+        "q_phash_near_dup": """
+            WITH img AS (
+              SELECT p_partkey AS image_id,
+                     xor(
+                       ((p_partkey // 4) * 2654435761) % 65536
+                       + (((p_partkey // 4) * 40503) % 65536) * 65536
+                       + (((p_partkey // 4) * 2246822519) % 65536) * 4294967296
+                       + (((p_partkey // 4) * 3266489917) % 32768) * 281474976710656,
+                       CASE p_partkey % 4 WHEN 1 THEN 1 WHEN 2 THEN 3
+                                          WHEN 3 THEN 7 ELSE 0 END
+                     ) AS phash
+              FROM part
+            )
+            SELECT a.image_id AS id_a, b.image_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+            FROM img a JOIN img b ON a.image_id < b.image_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 3
         """,
     }

@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "q_approx_distinct",
     "q_graph_scores",
     "q_kmeans_lloyd",
+    "q_heavy_hitters",
+    "q_bm25_search",
+    "q_bloom_semi_join",
 ]
 
 

@@ -252,3 +252,32 @@ def test_bm25_search_formula_and_layout_invariance(ray_session):
                           "text", "doc_id", terms, k=10)
         assert dict(zip(out["doc_id"], out["score"])) == exp
         assert out["doc_id"].tolist() == [1, 3]  # hash-heavy doc first
+
+
+def test_hash_near_dup_pairs_exact_vs_bruteforce(ray_session):
+    """Banded phash near-dup equals brute-force all-pairs popcount for
+    max_hamming=3 (pigeonhole exactness over 4×16-bit bands), on random
+    64-bit hashes with planted near-pairs, at two block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.dedup import _popcount64, hash_near_dup_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 2**62, 80, dtype=np.int64)
+    # plant variants at hamming 1..3 of each base hash
+    hs = np.concatenate([base, base ^ 1, base ^ 3, base ^ 7])
+    ids = np.arange(len(hs), dtype=np.int64)
+    df = pd.DataFrame({"image_id": ids, "phash": hs})
+    iu, ju = np.triu_indices(len(hs), 1)
+    d = _popcount64((hs[iu] ^ hs[ju]).view(np.uint64))
+    hit = d <= 3
+    want = set(zip(ids[iu[hit]], ids[ju[hit]]))
+    assert len(want) >= 80 * 6
+    for parts in (2, 9):
+        out = hash_near_dup_pairs(rd.from_pandas(df).repartition(parts),
+                                  "phash", "image_id", max_hamming=3).to_pandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        assert got == want
+        assert (out["hamming"] <= 3).all()

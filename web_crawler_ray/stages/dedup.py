@@ -329,6 +329,54 @@ def simhash_near_dup_pairs(ds, text_col="text", id_col="doc_id", max_hamming=8,
     )
 
 
+class HashBands:
+    """map_batches stage: an EXISTING 64-bit hash column (phash,
+    simhash, any fingerprint) → 4×16-bit band keys, reusing the
+    simhash verify kernel downstream. By pigeonhole, two hashes with
+    hamming ≤ 3 agree on at least one of the 4 bands, so for
+    ``max_hamming ≤ 3`` the banded pipeline is EXACT (identical to
+    all-pairs); above that it is LSH-approximate."""
+
+    def __init__(self, hash_col: str, id_col: str):
+        self.hash_col = hash_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = batch[self.hash_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(h)
+        hu = h.view(np.uint64)
+        bands = np.arange(4, dtype=np.uint64)
+        keys = ((bands[None, :] << np.uint64(16))
+                | ((hu[:, None] >> (bands[None, :] * np.uint64(16))) & np.uint64(0xFFFF)))
+        rep = np.repeat(np.arange(n, dtype=np.int64), 4)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1).astype(np.int64), pa.int64()),
+                self.id_col: batch[self.id_col].take(pa.array(rep)),
+                "simhash": pa.array(np.repeat(h, 4), pa.int64()),
+            }
+        )
+
+
+def hash_near_dup_pairs(ds, hash_col: str, id_col: str, max_hamming: int = 3,
+                        n_rows_hint: int | None = None):
+    """Near-duplicate (id_a, id_b, hamming) pairs over a precomputed
+    64-bit hash column — the image-corpus counterpart of
+    :func:`simhash_near_dup_pairs` (phash near-dedup): band-key shuffle
+    only, vectorized per-bucket XOR+popcount verify, global distinct.
+    Exact for ``max_hamming ≤ 3`` (see :class:`HashBands`)."""
+    exploded = ds.map_batches(HashBands(hash_col, id_col), batch_format="pyarrow")
+    n_exploded = None if n_rows_hint is None else n_rows_hint * 4
+    pairs = partitioned_apply(
+        exploded, ["band_key"],
+        lambda p: _verify_simhash_partition(p, id_col, max_hamming),
+        num_partitions=32, n_rows_hint=n_exploded,
+    )
+    return partitioned_drop_duplicates(
+        pairs, ["id_a", "id_b"], num_partitions=8, n_rows_hint=n_exploded,
+    )
+
+
 def ngram_jaccard_verify(ds_pairs, docs_ds, k: int = 5, threshold: float = 0.5,
                          id_a="id_a", id_b="id_b", id_col="doc_id", text_col="text"):
     """Verify candidate pairs with true k-gram Jaccard, shipping only
