@@ -2030,6 +2030,21 @@ def q_phash_near_dup(sf_dir: str):
     )
 
 
+def q_ddsketch_quantile(sf_dir: str):
+    """DDSketch approximate p50/p95/p99 of event value per event_type —
+    the relative-error-guaranteed scale path past the exact
+    group_quantile_* shuffles: only (key, log-bucket, count) rows cross
+    the wire. No SQL oracle (estimates are midpoints by design);
+    accuracy ≤ α vs the exact quantile and layout invariance are pinned
+    in tests/test_io_grouped.py."""
+    from web_crawler_ray.stages.sketch import ddsketch_quantiles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return ddsketch_quantiles(ds, "event_type", "value",
+                              {"p50": 0.5, "p95": 0.95, "p99": 0.99},
+                              n_rows_hint=_nrows(sf_dir, "events"))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_first_last": q_first_last,
         "q_phash_near_dup": q_phash_near_dup,
+        "q_ddsketch_quantile": q_ddsketch_quantile,
     }
 
 

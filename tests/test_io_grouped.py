@@ -461,3 +461,38 @@ def test_bloom_semi_join_exact(ray_session):
             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[["k", "v"]], want[["k", "v"]])
+
+
+def test_ddsketch_quantiles_accuracy_and_invariance(ray_session):
+    """DDSketch per-key quantiles are within the α relative-error
+    guarantee of the exact quantile_disc rank value, and bit-identical
+    across block layouts (integer bucket counts merge associatively)."""
+    import math
+
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import ddsketch_quantiles
+
+    rng = np.random.default_rng(17)
+    n = 40_000
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.5, "a", "b"),
+        "v": np.exp(rng.normal(2.0, 1.5, n)),  # heavy-tailed positives
+    })
+    alpha = 0.005
+    qs = {"p50": 0.5, "p95": 0.95, "p99": 0.99}
+    outs = []
+    for parts in (3, 11):
+        outs.append(
+            ddsketch_quantiles(rd.from_pandas(df).repartition(parts), "k", "v",
+                               qs, alpha=alpha)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    for k, g in df.groupby("k"):
+        vs = np.sort(g["v"].to_numpy())
+        row = outs[0][outs[0]["k"] == k].iloc[0]
+        assert row["n"] == len(vs)
+        for name, q in qs.items():
+            exact = vs[max(1, math.ceil(q * len(vs))) - 1]
+            assert abs(row[name] - exact) <= alpha * exact * 1.0001, (k, name)

@@ -196,3 +196,66 @@ def hll_distinct(ds, key: str, col: str, p: int = 12,
 
     return partitioned_apply(partials, [key], merge, num_partitions,
                              n_rows_hint=n_rows_hint)
+
+
+def ddsketch_partial(df: pd.DataFrame, key: str, col: str, lg: float) -> pd.DataFrame:
+    """Per-batch DDSketch bucket counts: bucket i = ceil(ln(x)/ln(γ))
+    per POSITIVE value, grouped by (key, bucket). One row per distinct
+    (key, bucket) in the batch — the exchanged state is O(keys ×
+    log-range/α), value-count-independent."""
+    x = df[col].to_numpy(dtype=np.float64)
+    ok = x > 0
+    if not ok.all():
+        df, x = df[ok], x[ok]
+    if not len(df):
+        return pd.DataFrame({key: pd.Series([], dtype=object),
+                             "bucket": pd.Series([], dtype="int64"),
+                             "cnt": pd.Series([], dtype="int64")})
+    b = np.ceil(np.log(x) / lg).astype(np.int64)
+    out = (pd.DataFrame({key: df[key].to_numpy(), "bucket": b, "cnt": 1})
+           .groupby([key, "bucket"], sort=False).sum().reset_index())
+    out["cnt"] = out["cnt"].astype("int64")
+    return out
+
+
+def ddsketch_quantiles(ds, key: str, col: str, qs: dict[str, float],
+                       alpha: float = 0.005, num_partitions: int = 32,
+                       n_rows_hint: int | None = None):
+    """Approximate per-key quantiles with a RELATIVE-error guarantee
+    (DDSketch, Masson et al. VLDB'19 — public algorithm): log-γ buckets
+    with γ = (1+α)/(1-α), merged by plain count addition, estimate =
+    bucket midpoint 2γ^i/(γ+1), so |est − true| ≤ α·true at every
+    quantile. The scale path past the exact ``group_quantile_*``
+    operators, whose shuffle carries every raw row: here one
+    (key, bucket, cnt) row per batch-distinct bucket crosses the wire.
+
+    Deterministic and merge-order-independent (integer counts), so
+    results are bit-identical across block layouts and parallelism.
+    Positive values only (standard DDSketch domain); zero/negatives are
+    dropped. Rank convention matches SQL ``quantile_disc``: the
+    ceil(q·n)-th smallest value."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+
+    partials = ds.map_batches(lambda b: ddsketch_partial(b, key, col, lg),
+                              batch_format="pandas")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        rows: list[dict] = []
+        for k, g in part.groupby(key, sort=True, dropna=False):
+            byb = g.groupby("bucket", sort=True)["cnt"].sum()
+            buckets = byb.index.to_numpy(dtype=np.int64)
+            cum = byb.to_numpy(dtype=np.int64).cumsum()
+            n = int(cum[-1])
+            row = {key: k, "n": np.int64(n)}
+            for name, q in qs.items():
+                rank = max(1, math.ceil(q * n))
+                i = int(buckets[np.searchsorted(cum, rank)])
+                row[name] = 2.0 * gamma**i / (gamma + 1.0)
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[key, "n", *qs])
+
+    return partitioned_apply(partials, [key], merge, num_partitions,
+                             n_rows_hint=n_rows_hint)
