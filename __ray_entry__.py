@@ -2045,6 +2045,33 @@ def q_ddsketch_quantile(sf_dir: str):
                               n_rows_hint=_nrows(sf_dir, "events"))
 
 
+def q_cube_status(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): totalprice sums +
+    counts at all four grouping sets — raw rows aggregated once at the
+    finest level, every other set derived from that result."""
+    from web_crawler_ray.stages.aggregate import cube_sum
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return cube_sum(ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice",
+                    sum_col="sum_price")
+
+
+def q_rank_metrics(sf_dir: str):
+    """rank / percent_rank / cume_dist per event_type over value DESC
+    — exact integer-ratio doubles, no rounding needed for parity."""
+    from web_crawler_ray.stages.windows import rank_metrics
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+    out = rank_metrics(ds, "event_type", "value", "event_id",
+                       n_rows_hint=_nrows(sf_dir, "events"))
+    return out.select_columns(["event_id", "event_type", "rk", "pr", "cd"])
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2163,6 +2190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_first_last": q_first_last,
         "q_phash_near_dup": q_phash_near_dup,
         "q_ddsketch_quantile": q_ddsketch_quantile,
+        "q_cube_status": q_cube_status,
+        "q_rank_metrics": q_rank_metrics,
     }
 
 
@@ -2886,5 +2915,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
             FROM img a JOIN img b ON a.image_id < b.image_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        """,
+        "q_cube_status": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_rank_metrics": """
+            SELECT event_id, event_type,
+                   CAST(rank() OVER w AS BIGINT) AS rk,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)
         """,
     }

@@ -86,3 +86,21 @@ def test_rollup_sum_levels(ray_session):
     assert total["sum_v"].iloc[0] == 15.0 and total["n"].iloc[0] == 5
     got_a = finest[finest["x"] == "a"].set_index("y")["sum_v"]
     assert got_a["p"] == 1.0 and got_a["q"] == 2.0
+
+
+def test_cube_sum_sets(ray_session):
+    """CUBE emits all 2^k grouping sets; each coarser set reconciles
+    to the sum of its children."""
+    from web_crawler_ray.stages.aggregate import cube_sum
+
+    df = pd.DataFrame({
+        "x": ["a", "a", "b"], "y": ["p", "q", "p"], "v": [1.0, 2.0, 4.0],
+    })
+    out = cube_sum(rd.from_pandas(df).repartition(2), ["x", "y"], "v")
+    finest = out[out["x"].notna() & out["y"].notna()]
+    only_x = out[out["x"].notna() & out["y"].isna()]
+    only_y = out[out["x"].isna() & out["y"].notna()]
+    total = out[out["x"].isna() & out["y"].isna()]
+    assert len(finest) == 3 and len(only_x) == 2 and len(only_y) == 2 and len(total) == 1
+    assert only_y.set_index("y")["sum_v"].to_dict() == {"p": 5.0, "q": 2.0}
+    assert total["sum_v"].iloc[0] == 7.0 and total["n"].iloc[0] == 3

@@ -218,3 +218,20 @@ def test_group_first_last(ray_session):
     assert out.loc[0, "first_v"] == 7.0 and out.loc[0, "last_v"] == 5.0
     assert out.loc[1, "first_v"] == 9.0 and out.loc[1, "last_v"] == 8.0
     assert out["n"].tolist() == [3, 2]
+
+
+def test_rank_metrics_ties_and_singleton(ray_session):
+    """rank/percent_rank/cume_dist handle value ties (min-rank, max
+    cume peers) and single-row partitions (pr = 0 per SQL)."""
+    from web_crawler_ray.stages.windows import rank_metrics
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b"],
+        "v": [9.0, 7.0, 7.0, 1.0, 5.0],
+        "id": [1, 2, 3, 4, 5],
+    })
+    out = (rank_metrics(rd.from_pandas(df).repartition(2), "k", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["rk"].tolist() == [1, 2, 2, 4, 1]
+    assert out["pr"].tolist() == [0.0, 1/3, 1/3, 1.0, 0.0]
+    assert out["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]

@@ -266,40 +266,60 @@ def corr_profile(ds, keys: list[str], xcol: str, ycol: str, ndigits: int = 6):
     return g.map_batches(finish, batch_format="pandas")
 
 
-def rollup_sum(ds, keys: list[str], val_col: str, sum_col: str = "sum_v",
-               ndigits: int = 2):
-    """GROUP BY ROLLUP(*keys): SUM(val) + COUNT(*) at every prefix
-    level of ``keys`` (finest → grand total), rolled-up key columns
-    NULL like SQL.
+def grouping_sets_sum(ds, keys: list[str], val_col: str,
+                      sets: list[list[str]], sum_col: str = "sum_v",
+                      ndigits: int = 2):
+    """GROUP BY GROUPING SETS: SUM(val) + COUNT(*) at each requested
+    key subset, absent key columns NULL like SQL.
 
     Shape: the raw rows are aggregated ONCE at the finest level
     (map-side partials + one small combine shuffle via
-    :func:`partial_grouped_agg`); every coarser level re-aggregates the
+    :func:`partial_grouped_agg`); every grouping set re-aggregates the
     finest-level result, never the input. Partitioning assumption: the
-    finest-level distinct-key count is driver-small (rollup keys are
-    categorical by construction — a rollup over a high-cardinality key
-    is a different operator). Sums of sums equal direct sums exactly
-    here only up to FP associativity, so outputs are rounded at a fixed
-    precision on both engine and oracle sides like every other
-    aggregate in this module."""
+    finest-level distinct-key count is driver-small (grouping-set keys
+    are categorical by construction — a cube over a high-cardinality
+    key is a different operator). Sums of sums equal direct sums only
+    up to FP associativity, so outputs are rounded at a fixed precision
+    on both engine and oracle sides like every other aggregate here."""
     finest = partial_grouped_agg(
         ds, keys, {sum_col: ("sum", val_col), "n": ("count", None)}
     ).to_pandas()
 
-    frames = [finest[[*keys, sum_col, "n"]]]
-    for lvl in range(len(keys) - 1, -1, -1):
-        keep = keys[:lvl]
-        if keep:
-            df = (finest.groupby(keep, sort=True, dropna=False)[[sum_col, "n"]]
-                  .sum().reset_index())
+    frames = []
+    for keep in sets:
+        if list(keep) == keys:
+            df = finest.copy()
+        elif keep:
+            df = (finest.groupby(list(keep), sort=True, dropna=False)
+                  [[sum_col, "n"]].sum().reset_index())
         else:
             df = pd.DataFrame({sum_col: [finest[sum_col].sum()],
                                "n": [finest["n"].sum()]})
-        for k in keys[lvl:]:
-            df[k] = None
+        for k in keys:
+            if k not in keep:
+                df[k] = None
         frames.append(df[[*keys, sum_col, "n"]])
 
     out = pd.concat(frames, ignore_index=True)
     out[sum_col] = sql_round(out[sum_col], ndigits)
     out["n"] = out["n"].astype("int64")
     return out
+
+
+def rollup_sum(ds, keys: list[str], val_col: str, sum_col: str = "sum_v",
+               ndigits: int = 2):
+    """GROUP BY ROLLUP(*keys): every prefix level, finest → grand
+    total (see :func:`grouping_sets_sum` for shape and assumptions)."""
+    sets = [keys[:lvl] for lvl in range(len(keys), -1, -1)]
+    return grouping_sets_sum(ds, keys, val_col, sets, sum_col, ndigits)
+
+
+def cube_sum(ds, keys: list[str], val_col: str, sum_col: str = "sum_v",
+             ndigits: int = 2):
+    """GROUP BY CUBE(*keys): every key subset (2^len(keys) grouping
+    sets; see :func:`grouping_sets_sum` for shape and assumptions)."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_sum(ds, keys, val_col, sets, sum_col, ndigits)

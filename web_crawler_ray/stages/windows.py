@@ -246,6 +246,31 @@ def ntile(ds, key: str, val_col: str, tie_col: str, n_buckets: int,
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
+def rank_metrics(ds, key: str, val_col: str, tie_col: str,
+                 descending: bool = True, n_rows_hint: int | None = None):
+    """rank(), percent_rank(), cume_dist() OVER (PARTITION BY key ORDER
+    BY val [DESC]): ties on exact ``val_col`` equality; pr =
+    (rank−1)/(n−1) with 0 for single-row groups (SQL convention), cd =
+    peers-rank-max/n. All three are exact integer-ratio doubles — IEEE
+    division of the same ints both engines see — so no rounding is
+    needed for oracle parity. C rank kernels per coarse partition."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, val_col, tie_col],
+                          ascending=[True, not descending, True],
+                          kind="mergesort").copy()
+        g = p.groupby(key, sort=False)
+        rmin = g[val_col].rank(method="min", ascending=not descending)
+        rmax = g[val_col].rank(method="max", ascending=not descending)
+        n = g[val_col].transform("size").astype("float64")
+        p["rk"] = rmin.astype("int64")
+        p["pr"] = np.where(n > 1, (rmin - 1.0) / (n - 1.0), 0.0)
+        p["cd"] = (rmax / n).astype("float64")
+        return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
 def group_first_last(ds, key: str, ts_col: str, tie_col: str, val_col: str,
                      n_rows_hint: int | None = None):
     """first_value/last_value per key over (ts, tie) order, plus the
