@@ -2072,6 +2072,48 @@ def q_rank_metrics(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "rk", "pr", "cd"])
 
 
+def q_image_curate(sf_dir: str):
+    """Image-corpus curation flagship over REAL pixels: decode-validate
+    (actor pool) → quality gate → exact phash dedup → near-dup prune.
+    Rows-only (the pixel codec isn't SQL); the identical curation rule
+    is SQL-proven row-level by q_image_curate_oracle."""
+    from web_crawler_ray.pipelines.curate_images import curate_images
+    from web_crawler_ray.synth import gen_images_ds
+
+    n = max(200, int(20_000 * _sf_scale(sf_dir)))
+    ds = gen_images_ds(n, dup_rate=0.05)
+    out = curate_images(ds, min_pixels=2048, n_rows_hint=n)
+    return out.select_columns(["image_id", "phash", "w", "h", "fmt"])
+
+
+def q_image_curate_oracle(sf_dir: str):
+    """The curation rule (gate → exact dedup by min iid → pairwise
+    near-dup prune to the smaller survivor) through the REAL
+    curate_hashed chain over a part-derived metadata table both engines
+    compute identically — row-level SQL proof of the flagship's
+    dedup/prune semantics."""
+    from web_crawler_ray.pipelines.curate_images import curate_hashed
+
+    def to_meta(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64").to_numpy()
+        base, var = pk // 4, pk % 4
+        h = ((base * 2654435761) % 65536
+             + ((base * 40503) % 65536) * 65536
+             + ((base * 2246822519) % 65536) * 4294967296
+             + ((base * 3266489917) % 32768) * 281474976710656)
+        mask = np.select([var == 1, var == 2, var == 3], [1, 3, 7], default=0)
+        return pd.DataFrame({
+            "iid": pk, "phash": (h ^ mask).astype("int64"),
+            "w": (32 + (pk % 5) * 24).astype("int64"),
+            "h": (32 + (pk % 7) * 16).astype("int64"),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    out = curate_hashed(ds.map_batches(to_meta, batch_format="pandas"),
+                        min_pixels=4096, n_rows_hint=_nrows(sf_dir, "part"))
+    return out.select_columns(["iid", "phash", "w", "h"])
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2192,6 +2234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ddsketch_quantile": q_ddsketch_quantile,
         "q_cube_status": q_cube_status,
         "q_rank_metrics": q_rank_metrics,
+        "q_image_curate": q_image_curate,
+        "q_image_curate_oracle": q_image_curate_oracle,
     }
 
 
@@ -2930,5 +2974,32 @@ def oracle_sql() -> dict[str, str]:
                    cume_dist() OVER w AS cd
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value DESC)
+        """,
+        "q_image_curate_oracle": """
+            WITH img AS (
+              SELECT p_partkey AS iid,
+                     xor(
+                       ((p_partkey // 4) * 2654435761) % 65536
+                       + (((p_partkey // 4) * 40503) % 65536) * 65536
+                       + (((p_partkey // 4) * 2246822519) % 65536) * 4294967296
+                       + (((p_partkey // 4) * 3266489917) % 32768) * 281474976710656,
+                       CASE p_partkey % 4 WHEN 1 THEN 1 WHEN 2 THEN 3
+                                          WHEN 3 THEN 7 ELSE 0 END
+                     ) AS phash,
+                     32 + (p_partkey % 5) * 24 AS w,
+                     32 + (p_partkey % 7) * 16 AS h
+              FROM part
+            ), g AS (
+              SELECT * FROM img WHERE w * h >= 4096
+            ), d AS (
+              SELECT * FROM g
+              QUALIFY row_number() OVER (PARTITION BY phash ORDER BY iid) = 1
+            )
+            SELECT iid, phash, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h
+            FROM d b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM d a
+              WHERE a.iid < b.iid AND bit_count(xor(a.phash, b.phash)) <= 3
+            )
         """,
     }
