@@ -2114,6 +2114,33 @@ def q_image_curate_oracle(sf_dir: str):
     return out.select_columns(["iid", "phash", "w", "h"])
 
 
+def q_unpivot_orders(sf_dir: str):
+    """Generic unpivot (SQL UNPIVOT): totalprice/shippriority columns
+    melted to (variable, value) rows — zero-shuffle map-side reshape,
+    the generic form of the S4 workbook unpivot."""
+    from web_crawler_ray.stages.explode import melt
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_custkey"],
+    )
+
+    def widen(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["o_custkey"] = batch["o_custkey"].astype("float64")
+        return batch
+
+    out = melt(ds.map_batches(widen, batch_format="pandas"),
+               ["o_orderkey"], ["o_totalprice", "o_custkey"])
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["value"] = sql_round(batch["value"], 2)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2236,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rank_metrics": q_rank_metrics,
         "q_image_curate": q_image_curate,
         "q_image_curate_oracle": q_image_curate_oracle,
+        "q_unpivot_orders": q_unpivot_orders,
     }
 
 
@@ -3001,5 +3029,15 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM d a
               WHERE a.iid < b.iid AND bit_count(xor(a.phash, b.phash)) <= 3
             )
+        """,
+        "q_unpivot_orders": """
+            SELECT o_orderkey, variable, round(value, 2) AS value
+            FROM (
+              SELECT o_orderkey,
+                     round(o_totalprice, 2) AS o_totalprice,
+                     CAST(o_custkey AS DOUBLE) AS o_custkey
+              FROM orders
+            )
+            UNPIVOT (value FOR variable IN (o_totalprice, o_custkey))
         """,
     }

@@ -496,3 +496,16 @@ def test_ddsketch_quantiles_accuracy_and_invariance(ray_session):
         for name, q in qs.items():
             exact = vs[max(1, math.ceil(q * len(vs))) - 1]
             assert abs(row[name] - exact) <= alpha * exact * 1.0001, (k, name)
+
+
+def test_melt_unpivot(ray_session):
+    """melt emits one row per (row × value col) with names in
+    'variable' — block-local, order-preserving within a block."""
+    from web_crawler_ray.stages.explode import melt
+
+    df = pd.DataFrame({"id": [1, 2], "a": [10.0, 20.0], "b": [0.5, 0.25]})
+    out = (melt(rd.from_pandas(df), ["id"], ["a", "b"])
+           .to_pandas().sort_values(["id", "variable"]).reset_index(drop=True))
+    assert len(out) == 4
+    assert out["value"].tolist() == [10.0, 0.5, 20.0, 0.25]
+    assert out["variable"].tolist() == ["a", "b", "a", "b"]

@@ -52,3 +52,20 @@ def explode_column(ds, list_col: str, out_col: str | None = None,
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_col: str = "variable", val_col: str = "value"):
+    """Unpivot (SQL UNPIVOT / pandas melt): one output row per
+    (input row × value column), with the column name in ``var_col``.
+    Pure map-side reshape — zero shuffle, batch-local ``pd.melt``
+    (C-level tile/repeat), output rows = input rows × len(value_cols).
+    The generic form of the workbook unpivot in ``sources/tabular``."""
+    import pandas as pd
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.melt(batch[id_cols + value_cols], id_vars=id_cols,
+                       value_vars=value_cols, var_name=var_col,
+                       value_name=val_col)
+
+    return ds.map_batches(fn, batch_format="pandas")
