@@ -2141,6 +2141,19 @@ def q_unpivot_orders(sf_dir: str):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def q_heavy_hitters_weighted(sf_dir: str):
+    """Top-10 users by TOTAL event value via the weighted Misra–Gries
+    two-pass sketch (same cardinality-independent exchange as
+    q_heavy_hitters, float mass counters); sums are exact after the
+    recount pass, rounded at fixed precision for the oracle hash."""
+    from web_crawler_ray.stages.sketch import heavy_hitters
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "value"])
+    out = heavy_hitters(ds, "user_id", k=10, m=512, weight_col="value")
+    out["wt"] = sql_round(out["cnt"], 2)
+    return out[["user_id", "wt"]]
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2264,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_curate": q_image_curate,
         "q_image_curate_oracle": q_image_curate_oracle,
         "q_unpivot_orders": q_unpivot_orders,
+        "q_heavy_hitters_weighted": q_heavy_hitters_weighted,
     }
 
 
@@ -3039,5 +3053,9 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             UNPIVOT (value FOR variable IN (o_totalprice, o_custkey))
+        """,
+        "q_heavy_hitters_weighted": """
+            SELECT user_id, round(sum(value), 2) AS wt FROM events
+            GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10
         """,
     }

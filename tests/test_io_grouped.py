@@ -509,3 +509,26 @@ def test_melt_unpivot(ray_session):
     assert len(out) == 4
     assert out["value"].tolist() == [10.0, 0.5, 20.0, 0.25]
     assert out["variable"].tolist() == ["a", "b", "a", "b"]
+
+
+def test_heavy_hitters_weighted(ray_session):
+    """Weighted MG top-k equals exact top-k by summed weight, with the
+    tiny-m fallback still exact."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import heavy_hitters
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": (rng.zipf(1.4, 30_000) % 500).astype("int64"),
+        "w": rng.uniform(0.0, 10.0, 30_000),
+    })
+    exact = (df.groupby("k")["w"].sum().rename("cnt").rename_axis("k")
+             .reset_index()
+             .sort_values(["cnt", "k"], ascending=[False, True], kind="mergesort")
+             .head(8).reset_index(drop=True))
+    for m in (512, 4):
+        out = heavy_hitters(rd.from_pandas(df).repartition(6), "k", k=8, m=m,
+                            weight_col="w").reset_index(drop=True)
+        assert out["k"].tolist() == exact["k"].tolist()
+        assert np.allclose(out["cnt"], exact["cnt"], rtol=0, atol=1e-6)

@@ -78,20 +78,36 @@ def _mg_compress(counts: pd.Series, m: int) -> pd.Series:
     return out[out > 0]
 
 
-def mg_partial(df: pd.DataFrame, key: str, m: int) -> pd.DataFrame:
-    """Per-batch Misra–Gries summary: exact batch counts compressed to
-    ≤ m counters. An exact count table IS a valid MG summary, so
-    compressing it preserves the merge guarantee."""
+def mg_partial(df: pd.DataFrame, key: str, m: int,
+               weight_col: str | None = None) -> pd.DataFrame:
+    """Per-batch Misra–Gries summary: exact batch counts (or
+    NONNEGATIVE weight sums) compressed to ≤ m counters. An exact count
+    table IS a valid MG summary, so compressing it preserves the merge
+    guarantee. ``total`` carries the batch's pre-compression mass on
+    the first row only (zeros elsewhere), so summing the column across
+    any batch coalescing recovers the exact global mass W."""
+    cnt_dtype = "int64" if weight_col is None else "float64"
     if not len(df):
         return pd.DataFrame({key: pd.Series([], dtype=df[key].dtype),
-                             "cnt": pd.Series([], dtype="int64")})
-    vc = df[key].value_counts(sort=False)
+                             "cnt": pd.Series([], dtype=cnt_dtype),
+                             "total": pd.Series([], dtype="float64")})
+    if weight_col is None:
+        vc = df[key].value_counts(sort=False)
+    else:
+        vc = df.groupby(key, sort=False)[weight_col].sum()
+    batch_mass = float(vc.to_numpy().sum())
     vc = _mg_compress(vc, m)
-    return pd.DataFrame({key: vc.index.to_numpy(), "cnt": vc.to_numpy().astype("int64")})
+    total = np.zeros(len(vc))
+    if len(total):
+        total[0] = batch_mass
+    return pd.DataFrame({key: vc.index.to_numpy(),
+                         "cnt": vc.to_numpy().astype(cnt_dtype),
+                         "total": total})
 
 
 def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
-                  n_rows_hint: int | None = None) -> pd.DataFrame:
+                  n_rows_hint: int | None = None,
+                  weight_col: str | None = None) -> pd.DataFrame:
     """Exact top-k most frequent ``key`` values via a two-pass
     Misra–Gries sketch — the scale path past an exact groupby count
     when the key cardinality is huge (per-URL, per-host at 10^10).
@@ -103,20 +119,32 @@ def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
     recounts them exactly in one streaming map + tiny driver sum, so the
     returned counts are EXACT, not estimates.
 
-    Correctness gate: MG guarantees every key with true count > n/m
-    survives pass 1, so the result equals the exact top-k whenever the
-    k-th exact count clears that bar. The gate is checked against the
-    pass-2 exact counts; below it the function falls back to the exact
+    Correctness gate: MG guarantees every key with true mass > W/m
+    survives pass 1 (W = total count, or total weight with
+    ``weight_col``), so the result equals the exact top-k whenever the
+    k-th exact mass clears that bar. The gate is checked against the
+    pass-2 exact masses; below it the function falls back to the exact
     one-shuffle count (and a larger ``m`` should be chosen).
+
+    ``weight_col`` switches from frequency to NONNEGATIVE weight sums
+    (top keys by total value) — same summary algebra, float counters.
     """
-    n_total = n_rows_hint if n_rows_hint is not None else ds.count()
-    partials = ds.map_batches(lambda b: mg_partial(b, key, m),
+    cnt_dtype = "int64" if weight_col is None else "float64"
+
+    def agg(frame: pd.DataFrame) -> pd.Series:
+        if weight_col is None:
+            return frame[key].value_counts(sort=False)
+        return frame.groupby(key, sort=False)[weight_col].sum()
+
+    partials = ds.map_batches(lambda b: mg_partial(b, key, m, weight_col),
                               batch_format="pandas")
 
     merged: pd.Series | None = None
+    mass_total = 0.0
     for batch in partials.iter_batches(batch_format="pandas"):
         if not len(batch):
             continue
+        mass_total += float(batch["total"].to_numpy().sum())
         # an iterated batch may coalesce several map outputs → the same
         # key can appear twice; collapse to unique labels BEFORE add()
         # (Series.add on duplicate labels cross-joins them)
@@ -125,7 +153,7 @@ def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
         if len(merged) > 4 * m:
             merged = _mg_compress(merged, m)
     if merged is None or not len(merged):
-        return pd.DataFrame({key: [], "cnt": pd.Series([], dtype="int64")})
+        return pd.DataFrame({key: [], "cnt": pd.Series([], dtype=cnt_dtype)})
     merged = _mg_compress(merged, m)
 
     # pass 2: exact recount of the ≤m candidates (broadcast membership)
@@ -135,10 +163,10 @@ def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
         sub = b[b[key].isin(cand)]
         if not len(sub):
             return pd.DataFrame({key: pd.Series([], dtype=b[key].dtype),
-                                 "cnt": pd.Series([], dtype="int64")})
-        vc = sub[key].value_counts(sort=False)
+                                 "cnt": pd.Series([], dtype=cnt_dtype)})
+        vc = agg(sub)
         return pd.DataFrame({key: vc.index.to_numpy(),
-                             "cnt": vc.to_numpy().astype("int64")})
+                             "cnt": vc.to_numpy().astype(cnt_dtype)})
 
     exact: pd.Series | None = None
     for batch in ds.map_batches(recount, batch_format="pandas").iter_batches(
@@ -151,16 +179,16 @@ def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
     out = (exact.rename("cnt").rename_axis(key).reset_index()
            .sort_values(["cnt", key], ascending=[False, True], kind="mergesort")
            .head(k).reset_index(drop=True))
-    out["cnt"] = out["cnt"].astype("int64")
-    if len(out) < k or int(out["cnt"].iloc[-1]) * m <= n_total:
+    out["cnt"] = out["cnt"].astype(cnt_dtype)
+    if len(out) < k or float(out["cnt"].iloc[-1]) * m <= mass_total:
         # guarantee not met — the sketch may have dropped a true top-k
         # key; recompute exactly (one coarse-partitioned shuffle)
         from .grouped import partitioned_apply
 
         def count_part(p: pd.DataFrame) -> pd.DataFrame:
-            vc = p[key].value_counts(sort=False)
+            vc = agg(p)
             return pd.DataFrame({key: vc.index.to_numpy(),
-                                 "cnt": vc.to_numpy().astype("int64")})
+                                 "cnt": vc.to_numpy().astype(cnt_dtype)})
 
         full = partitioned_apply(ds, [key], count_part,
                                  n_rows_hint=n_rows_hint).to_pandas()
