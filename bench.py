@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "q_heavy_hitters",
     "q_bm25_search",
     "q_bloom_semi_join",
+    "q_ddsketch_quantile",
+    "q_image_curate",
 ]
 
 

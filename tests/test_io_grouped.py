@@ -532,3 +532,29 @@ def test_heavy_hitters_weighted(ray_session):
                             weight_col="w").reset_index(drop=True)
         assert out["k"].tolist() == exact["k"].tolist()
         assert np.allclose(out["cnt"], exact["cnt"], rtol=0, atol=1e-6)
+
+
+def test_spec_melt_explode_ops(ray_session):
+    """Spec-compiler reshape ops: melt unpivots and explode unnests,
+    with the column-pruned read still carrying every referenced col."""
+    sf = "/root/testdata/sf0.001"
+    out = build_pipeline(
+        f"{sf}/orders.parquet",
+        [
+            {"op": "melt", "id_cols": ["o_orderkey"],
+             "value_cols": ["o_totalprice", "o_custkey"]},
+            {"op": "groupby_agg", "keys": ["variable"],
+             "aggs": {"n": ["count", None]}},
+        ],
+    ).to_pandas().sort_values("variable").reset_index(drop=True)
+    n_orders = len(pd.read_parquet(f"{sf}/orders.parquet"))
+    assert out["variable"].tolist() == ["o_custkey", "o_totalprice"]
+    assert out["n"].tolist() == [n_orders, n_orders]
+
+    emb = build_pipeline(
+        f"{sf}/embeddings.parquet",
+        [{"op": "explode", "column": "embedding", "out": "x",
+          "index_col": "pos"}, {"op": "limit", "n": 7}],
+    ).to_pandas()
+    assert list(emb.columns[-2:]) == ["x", "pos"] or {"x", "pos"} <= set(emb.columns)
+    assert emb["pos"].iloc[0] == 1

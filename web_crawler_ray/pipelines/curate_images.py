@@ -42,10 +42,15 @@ def curate_hashed(ds, min_pixels: int = 0, max_hamming: int = 3,
                      >= min_pixels]
 
     gated = ds.map_batches(gate, batch_format="pandas")
+    # survivors are metadata-only (no payload bytes) and are consumed
+    # TWICE (LSH pair generation + the final anti-join): materialize so
+    # the upstream decode/dedup DAG runs once, not per consumer. At a
+    # scale where even the metadata can't sit in the object store,
+    # write survivors to partitioned parquet here instead (resumable).
     survivors = partitioned_drop_duplicates(
         gated, ["phash"], sort_keys=["phash", "iid"],
         n_rows_hint=n_rows_hint, pre_dedup=True,
-    )
+    ).materialize()
     # pair set is small by construction (near-dup density bound);
     # materialize so the emptiness gate doesn't re-execute the LSH
     pairs = hash_near_dup_pairs(

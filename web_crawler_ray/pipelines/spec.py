@@ -28,6 +28,9 @@ Spec format (list of op dicts, applied in order):
                           # via the object store — no shuffle
     {"op": "semi_join",   "right": "/path.parquet", "on": col, "right_on": col}
     {"op": "anti_join",   "right": "/path.parquet", "on": col, "right_on": col}
+    {"op": "melt",        "id_cols": [...], "value_cols": [...],
+                          "var_col": "variable", "val_col": "value"}
+    {"op": "explode",     "column": col, "out": name, "index_col": name}
 """
 
 from __future__ import annotations
@@ -105,6 +108,17 @@ def _apply_op(ds, op: dict):
         right = rd.read_parquet(op["right"], columns=[op.get("right_on", op["on"])])
         fn = semi_join if kind == "semi_join" else anti_join
         return fn(ds, right, op["on"], op.get("right_on"))
+    if kind == "melt":
+        from ..stages.explode import melt
+
+        return melt(ds, op["id_cols"], op["value_cols"],
+                    var_col=op.get("var_col", "variable"),
+                    val_col=op.get("val_col", "value"))
+    if kind == "explode":
+        from ..stages.explode import explode_column
+
+        return explode_column(ds, op["column"], out_col=op.get("out"),
+                              index_col=op.get("index_col"))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -165,6 +179,17 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             created.add(op["out"])
         elif kind in ("semi_join", "anti_join"):
             need([op["on"]])
+        elif kind == "melt":
+            need(op["id_cols"])
+            need(op["value_cols"])
+            created.add(op.get("var_col", "variable"))
+            created.add(op.get("val_col", "value"))
+        elif kind == "explode":
+            need([op["column"]])
+            if op.get("out"):
+                created.add(op["out"])
+            if op.get("index_col"):
+                created.add(op["index_col"])
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
