@@ -2154,6 +2154,17 @@ def q_heavy_hitters_weighted(sf_dir: str):
     return out[["user_id", "wt"]]
 
 
+def q_histogram(sf_dir: str):
+    """Equi-width 16-bucket histogram of event values: global (min,max)
+    reduce, then vectorized binning with map-side partial counts — the
+    bin-edge expression is the same IEEE double formula the SQL oracle
+    evaluates, so bucket ids match bit-for-bit."""
+    from web_crawler_ray.stages.aggregate import fixed_width_histogram
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    return fixed_width_histogram(ds, "value", n_buckets=16)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2278,6 +2289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_curate_oracle": q_image_curate_oracle,
         "q_unpivot_orders": q_unpivot_orders,
         "q_heavy_hitters_weighted": q_heavy_hitters_weighted,
+        "q_histogram": q_histogram,
     }
 
 
@@ -3057,5 +3069,13 @@ def oracle_sql() -> dict[str, str]:
         "q_heavy_hitters_weighted": """
             SELECT user_id, round(sum(value), 2) AS wt FROM events
             GROUP BY user_id ORDER BY sum(value) DESC, user_id LIMIT 10
+        """,
+        "q_histogram": """
+            WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+            SELECT CAST(least(floor((value - lo) / ((hi - lo) / 16)), 15)
+                        AS BIGINT) AS bucket,
+                   count(*) AS n
+            FROM events, s
+            GROUP BY 1
         """,
     }

@@ -104,3 +104,24 @@ def test_cube_sum_sets(ray_session):
     assert len(finest) == 3 and len(only_x) == 2 and len(only_y) == 2 and len(total) == 1
     assert only_y.set_index("y")["sum_v"].to_dict() == {"p": 5.0, "q": 2.0}
     assert total["sum_v"].iloc[0] == 7.0 and total["n"].iloc[0] == 3
+
+
+def test_fixed_width_histogram(ray_session):
+    """Histogram bucket counts equal a numpy reference: max lands in
+    the last bucket, empty buckets absent, totals reconcile."""
+    import numpy as np
+
+    from web_crawler_ray.stages.aggregate import fixed_width_histogram
+
+    rng = np.random.default_rng(2)
+    v = rng.uniform(-3.0, 7.0, 5000)
+    df = pd.DataFrame({"value": v})
+    out = (fixed_width_histogram(rd.from_pandas(df).repartition(4), "value", 8)
+           .to_pandas().set_index("bucket")["n"])
+    lo, hi = v.min(), v.max()
+    want = pd.Series(
+        np.minimum(np.floor((v - lo) / ((hi - lo) / 8)), 7).astype("int64")
+    ).value_counts()
+    assert out.sum() == 5000
+    assert {int(k): int(c) for k, c in out.items()} == \
+           {int(k): int(c) for k, c in want.items()}

@@ -323,3 +323,27 @@ def cube_sum(ds, keys: list[str], val_col: str, sum_col: str = "sum_v",
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets_sum(ds, keys, val_col, sets, sum_col, ndigits)
+
+
+def fixed_width_histogram(ds, col: str, n_buckets: int = 16):
+    """Equi-width histogram: pass 1 reduces (min, max) — two scalars on
+    the driver — pass 2 bins every value vectorized into
+    floor((x − lo)/width) clipped to the last bucket, with map-side
+    partial counts and one tiny combine shuffle (one row per (bucket,
+    batch)). Bin edges use the same IEEE double expression the SQL
+    oracle evaluates, so bucket ids match bit-for-bit."""
+    import numpy as np
+
+    stats = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch[col].to_numpy(dtype=np.float64)
+        b = np.minimum(np.floor((x - lo) / width), n_buckets - 1).astype(np.int64)
+        vc = pd.Series(b).value_counts(sort=False)
+        return pd.DataFrame({"bucket": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("bucket").aggregate(Sum("n", alias_name="n")))
