@@ -2165,6 +2165,28 @@ def q_histogram(sf_dir: str):
     return fixed_width_histogram(ds, "value", n_buckets=16)
 
 
+def q_monthly_revenue(sf_dir: str):
+    """Calendar-month revenue rollup (date_trunc('month') parity): the
+    month id is a pure function of the timestamp, so this is a derived
+    column + map-side partial aggregation — no event-time machinery."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def add_month(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["month"] = pd.to_datetime(batch["o_orderdate"]).dt.strftime("%Y-%m")
+        return batch
+
+    g = partial_grouped_agg(
+        ds.map_batches(add_month, batch_format="pandas"), ["month"],
+        {"n": ("count", None), "revenue": ("sum", "o_totalprice")},
+    )
+    return _round_cols(g, {"revenue": 2})
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2290,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unpivot_orders": q_unpivot_orders,
         "q_heavy_hitters_weighted": q_heavy_hitters_weighted,
         "q_histogram": q_histogram,
+        "q_monthly_revenue": q_monthly_revenue,
     }
 
 
@@ -3077,5 +3100,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events, s
             GROUP BY 1
+        """,
+        "q_monthly_revenue": """
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
         """,
     }
