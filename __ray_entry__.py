@@ -2187,6 +2187,21 @@ def q_monthly_revenue(sf_dir: str):
     return _round_cols(g, {"revenue": 2})
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-Res):
+    top-20 orders by es_key = u^(1/totalprice) with a hash-uniform u —
+    inclusion ∝ weight, zero shuffle, no RNG; the same integer hash +
+    pow expression replays in SQL."""
+    from web_crawler_ray.stages.sampling import weighted_sample
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"]
+    )
+    out = weighted_sample(ds, "o_orderkey", "o_totalprice", k=20)
+    out["es_key_r"] = sql_round(out["es_key"], 6)
+    return out[["o_orderkey", "es_key_r"]]
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2313,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_hitters_weighted": q_heavy_hitters_weighted,
         "q_histogram": q_histogram,
         "q_monthly_revenue": q_monthly_revenue,
+        "q_weighted_sample": q_weighted_sample,
     }
 
 
@@ -3106,5 +3122,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1
+        """,
+        "q_weighted_sample": """
+            WITH s AS (
+              SELECT o_orderkey,
+                     pow(((o_orderkey * 2654435761) % 4294967296 % 1000000
+                          + 1.0) / 1000001.0,
+                         1.0 / o_totalprice) AS raw_key
+              FROM orders
+            )
+            SELECT o_orderkey, round(raw_key, 6) AS es_key_r FROM s
+            ORDER BY raw_key DESC, o_orderkey LIMIT 20
         """,
     }

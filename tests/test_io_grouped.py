@@ -558,3 +558,26 @@ def test_spec_melt_explode_ops(ray_session):
     ).to_pandas()
     assert list(emb.columns[-2:]) == ["x", "pos"] or {"x", "pos"} <= set(emb.columns)
     assert emb["pos"].iloc[0] == 1
+
+
+def test_weighted_sample_proportional_and_invariant(ray_session):
+    """A-Res weighted sample: layout-invariant, and heavy-weight rows
+    are selected far more often than light ones (inclusion ∝ weight)."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sampling import weighted_sample
+
+    n = 10_000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype="int64"),
+        # first 100 rows carry 100× the weight of the rest
+        "w": np.where(np.arange(n) < 100, 1000.0, 10.0),
+    })
+    outs = []
+    for parts in (2, 7):
+        out = weighted_sample(rd.from_pandas(df).repartition(parts),
+                              "id", "w", k=50)
+        outs.append(out["id"].tolist())
+    assert outs[0] == outs[1]
+    heavy = sum(1 for i in outs[0] if i < 100)
+    assert heavy >= 20  # 1% of rows, ~100× weight → dominate the sample

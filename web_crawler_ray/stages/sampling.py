@@ -64,3 +64,30 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         return batch[b < thr]
 
     return ds.map_batches(keep, batch_format="pandas")
+
+
+def weighted_sample(ds, id_col: str, weight_col: str, k: int,
+                    mod: int = 1_000_000):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res, public algorithm): each row gets key =
+    u^(1/w) with u a deterministic hash-uniform in (0,1); the k largest
+    keys are the sample, with inclusion probability proportional to
+    weight. No RNG, no shuffle: per-batch vectorized keys + per-batch
+    top-k partials, a ≤k·batches driver merge — and the same integer
+    hash + pow expression replays exactly in SQL.
+
+    Ties at equal key (hash-collision granularity 1/mod) break by
+    ascending id on both sides."""
+
+    def score_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        u = (hash_bucket(ids, mod) + 1.0) / (mod + 1.0)  # (0, 1], never 0
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({id_col: ids, "es_key": u ** (1.0 / w)})
+        return out.sort_values(["es_key", id_col], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    partials = ds.map_batches(score_topk, batch_format="pandas").to_pandas()
+    return (partials.sort_values(["es_key", id_col], ascending=[False, True],
+                                 kind="mergesort")
+            .head(k).reset_index(drop=True))
