@@ -1237,7 +1237,8 @@ def q_distinct_users(sf_dir: str):
     from web_crawler_ray.stages.aggregate import distinct_count
 
     ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "user_id"])
-    return distinct_count(ds, "event_type", "user_id")
+    return distinct_count(ds, "event_type", "user_id",
+                          n_rows_hint=_nrows(sf_dir, "events"))
 
 
 def q_approx_distinct(sf_dir: str):
@@ -2202,6 +2203,16 @@ def q_weighted_sample(sf_dir: str):
     return out[["o_orderkey", "es_key_r"]]
 
 
+def q_top_bigrams(sf_dir: str):
+    """Top-20 token bigrams over the document corpus — n-gram corpus
+    statistics (contamination / boilerplate checks): batch-local exact
+    counts, one tiny combine shuffle, driver top-k."""
+    from web_crawler_ray.stages.text_rank import top_bigrams
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return top_bigrams(ds, "text", k=20)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2329,6 +2340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_histogram": q_histogram,
         "q_monthly_revenue": q_monthly_revenue,
         "q_weighted_sample": q_weighted_sample,
+        "q_top_bigrams": q_top_bigrams,
     }
 
 
@@ -3133,5 +3145,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o_orderkey, round(raw_key, 6) AS es_key_r FROM s
             ORDER BY raw_key DESC, o_orderkey LIMIT 20
+        """,
+        "q_top_bigrams": """
+            WITH l AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT unnest([toks[i] || ' ' || toks[i + 1]
+                             FOR i IN range(1, len(toks))]) AS bigram
+              FROM l
+            )
+            SELECT bigram, count(*) AS n FROM bg
+            GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
         """,
     }

@@ -125,7 +125,8 @@ def numeric_profile(ds, col: str):
     )
 
 
-def distinct_count(ds, key: str, col: str, num_partitions: int = 32):
+def distinct_count(ds, key: str, col: str, num_partitions: int = 32,
+                   n_rows_hint: int | None = None):
     """Exact COUNT(DISTINCT col) per key. One coarse shuffle on
     hash(key, col) collapses duplicates (each (key, col) pair lands in
     exactly one partition), then tiny per-key partial counts combine.
@@ -134,7 +135,8 @@ def distinct_count(ds, key: str, col: str, num_partitions: int = 32):
     from .grouped import partitioned_drop_duplicates
 
     pairs = partitioned_drop_duplicates(
-        ds.select_columns([key, col]), [key, col], num_partitions, pre_dedup=True
+        ds.select_columns([key, col]), [key, col], num_partitions,
+        pre_dedup=True, n_rows_hint=n_rows_hint,
     )
     return partial_grouped_agg(pairs, [key], {"n_distinct": ("count", None)})
 

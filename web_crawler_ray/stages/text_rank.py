@@ -97,3 +97,40 @@ def bm25_search(ds, text_col: str, id_col: str, terms: list[str], k: int = 10,
     return (partials.sort_values(["score", id_col], ascending=[False, True],
                                  kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def top_bigrams(ds, text_col: str, k: int = 20):
+    """Top-k token bigrams by corpus count — n-gram statistics for
+    corpus analysis / contamination checks. Per batch: one regex
+    tokenize pass, bigrams by shifted object-array concat with
+    document-boundary positions masked out, exact partial counts; one
+    tiny combine shuffle (one row per distinct bigram per batch), then
+    a driver top-k over the combined counts (bounded by distinct
+    bigrams — for open-vocabulary corpora cap with heavy_hitters
+    instead). Deterministic ties: ascending bigram."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_per_doc if t])
+        # position of each token's doc; a bigram is valid iff both
+        # halves belong to the same document
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        same_doc = doc_ids[:-1] == doc_ids[1:]
+        bigrams = (flat[:-1] + " " + flat[1:])[same_doc]
+        vc = pd.Series(bigrams).value_counts(sort=False)
+        return pd.DataFrame({"bigram": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    combined = (ds.map_batches(partial, batch_format="pandas")
+                .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+                .to_pandas())
+    return (combined.sort_values(["n", "bigram"], ascending=[False, True],
+                                 kind="mergesort")
+            .head(k).reset_index(drop=True))
