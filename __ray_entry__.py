@@ -2213,6 +2213,17 @@ def q_top_bigrams(sf_dir: str):
     return top_bigrams(ds, "text", k=20)
 
 
+def q_gram_matrix(sf_dir: str):
+    """Distributed Gram matrix over the embedding corpus: one d×d
+    float64 partial per batch (single BLAS matmul), driver-summed —
+    exchanged state is row-count-independent. Tidy (i, j, v) output
+    proven against a DuckDB per-dimension replay."""
+    from web_crawler_ray.stages.similarity import gram_matrix
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding"])
+    return gram_matrix(ds, "embedding")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2341,6 +2352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_monthly_revenue": q_monthly_revenue,
         "q_weighted_sample": q_weighted_sample,
         "q_top_bigrams": q_top_bigrams,
+        "q_gram_matrix": q_gram_matrix,
     }
 
 
@@ -3157,5 +3169,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT bigram, count(*) AS n FROM bg
             GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+        """,
+        "q_gram_matrix": """
+            WITH e AS (SELECT embedding AS l FROM embeddings)
+            SELECT CAST(t1.i AS BIGINT) AS i, CAST(t2.j AS BIGINT) AS j,
+                   round(sum(CAST(l[CAST(t1.i AS INT)] AS DOUBLE)
+                             * CAST(l[CAST(t2.j AS INT)] AS DOUBLE)), 4) AS v
+            FROM e, range(1, 65) t1(i), range(1, 65) t2(j)
+            GROUP BY 1, 2
         """,
     }

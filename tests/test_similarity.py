@@ -306,3 +306,25 @@ def test_curate_images_dedup_and_invariance(ray_session):
                             min_pixels=2048, n_rows_hint=120).to_pandas()
         outs.append(set(out["image_id"]))
     assert outs[0] == outs[1] == want
+
+
+def test_gram_matrix_exact_and_invariant(ray_session):
+    """Gram matrix equals a single-node X.T@X (widened to float64) and
+    is layout-invariant up to the fixed output rounding."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.similarity import gram_matrix
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(0, 1, (300, 8)).astype(np.float32)
+    df = pd.DataFrame({"embedding": [row.tolist() for row in m]})
+    want = m.astype(np.float64).T @ m.astype(np.float64)
+    outs = []
+    for parts in (1, 5):
+        out = gram_matrix(rd.from_pandas(df).repartition(parts), "embedding")
+        outs.append(out)
+        got = out.pivot(index="i", columns="j", values="v").to_numpy()
+        assert np.allclose(got, want, rtol=0, atol=1e-4)
+    pd.testing.assert_frame_equal(outs[0], outs[1])

@@ -399,3 +399,33 @@ def kmeans_lloyd(ds, k: int = 8, iterations: int = 2, id_col: str = "vec_id",
         cmat[nonempty] = sums[nonempty] / counts[nonempty, None]
 
     return ds.map_batches(assign_tables(ray.put(cmat)), batch_format="pyarrow")
+
+
+def gram_matrix(ds, vec_col: str, ndigits: int = 4) -> pd.DataFrame:
+    """Distributed Gram matrix Σ xᵀx over an embedding column — the
+    linear-algebra primitive behind PCA / covariance / whitening at
+    corpus scale. Each batch contributes one d×d float64 partial
+    (X_bᵀ X_b, a single BLAS matmul); the driver sums the tiny
+    matrices — exchanged state is O(batches × d²), row-count-
+    independent. Output is tidy (i, j, v) rows, 1-based dims, rounded
+    at fixed precision for SQL parity (float32 inputs are widened to
+    float64 BEFORE the product on both engine and oracle sides)."""
+    from ..functions.rounding import sql_round
+
+    def partial(batch):
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame({"g": [g.tobytes()], "d": [g.shape[0]]})
+
+    total: np.ndarray | None = None
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"):
+        for raw, d in zip(b["g"], b["d"]):
+            g = np.frombuffer(raw, dtype=np.float64).reshape(int(d), int(d))
+            total = g.copy() if total is None else total + g
+    d = total.shape[0]
+    i, j = np.meshgrid(np.arange(1, d + 1), np.arange(1, d + 1), indexing="ij")
+    return pd.DataFrame({
+        "i": i.ravel().astype("int64"), "j": j.ravel().astype("int64"),
+        "v": sql_round(pd.Series(total.ravel()), ndigits),
+    })
