@@ -2224,6 +2224,33 @@ def q_gram_matrix(sf_dir: str):
     return gram_matrix(ds, "embedding")
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-dup PAIRS → dup CLUSTERS: connected components (min-label
+    propagation) over the banded phash pair graph — the canonical-
+    representative rule for cluster-level dedup, proven against a
+    recursive-CTE min-reachable-id SQL replay."""
+    from web_crawler_ray.stages.dedup import hash_near_dup_pairs
+    from web_crawler_ray.stages.graph import connected_components
+
+    def to_images(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64").to_numpy()
+        base, var = pk // 4, pk % 4
+        h = ((base * 2654435761) % 65536
+             + ((base * 40503) % 65536) * 65536
+             + ((base * 2246822519) % 65536) * 4294967296
+             + ((base * 3266489917) % 32768) * 281474976710656)
+        mask = np.select([var == 1, var == 2, var == 3], [1, 3, 7], default=0)
+        return pd.DataFrame({"image_id": pk, "phash": (h ^ mask).astype("int64")})
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    pairs = hash_near_dup_pairs(
+        ds.map_batches(to_images, batch_format="pandas"),
+        "phash", "image_id", max_hamming=3,
+        n_rows_hint=_nrows(sf_dir, "part"),
+    )
+    return connected_components(pairs)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2353,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q_weighted_sample,
         "q_top_bigrams": q_top_bigrams,
         "q_gram_matrix": q_gram_matrix,
+        "q_dup_clusters": q_dup_clusters,
     }
 
 
@@ -3177,5 +3205,32 @@ def oracle_sql() -> dict[str, str]:
                              * CAST(l[CAST(t2.j AS INT)] AS DOUBLE)), 4) AS v
             FROM e, range(1, 65) t1(i), range(1, 65) t2(j)
             GROUP BY 1, 2
+        """,
+        "q_dup_clusters": """
+            WITH RECURSIVE img AS (
+              SELECT p_partkey AS image_id,
+                     xor(
+                       ((p_partkey // 4) * 2654435761) % 65536
+                       + (((p_partkey // 4) * 40503) % 65536) * 65536
+                       + (((p_partkey // 4) * 2246822519) % 65536) * 4294967296
+                       + (((p_partkey // 4) * 3266489917) % 32768) * 281474976710656,
+                       CASE p_partkey % 4 WHEN 1 THEN 1 WHEN 2 THEN 3
+                                          WHEN 3 THEN 7 ELSE 0 END
+                     ) AS phash
+              FROM part
+            ), p AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM img a JOIN img b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ), r(node, lab) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.s, r.lab FROM e JOIN r ON r.node = e.d
+            )
+            SELECT node, min(lab) AS component FROM r GROUP BY node
         """,
     }

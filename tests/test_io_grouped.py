@@ -581,3 +581,20 @@ def test_weighted_sample_proportional_and_invariant(ray_session):
     assert outs[0] == outs[1]
     heavy = sum(1 for i in outs[0] if i < 100)
     assert heavy >= 20  # 1% of rows, ~100× weight → dominate the sample
+
+
+def test_connected_components_chain_and_isolated(ray_session):
+    """Min-label propagation: a 5-node chain collapses to one component
+    (multi-hop propagation), disjoint pairs stay separate, and results
+    are layout-invariant."""
+    from web_crawler_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame({
+        "id_a": [1, 2, 3, 4, 10, 20],
+        "id_b": [2, 3, 4, 5, 11, 21],
+    })
+    for parts in (1, 3):
+        out = (connected_components(rd.from_pandas(edges).repartition(parts))
+               .set_index("node")["component"].to_dict())
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                       20: 20, 21: 20}

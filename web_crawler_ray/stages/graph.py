@@ -168,3 +168,56 @@ def bipartite_power_scores(edges_ds, left: str, right: str, iterations: int = 2,
         return batch[[right, "score"]]
 
     return s_r.map_batches(finish, batch_format="pandas")
+
+
+def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
+                         max_iter: int = 50) -> pd.DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the minimum node id in
+    its component (the canonical-representative rule dedup clustering
+    needs: near-dup PAIRS → dup CLUSTERS).
+
+    Shape: labels are NODE-sized state broadcast via the object store
+    (same size gate as the power iteration's broadcast path); each
+    iteration is ONE streaming map pass over the edges emitting
+    batch-local (node, min-neighbor-label) partials — the edge list is
+    never materialized on the driver and converges in O(component
+    diameter) passes. Past the node gate, swap the broadcast for the
+    per-iteration hash-join propagation `bipartite_power_scores` uses —
+    same algebra (min instead of sum).
+    """
+    import ray
+
+    # node set: batch-local uniques → node-sized driver union
+    parts = edges_ds.map_batches(
+        lambda b: pd.DataFrame({"n": pd.unique(pd.concat([b[id_a], b[id_b]]))}),
+        batch_format="pandas",
+    ).to_pandas()
+    nodes = np.sort(pd.unique(parts["n"]))
+    labels = nodes.copy()
+
+    for _ in range(max_iter):
+        ref = ray.put((nodes, labels))
+
+        def step(batch: pd.DataFrame) -> pd.DataFrame:
+            ns, ls = ray.get(ref)
+            a = batch[id_a].to_numpy()
+            b = batch[id_b].to_numpy()
+            la = ls[np.searchsorted(ns, a)]
+            lb = ls[np.searchsorted(ns, b)]
+            node = np.concatenate([a, b])
+            lab = np.concatenate([np.minimum(la, lb)] * 2)
+            return (pd.DataFrame({"n": node, "lab": lab})
+                    .groupby("n", sort=False)["lab"].min().reset_index())
+
+        part = edges_ds.map_batches(step, batch_format="pandas").to_pandas()
+        mins = part.groupby("n")["lab"].min()
+        new = labels.copy()
+        idx = np.searchsorted(nodes, mins.index.to_numpy())
+        new[idx] = np.minimum(new[idx], mins.to_numpy())
+        if (new == labels).all():
+            break
+        labels = new
+
+    return pd.DataFrame({"node": nodes.astype("int64"),
+                         "component": labels.astype("int64")})
