@@ -2251,6 +2251,17 @@ def q_dup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature: exact (user, type) counts via
+    map-side partials, then one vectorized entropy pass coarse-
+    partitioned on the user."""
+    from web_crawler_ray.stages.aggregate import group_entropy
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return group_entropy(ds, "user_id", "event_type")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2381,6 +2392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_bigrams": q_top_bigrams,
         "q_gram_matrix": q_gram_matrix,
         "q_dup_clusters": q_dup_clusters,
+        "q_user_entropy": q_user_entropy,
     }
 
 
@@ -3232,5 +3244,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.s, r.lab FROM e JOIN r ON r.node = e.d
             )
             SELECT node, min(lab) AS component FROM r GROUP BY node
+        """,
+        "q_user_entropy": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT user_id, CAST(sum(n) AS DOUBLE) AS tot FROM c GROUP BY 1
+            )
+            SELECT c.user_id,
+                   round(-sum((n / tot) * ln(n / tot)), 6) AS entropy,
+                   CAST(sum(n) AS BIGINT) AS n
+            FROM c JOIN t USING (user_id)
+            GROUP BY c.user_id
         """,
     }

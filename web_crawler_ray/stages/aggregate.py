@@ -349,3 +349,34 @@ def fixed_width_histogram(ds, col: str, n_buckets: int = 16):
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("bucket").aggregate(Sum("n", alias_name="n")))
+
+
+def group_entropy(ds, key: str, cat_col: str, ndigits: int = 6,
+                  num_partitions: int = 32, n_rows_hint: int | None = None):
+    """Shannon entropy of the ``cat_col`` distribution per ``key`` —
+    the diversity/feature-engineering aggregate (user behavioral
+    entropy, host content-type entropy). Two-level: exact (key, cat)
+    counts via map-side partials + one small combine, then a vectorized
+    per-key entropy over the counts table (coarse-partitioned on the
+    key, so it scales with key cardinality)."""
+    import numpy as np
+
+    from .grouped import partitioned_apply
+
+    counts = partial_grouped_agg(
+        ds.select_columns([key, cat_col]), [key, cat_col],
+        {"n": ("count", None)},
+    )
+
+    def entropy(part: pd.DataFrame) -> pd.DataFrame:
+        tot = part.groupby(key, sort=False)["n"].transform("sum")
+        p = part["n"] / tot
+        term = -(p * np.log(p))
+        out = (part.assign(term=term).groupby(key, sort=True)
+               .agg(entropy=("term", "sum"), n=("n", "sum")).reset_index())
+        out["entropy"] = sql_round(out["entropy"], ndigits)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return partitioned_apply(counts, [key], entropy, num_partitions,
+                             n_rows_hint=n_rows_hint)
