@@ -2262,6 +2262,53 @@ def q_user_entropy(sf_dir: str):
     return group_entropy(ds, "user_id", "event_type")
 
 
+def q_image_ann(sf_dir: str):
+    """Image similarity search over REAL pixels: feature-extraction
+    actor pool (rgb mean/std + luma entropy → 7-dim vector) feeding the
+    exact cosine top-5 retrieval — the multimodal decode→embed→search
+    composite. Rows-only (pixel codec isn't SQL); self-match top-1 and
+    determinism pinned in tests."""
+    import pyarrow as pa
+
+    from web_crawler_ray.stages.multimodal import ImageFeatures
+    from web_crawler_ray.stages.similarity import cosine_topk
+    from web_crawler_ray.synth import gen_images_ds, image_record
+
+    n = max(200, int(20_000 * _sf_scale(sf_dir)))
+    feats = gen_images_ds(n).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=128,
+        concurrency=auto_concurrency(0.5),
+    )
+
+    def to_vec(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = [[*map(float, m), *map(float, s), float(e)]
+                for m, s, e in zip(batch["rgb_mean"], batch["rgb_std"],
+                                   batch["luma_entropy"])]
+        return pd.DataFrame({
+            "iid": batch["image_id"].str.slice(4).astype("int64"),
+            "feat": vecs,
+        })
+
+    vec_ds = feats.map_batches(to_vec, batch_format="pandas")
+    # query vectors: the same feature fn over records 0..2, driver-side
+    qrows = [image_record(i) for i in range(3)]
+    qtab = pa.table({
+        "image_id": [r["image_id"] for r in qrows],
+        "bytes": pa.array([r["bytes"] for r in qrows], pa.binary()),
+    })
+    qf = ImageFeatures()(qtab).to_pandas()
+    qvecs = [[*map(float, m), *map(float, s), float(e)]
+             for m, s, e in zip(qf["rgb_mean"], qf["rgb_std"], qf["luma_entropy"])]
+    out = cosine_topk(vec_ds, [0, 1, 2], qvecs, k=5, id_col="iid", vec_col="feat")
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["score"] = sql_round(batch["score"], 4)
+        return batch[["query_id", "iid", "score", "rank"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2393,6 +2440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gram_matrix": q_gram_matrix,
         "q_dup_clusters": q_dup_clusters,
         "q_user_entropy": q_user_entropy,
+        "q_image_ann": q_image_ann,
     }
 
 

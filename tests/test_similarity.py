@@ -328,3 +328,18 @@ def test_gram_matrix_exact_and_invariant(ray_session):
         got = out.pivot(index="i", columns="j", values="v").to_numpy()
         assert np.allclose(got, want, rtol=0, atol=1e-4)
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_image_ann_self_match(ray_session):
+    """The decode→feature→cosine-search composite: each query image's
+    nearest neighbor is itself (score 1.0), deterministically."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as em
+
+    out = em.queries()["q_image_ann"]("/root/testdata/sf0.001").to_pandas()
+    top1 = out[out["rank"] == 1].set_index("query_id")
+    for q in (0, 1, 2):
+        assert top1.loc[q, "iid"] == q
+        assert top1.loc[q, "score"] == 1.0
