@@ -2309,6 +2309,17 @@ def q_image_ann(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 tokens by tf·ln(N/df) —
+    exact document frequencies (one tiny combine shuffle), broadcast
+    idf, per-batch vectorized scoring; ties by ascending token, proven
+    row-level in SQL."""
+    from web_crawler_ray.stages.text_rank import tfidf_keywords
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return tfidf_keywords(ds, "text", "doc_id", top=3)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2441,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_clusters": q_dup_clusters,
         "q_user_entropy": q_user_entropy,
         "q_image_ann": q_image_ann,
+        "q_tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -3305,5 +3317,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n
             FROM c JOIN t USING (user_id)
             GROUP BY c.user_id
+        """,
+        "q_tfidf_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+              FROM toks GROUP BY 1, 2
+            ), df AS (
+              SELECT token, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+              FROM toks GROUP BY 1
+            ), nd AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n FROM documents
+            )
+            SELECT doc_id, token,
+                   round(tf * ln(nd.n / df.df), 6) AS tfidf
+            FROM tf JOIN df USING (token), nd
+            QUALIFY row_number() OVER (
+              PARTITION BY doc_id
+              ORDER BY tf * ln(nd.n / df.df) DESC, token
+            ) <= 3
         """,
     }

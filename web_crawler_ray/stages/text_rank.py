@@ -134,3 +134,70 @@ def top_bigrams(ds, text_col: str, k: int = 20):
     return (combined.sort_values(["n", "bigram"], ascending=[False, True],
                                  kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def tfidf_keywords(ds, text_col: str, id_col: str, top: int = 3,
+                   ndigits: int = 6) -> "pd.DataFrame | object":
+    """Per-document keyword extraction: the ``top`` tokens by
+    tf·idf = tf · ln(N/df), ties by ascending token. Pass 1 computes
+    exact document frequencies (one row per batch-distinct token
+    crosses the combine shuffle) plus the doc count; the df table is
+    broadcast (vocabulary-sized — bounded for natural-language corpora;
+    for open vocabularies semi-join the df table instead) into a pass-2
+    per-batch vectorized scorer that keeps each document's top ``top``.
+    Map-only except the tiny df combine — output streams."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def df_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [set(TOK_RE.findall((t or "").lower()))
+                        for t in batch[text_col]]
+        all_toks = [t for s in toks_per_doc for t in s]
+        if not all_toks:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64"),
+                                 "nd": pd.Series([], dtype="int64")})
+        vc = pd.Series(all_toks).value_counts(sort=False)
+        out = pd.DataFrame({"tok": vc.index.to_numpy(),
+                            "df": vc.to_numpy().astype("int64")})
+        out["nd"] = 0
+        out.loc[out.index[0], "nd"] = len(batch)
+        return out
+
+    dfs = (ds.map_batches(df_partial, batch_format="pandas")
+           .groupby("tok").aggregate(Sum("df", alias_name="df"),
+                                     Sum("nd", alias_name="nd"))
+           .to_pandas())
+    n_docs = float(dfs["nd"].sum())
+    vocab = dfs["tok"].to_numpy()
+    order = np.argsort(vocab)
+    vocab_sorted = vocab[order]
+    idf_sorted = np.log(n_docs / dfs["df"].to_numpy(dtype=np.float64))[order]
+    ref = ray.put((vocab_sorted, idf_sorted))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vs, idfs = ray.get(ref)
+        rows_id, rows_tok, rows_s = [], [], []
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        ids = batch[id_col].to_numpy()
+        for i, toks in enumerate(toks_per_doc):
+            if not toks:
+                continue
+            vc = pd.Series(toks).value_counts(sort=False)
+            tk = vc.index.to_numpy()
+            pos = np.searchsorted(vs, tk)
+            s = vc.to_numpy(dtype=np.float64) * idfs[pos]
+            d = pd.DataFrame({"tok": tk, "s": s}).sort_values(
+                ["s", "tok"], ascending=[False, True], kind="mergesort").head(top)
+            rows_id.extend([ids[i]] * len(d))
+            rows_tok.extend(d["tok"])
+            rows_s.extend(d["s"])
+        return pd.DataFrame({id_col: pd.Series(rows_id, dtype="int64"),
+                             "token": pd.Series(rows_tok, dtype=object),
+                             "tfidf": sql_round(pd.Series(rows_s, dtype="float64"),
+                                                ndigits)})
+
+    return ds.map_batches(score, batch_format="pandas")
