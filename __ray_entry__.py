@@ -2320,6 +2320,18 @@ def q_tfidf_keywords(sf_dir: str):
     return tfidf_keywords(ds, "text", "doc_id", top=3)
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed PCA: Gram + first-moment partials (one streaming
+    pass), driver eigendecomposition of the d×d covariance, broadcast
+    top-4 components, map-side projection — dimensionality reduction
+    for the embedding corpus. Rows-only (eigensolver isn't SQL);
+    numpy-parity + sign determinism pinned in tests."""
+    from web_crawler_ray.stages.similarity import pca_project
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return pca_project(ds, "embedding", "vec_id", k=4)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2453,6 +2465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_entropy": q_user_entropy,
         "q_image_ann": q_image_ann,
         "q_tfidf_keywords": q_tfidf_keywords,
+        "q_pca_project": q_pca_project,
     }
 
 

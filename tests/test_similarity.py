@@ -343,3 +343,36 @@ def test_image_ann_self_match(ray_session):
     for q in (0, 1, 2):
         assert top1.loc[q, "iid"] == q
         assert top1.loc[q, "score"] == 1.0
+
+
+def test_pca_project_matches_numpy(ray_session):
+    """Distributed PCA equals single-node numpy PCA (same covariance,
+    eigh, sign rule) up to output rounding, at two block layouts."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.similarity import pca_project
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (400, 6)) @ np.diag([5, 3, 1, 0.5, 0.1, 0.05])
+    m = base.astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(400, dtype="int64"),
+                       "embedding": [r.tolist() for r in m]})
+    x = m.astype(np.float64)
+    mu = x.mean(axis=0)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs[:, np.argsort(vals)[::-1][:3]]
+    for j in range(3):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+    want = (x - mu) @ w
+    for parts in (1, 4):
+        out = (pca_project(rd.from_pandas(df).repartition(parts),
+                           "embedding", "vec_id", k=3)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        got = out[["pc_1", "pc_2", "pc_3"]].to_numpy()
+        assert np.allclose(got, want, rtol=0, atol=2e-4)

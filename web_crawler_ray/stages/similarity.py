@@ -429,3 +429,58 @@ def gram_matrix(ds, vec_col: str, ndigits: int = 4) -> pd.DataFrame:
         "i": i.ravel().astype("int64"), "j": j.ravel().astype("int64"),
         "v": sql_round(pd.Series(total.ravel()), ndigits),
     })
+
+
+def pca_project(ds, vec_col: str, id_col: str, k: int = 4,
+                ndigits: int = 4):
+    """Distributed PCA projection: one streaming pass accumulates the
+    d×d Gram matrix, column sums and row count (driver-summed tiny
+    partials — the :func:`gram_matrix` shape plus first moments), the
+    d×d covariance eigendecomposition runs on the driver (d is small by
+    definition), and the top-k components are broadcast into a map-side
+    projection pass. Signs are fixed deterministically (largest-|w|
+    coordinate positive) so outputs are reproducible. Output: (id,
+    pc_1..pc_k) rounded at fixed precision."""
+
+    def partial(batch):
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        g = m.T @ m
+        return pd.DataFrame({"g": [g.tobytes()], "s": [m.sum(axis=0).tobytes()],
+                             "n": [len(m)], "d": [g.shape[0]]})
+
+    gtot = None
+    stot = None
+    ntot = 0
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"):
+        for graw, sraw, n, d in zip(b["g"], b["s"], b["n"], b["d"]):
+            g = np.frombuffer(graw, dtype=np.float64).reshape(int(d), int(d))
+            s = np.frombuffer(sraw, dtype=np.float64)
+            gtot = g.copy() if gtot is None else gtot + g
+            stot = s.copy() if stot is None else stot + s
+            ntot += int(n)
+
+    mu = stot / ntot
+    cov = (gtot - np.outer(stot, stot) / ntot) / (ntot - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]
+    # deterministic sign: the largest-|coefficient| coordinate positive
+    for j in range(w.shape[1]):
+        i = int(np.argmax(np.abs(w[:, j])))
+        if w[i, j] < 0:
+            w[:, j] = -w[:, j]
+
+    import ray
+    ref = ray.put((mu, w))
+
+    def project(batch):
+        m_, w_ = ray.get(ref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        p = (x - m_) @ w_
+        cols = {id_col: batch[id_col].to_numpy(zero_copy_only=False)}
+        for j in range(p.shape[1]):
+            cols[f"pc_{j + 1}"] = sql_round(pd.Series(p[:, j]), ndigits)
+        return pd.DataFrame(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
