@@ -2332,6 +2332,34 @@ def q_pca_project(sf_dir: str):
     return pca_project(ds, "embedding", "vec_id", k=4)
 
 
+def q_overlap_join(sf_dir: str):
+    """Pure interval-overlap self-join (no equi key): value bands
+    [v, v+2] of a sparse event slice, matched where bands intersect —
+    the 1-D spatial join via bucketized co-partitioning with a
+    canonical-bucket rule instead of a dedup shuffle."""
+    from web_crawler_ray.stages.joins import interval_overlap_join
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+
+    def bands(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_id"] % 23 == 0].copy()
+        batch["lo"] = batch["value"]
+        batch["hi"] = batch["value"] + 2.0
+        return batch[["event_id", "lo", "hi"]]
+
+    s = ev.map_batches(bands, batch_format="pandas")
+    out = interval_overlap_join(s, s, "lo", "hi", "lo", "hi", bucket_width=2.0)
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["event_id"] < batch["event_id_b"]]
+        return pd.DataFrame({
+            "id_a": batch["event_id"].astype("int64"),
+            "id_b": batch["event_id_b"].astype("int64"),
+        })
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2466,6 +2494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_ann": q_image_ann,
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_pca_project": q_pca_project,
+        "q_overlap_join": q_overlap_join,
     }
 
 
@@ -3352,5 +3381,14 @@ def oracle_sql() -> dict[str, str]:
               PARTITION BY doc_id
               ORDER BY tf * ln(nd.n / df.df) DESC, token
             ) <= 3
+        """,
+        "q_overlap_join": """
+            WITH s AS (
+              SELECT event_id, value AS lo, value + 2.0 AS hi
+              FROM events WHERE event_id % 23 = 0
+            )
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM s a JOIN s b
+              ON a.event_id < b.event_id AND a.lo <= b.hi AND b.lo <= a.hi
         """,
     }

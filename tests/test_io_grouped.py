@@ -598,3 +598,29 @@ def test_connected_components_chain_and_isolated(ray_session):
                .set_index("node")["component"].to_dict())
         assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
                        20: 20, 21: 20}
+
+
+def test_interval_overlap_join_exact(ray_session):
+    """Bucketized overlap join equals the brute-force quadratic
+    reference — multi-bucket spans deduped by the canonical-bucket
+    rule, no dedup shuffle — at two widths and layouts."""
+    import numpy as np
+
+    from web_crawler_ray.stages.joins import interval_overlap_join
+
+    rng = np.random.default_rng(7)
+    lo = rng.uniform(0, 50, 120)
+    spans = rng.uniform(0.1, 9.0, 120)  # many intervals span >1 bucket
+    a = pd.DataFrame({"id": np.arange(120, dtype="int64"),
+                      "lo": lo, "hi": lo + spans})
+    want = set()
+    for i in range(120):
+        for j in range(120):
+            if a.lo[i] <= a.hi[j] and a.lo[j] <= a.hi[i]:
+                want.add((i, j))
+    for width in (2.0, 5.0):
+        ds = rd.from_pandas(a).repartition(4)
+        out = interval_overlap_join(ds, ds, "lo", "hi", "lo", "hi",
+                                    bucket_width=width).to_pandas()
+        got = set(zip(out["id"], out["id_b"]))
+        assert got == want

@@ -171,3 +171,69 @@ def bloom_semi_join(left, keys_ds, on: str, right_on: str | None = None,
     candidates = left.map_batches(probe, batch_format="pandas")
     return semi_join(candidates, keys_ds, on, right_on=rkey,
                      num_partitions=num_partitions)
+
+
+def interval_overlap_join(left, right, lo_a: str, hi_a: str,
+                          lo_b: str, hi_b: str, bucket_width: float,
+                          num_partitions: int = 16):
+    """Pure interval-overlap join (NO equi key):
+    ``a.lo <= b.hi AND b.lo <= a.hi`` — the 1-D spatial-join pattern
+    (time-range conflicts, numeric-band matching).
+
+    Shape: each interval explodes to every fixed-width bucket it covers
+    (one row per covered bucket), the join becomes a native hash
+    equi-join on the bucket id (one shuffle per side), and the overlap
+    predicate is a vectorized per-batch filter on the joined rows. A
+    pair overlapping in SEVERAL buckets is emitted exactly once WITHOUT
+    a dedup shuffle: only its canonical bucket — the bucket of
+    max(a.lo, b.lo), the leftmost point both intervals share — keeps
+    it. Pick ``bucket_width`` near the median interval span: too small
+    explodes the bucket fan-out, too big inflates the per-bucket cross
+    product (the usual spatial-binning tradeoff; salt hot buckets
+    upstream if one band dominates). Right-side columns that collide
+    with left names come back suffixed ``_b``."""
+    import numpy as np
+
+    a_cols = list(left.schema().names)
+    b_cols = list(right.schema().names)
+    rename_b = {c: c + "_b" for c in b_cols if c in a_cols}
+    lo_b_out = rename_b.get(lo_b, lo_b)
+    hi_b_out = rename_b.get(hi_b, hi_b)
+
+    def explode(lo, hi, rename):
+        def fn(batch: pd.DataFrame) -> pd.DataFrame:
+            if rename:
+                batch = batch.rename(columns=rename)
+            lo_v = np.floor(batch[rename.get(lo, lo) if rename else lo]
+                            .to_numpy(dtype=np.float64) / bucket_width)
+            hi_v = np.floor(batch[rename.get(hi, hi) if rename else hi]
+                            .to_numpy(dtype=np.float64) / bucket_width)
+            b0 = lo_v.astype(np.int64)
+            b1 = hi_v.astype(np.int64)
+            reps = b1 - b0 + 1
+            idx = np.repeat(np.arange(len(batch)), reps)
+            out = batch.iloc[idx].reset_index(drop=True)
+            out["__bucket"] = (np.concatenate(
+                [np.arange(s, e + 1) for s, e in zip(b0, b1)])
+                if len(batch) else np.array([], dtype=np.int64))
+            return out
+        return fn
+
+    la = left.map_batches(explode(lo_a, hi_a, {}), batch_format="pandas")
+    rb = right.map_batches(explode(lo_b, hi_b, rename_b), batch_format="pandas")
+    joined = la.join(rb, join_type="inner", num_partitions=num_partitions,
+                     on=("__bucket",))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.drop(columns=["__bucket"])
+        alo = batch[lo_a].to_numpy(dtype=np.float64)
+        ahi = batch[hi_a].to_numpy(dtype=np.float64)
+        blo = batch[lo_b_out].to_numpy(dtype=np.float64)
+        bhi = batch[hi_b_out].to_numpy(dtype=np.float64)
+        bucket = batch["__bucket"].to_numpy(dtype=np.int64)
+        hit = (alo <= bhi) & (blo <= ahi)
+        canon = np.floor(np.maximum(alo, blo) / bucket_width).astype(np.int64) == bucket
+        return batch[hit & canon].drop(columns=["__bucket"])
+
+    return joined.map_batches(verify, batch_format="pandas")
