@@ -2360,6 +2360,15 @@ def q_overlap_join(sf_dir: str):
     return out.map_batches(fmt, batch_format="pandas")
 
 
+def q_mode_event(sf_dir: str):
+    """Per-user modal event type (highest count, ties to the smallest
+    value — the deterministic rule SQL mode() doesn't pin down)."""
+    from web_crawler_ray.stages.aggregate import group_mode
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "event_type"])
+    return group_mode(ds, "user_id", "event_type")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2495,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tfidf_keywords": q_tfidf_keywords,
         "q_pca_project": q_pca_project,
         "q_overlap_join": q_overlap_join,
+        "q_mode_event": q_mode_event,
     }
 
 
@@ -3390,5 +3400,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.event_id AS id_a, b.event_id AS id_b
             FROM s a JOIN s b
               ON a.event_id < b.event_id AND a.lo <= b.hi AND b.lo <= a.hi
+        """,
+        "q_mode_event": """
+            SELECT user_id, event_type AS mode_v, n FROM (
+              SELECT user_id, event_type, count(*) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
         """,
     }

@@ -380,3 +380,30 @@ def group_entropy(ds, key: str, cat_col: str, ndigits: int = 6,
 
     return partitioned_apply(counts, [key], entropy, num_partitions,
                              n_rows_hint=n_rows_hint)
+
+
+def group_mode(ds, key: str, cat_col: str, num_partitions: int = 32,
+               n_rows_hint: int | None = None):
+    """Most-frequent ``cat_col`` value per key with a DETERMINISTIC
+    tie-break (highest count, then smallest value) — SQL mode() leaves
+    ties unspecified, so the oracle replays the explicit rule. Exact
+    (key, value) counts via map-side partials + one small combine, then
+    a vectorized winner pick per coarse partition."""
+    counts = partial_grouped_agg(
+        ds.select_columns([key, cat_col]), [key, cat_col],
+        {"n": ("count", None)},
+    )
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([key, "n", cat_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        out = part.drop_duplicates(subset=[key], keep="first")
+        out = out.rename(columns={cat_col: "mode_v"})
+        out["n"] = out["n"].astype("int64")
+        return out[[key, "mode_v", "n"]]
+
+    from .grouped import partitioned_apply
+
+    return partitioned_apply(counts, [key], pick, num_partitions,
+                             n_rows_hint=n_rows_hint)
