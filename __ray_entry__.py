@@ -2369,6 +2369,20 @@ def q_mode_event(sf_dir: str):
     return group_mode(ds, "user_id", "event_type")
 
 
+def q_ratio_to_report(sf_dir: str):
+    """Share-of-total window: each order's fraction of its priority
+    class's total price."""
+    from web_crawler_ray.stages.windows import ratio_to_report
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "orders"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    out = ratio_to_report(ds, "o_orderpriority", "o_totalprice",
+                          n_rows_hint=_nrows(sf_dir, "orders"))
+    return out.select_columns(["o_orderkey", "o_orderpriority", "share"])
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2505,6 +2519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca_project": q_pca_project,
         "q_overlap_join": q_overlap_join,
         "q_mode_event": q_mode_event,
+        "q_ratio_to_report": q_ratio_to_report,
     }
 
 
@@ -3408,5 +3423,11 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY count(*) DESC, event_type) AS rn
               FROM events GROUP BY user_id, event_type
             ) WHERE rn = 1
+        """,
+        "q_ratio_to_report": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice / sum(o_totalprice)
+                         OVER (PARTITION BY o_orderpriority), 6) AS share
+            FROM orders
         """,
     }

@@ -246,6 +246,22 @@ def ntile(ds, key: str, val_col: str, tie_col: str, n_buckets: int,
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
 
 
+def ratio_to_report(ds, key: str, val_col: str, out_col: str = "share",
+                    ndigits: int = 6, n_rows_hint: int | None = None):
+    """value / SUM(value) OVER (PARTITION BY key) — the share-of-total
+    window. One C transform per coarse partition; rounded at fixed
+    precision so per-partition sum order can't flip the oracle hash."""
+    from ..functions.rounding import sql_round
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.copy()
+        tot = p.groupby(key, sort=False)[val_col].transform("sum")
+        p[out_col] = sql_round(p[val_col] / tot, ndigits)
+        return p
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
 def rank_metrics(ds, key: str, val_col: str, tie_col: str,
                  descending: bool = True, n_rows_hint: int | None = None):
     """rank(), percent_rank(), cume_dist() OVER (PARTITION BY key ORDER
