@@ -169,3 +169,49 @@ def test_fingerprint_matches_naive_window_join(texts):
                 for i in range(len(toks) - 7)
             )
         assert T.doc_fingerprint(t) == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=1, max_value=6),
+)
+def test_mg_merge_guarantee(keys, m, n_chunks):
+    """Misra–Gries mergeable-summary property: after per-chunk
+    compression and merged re-compression, every key with true count
+    > total/m survives, and no surviving counter over-counts."""
+    from web_crawler_ray.stages.sketch import _mg_compress
+
+    s = pd.Series(keys)
+    true = s.value_counts()
+    total = len(keys)
+    chunks = np.array_split(s.to_numpy(), n_chunks)
+    merged = None
+    for c in chunks:
+        if not len(c):
+            continue
+        part = _mg_compress(pd.Series(c).value_counts(), m)
+        merged = part if merged is None else merged.add(part, fill_value=0)
+    merged = _mg_compress(merged, m)
+    for k, cnt in true.items():
+        if cnt * m > total:
+            assert k in merged.index, (k, cnt, total, m)
+    for k, v in merged.items():
+        assert v <= true[k] + 1e-9  # counters only ever under-count
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(min_value=1e-6, max_value=1e9, allow_nan=False),
+    st.sampled_from([0.001, 0.005, 0.01, 0.05]),
+)
+def test_ddsketch_bucket_relative_error(x, alpha):
+    """DDSketch bucket-midpoint estimate is within α relative error of
+    any value mapping to that bucket."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    i = math.ceil(math.log(x) / math.log(gamma))
+    est = 2.0 * gamma**i / (gamma + 1.0)
+    assert abs(est - x) <= alpha * x * (1 + 1e-9), (x, est, alpha)
