@@ -2383,6 +2383,31 @@ def q_ratio_to_report(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_orderpriority", "share"])
 
 
+def q_zscore(sf_dir: str):
+    """Global z-score standardization of event values — the feature-
+    scaling staple: one tiny moments reduce (n, Σx, Σx²) broadcast into
+    a map-side transform. Uses the SAME naive-moments expression the
+    SQL replays (var = (Σx² − Σx²/n)/(n−1)) so both engines round the
+    identical double."""
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({"n": [len(v)], "sx": [v.sum()], "sxx": [(v * v).sum()]})
+
+    tot = ds.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n, sx, sxx = float(tot["n"]), float(tot["sx"]), float(tot["sxx"])
+    mu = sx / n
+    sd = ((sxx - sx * sx / n) / (n - 1.0)) ** 0.5
+
+    def standardize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["z"] = sql_round((batch["value"] - mu) / sd, 6)
+        return batch[["event_id", "z"]]
+
+    return ds.map_batches(standardize, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2520,6 +2545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_overlap_join": q_overlap_join,
         "q_mode_event": q_mode_event,
         "q_ratio_to_report": q_ratio_to_report,
+        "q_zscore": q_zscore,
     }
 
 
@@ -3429,5 +3455,16 @@ def oracle_sql() -> dict[str, str]:
                    round(o_totalprice / sum(o_totalprice)
                          OVER (PARTITION BY o_orderpriority), 6) AS share
             FROM orders
+        """,
+        "q_zscore": """
+            WITH s AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS sx,
+                     sum(value * value) AS sxx
+              FROM events
+            )
+            SELECT event_id,
+                   round((value - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
+            FROM events, s
         """,
     }
