@@ -2408,6 +2408,55 @@ def q_zscore(sf_dir: str):
     return ds.map_batches(standardize, batch_format="pandas")
 
 
+def q_decayed_value(sf_dir: str):
+    """Exponentially time-decayed value sum per user (recency-weighted
+    aggregation — the frontier-priority / trending-score shape): weight
+    = exp(−age_days/30) against a FIXED reference instant, folded into
+    map-side partials; one tiny combine shuffle."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ref_us = pd.Timestamp("2024-07-01").value // 1000  # epoch micros
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def weigh(batch: pd.DataFrame) -> pd.DataFrame:
+        age_days = (ref_us - batch["ts"].astype("datetime64[us]").astype("int64")
+                    ) / 86_400_000_000.0
+        batch = batch.copy()
+        batch["w"] = batch["value"] * np.exp(-age_days / 30.0)
+        return batch[["user_id", "w"]]
+
+    g = partial_grouped_agg(
+        ds.map_batches(weigh, batch_format="pandas"), ["user_id"],
+        {"decayed": ("sum", "w"), "n": ("count", None)},
+    )
+    return _round_cols(g, {"decayed": 6})
+
+
+def q_approx_intersect(sf_dir: str):
+    """HLL inclusion–exclusion estimate of |A ∩ B| (urgent-order
+    customers ∩ high-balance customers — the approximate path of
+    q_set_intersect): two streaming scans, union sketch by register
+    max, zero shuffle, 2·2^p bytes of driver state. No SQL oracle
+    (sketch estimate); accuracy pinned vs exact in tests."""
+    from web_crawler_ray.stages.sketch import hll_intersect
+
+    urgent = (rd.read_parquet(_t(sf_dir, "orders"),
+                              columns=["o_custkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .select_columns(["o_custkey"]))
+    rich = (rd.read_parquet(_t(sf_dir, "customer"),
+                            columns=["c_custkey", "c_acctbal"])
+            .filter(expr="c_acctbal > 5000")
+            .select_columns(["c_custkey"]))
+
+    def rename(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.rename(columns={batch.columns[0]: "k"})
+
+    return hll_intersect(urgent.map_batches(rename, batch_format="pandas"),
+                         rich.map_batches(rename, batch_format="pandas"), "k")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2546,6 +2595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mode_event": q_mode_event,
         "q_ratio_to_report": q_ratio_to_report,
         "q_zscore": q_zscore,
+        "q_decayed_value": q_decayed_value,
+        "q_approx_intersect": q_approx_intersect,
     }
 
 
@@ -3466,5 +3517,13 @@ def oracle_sql() -> dict[str, str]:
                    round((value - sx / n)
                          / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
             FROM events, s
+        """,
+        "q_decayed_value": """
+            SELECT user_id,
+                   round(sum(value * exp(-((epoch_us(TIMESTAMP '2024-07-01')
+                                            - epoch_us(ts)) / 86400000000.0)
+                                         / 30.0)), 6) AS decayed,
+                   count(*) AS n
+            FROM events GROUP BY user_id
         """,
     }

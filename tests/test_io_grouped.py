@@ -624,3 +624,24 @@ def test_interval_overlap_join_exact(ray_session):
                                     bucket_width=width).to_pandas()
         got = set(zip(out["id"], out["id_b"]))
         assert got == want
+
+
+def test_hll_intersect_accuracy(ray_session):
+    """HLL inclusion-exclusion intersection estimate within 5% of the
+    exact overlap (relative to the UNION size, the sketch's error
+    scale), layout-invariant."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import hll_intersect
+
+    a = pd.DataFrame({"k": np.arange(0, 30_000, dtype="int64")})
+    b = pd.DataFrame({"k": np.arange(20_000, 55_000, dtype="int64")})
+    outs = []
+    for parts in (2, 9):
+        out = hll_intersect(rd.from_pandas(a).repartition(parts),
+                            rd.from_pandas(b).repartition(parts), "k")
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    est = int(outs[0]["n_intersect_approx"].iloc[0])
+    union = 55_000
+    assert abs(est - 10_000) <= 0.05 * union, est

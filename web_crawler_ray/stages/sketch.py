@@ -287,3 +287,41 @@ def ddsketch_quantiles(ds, key: str, col: str, qs: dict[str, float],
 
     return partitioned_apply(partials, [key], merge, num_partitions,
                              n_rows_hint=n_rows_hint)
+
+
+def _hll_registers(ds, col: str, p: int) -> np.ndarray:
+    """Stream a dataset into one merged HLL register block (driver
+    keeps 2^p bytes; per-batch blocks OR-merge by elementwise max)."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__k"] = 0
+        return hll_partial(df, "__k", col, p)
+
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for raw in b["regs"]:
+            regs = np.maximum(regs, np.frombuffer(raw, dtype=np.uint8))
+    return regs
+
+
+def hll_intersect(ds_a, ds_b, col: str, p: int = 12) -> pd.DataFrame:
+    """Approximate |A ∩ B| over two key streams by HLL
+    inclusion–exclusion: est(A) + est(B) − est(A ∪ B), where the UNION
+    sketch is just the elementwise register max of the two sides — no
+    third scan, no shuffle at all; driver state is 2·2^p bytes. Error
+    grows with |A∪B|/|A∩B| (standard sketch caveat — pinned in tests);
+    the exact path is the dedup + semi-join `q_set_intersect` shape."""
+    ra = _hll_registers(ds_a, col, p)
+    rb = _hll_registers(ds_b, col, p)
+    est_a = _hll_estimate(ra)
+    est_b = _hll_estimate(rb)
+    est_u = _hll_estimate(np.maximum(ra, rb))
+    return pd.DataFrame({
+        "n_a_approx": pd.Series([est_a], dtype="int64"),
+        "n_b_approx": pd.Series([est_b], dtype="int64"),
+        "n_union_approx": pd.Series([est_u], dtype="int64"),
+        "n_intersect_approx": pd.Series([max(0, est_a + est_b - est_u)],
+                                        dtype="int64"),
+    })
