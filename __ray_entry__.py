@@ -701,6 +701,27 @@ def _sf_scale(sf_dir: str) -> float:
         return 0.01
 
 
+def _images_ds(n: int, dup_rate: float = 0.01):
+    """Deterministic image corpus, disk-cached per (n, dup_rate): the
+    generated rows are a pure function of their index (synth.
+    image_record), so every image query reuses one /tmp parquet instead
+    of re-running the generator — the same fixture-caching rule the
+    crawl bench applies to seeds. Fixture prep, not operator work."""
+    import os
+
+    import ray.data as _rd
+
+    from web_crawler_ray.synth import gen_images_ds
+
+    path = f"/tmp/wcr_images_{n}_{int(dup_rate * 10_000)}"
+    done = path + ".done"  # marker OUTSIDE the dir: read_parquet scans it
+    if not os.path.exists(done):
+        gen_images_ds(n, dup_rate=dup_rate).write_parquet(path)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return _rd.read_parquet(path)
+
+
 def q_clean_flagship(sf_dir: str):
     """Reference flagship: synth raw records → clean → validate → dedup
     (SURVEY §3.1). Deterministic synthetic input scaled by sf."""
@@ -945,10 +966,9 @@ def q_image_features(sf_dir: str):
     """Multimodal feature extraction: decode → per-channel stats +
     luminance entropy (actor pool, small batches)."""
     from web_crawler_ray.stages.multimodal import ImageFeatures
-    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(10_000 * _sf_scale(sf_dir)))
-    ds = gen_images_ds(n)
+    ds = _images_ds(n)
     out = ds.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
 
     def flatten(batch: pd.DataFrame) -> pd.DataFrame:
@@ -970,10 +990,9 @@ def q_image_resize(sf_dir: str):
     """Multimodal resize: decode → mean-pool to 16×16 → re-encode
     (binary in, binary out, schema preserved)."""
     from web_crawler_ray.stages.multimodal import DecodeAndValidate, ResizeImages
-    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(5_000 * _sf_scale(sf_dir)))
-    ds = gen_images_ds(n)
+    ds = _images_ds(n)
     resized = ds.map_batches(
         ResizeImages, fn_constructor_kwargs={"target": 16}, batch_format="pyarrow",
         batch_size=128, concurrency=auto_concurrency(),
@@ -1082,10 +1101,9 @@ def q_image_validate(sf_dir: str):
     """input_hint invariant check over the synthetic image corpus:
     decode_ok + phash_ok per row (multimodal actor-pool stage)."""
     from web_crawler_ray.stages.multimodal import DecodeAndValidate
-    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = gen_images_ds(n)
+    ds = _images_ds(n)
     out = ds.map_batches(DecodeAndValidate, batch_format="pyarrow", batch_size=128, concurrency=auto_concurrency(0.5))
     return out.select_columns(["image_id", "fmt", "decode_ok", "phash_ok"])
 
@@ -1093,11 +1111,10 @@ def q_image_validate(sf_dir: str):
 def q_phash_dups(sf_dir: str):
     """D4 exact perceptual-hash duplicate groups over the image corpus."""
     from web_crawler_ray.stages.dedup import phash_dup_groups
-    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
     # 5% dup rate so dup groups exist even at the smallest tier (n=200)
-    return phash_dup_groups(gen_images_ds(n, dup_rate=0.05))
+    return phash_dup_groups(_images_ds(n, dup_rate=0.05))
 
 
 # --------------------------------------------------------------------------
@@ -2079,10 +2096,9 @@ def q_image_curate(sf_dir: str):
     Rows-only (the pixel codec isn't SQL); the identical curation rule
     is SQL-proven row-level by q_image_curate_oracle."""
     from web_crawler_ray.pipelines.curate_images import curate_images
-    from web_crawler_ray.synth import gen_images_ds
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    ds = gen_images_ds(n, dup_rate=0.05)
+    ds = _images_ds(n, dup_rate=0.05)
     out = curate_images(ds, min_pixels=2048, n_rows_hint=n)
     return out.select_columns(["image_id", "phash", "w", "h", "fmt"])
 
@@ -2272,10 +2288,10 @@ def q_image_ann(sf_dir: str):
 
     from web_crawler_ray.stages.multimodal import ImageFeatures
     from web_crawler_ray.stages.similarity import cosine_topk
-    from web_crawler_ray.synth import gen_images_ds, image_record
+    from web_crawler_ray.synth import image_record
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
-    feats = gen_images_ds(n).map_batches(
+    feats = _images_ds(n).map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=128,
         concurrency=auto_concurrency(0.5),
     )
