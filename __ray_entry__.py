@@ -2473,6 +2473,16 @@ def q_approx_intersect(sf_dir: str):
                          rich.map_batches(rename, batch_format="pandas"), "k")
 
 
+def q_label_centroid(sf_dir: str):
+    """Per-label mean embedding (class prototypes): per-batch vector
+    sums + counts, driver-summed — tidy (label, i, v) output proven
+    against a DuckDB per-dimension avg replay."""
+    from web_crawler_ray.stages.similarity import label_centroids
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["embedding", "label"])
+    return label_centroids(ds, "embedding", "label")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2613,6 +2623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zscore": q_zscore,
         "q_decayed_value": q_decayed_value,
         "q_approx_intersect": q_approx_intersect,
+        "q_label_centroid": q_label_centroid,
     }
 
 
@@ -3318,6 +3329,15 @@ def oracle_sql() -> dict[str, str]:
                    last(value ORDER BY ts, event_id) AS last_v,
                    count(*) AS n
             FROM events GROUP BY user_id
+        """,
+        "q_label_centroid": """
+            WITH e AS (SELECT label, embedding AS l FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(t.i AS BIGINT) AS i,
+                   round(sum(CAST(l[CAST(t.i AS INT)] AS DOUBLE))
+                         / count(*), 6) AS v
+            FROM e, range(1, 65) t(i)
+            GROUP BY 1, 2
         """,
         "q_phash_near_dup": """
             WITH img AS (

@@ -484,3 +484,43 @@ def pca_project(ds, vec_col: str, id_col: str, k: int = 4,
         return pd.DataFrame(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def label_centroids(ds, vec_col: str, label_col: str, ndigits: int = 6) -> pd.DataFrame:
+    """Per-label mean embedding (class prototypes — the curation tool
+    for label-conditioned filtering and nearest-prototype
+    classification): each batch contributes per-label vector sums +
+    counts (one (labels_in_batch × d) partial), driver-summed; output
+    is tidy (label, i, v) rows, 1-based dims."""
+
+    def partial(batch):
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        labs = batch[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labs, sort=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=len(uniq))
+        return pd.DataFrame({"label": uniq, "s": [r.tobytes() for r in sums],
+                             "n": cnts.astype("int64")})
+
+    acc: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"):
+        for lab, raw, n in zip(b["label"], b["s"], b["n"]):
+            s = np.frombuffer(raw, dtype=np.float64)
+            if lab in acc:
+                acc[lab] = (acc[lab][0] + s, acc[lab][1] + int(n))
+            else:
+                acc[lab] = (s.copy(), int(n))
+
+    rows = []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        mean = s / n
+        for i, v in enumerate(mean, start=1):
+            rows.append((lab, i, v))
+    out = pd.DataFrame(rows, columns=["label", "i", "v"])
+    out["label"] = out["label"].astype("int64")
+    out["i"] = out["i"].astype("int64")
+    out["v"] = sql_round(out["v"], ndigits)
+    return out
