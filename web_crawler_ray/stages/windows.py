@@ -254,7 +254,9 @@ def ratio_to_report(ds, key: str, val_col: str, out_col: str = "share",
     from ..functions.rounding import sql_round
 
     def per_partition(p: pd.DataFrame) -> pd.DataFrame:
-        p = p.copy()
+        # sort before summing: shuffle arrival order varies run to run,
+        # and a float sum in varying order can flip the rounded digit
+        p = p.sort_values([key, val_col], kind="mergesort").copy()
         tot = p.groupby(key, sort=False)[val_col].transform("sum")
         p[out_col] = sql_round(p[val_col] / tot, ndigits)
         return p
