@@ -2483,6 +2483,19 @@ def q_label_centroid(sf_dir: str):
     return label_centroids(ds, "embedding", "label")
 
 
+def q_countmin_freq(sf_dir: str):
+    """Count–Min point-frequency estimates for ten fixed users. At the
+    gate cardinality (150 users vs 4×16384 counters) no query key
+    collides in every row, so the deterministic estimates equal the
+    exact counts and the SQL oracle is an exact GROUP BY — the
+    over-estimate bound for adversarial cardinalities is pinned
+    separately in tests."""
+    from web_crawler_ray.stages.sketch import countmin_frequencies
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return countmin_frequencies(ds, "user_id", list(range(10)))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2624,6 +2637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decayed_value": q_decayed_value,
         "q_approx_intersect": q_approx_intersect,
         "q_label_centroid": q_label_centroid,
+        "q_countmin_freq": q_countmin_freq,
     }
 
 
@@ -3338,6 +3352,10 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 6) AS v
             FROM e, range(1, 65) t(i)
             GROUP BY 1, 2
+        """,
+        "q_countmin_freq": """
+            SELECT user_id, count(*) AS freq_est FROM events
+            WHERE user_id < 10 GROUP BY user_id
         """,
         "q_phash_near_dup": """
             WITH img AS (

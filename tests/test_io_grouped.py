@@ -645,3 +645,28 @@ def test_hll_intersect_accuracy(ray_session):
     est = int(outs[0]["n_intersect_approx"].iloc[0])
     union = 55_000
     assert abs(est - 10_000) <= 0.05 * union, est
+
+
+def test_countmin_bounds(ray_session):
+    """Count-Min estimates never under-count, stay within the
+    2n/width bound for hot keys, and are layout-invariant."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import countmin_frequencies
+
+    rng = np.random.default_rng(31)
+    keys = (rng.zipf(1.3, 60_000) % 5000).astype("int64")
+    df = pd.DataFrame({"k": keys})
+    true = df["k"].value_counts()
+    queries = true.head(20).index.tolist() + [4999, 4998]
+    outs = []
+    for parts in (3, 8):
+        out = countmin_frequencies(rd.from_pandas(df).repartition(parts),
+                                   "k", queries)
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    bound = 2 * len(df) / (1 << 14)
+    for _, row in outs[0].iterrows():
+        t = int(true.get(row["k"], 0))
+        assert row["freq_est"] >= t
+        assert row["freq_est"] <= t + bound + 1

@@ -325,3 +325,46 @@ def hll_intersect(ds_a, ds_b, col: str, p: int = 12) -> pd.DataFrame:
         "n_intersect_approx": pd.Series([max(0, est_a + est_b - est_u)],
                                         dtype="int64"),
     })
+
+
+def countmin_frequencies(ds, key: str, queries: list, width_log2: int = 14,
+                         depth: int = 4) -> pd.DataFrame:
+    """Count–Min point-frequency estimates (Cormode–Muthukrishnan,
+    public algorithm): per-batch d×2^w counter blocks merged by plain
+    addition on the driver (state O(d·2^w), cardinality- and
+    row-count-independent), then the queried keys' estimates read as
+    the min over rows. Always OVER-estimates: est ≥ true, and
+    est ≤ true + 2n/2^w with prob ≥ 1 − 2^−d — both bounds pinned in
+    tests. The exact path is heavy_hitters' recount; CM answers point
+    queries for keys chosen AFTER the pass."""
+    w = 1 << width_log2
+    mask = _U64(w - 1)
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15)
+
+    def positions(col: pd.Series) -> np.ndarray:
+        h = pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=_U64)
+        pos = np.empty((depth, len(h)), dtype=np.int64)
+        for d in range(depth):
+            x = (h ^ seeds[d]) * _U64(0xFF51AFD7ED558CCD)
+            pos[d] = ((x >> _U64(33)) ^ x).astype(_U64).__and__(mask).astype(np.int64)
+        return pos
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros((depth, w), dtype=np.int64)
+        if len(batch):
+            pos = positions(batch[key])
+            for d in range(depth):
+                np.add.at(counts[d], pos[d], 1)
+        return pd.DataFrame({"cm": [counts.tobytes()]})
+
+    total = np.zeros((depth, w), dtype=np.int64)
+    for b in ds.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        for raw in b["cm"]:
+            total += np.frombuffer(raw, dtype=np.int64).reshape(depth, w)
+
+    qser = pd.Series(queries)
+    qpos = positions(qser)
+    est = np.min(total[np.arange(depth)[:, None], qpos], axis=0)
+    return pd.DataFrame({key: qser.to_numpy(),
+                         "freq_est": est.astype("int64")})
