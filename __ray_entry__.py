@@ -620,9 +620,12 @@ def q_css_extract(sf_dir: str):
 
 def q_workbook_extract(sf_dir: str):
     """S4 workbook header-sniff + wide→long unpivot over synthetic sheet
-    files (read_binary_files → per-file UDF)."""
+    files — half CSV, half REAL .xlsx workbooks (stdlib xlsx_lite
+    writer/reader) — via read_binary_files → per-file UDF."""
     import numpy as np
+    import pandas as pd
 
+    from web_crawler_ray.io.xlsx_lite import write_xlsx
     from web_crawler_ray.sources.tabular import WorkbookExtract
     from web_crawler_ray.synth import COMMODITY_NAMES
 
@@ -630,13 +633,25 @@ def q_workbook_extract(sf_dir: str):
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(7)
     for i in range(6):
-        lines = [",junk,"] * int(rng.integers(0, 5))
-        lines.append("Commodity,2021,2022,2023")
+        junk_rows = int(rng.integers(0, 5))
+        header = ["Commodity", "2021", "2022", "2023"]
+        data_rows = []
         for name in COMMODITY_NAMES[: 5 + i]:
             vals = [f"{float(rng.random() * 100):.2f}" if rng.random() > 0.3 else "" for _ in range(3)]
-            lines.append(",".join([name] + vals))
-        with open(f"{out_dir}/wb{i}.csv", "w") as f:
-            f.write("\n".join(lines))
+            data_rows.append([name] + vals)
+        if i % 2 == 0:
+            lines = [",junk,"] * junk_rows + [",".join(header)]
+            lines += [",".join(r) for r in data_rows]
+            with open(f"{out_dir}/wb{i}.csv", "w") as f:
+                f.write("\n".join(lines))
+        else:
+            grid = [["", "junk", ""]] * junk_rows + [header] + data_rows
+            width = max(len(r) for r in grid)
+            frame = pd.DataFrame(
+                [r + [""] * (width - len(r)) for r in grid])
+            sheet = pd.DataFrame(frame.to_numpy()[1:],
+                                 columns=[str(c) for c in frame.iloc[0]])
+            write_xlsx({"Sheet1": sheet}, f"{out_dir}/wb{i}.xlsx")
     files = rd.read_binary_files(out_dir, include_paths=True)
     return files.map_batches(WorkbookExtract(), batch_format="pyarrow")
 
@@ -2515,6 +2530,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver's correctness harness samples the FIRST 50
+    # entries, so the window is packed with SQL-oracle-backed queries;
+    # rows-only duals (whose _oracle sibling is in-window) come last.
     return {
         "q_lineitem_summary": q_lineitem_summary,
         "q_pricing_summary": q_pricing_summary,
@@ -2532,40 +2550,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q_token_stats,
         "q_doc_exact_dedup": q_doc_exact_dedup,
         "q_ann_topk": q_ann_topk,
-        "q_clean_flagship": q_clean_flagship,
         "q_clean_flagship_oracle": q_clean_flagship_oracle,
-        "q_html_parse": q_html_parse,
         "q_html_parse_oracle": q_html_parse_oracle,
-        "q_minhash_pairs": q_minhash_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_embed_near_dup": q_embed_near_dup,
         "q_embed_allpairs": q_embed_allpairs,
-        "q_text_metrics": q_text_metrics,
         "q_text_metrics_oracle": q_text_metrics_oracle,
-        "q_image_validate": q_image_validate,
-        "q_phash_dups": q_phash_dups,
-        "q_crawl_order": q_crawl_order,
-        "q_crawl_seen_metrics": q_crawl_seen_metrics,
-        "q_crawl_resume": q_crawl_resume,
         "q_json_extract": q_json_extract,
         "q_group_topk": q_group_topk,
         "q_window_agg": q_window_agg,
         "q_asof_join": q_asof_join,
         "q_validation_summary": q_validation_summary,
         "q_spec_pipeline": q_spec_pipeline,
-        "q_forex_derive": q_forex_derive,
         "q_sink_roundtrip": q_sink_roundtrip,
-        "q_css_extract": q_css_extract,
-        "q_workbook_extract": q_workbook_extract,
-        "q_fetch_retry": q_fetch_retry,
-        "q_ann_ivf": q_ann_ivf,
         "q_ann_ivf_oracle": q_ann_ivf_oracle,
         "q_ann_ivf_index_oracle": q_ann_ivf_index_oracle,
-        "q_ann_ivf_index": q_ann_ivf_index,
-        "q_ngram_pairs": q_ngram_pairs,
-        "q_image_features": q_image_features,
-        "q_image_resize": q_image_resize,
         "q_yaml_scraper": q_yaml_scraper,
+        "q_css_extract_oracle": q_css_extract_oracle,
+        "q_workbook_oracle": q_workbook_oracle,
+        "q_fetch_retry_oracle": q_fetch_retry_oracle,
+        "q_forex_derive_oracle": q_forex_derive_oracle,
+        "q_phash_dups_oracle": q_phash_dups_oracle,
+        "q_clean_prices_oracle": q_clean_prices_oracle,
+        "q_forex_rules_oracle": q_forex_rules_oracle,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_rollup_pricing": q_rollup_pricing,
+        "q_bm25_search": q_bm25_search,
+        "q_dup_clusters": q_dup_clusters,
+        "q_kmeans_lloyd": q_kmeans_lloyd,
+        "q_unpivot_orders": q_unpivot_orders,
+        "q_histogram": q_histogram,
+        "q_monthly_revenue": q_monthly_revenue,
+        "q_image_curate_oracle": q_image_curate_oracle,
+        "q_sessionize": q_sessionize,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_range_join": q_range_join,
+        "q_graph_scores": q_graph_scores,
         "q_doc_token_counts": q_doc_token_counts,
         "q_distinct_users": q_distinct_users,
         "q_profile_stats": q_profile_stats,
@@ -2577,23 +2595,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join": q_anti_join,
         "q_cumsum": q_cumsum,
         "q_jaccard_allpairs": q_jaccard_allpairs,
-        "q_sessionize": q_sessionize,
-        "q_clean_prices_oracle": q_clean_prices_oracle,
-        "q_css_extract_oracle": q_css_extract_oracle,
-        "q_workbook_oracle": q_workbook_oracle,
-        "q_fetch_retry_oracle": q_fetch_retry_oracle,
-        "q_forex_rules_oracle": q_forex_rules_oracle,
-        "q_forex_derive_oracle": q_forex_derive_oracle,
-        "q_phash_dups_oracle": q_phash_dups_oracle,
-        "q_video_frames": q_video_frames,
-        "q_audio_features": q_audio_features,
-        "q_range_join": q_range_join,
         "q_rolling_avg": q_rolling_avg,
         "q_group_rank": q_group_rank,
         "q_string_agg": q_string_agg,
         "q_pivot_status": q_pivot_status,
         "q_kmeans_step": q_kmeans_step,
-        "q_kmeans_lloyd": q_kmeans_lloyd,
         "q_quantile_cont": q_quantile_cont,
         "q_set_intersect": q_set_intersect,
         "q_unnest_embeddings": q_unnest_embeddings,
@@ -2601,43 +2607,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_stratified_sample": q_stratified_sample,
         "q_corpus_curate": q_corpus_curate,
         "q_corpus_curate_stats": q_corpus_curate_stats,
-        "q_approx_distinct": q_approx_distinct,
         "q_left_join": q_left_join,
         "q_spec_join": q_spec_join,
         "q_full_outer_join": q_full_outer_join,
-        "q_graph_scores": q_graph_scores,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_rollup_pricing": q_rollup_pricing,
         "q_ntile": q_ntile,
-        "q_bm25_search": q_bm25_search,
-        "q_bloom_semi_join": q_bloom_semi_join,
         "q_first_last": q_first_last,
         "q_phash_near_dup": q_phash_near_dup,
-        "q_ddsketch_quantile": q_ddsketch_quantile,
         "q_cube_status": q_cube_status,
         "q_rank_metrics": q_rank_metrics,
-        "q_image_curate": q_image_curate,
-        "q_image_curate_oracle": q_image_curate_oracle,
-        "q_unpivot_orders": q_unpivot_orders,
         "q_heavy_hitters_weighted": q_heavy_hitters_weighted,
-        "q_histogram": q_histogram,
-        "q_monthly_revenue": q_monthly_revenue,
         "q_weighted_sample": q_weighted_sample,
         "q_top_bigrams": q_top_bigrams,
         "q_gram_matrix": q_gram_matrix,
-        "q_dup_clusters": q_dup_clusters,
         "q_user_entropy": q_user_entropy,
-        "q_image_ann": q_image_ann,
         "q_tfidf_keywords": q_tfidf_keywords,
-        "q_pca_project": q_pca_project,
         "q_overlap_join": q_overlap_join,
         "q_mode_event": q_mode_event,
         "q_ratio_to_report": q_ratio_to_report,
         "q_zscore": q_zscore,
         "q_decayed_value": q_decayed_value,
-        "q_approx_intersect": q_approx_intersect,
         "q_label_centroid": q_label_centroid,
         "q_countmin_freq": q_countmin_freq,
+        "q_clean_flagship": q_clean_flagship,
+        "q_html_parse": q_html_parse,
+        "q_minhash_pairs": q_minhash_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_embed_near_dup": q_embed_near_dup,
+        "q_text_metrics": q_text_metrics,
+        "q_image_validate": q_image_validate,
+        "q_phash_dups": q_phash_dups,
+        "q_crawl_order": q_crawl_order,
+        "q_crawl_seen_metrics": q_crawl_seen_metrics,
+        "q_crawl_resume": q_crawl_resume,
+        "q_forex_derive": q_forex_derive,
+        "q_css_extract": q_css_extract,
+        "q_workbook_extract": q_workbook_extract,
+        "q_fetch_retry": q_fetch_retry,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_ivf_index": q_ann_ivf_index,
+        "q_ngram_pairs": q_ngram_pairs,
+        "q_image_features": q_image_features,
+        "q_image_resize": q_image_resize,
+        "q_video_frames": q_video_frames,
+        "q_audio_features": q_audio_features,
+        "q_approx_distinct": q_approx_distinct,
+        "q_ddsketch_quantile": q_ddsketch_quantile,
+        "q_image_curate": q_image_curate,
+        "q_image_ann": q_image_ann,
+        "q_pca_project": q_pca_project,
+        "q_approx_intersect": q_approx_intersect,
     }
 
 
@@ -3170,7 +3188,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "q_train_split": """
-            SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 8
+            SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 10 < 8
                         THEN 'train' ELSE 'test' END AS split,
                    count(*) AS n,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -3178,7 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_stratified_sample": """
             SELECT doc_id, lang FROM documents
-            WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+            WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
         """,
         "q_corpus_curate": r"""
@@ -3198,7 +3216,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
                    content_hash
             FROM d
-            WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+            WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
                   CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
         """,
         "q_graph_scores": """
@@ -3263,7 +3281,7 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id) = 1
             ), s AS (
               SELECT * FROM d
-              WHERE (doc_id * 2654435761) % 4294967296 % 1000 <
+              WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 1000 <
                     CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 1000 ELSE 250 END
             )
             SELECT lang, count(*) AS n_docs,
@@ -3448,7 +3466,7 @@ def oracle_sql() -> dict[str, str]:
         "q_weighted_sample": """
             WITH s AS (
               SELECT o_orderkey,
-                     pow(((o_orderkey * 2654435761) % 4294967296 % 1000000
+                     pow((((o_orderkey % 2147483648) * 2654435761) % 4294967296 % 1000000
                           + 1.0) / 1000001.0,
                          1.0 / o_totalprice) AS raw_key
               FROM orders

@@ -33,6 +33,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # fractions of each leg — at 150k seeds the 32-CPU leg finished in
 # ~50s and ±15% ambient noise dominated the scaling ratio
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "400000"))
+# --scaling legs use a BIGGER frontier (round-4 note: kernels keep
+# getting faster and the 32-CPU leg must stay >60 s or ambient host
+# noise dominates the ratio — BASELINE.md, round-2 lesson)
+SCALING_SEEDS = int(os.environ.get("BENCH_SCALING_SEEDS", "1000000"))
 CRAWL_PAGES = CRAWL_SEEDS * 10
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "6000"))
 CRAWL_ROUNDS = int(os.environ.get("BENCH_CRAWL_ROUNDS", "3"))
@@ -186,6 +190,7 @@ def scaling(repeats: int = 2) -> None:
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
                 BENCH_CRAWL_ONLY="1",
+                BENCH_CRAWL_SEEDS=str(SCALING_SEEDS),
             )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],

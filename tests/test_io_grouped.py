@@ -277,6 +277,49 @@ def test_hll_distinct_accuracy_and_parallel_invariance(ray_session):
         assert rel < 0.03, (row["k"], row["n_distinct_approx"], exact[row["k"]])
 
 
+def test_hll_partial_null_keys_isolated():
+    """Null keys form their OWN register block: they must not scatter
+    rho values into the last sorted key's block (inflating its
+    estimate) nor vanish — matching the dropna=False merge step."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sketch import hll_partial
+
+    df = pd.DataFrame({
+        "k": ["a"] * 3 + [None] * 200 + ["z"] * 2,
+        "v": list(range(3)) + list(range(1000, 1200)) + [1, 2],
+    })
+    out = hll_partial(df, "k", "v", p=8)
+    assert len(out) == 3  # a, z, and the null group
+    by_key = {(k if pd.notna(k) else None): np.frombuffer(r, dtype=np.uint8)
+              for k, r in zip(out["k"], out["regs"])}
+    assert set(by_key) == {"a", "z", None}
+    # z saw exactly 2 values → at most 2 non-zero registers (the old
+    # sentinel bug wrote the 200 null-key rows into z's block)
+    assert (by_key["z"] > 0).sum() <= 2
+    assert (by_key[None] > 0).sum() > 50  # nulls' mass lands in own block
+
+
+def test_hash_bucket_large_id_no_overflow():
+    """ids past 2^31 are folded before the Knuth multiply, so the
+    int64 product cannot wrap (numpy wraps silently; DuckDB promotes
+    to HUGEINT — divergence). Fold is identity below 2^31."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sampling import hash_bucket
+
+    small = np.array([0, 1, 12345, 2**31 - 1], dtype=np.int64)
+    assert (hash_bucket(small, 1000)
+            == (small * 2654435761) % (1 << 32) % 1000).all()
+    huge = np.array([2**31, 2**40, 2**62, 9_000_000_000], dtype=np.int64)
+    b = hash_bucket(huge, 1000)
+    assert ((b >= 0) & (b < 1000)).all()
+    # matches the folded reference expression exactly (what the SQL
+    # oracle computes with (id % 2147483648) * K)
+    ref = ((huge % (1 << 31)) * 2654435761) % (1 << 32) % 1000
+    assert (b == ref).all()
+
+
 def test_hll_leading_zeros_exact():
     """Bisection CLZ matches int.bit_length on random 64-bit words."""
     import numpy as np
@@ -593,11 +636,49 @@ def test_connected_components_chain_and_isolated(ray_session):
         "id_a": [1, 2, 3, 4, 10, 20],
         "id_b": [2, 3, 4, 5, 11, 21],
     })
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+              20: 20, 21: 20}
     for parts in (1, 3):
         out = (connected_components(rd.from_pandas(edges).repartition(parts))
                .set_index("node")["component"].to_dict())
-        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
-                       20: 20, 21: 20}
+        assert out == expect
+
+
+def test_connected_components_join_path_matches_broadcast(ray_session):
+    """The distributed join-propagation path (auto-selected past the
+    node gate) returns the SAME label map as the broadcast path on a
+    graph with long chains, a star, and random extra edges."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import connected_components
+
+    rng = np.random.default_rng(11)
+    # chain 0..8 (multi-hop), star 100<-101..110, random pairs
+    a = list(range(0, 8)) + [100] * 10 + rng.integers(
+        200, 260, 20).tolist()
+    b = list(range(1, 9)) + list(range(101, 111)) + rng.integers(
+        200, 260, 20).tolist()
+    edges = pd.DataFrame({"id_a": np.array(a, dtype="int64"),
+                          "id_b": np.array(b, dtype="int64")})
+    edges = edges[edges.id_a != edges.id_b]
+    ds = rd.from_pandas(edges).repartition(4)
+    bc = connected_components(ds).set_index("node")["component"].to_dict()
+    jn = (connected_components(ds, force_join_path=True, num_partitions=4)
+          .set_index("node")["component"].to_dict())
+    assert jn == bc
+
+
+def test_connected_components_raises_on_no_convergence(ray_session):
+    """Exhausting max_iter without convergence must RAISE, not return
+    silently wrong labels (min-label needs O(diameter) passes)."""
+    import pytest
+
+    from web_crawler_ray.stages.graph import connected_components
+
+    edges = pd.DataFrame({"id_a": list(range(0, 30)),
+                          "id_b": list(range(1, 31))})
+    with pytest.raises(RuntimeError, match="convergence"):
+        connected_components(rd.from_pandas(edges), max_iter=3)
 
 
 def test_interval_overlap_join_exact(ray_session):

@@ -143,3 +143,118 @@ def test_report_sinks(tmp_path):
 
     p = write_raw_json([{"a": 1}], str(tmp_path / "raw.json"))
     assert json.load(open(p)) == [{"a": 1}]
+
+
+def test_xlsx_roundtrip(tmp_path):
+    """write_xlsx → read_xlsx → frame equality (strings, ints, floats,
+    unicode, None), multi-sheet, deterministic bytes."""
+    from web_crawler_ray.io.xlsx_lite import grid_to_frame, read_xlsx, write_xlsx
+
+    a = pd.DataFrame({
+        "name": ["Gold", "原油", "a,b\"q\"<&>"],
+        "price": [1800.5, 75.0, 3.25],
+        "n": [1, 2, 3],
+    })
+    b = pd.DataFrame({"x": ["only", None], "y": [0.5, -2.0]})
+    path = str(tmp_path / "wb.xlsx")
+    data1 = write_xlsx({"SheetA": a, "B": b}, path)
+    data2 = write_xlsx({"SheetA": a, "B": b})
+    assert data1 == data2  # deterministic bytes
+    back = read_xlsx(path)
+    assert list(back) == ["SheetA", "B"]
+    fa = grid_to_frame(back["SheetA"], 0)
+    assert fa["name"].tolist() == a["name"].tolist()
+    assert fa["price"].tolist() == a["price"].tolist()
+    assert fa["n"].tolist() == [1, 2, 3]
+    fb = grid_to_frame(back["B"], 0)
+    assert fb["x"].tolist()[0] == "only" and fb["x"].tolist()[1] is None
+    assert fb["y"].tolist() == [0.5, -2.0]
+
+
+def test_xlsx_shared_strings_compat():
+    """read_xlsx parses workbooks that use a sharedStrings table (the
+    layout other writers emit) — not just our inline-string form."""
+    import io
+    import zipfile
+
+    from web_crawler_ray.io.xlsx_lite import read_xlsx
+
+    buf = io.BytesIO()
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml",
+                   '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+                   '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+                   '<Default Extension="xml" ContentType="application/xml"/></Types>')
+        z.writestr("_rels/.rels",
+                   '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>')
+        z.writestr("xl/workbook.xml",
+                   f'<?xml version="1.0"?><workbook {ns} xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+                   '<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>')
+        z.writestr("xl/_rels/workbook.xml.rels",
+                   '<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                   '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>')
+        z.writestr("xl/sharedStrings.xml",
+                   f'<?xml version="1.0"?><sst {ns}><si><t>hdr</t></si><si><t>va</t></si></sst>')
+        z.writestr("xl/worksheets/sheet1.xml",
+                   f'<?xml version="1.0"?><worksheet {ns}><sheetData>'
+                   '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1"><v>7</v></c></row>'
+                   '<row r="2"><c r="A2" t="s"><v>1</v></c><c r="C2"><v>1.5</v></c></row>'
+                   '</sheetData></worksheet>')
+    grids = read_xlsx(buf.getvalue())
+    g = grids["S"]
+    assert g.iloc[0].tolist() == ["hdr", 7, None]
+    assert g.iloc[1].tolist() == ["va", None, 1.5]  # sparse row C col
+
+
+def test_workbook_extract_real_xlsx():
+    """S4 end-to-end on a REAL .xlsx: junk rows above the header are
+    sniffed past, wide→long unpivot matches the CSV path."""
+    from web_crawler_ray.io.xlsx_lite import write_xlsx
+    from web_crawler_ray.sources.tabular import WorkbookExtract, sniff_header
+
+    grid = pd.DataFrame(
+        [["", "junk", "", ""],
+         ["", "junk", "", ""],
+         ["Commodity", "2021", "2022", "2023"],
+         ["Gold", "1700", "1800", ""],
+         ["Oil", "70", "75", "80"],
+         ["Bad", "-5", "", ""]])
+    sheet = pd.DataFrame(grid.to_numpy()[1:],
+                         columns=[str(c) for c in grid.iloc[0]])
+    data = write_xlsx({"Sheet1": sheet})
+    df, header = sniff_header(data)
+    assert header == 2 and df.shape[1] == 4
+    batch = pa.table({"bytes": pa.array([data], pa.binary()),
+                      "path": pa.array(["wb.xlsx"], pa.string())})
+    out = WorkbookExtract()(batch)
+    rows = {n: (p, l) for n, p, l in zip(out["name"].to_pylist(),
+                                         out["price"].to_pylist(),
+                                         out["period"].to_pylist())}
+    assert rows == {"Gold": (1800.0, "2022"), "Oil": (80.0, "2023")}
+
+
+def test_multi_sheet_xlsx_report(tmp_path):
+    """K2 real-.xlsx sink: all-rows + per-category (sorted desc by
+    price) + summary sheets, read back with the stdlib reader."""
+    from web_crawler_ray.io.xlsx_lite import grid_to_frame, read_xlsx
+    from web_crawler_ray.output.report import write_multi_sheet_xlsx
+
+    df = pd.DataFrame({
+        "name": ["Gold", "Silver", "Oil"],
+        "category": ["贵金属", "贵金属", "能源"],
+        "current_price": [1800.0, 22.0, 75.0],
+        "change_percent": [1.0, -2.0, 0.5],
+        "source": ["s1", "s1", "s2"],
+    })
+    path = str(tmp_path / "report.xlsx")
+    summary = write_multi_sheet_xlsx(df, path)
+    assert summary["total_rows"] == 3
+    back = read_xlsx(path)
+    assert list(back) == ["All Data", "能源", "贵金属", "Summary"]
+    gm = grid_to_frame(back["贵金属"], 0)
+    assert gm["name"].tolist() == ["Gold", "Silver"]  # desc by price
+    assert gm["current_price"].tolist() == [1800.0, 22.0]
+    alld = grid_to_frame(back["All Data"], 0)
+    assert list(alld.columns) == COMMODITY_COLUMNS

@@ -7,10 +7,11 @@
   file per block, no BOM); the reference-compatible single-file BOM
   variant is a driver-side sink for the (tiny) final report, matching
   the reference's report sizes (~36 rows).
-- K2 multi-sheet Excel report: openpyxl is absent, so the same layout
-  (all-rows sheet + one sheet per category sorted desc by price +
-  summary sheet; pacong/output/excel_writer.py:20-87) is written as a
-  directory of CSVs + a summary JSON.
+- K2 multi-sheet Excel report (all-rows sheet + one sheet per category
+  sorted desc by price + summary sheet; pacong/output/excel_writer.py:
+  20-87): ``write_multi_sheet_xlsx`` emits a REAL .xlsx via the stdlib
+  writer in ``io/xlsx_lite.py``; ``write_multi_sheet_report`` keeps the
+  CSV-directory layout for diff-friendly output.
 - K3 raw JSON dump (base_scraper.py:164-178).
 """
 
@@ -20,6 +21,8 @@ import json
 import os
 
 import pandas as pd
+
+from ..io.xlsx_lite import write_xlsx
 
 COMMODITY_COLUMNS = [
     "name", "chinese_name", "symbol", "category", "currency",
@@ -81,6 +84,43 @@ def write_multi_sheet_report(
     }
     with open(os.path.join(out_dir, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True, ensure_ascii=False)
+    return summary
+
+
+def write_multi_sheet_xlsx(
+    df: pd.DataFrame, path: str, category_col: str = "category",
+    price_col: str = "current_price",
+) -> dict:
+    """K2 as a REAL .xlsx workbook (excel_writer.py:20-87 layout) via
+    the stdlib writer in ``io/xlsx_lite.py``: an all-rows sheet, one
+    sheet per category sorted desc by price, and a summary sheet.
+    Returns the same summary dict as the CSV-dir variant."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    sheets: dict[str, pd.DataFrame] = {
+        "All Data": project_to_schema(df, COMMODITY_COLUMNS)
+    }
+    sheet_index = {}
+    for cat, group in df.groupby(category_col, dropna=False, sort=True):
+        name = str(cat) if pd.notna(cat) else "uncategorized"
+        g = group.sort_values(price_col, ascending=False, kind="mergesort")
+        sheets[name[:31]] = project_to_schema(g, COMMODITY_COLUMNS)
+        sheet_index[name] = len(g)
+    summary = {
+        "total_rows": int(len(df)),
+        "categories": sheet_index,
+        "avg_change_percent": (
+            round(float(df["change_percent"].dropna().mean()), 4)
+            if "change_percent" in df and df["change_percent"].notna().any()
+            else None
+        ),
+    }
+    sheets["Summary"] = pd.DataFrame(
+        {"metric": ["total_rows"] + [f"n_{c}" for c in sheet_index]
+         + ["avg_change_percent"],
+         "value": [summary["total_rows"]] + list(sheet_index.values())
+         + [summary["avg_change_percent"]]}
+    )
+    write_xlsx(sheets, path)
     return summary
 
 

@@ -414,31 +414,64 @@ def pack_outlinks(batch: pa.Table) -> pa.Table:
 
 def explode_outlinks(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
     """Fetched pages → child frontier rows (priority decays, depth+1).
-    Accepts list<string> or packed-string outlinks."""
-    raw = batch["outlinks"].to_pylist()
-    urls, depths, prios, seeds = [], [], [], []
-    for links, depth, prio, seed_id in zip(
-        raw,
-        batch["depth"].to_pylist(),
-        batch["priority"].to_pylist(),
-        batch["seed_id"].to_pylist(),
-    ):
-        if isinstance(links, str):
-            links = links.split("\n") if links else []
-        if depth + 1 > max_depth or not links:
-            continue
-        for link in links:
-            urls.append(link)
-            depths.append(depth + 1)
-            prios.append(prio * decay)
-            seeds.append(seed_id)
+    Accepts list<string> or packed-string outlinks. Fully vectorized
+    (the crawl hot path runs this for every fetched page every round):
+    list offsets drive an ``np.repeat`` of the parent columns and a
+    ``flatten()`` of the link values — C kernels, zero Python per row —
+    same output order as the row loop it replaced (parents in batch
+    order, links in list order)."""
+    import pyarrow.compute as pc
+
+    empty = pa.table(
+        {
+            "url": pa.array([], pa.string()),
+            "depth": pa.array([], pa.int32()),
+            "priority": pa.array([], pa.float32()),
+            "seed_id": pa.array([], pa.int64()),
+            "admitted": pa.array([], pa.bool_()),
+        }
+    )
+    if not batch.num_rows:
+        return empty
+    col = batch["outlinks"]
+    packed = pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+    # drop ineligible parents up front: depth+1 past the horizon, and
+    # (packed form) the empty string — which split_pattern would turn
+    # into one "" link instead of zero
+    keep = pc.less_equal(batch["depth"], max_depth - 1)
+    if packed:
+        keep = pc.and_kleene(keep, pc.not_equal(col, ""))
+    batch = batch.filter(pc.fill_null(keep, False))
+    if not batch.num_rows:
+        return empty
+    col = batch["outlinks"].combine_chunks()
+    arr = pc.split_pattern(col, "\n") if packed else col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, pa.LargeListArray):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    lengths = offsets[1:] - offsets[:-1]
+    if arr.null_count:
+        lengths = np.where(~np.asarray(arr.is_null()), lengths, 0)
+    rep = np.repeat(np.arange(batch.num_rows), lengths)
+    urls = arr.flatten()
+    if pa.types.is_large_string(urls.type):
+        urls = urls.cast(pa.string())
+    depths = batch["depth"].to_numpy(zero_copy_only=False)[rep] + np.int32(1)
+    # multiply in float64 THEN cast to float32 — bit-identical to the
+    # former Python-float row loop (a float32×float32 multiply rounds
+    # differently and would shift the crawl order digest)
+    prios = (batch["priority"].to_numpy(zero_copy_only=False)
+             .astype(np.float64)[rep] * float(decay))
+    seeds = batch["seed_id"].to_numpy(zero_copy_only=False)[rep]
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
-            "depth": pa.array(depths, pa.int32()),
-            "priority": pa.array(prios, pa.float32()),
-            "seed_id": pa.array(seeds, pa.int64()),
-            "admitted": pa.array([False] * len(urls), pa.bool_()),
+            "url": urls,
+            "depth": pa.array(depths.astype(np.int32), pa.int32()),
+            "priority": pa.array(prios.astype(np.float32), pa.float32()),
+            "seed_id": pa.array(seeds.astype(np.int64), pa.int64()),
+            "admitted": pa.array(np.zeros(len(rep), dtype=bool)),
         }
     )
 

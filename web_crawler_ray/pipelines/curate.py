@@ -35,21 +35,30 @@ def annotate_and_gate(min_tokens: int = 25, max_chars_per_token: float = 8.0,
     """Per-batch: n_tokens (``\\S+`` count) + md5 content hash, apply
     the quality gate (enough tokens, sane chars/token ratio — the
     boilerplate/binary-junk filter), then drop the text so only
-    metadata flows downstream."""
+    metadata flows downstream. Arrow-native: the batch is pulled
+    zero-copy from the object store, token counts come from the C++
+    ``count_substring_regex`` kernel (verified identical to the former
+    pandas ``str.findall().len()``), and only the kept rows'
+    METADATA columns ever materialize."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["n_tokens"] = (
-            batch[text_col].fillna("").str.findall(T.TOKEN_RE).str.len().astype("int64")
-        )
-        import pyarrow as pa
+    pattern = T.TOKEN_RE.pattern
 
-        hashed = add_content_hash(pa.Table.from_pandas(batch[[text_col]]), text_col)
-        batch["content_hash"] = hashed["content_hash"].to_pandas()
-        keep = (batch["n_tokens"] >= min_tokens) & (
-            batch["n_chars"] / batch["n_tokens"] < max_chars_per_token
-        )
-        return batch.loc[keep].drop(columns=[text_col])
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        n_tokens = pc.count_substring_regex(text, pattern).cast(pa.int64())
+        hashed = add_content_hash(pa.table({text_col: text}), text_col)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # NaN comparisons yield False → zero-token rows drop
+            keep = (nt >= min_tokens) & (nc / nt < max_chars_per_token)
+        out = batch.drop_columns([text_col])
+        out = out.append_column("n_tokens", n_tokens)
+        out = out.append_column("content_hash", hashed["content_hash"])
+        return out.filter(pa.array(keep))
 
     return fn
 
@@ -62,7 +71,7 @@ def curate_corpus(ds, rates: dict[str, float], default_rate: float,
     dataset (doc_id, lang, n_chars, n_tokens, content_hash): quality
     gate → min-id-wins exact dedup → per-language hash downsample."""
     gated = ds.map_batches(
-        annotate_and_gate(min_tokens, max_chars_per_token), batch_format="pandas"
+        annotate_and_gate(min_tokens, max_chars_per_token), batch_format="pyarrow"
     )
     deduped = partitioned_drop_duplicates(
         gated, ["content_hash"], sort_keys=["content_hash", id_col],

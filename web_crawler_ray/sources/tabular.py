@@ -10,10 +10,10 @@ Reference semantics (pacong/scrapers/worldbank.py):
 - drop rows with negative/unparseable prices (``:174-189``).
 
 Engine form: ``ray.data.read_binary_files`` over workbook files →
-per-file ``map_batches`` UDF. ``openpyxl``/``xlrd`` are absent in this
-container, so ``.xlsx`` decoding is stubbed behind an import-try and
-the same sniff/unpivot logic runs on CSV sheet bytes (semantically
-identical: a header row at an unknown offset + wide year columns).
+per-file ``map_batches`` UDF. ``.xlsx`` decoding uses openpyxl when
+present and falls back to the stdlib reader in ``io/xlsx_lite.py``
+(zip + sheet XML, ECMA-376 subset) otherwise; CSV sheet bytes run the
+same sniff/unpivot path.
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.cleaning import clean_price_string
+from ..io.xlsx_lite import grid_to_frame, read_xlsx
 
 try:
     import openpyxl  # noqa: F401
@@ -36,15 +37,14 @@ except ImportError:
 def _try_parse(data: bytes, header_row: int) -> pd.DataFrame | None:
     try:
         if data[:4] == b"PK\x03\x04":  # xlsx zip magic
-            if not HAVE_XLSX:
-                raise NotImplementedError(
-                    "xlsx decode needs openpyxl (not in this container); "
-                    "feed CSV sheet bytes instead"
-                )
-            return pd.read_excel(io.BytesIO(data), header=header_row)
+            if HAVE_XLSX:
+                return pd.read_excel(io.BytesIO(data), header=header_row)
+            # stdlib fallback: first sheet of the workbook, same
+            # header=N semantics as read_csv/read_excel
+            sheets = read_xlsx(data)
+            first = next(iter(sheets.values()))
+            return grid_to_frame(first, header_row)
         return pd.read_csv(io.BytesIO(data), header=header_row)
-    except NotImplementedError:
-        raise
     except Exception:
         return None
 
@@ -55,6 +55,14 @@ def sniff_header(data: bytes, max_header: int = 6) -> tuple[pd.DataFrame | None,
     for h in range(max_header + 1):
         df = _try_parse(data, h)
         if df is None or df.shape[1] < 2 or df.empty:
+            continue
+        # reject junk header rows: mostly empty / pandas-"Unnamed"
+        # labels (read_csv rejects these via ragged-row ParserErrors;
+        # rectangular xlsx grids need the explicit check)
+        labels = [str(c) for c in df.columns]
+        junk = sum(1 for c in labels
+                   if not c.strip() or c.startswith("Unnamed"))
+        if junk / len(labels) > 0.5:
             continue
         first = df.iloc[:, 0].astype(str)
         numericish = first.str.fullmatch(r"[\d.,\-]+").mean()

@@ -342,7 +342,11 @@ def fixed_width_histogram(ds, col: str, n_buckets: int = 16):
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         x = batch[col].to_numpy(dtype=np.float64)
-        b = np.minimum(np.floor((x - lo) / width), n_buckets - 1).astype(np.int64)
+        if width == 0.0:  # all values equal (or single row): 0/0 → NaN
+            b = np.zeros(len(x), dtype=np.int64)
+        else:
+            b = np.minimum(np.floor((x - lo) / width),
+                           n_buckets - 1).astype(np.int64)
         vc = pd.Series(b).value_counts(sort=False)
         return pd.DataFrame({"bucket": vc.index.to_numpy(),
                              "n": vc.to_numpy().astype("int64")})
@@ -369,6 +373,11 @@ def group_entropy(ds, key: str, cat_col: str, ndigits: int = 6,
     )
 
     def entropy(part: pd.DataFrame) -> pd.DataFrame:
+        # sort so the float entropy-term sum runs in a FIXED order —
+        # shuffle-arrival order varies run to run and a float sum in
+        # varying order can flip the rounded digit (same fix as
+        # ratio_to_report).
+        part = part.sort_values([key, cat_col], kind="mergesort")
         tot = part.groupby(key, sort=False)["n"].transform("sum")
         p = part["n"] / tot
         term = -(p * np.log(p))

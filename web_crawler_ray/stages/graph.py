@@ -171,21 +171,37 @@ def bipartite_power_scores(edges_ds, left: str, right: str, iterations: int = 2,
 
 
 def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
-                         max_iter: int = 50) -> pd.DataFrame:
+                         max_iter: int = 50,
+                         broadcast_nodes_max: int = 5_000_000,
+                         num_partitions: int = 16,
+                         force_join_path: bool = False) -> pd.DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the minimum node id in
     its component (the canonical-representative rule dedup clustering
     needs: near-dup PAIRS → dup CLUSTERS).
 
-    Shape: labels are NODE-sized state broadcast via the object store
-    (same size gate as the power iteration's broadcast path); each
-    iteration is ONE streaming map pass over the edges emitting
-    batch-local (node, min-neighbor-label) partials — the edge list is
-    never materialized on the driver and converges in O(component
-    diameter) passes. Past the node gate, swap the broadcast for the
-    per-iteration hash-join propagation `bipartite_power_scores` uses —
-    same algebra (min instead of sum).
+    Dual path, auto-selected by edge count (the same zero-cost gate as
+    :func:`bipartite_power_scores` — edges bound nodes):
+
+    * **broadcast** (≤ ``broadcast_nodes_max``): labels are NODE-sized
+      state broadcast via the object store; each iteration is ONE
+      streaming map pass over the edges emitting batch-local
+      (node, min-neighbor-label) partials — the edge list never lands
+      on the driver.
+    * **join** (past the gate, or ``force_join_path=True``): labels stay
+      a DISTRIBUTED Dataset; each iteration hash-joins them onto both
+      edge endpoints, emits (node, min(la, lb)) candidates, and reduces
+      with a coarse-partitioned grouped min — no node-sized driver
+      state, the 10^9-node scale shape (min instead of the power
+      iteration's sum).
+
+    Converges in O(component diameter) passes; raises if ``max_iter``
+    passes exhaust without convergence (an unconverged label map is
+    silently WRONG clusters, not an approximation).
     """
+    if force_join_path or edges_ds.count() > broadcast_nodes_max:
+        return _join_components(edges_ds, id_a, id_b, max_iter,
+                                num_partitions)
     import ray
 
     # node set: batch-local uniques → node-sized driver union
@@ -196,6 +212,7 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
     nodes = np.sort(pd.unique(parts["n"]))
     labels = nodes.copy()
 
+    converged = False
     for _ in range(max_iter):
         ref = ray.put((nodes, labels))
 
@@ -216,8 +233,94 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
         idx = np.searchsorted(nodes, mins.index.to_numpy())
         new[idx] = np.minimum(new[idx], mins.to_numpy())
         if (new == labels).all():
+            converged = True
             break
         labels = new
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iter} "
+            f"iterations — a component's diameter exceeds max_iter; "
+            f"raise max_iter (labels would be silently wrong)")
     return pd.DataFrame({"node": nodes.astype("int64"),
                          "component": labels.astype("int64")})
+
+
+def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
+                     num_partitions: int) -> pd.DataFrame:
+    """Distributed min-label propagation: labels live as a Dataset the
+    whole time; per iteration two hash joins attach labels to the edge
+    endpoints, a map pass emits (node, candidate=min(la, lb), old)
+    for BOTH endpoints, and a coarse-partitioned grouped min produces
+    the new label table plus a changed-count for the convergence test.
+    min over edges (a,b) of min(la, lb) = min(la, min over neighbors
+    lb), so the grouped candidate min IS the propagation step — no
+    join back onto the old labels needed. Every node appears in ≥1
+    edge by construction, so the label table always covers the node
+    set. ``.materialize()`` between joins keeps at most one join's
+    aggregator-actor pool alive (chained lazy joins hold all pools at
+    once and starve small sessions)."""
+
+    e = edges_ds.select_columns([id_a, id_b]).materialize()
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": pd.unique(pd.concat([b[id_a], b[id_b]]).to_numpy())})
+
+    labels = partitioned_drop_duplicates(
+        e.map_batches(endpoints, batch_format="pandas"), ["n"],
+        num_partitions, pre_dedup=True,
+    ).map_batches(lambda b: b.assign(lab=b["n"]),
+                  batch_format="pandas").materialize()
+
+    def reduce_part(p: pd.DataFrame) -> pd.DataFrame:
+        g = (p.groupby("n", sort=True)
+             .agg(cand=("cand", "min"), old=("old", "min")).reset_index())
+        return g
+
+    converged = False
+    for _ in range(max_iter):
+        la = labels.map_batches(
+            lambda b: pd.DataFrame({id_a: b["n"], "_la": b["lab"]}),
+            batch_format="pandas")
+        j = e.join(la, join_type="inner", num_partitions=num_partitions,
+                   on=(id_a,)).materialize()
+        lb = labels.map_batches(
+            lambda b: pd.DataFrame({id_b: b["n"], "_lb": b["lab"]}),
+            batch_format="pandas")
+        j = j.join(lb, join_type="inner", num_partitions=num_partitions,
+                   on=(id_b,)).materialize()
+
+        def emit(b: pd.DataFrame) -> pd.DataFrame:
+            la_v = b["_la"].to_numpy()
+            lb_v = b["_lb"].to_numpy()
+            m = np.minimum(la_v, lb_v)
+            return pd.DataFrame({
+                "n": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
+                "cand": np.concatenate([m, m]),
+                "old": np.concatenate([la_v, lb_v]),
+            })
+
+        reduced = partitioned_apply(
+            j.map_batches(emit, batch_format="pandas"), ["n"], reduce_part,
+            num_partitions, pre_combine=reduce_part,
+        ).materialize()
+        changed = int(reduced.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [int((b["cand"].to_numpy()
+                            < b["old"].to_numpy()).sum())]}),
+            batch_format="pandas").sum("c") or 0)
+        labels = reduced.map_batches(
+            lambda b: pd.DataFrame({"n": b["n"], "lab": b["cand"]}),
+            batch_format="pandas").materialize()
+        if changed == 0:
+            converged = True
+            break
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(join path): no convergence after "
+            f"{max_iter} iterations — raise max_iter")
+    out = labels.to_pandas().sort_values("n", kind="mergesort")
+    return pd.DataFrame({"node": out["n"].to_numpy().astype("int64"),
+                         "component": out["lab"].to_numpy().astype("int64")})

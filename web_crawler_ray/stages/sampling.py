@@ -16,16 +16,21 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-# Knuth's multiplicative constant; bucket = (id * K) mod 2^32 mod M.
-# int64 is enough: id * K stays below 2^63 for ids < ~3.5e9; for wider
-# id spaces pre-fold the id (id mod 2^31) first.
+# Knuth's multiplicative constant; bucket = ((id mod 2^31) * K) mod
+# 2^32 mod M. The id is folded to 31 bits INSIDE the primitive so the
+# int64 product never overflows (ids ≳ 3.5e9 would otherwise wrap
+# silently in numpy while DuckDB promotes to HUGEINT, diverging from
+# the SQL replay); for ids < 2^31 the fold is the identity.
 KNUTH = 2654435761
+_FOLD = 1 << 31
 
 
 def hash_bucket(ids: np.ndarray, mod: int) -> np.ndarray:
     """Deterministic bucket in [0, mod) per id — the primitive both
-    stages and their SQL oracles share."""
-    return ((ids.astype(np.int64) * KNUTH) % (1 << 32)) % mod
+    stages and their SQL oracles share (`(id % 2147483648) *
+    2654435761 % 4294967296 % mod`)."""
+    folded = ids.astype(np.int64) % _FOLD
+    return ((folded * KNUTH) % (1 << 32)) % mod
 
 
 def hash_split(ds, id_col: str, train_frac: float = 0.8, mod: int = 10,

@@ -182,29 +182,50 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, dim: int = 64,
                 }
             )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates(subset=[id_col]).sort_values(id_col, kind="mergesort")
-        ids = rows[id_col].to_numpy()
-        mat = np.stack([np.frombuffer(v, dtype=np.float32) for v in rows["vec"]]) if len(rows) else np.zeros((0, dim))
-        sims = mat @ mat.T
-        # vectorized upper-triangle threshold (a Python pair loop is
-        # O(bucket²) interpreter time — fatal at the ~4k-row target
-        # bucket size)
-        iu, ju = np.triu_indices(len(ids), 1)
-        hit = sims[iu, ju] >= threshold
-        a_out = ids[iu[hit]].astype("int64")
-        b_out = ids[ju[hit]].astype("int64")
-        s_out = [round(float(v), 6) for v in sims[iu[hit], ju[hit]]]
+    def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """One numpy pass over EVERY bucket in the hash partition —
+        not one Python call per bucket (bucket count grows as
+        corpus/target_bucket_rows, so per-bucket `map_groups` tasks
+        are ~250k at 10^9 rows; same fix as
+        dedup._verify_lsh_partition)."""
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")})
+        part = part.drop_duplicates(subset=["bucket", id_col]).sort_values(
+            ["bucket", id_col], kind="mergesort")
+        if part.empty:
+            return empty
+        mat = np.frombuffer(b"".join(part["vec"]),
+                            dtype=np.float32).reshape(-1, dim)
+        keys = part["bucket"].to_numpy()
+        ids = part[id_col].to_numpy()
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+        a_out, b_out, s_out = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            sims = mat[s:e] @ mat[s:e].T
+            iu, ju = np.triu_indices(g, 1)
+            hit = sims[iu, ju] >= threshold
+            if hit.any():
+                a_out.append(ids[s + iu[hit]])
+                b_out.append(ids[s + ju[hit]])
+                s_out.append(sims[iu[hit], ju[hit]].astype(np.float64))
+        if not a_out:
+            return empty
         return pd.DataFrame(
-            {
-                "id_a": pd.Series(a_out, dtype="int64"),
-                "id_b": pd.Series(b_out, dtype="int64"),
-                "cosine": pd.Series(s_out, dtype="float64"),
-            }
-        )
+            {"id_a": np.concatenate(a_out).astype("int64"),
+             "id_b": np.concatenate(b_out).astype("int64"),
+             "cosine": np.round(np.concatenate(s_out), 6)})
+
+    from .grouped import partitioned_apply
 
     exploded = ds.map_batches(SignLSH, batch_format="pyarrow", concurrency=auto_concurrency())
-    return exploded.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return partitioned_apply(exploded, ["bucket"], verify_partition,
+                             num_partitions=32)
 
 
 def embedding_allpairs_exact(ds, threshold: float = 0.35,

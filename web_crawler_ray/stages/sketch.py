@@ -46,7 +46,10 @@ def hll_partial(df: pd.DataFrame, key: str, col: str, p: int) -> pd.DataFrame:
     idx = (h >> _U64(64 - p)).astype(np.int64)
     w = h << _U64(p)  # remaining 64-p bits, top-aligned
     rho = np.minimum(_leading_zeros64(w), 64 - p).astype(np.uint8) + 1
-    codes, keys = pd.factorize(df[key], sort=True)
+    # use_na_sentinel=False: null keys form their OWN group (code >= 0)
+    # instead of code -1, which would scatter their rho values into the
+    # last key's register block; matches the dropna=False merge step.
+    codes, keys = pd.factorize(df[key], sort=True, use_na_sentinel=False)
     regs = np.zeros((len(keys), m), dtype=np.uint8)
     np.maximum.at(regs, (codes, idx), rho)
     return pd.DataFrame({key: keys, "regs": [r.tobytes() for r in regs]})
@@ -130,6 +133,10 @@ def heavy_hitters(ds, key: str, k: int = 10, m: int = 512,
     (top keys by total value) — same summary algebra, float counters.
     """
     cnt_dtype = "int64" if weight_col is None else "float64"
+    # prune to the sketched columns BEFORE the map: the per-batch
+    # pandas conversion then touches 1-2 columns instead of the whole
+    # row (text/payload columns never convert)
+    ds = ds.select_columns([key] if weight_col is None else [key, weight_col])
 
     def agg(frame: pd.DataFrame) -> pd.Series:
         if weight_col is None:
@@ -207,6 +214,7 @@ def hll_distinct(ds, key: str, col: str, p: int = 12,
     bytes — cardinality-independent, the property that makes this the
     scale path past :func:`..aggregate.distinct_count`'s exact
     one-row-per-distinct-pair shuffle."""
+    ds = ds.select_columns([key, col] if key != col else [key])
     partials = ds.map_batches(
         lambda b: hll_partial(b, key, col, p), batch_format="pandas"
     )
@@ -267,6 +275,7 @@ def ddsketch_quantiles(ds, key: str, col: str, qs: dict[str, float],
     gamma = (1.0 + alpha) / (1.0 - alpha)
     lg = math.log(gamma)
 
+    ds = ds.select_columns([key, col] if key != col else [key])
     partials = ds.map_batches(lambda b: ddsketch_partial(b, key, col, lg),
                               batch_format="pandas")
 
@@ -293,6 +302,7 @@ def _hll_registers(ds, col: str, p: int) -> np.ndarray:
     """Stream a dataset into one merged HLL register block (driver
     keeps 2^p bytes; per-batch blocks OR-merge by elementwise max)."""
     regs = np.zeros(1 << p, dtype=np.uint8)
+    ds = ds.select_columns([col])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -338,6 +348,7 @@ def countmin_frequencies(ds, key: str, queries: list, width_log2: int = 14,
     tests. The exact path is heavy_hitters' recount; CM answers point
     queries for keys chosen AFTER the pass."""
     w = 1 << width_log2
+    ds = ds.select_columns([key])
     mask = _U64(w - 1)
     seeds = np.arange(1, depth + 1, dtype=np.uint64) * _U64(0x9E3779B97F4A7C15)
 

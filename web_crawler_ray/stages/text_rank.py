@@ -69,8 +69,12 @@ def bm25_search(ds, text_col: str, id_col: str, terms: list[str], k: int = 10,
             row[f"df_{j}"] = np.int64((tf[:, j] > 0).sum())
         return pd.DataFrame([row])
 
+    # prune to the columns each pass reads: the per-batch pandas
+    # conversion then never touches unrelated payload columns
+    stats_in = ds.select_columns([text_col])
+    ds = ds.select_columns([id_col, text_col])
     totals: pd.Series | None = None
-    for b in ds.map_batches(stats_partial, batch_format="pandas").iter_batches(
+    for b in stats_in.map_batches(stats_partial, batch_format="pandas").iter_batches(
             batch_format="pandas"):
         s = b.sum()
         totals = s if totals is None else totals + s
@@ -109,6 +113,8 @@ def top_bigrams(ds, text_col: str, k: int = 20):
     bigrams — for open-vocabulary corpora cap with heavy_hitters
     instead). Deterministic ties: ascending bigram."""
     from ray.data.aggregate import Sum
+
+    ds = ds.select_columns([text_col])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         toks_per_doc = [TOK_RE.findall((t or "").lower())
@@ -166,7 +172,8 @@ def tfidf_keywords(ds, text_col: str, id_col: str, top: int = 3,
         out.loc[out.index[0], "nd"] = len(batch)
         return out
 
-    dfs = (ds.map_batches(df_partial, batch_format="pandas")
+    dfs = (ds.select_columns([text_col])
+           .map_batches(df_partial, batch_format="pandas")
            .groupby("tok").aggregate(Sum("df", alias_name="df"),
                                      Sum("nd", alias_name="nd"))
            .to_pandas())
@@ -200,4 +207,5 @@ def tfidf_keywords(ds, text_col: str, id_col: str, top: int = 3,
                              "tfidf": sql_round(pd.Series(rows_s, dtype="float64"),
                                                 ndigits)})
 
-    return ds.map_batches(score, batch_format="pandas")
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")
