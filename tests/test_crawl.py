@@ -218,6 +218,69 @@ def test_resume_byte_identical(fixtures, ray_run):
         assert round_digest(ray_run["cfg"].checkpoint_dir, r) == round_digest(ckpt, r)
 
 
+def test_resume_after_midround_crash(fixtures, ray_run):
+    """Crash BETWEEN the schedule materialize and the sink commit: the
+    crashed attempt leaves uniquely-named part files in the round's
+    order/ + frontier_out/ dirs and in an UNCOMMITTED images fragment
+    dir (not in the manifest). Resume must discard all of them and
+    produce output identical to the uninterrupted run — order table,
+    committed manifest fragments, and the image rows themselves."""
+    import pyarrow as pa
+
+    ckpt = os.path.join(fixtures["root"], "midcrash")
+    r = ROUNDS - 1
+    cfg_short = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=r,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    run_crawl(cfg_short, fixtures["seeds"], robots_table=fixtures["robots"])
+
+    # fabricate the crashed attempt at round r: stale distributed-write
+    # outputs + a stale uncommitted image part file (lancelike commit
+    # never ran, so the manifest has no round-{r} fragment)
+    rdir = os.path.join(ckpt, f"round-{r:03d}")
+    bogus = pa.table({"junk": pa.array([1, 2, 3], pa.int64())})
+    for sub in ("order", "frontier_out"):
+        os.makedirs(os.path.join(rdir, sub), exist_ok=True)
+        pq.write_table(bogus, os.path.join(rdir, sub, "part-dead.parquet"))
+    stale_frag = os.path.join(ckpt, "images", f"round-{r:03d}")
+    os.makedirs(stale_frag, exist_ok=True)
+    pq.write_table(bogus, os.path.join(stale_frag, "part-deadbeef.parquet"))
+    manifest_before = lancelike.read_manifest(os.path.join(ckpt, "images"))
+    assert f"round-{r:03d}" not in manifest_before["fragments"]
+
+    cfg_full = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    res = run_crawl(cfg_full, fixtures["seeds"], robots_table=fixtures["robots"],
+                    resume=True)
+    assert res["rounds"] == 1  # only the crashed round re-executed
+    # stale artifacts are gone
+    assert not os.path.exists(os.path.join(rdir, "order", "part-dead.parquet"))
+    assert not os.path.exists(
+        os.path.join(stale_frag, "part-deadbeef.parquet"))
+    # order identical to the uninterrupted run
+    assert read_crawl_order(ckpt).equals(ray_run["order"])
+    # committed manifests agree fragment-by-fragment (rows + lineage
+    # fingerprint); image ROWS byte-identical modulo file layout
+    base_root = os.path.join(ray_run["cfg"].checkpoint_dir, "images")
+    m_base = lancelike.read_manifest(base_root)["fragments"]
+    m_res = lancelike.read_manifest(os.path.join(ckpt, "images"))["fragments"]
+    assert set(m_base) == set(m_res)
+    for name in m_base:
+        assert m_base[name]["rows"] == m_res[name]["rows"]
+        assert m_base[name]["input_fingerprint"] == m_res[name]["input_fingerprint"]
+
+    def image_rows(root):
+        t = lancelike.read_dataset(root)
+        df = t.to_pandas().sort_values("image_id", kind="mergesort")
+        return [tuple(x) for x in df[["image_id", "bytes", "caption",
+                                      "phash"]].to_numpy()]
+
+    assert image_rows(base_root) == image_rows(os.path.join(ckpt, "images"))
+
+
 def test_image_sink_invariant(ray_run):
     """Every stored row decodes; PSNR≥40 dB for jpeg (vs the pixels the
     deterministic generator produces for that url_hash); caption equal."""
