@@ -2351,6 +2351,50 @@ def q_tfidf_keywords(sf_dir: str):
     return tfidf_keywords(ds, "text", "doc_id", top=3)
 
 
+def q_redact(sf_dir: str):
+    """Pattern redaction (PII-scrub shape, prompt brief corpus-hygiene
+    suite): every match of each named RE2 pattern replaced by [NAME],
+    per-pattern counts on the original text. Map-only Arrow C++ regex
+    kernels, zero shuffle."""
+    from web_crawler_ray.stages.text_quality import redact_patterns
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    out = redact_patterns(ds, {"cust": "customer [a-z]+",
+                               "scan": "scan [a-z]+"})
+    return out.select_columns(["doc_id", "n_cust", "n_scan",
+                               "text_redacted"])
+
+
+def q_repetition(sf_dir: str):
+    """Repeated-trigram ratio per document (template-spam / boilerplate
+    quality signal): 1 − distinct/total trigrams, one map pass."""
+    from web_crawler_ray.stages.text_quality import repetition_ratio
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return repetition_ratio(ds, "text", "doc_id", n=3)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: corpus documents sharing any token
+    trigram with the benchmark split (doc_id % 97 == 0), with the
+    DISTINCT-gram hit count per document. Benchmark gram set broadcast
+    once; corpus pass map-only."""
+    from web_crawler_ray.stages.text_quality import decontaminate
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def mod_split(keep_bench: bool):
+        def fn(b):
+            import pyarrow as _pa
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 97 == 0
+            return b.filter(_pa.array(m if keep_bench else ~m))
+        return fn
+
+    bench = ds.map_batches(mod_split(True), batch_format="pyarrow")
+    corpus = ds.map_batches(mod_split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, "text", "doc_id", n=3)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA: Gram + first-moment partials (one streaming
     pass), driver eigendecomposition of the d×d covariance, broadcast
@@ -2628,6 +2672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decayed_value": q_decayed_value,
         "q_label_centroid": q_label_centroid,
         "q_countmin_freq": q_countmin_freq,
+        "q_redact": q_redact,
+        "q_repetition": q_repetition,
+        "q_decontaminate": q_decontaminate,
         "q_clean_flagship": q_clean_flagship,
         "q_html_parse": q_html_parse,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3374,6 +3421,47 @@ def oracle_sql() -> dict[str, str]:
         "q_countmin_freq": """
             SELECT user_id, count(*) AS freq_est FROM events
             WHERE user_id < 10 GROUP BY user_id
+        """,
+        "q_redact": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, 'customer [a-z]+')) AS n_cust,
+                   len(regexp_extract_all(text, 'scan [a-z]+')) AS n_scan,
+                   regexp_replace(
+                     regexp_replace(text, 'customer [a-z]+', '[CUST]', 'g'),
+                     'scan [a-z]+', '[SCAN]', 'g') AS text_redacted
+            FROM documents
+        """,
+        "q_repetition": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3 THEN
+                           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            FOR i IN range(1, len(toks) - 1)]
+                         ELSE CAST([] AS VARCHAR[]) END AS tris
+                  FROM t)
+            SELECT doc_id, CAST(len(tris) AS BIGINT) AS n_trigrams,
+                   round(CASE WHEN len(tris) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(tris)) * 1.0 / len(tris)
+                         END, 6) AS rep_ratio
+            FROM g
+        """,
+        "q_decontaminate": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 3 THEN
+                           [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            FOR i IN range(1, len(toks) - 1)]
+                         ELSE CAST([] AS VARCHAR[]) END AS tris
+                  FROM t),
+            bench AS (SELECT DISTINCT unnest(tris) AS gram FROM g
+                      WHERE doc_id % 97 = 0),
+            corpus AS (SELECT doc_id, unnest(list_distinct(tris)) AS gram
+                       FROM g WHERE doc_id % 97 <> 0)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM corpus JOIN bench USING (gram)
+            GROUP BY doc_id
         """,
         "q_phash_near_dup": """
             WITH img AS (

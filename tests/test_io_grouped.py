@@ -751,3 +751,60 @@ def test_countmin_bounds(ray_session):
         t = int(true.get(row["k"], 0))
         assert row["freq_est"] >= t
         assert row["freq_est"] <= t + bound + 1
+
+
+def test_redact_patterns_counts_and_text(ray_session):
+    """Named-pattern scrub: counts on the ORIGINAL text, replacements
+    in sorted-name order, nulls treated as empty."""
+    from web_crawler_ray.stages.text_quality import redact_patterns
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["call 123 or 456 now", "customer abc paid 9", None],
+    })
+    out = (redact_patterns(rd.from_pandas(df),
+                           {"num": "[0-9]+", "cust": "customer [a-z]+"})
+           .to_pandas().sort_values("doc_id"))
+    assert out["n_num"].tolist() == [2, 1, 0]
+    assert out["n_cust"].tolist() == [0, 1, 0]
+    # cust applied before num (sorted names), counts from original
+    assert out["text_redacted"].tolist() == [
+        "call [NUM] or [NUM] now", "[CUST] paid [NUM]", ""]
+
+
+def test_repetition_ratio_known_values(ray_session):
+    """Hand-checked trigram ratios incl. the <n-token degenerate doc,
+    layout-invariant."""
+    from web_crawler_ray.stages.text_quality import repetition_ratio
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c a b c a b c",  # 7 trigrams, 3 distinct
+                 "x y z w",            # 2 trigrams, distinct
+                 "hi"],                # < 3 tokens
+    })
+    for parts in (1, 3):
+        out = (repetition_ratio(rd.from_pandas(df).repartition(parts))
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out["n_trigrams"].tolist() == [7, 2, 0]
+        assert out["rep_ratio"].tolist() == [
+            round(1 - 3 / 7, 6), 0.0, 0.0]
+
+
+def test_decontaminate_distinct_hits(ray_session):
+    """Per-doc hit count is over DISTINCT corpus grams; clean docs are
+    absent from the output."""
+    from web_crawler_ray.stages.text_quality import decontaminate
+
+    bench = pd.DataFrame({"doc_id": [100], "text": ["the red fox runs"]})
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        # doc 1: 'the red fox' twice (distinct → 1 hit) + 'red fox runs'
+        "text": ["the red fox the red fox runs",
+                 "nothing shared here at all",
+                 "red fox runs"],
+    })
+    out = (decontaminate(rd.from_pandas(corpus), rd.from_pandas(bench))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["n_hits"].tolist() == [2, 1]

@@ -1,0 +1,143 @@
+"""Corpus-hygiene operators for LLM training-data curation: pattern
+redaction, repeated-n-gram scoring, benchmark decontamination.
+
+No reference counterpart (the reference is a scraper) — these are the
+safety/quality stages a 100-TB pipeline runs between dedup and the
+sink. All three are MAP-ONLY over the corpus: redaction and repetition
+never shuffle at all; decontamination broadcasts the (benchmark-sized)
+gram set once via the object store instead of shuffling the corpus.
+
+Tokenization is ``\\S+`` — the exact expression the DuckDB oracles
+replay with ``regexp_extract_all`` — and both redaction engines speak
+RE2 (pyarrow and DuckDB), so pattern semantics agree by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.rounding import sql_round
+from ..functions.text import TOKEN_RE
+
+
+def redact_patterns(ds, patterns: dict[str, str], text_col: str = "text",
+                    out_col: str = "text_redacted"):
+    """PII/pattern scrub: every match of each named RE2 pattern is
+    replaced by ``[NAME]``; per-pattern match counts (on the ORIGINAL
+    text) come back as ``n_<name>`` int64 columns. Patterns apply in
+    sorted-name order so the engine and the SQL replay agree when
+    patterns overlap. Arrow-native C++ kernels
+    (``count_substring_regex`` / ``replace_substring_regex``), zero
+    shuffle — streams at any scale."""
+    import pyarrow.compute as pc
+
+    names = sorted(patterns)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        counts = {n: pc.count_substring_regex(text, patterns[n]).cast(pa.int64())
+                  for n in names}
+        red = text
+        for n in names:
+            red = pc.replace_substring_regex(red, patterns[n],
+                                             f"[{n.upper()}]")
+        out = batch.append_column(out_col, red)
+        for n in names:
+            out = out.append_column(f"n_{n}", counts[n])
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _doc_ngrams(texts: list, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token n-grams for a batch of documents, loop-free over grams:
+    tokens are flattened once, gram strings come from ``n`` shifted
+    object-array concats, and document boundaries are masked via the
+    repeated doc-index array. Returns (grams, gram_doc_idx,
+    tokens_per_doc)."""
+    toks_list = [TOKEN_RE.findall(t or "") for t in texts]
+    lens = np.array([len(t) for t in toks_list], dtype=np.int64)
+    if lens.sum() < n:
+        return (np.array([], dtype=object), np.array([], dtype=np.int64),
+                lens)
+    flat = np.concatenate([np.asarray(t, dtype=object)
+                           for t in toks_list if t])
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    m = len(flat) - (n - 1)
+    valid = doc_idx[:m] == doc_idx[n - 1:]
+    grams = flat[:m]
+    for k in range(1, n):
+        grams = grams + " " + flat[k:m + k]
+    return grams[valid], doc_idx[:m][valid], lens
+
+
+def repetition_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
+                     n: int = 3, ndigits: int = 6):
+    """Per-document repeated-n-gram ratio, 1 − distinct/total (0.0 when
+    the document has fewer than ``n`` tokens) — the boilerplate /
+    template-spam quality signal. One map pass, no shuffle; emits
+    (id_col, n_<n>grams, rep_ratio)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = list(batch[text_col])
+        grams, gdoc, lens = _doc_ngrams(texts, n)
+        total = np.maximum(lens - (n - 1), 0)
+        distinct = np.zeros(len(lens), dtype=np.int64)
+        if len(grams):
+            uni = pd.DataFrame({"d": gdoc, "g": grams}).groupby("d")["g"].nunique()
+            distinct[uni.index.to_numpy()] = uni.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(total > 0,
+                             1.0 - distinct / total.astype(np.float64), 0.0)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_trigrams" if n == 3 else f"n_{n}grams":
+                total.astype("int64"),
+            "rep_ratio": sql_round(pd.Series(ratio), ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas")
+
+
+def decontaminate(ds, bench_ds, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3):
+    """Benchmark decontamination: per corpus document, how many of its
+    DISTINCT token n-grams appear in the benchmark's (deduplicated)
+    n-gram set. Returns (id_col, n_hits) for contaminated documents
+    only.
+
+    Shape: the benchmark grams stream batch-by-batch into one driver
+    set (eval suites are small — the set is benchmark-sized, not
+    corpus-sized), then broadcast ONCE via ``ray.put``; the corpus pass
+    is map-only with a vectorized membership probe. Past ~10^7
+    benchmark grams switch to a hash semi-join on the gram key (the
+    ``bloom_semi_join`` shape) — the corpus side never shuffles either
+    way."""
+    import ray
+
+    bench_grams: set = set()
+    for b in bench_ds.select_columns([text_col]).map_batches(
+            lambda x: pd.DataFrame(
+                {"g": pd.unique(_doc_ngrams(list(x[text_col]), n)[0])}),
+            batch_format="pandas").iter_batches(batch_format="pandas"):
+        bench_grams.update(b["g"])
+    ref = ray.put(bench_grams)
+
+    def probe(batch: pd.DataFrame) -> pd.DataFrame:
+        grams, gdoc, _ = _doc_ngrams(list(batch[text_col]), n)
+        ids = batch[id_col].to_numpy()
+        if not len(grams):
+            return pd.DataFrame({id_col: pd.Series([], dtype=ids.dtype),
+                                 "n_hits": pd.Series([], dtype="int64")})
+        bset = ray.get(ref)
+        pairs = pd.DataFrame({"d": gdoc, "g": grams}).drop_duplicates()
+        hit = pairs[pairs["g"].isin(bset)]
+        cnt = hit.groupby("d").size()
+        return pd.DataFrame({id_col: ids[cnt.index.to_numpy()],
+                             "n_hits": cnt.to_numpy().astype("int64")})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        probe, batch_format="pandas")
