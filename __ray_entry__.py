@@ -922,8 +922,10 @@ def q_ann_ivf_index(sf_dir: str):
     qvec = qtab["embedding"].to_pylist()[0]
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(_t(sf_dir, "embeddings"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
     path = ivf_build_index(ds, dim=len(qvec), path=f"/tmp/wcr_ivf_index_{sf_tag}",
-                           n_buckets=16)
+                           n_buckets=16, input_fingerprint=fp)
     return ivf_query_index(path, [0], [qvec], dim=len(qvec), k=10,
                            n_buckets=16, n_probe=8)
 
@@ -941,7 +943,10 @@ def q_ann_ivf_index_oracle(sf_dir: str):
     qvec = qtab.filter(pd.Series(qtab["vec_id"].to_pylist()).eq(0).to_numpy())["embedding"].to_pylist()[0]
     ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(_t(sf_dir, "embeddings"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
     path = ivf_build_index(ds, dim=len(qvec), path=f"/tmp/wcr_ivf_index_oracle_{sf_tag}",
+                           input_fingerprint=fp,
                            n_buckets=16)
     out = ivf_query_index(path, [0], [qvec], dim=len(qvec), k=10,
                           n_buckets=16, n_probe=16)

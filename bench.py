@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "q_bloom_semi_join",
     "q_ddsketch_quantile",
     "q_image_curate",
+    "q_redact",
+    "q_decontaminate",
 ]
 
 

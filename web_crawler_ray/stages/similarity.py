@@ -272,16 +272,30 @@ def embedding_allpairs_exact(ds, threshold: float = 0.35,
 
 
 def ivf_build_index(ds, dim: int, path: str, n_buckets: int = 16,
-                    vec_col: str = "embedding", concurrency: int | None = None) -> str:
+                    vec_col: str = "embedding", concurrency: int | None = None,
+                    input_fingerprint: str | None = None) -> str:
     """Materialize the IVF bucket assignment ONCE as hive-partitioned
     parquet (one directory per ivf_bucket). This is the corpus-scale
     complement to ``ivf_cosine_topk``'s fused assign→filter: the
     assignment pass runs once, and every subsequent query batch reads
     ONLY its probed buckets' partitions (partition pruning at the
-    read), instead of re-bucketing the corpus per query set."""
+    read), instead of re-bucketing the corpus per query set.
+
+    ``input_fingerprint`` makes the build idempotent (the point of a
+    MATERIALIZED index): when a ``_BUILT.json`` marker with the same
+    fingerprint + params already exists, the build is skipped — the
+    same resume-by-fingerprint rule as the lancelike image sink."""
+    import json
     import os
     import shutil
 
+    marker = os.path.join(path, "_BUILT.json")
+    if input_fingerprint and os.path.exists(marker):
+        meta = json.load(open(marker))
+        if (meta.get("input_fingerprint") == input_fingerprint
+                and meta.get("n_buckets") == n_buckets
+                and meta.get("dim") == dim):
+            return path
     if os.path.exists(path):
         shutil.rmtree(path)
     ds.map_batches(
@@ -290,6 +304,10 @@ def ivf_build_index(ds, dim: int, path: str, n_buckets: int = 16,
         batch_format="pyarrow",
         concurrency=concurrency or auto_concurrency(),
     ).write_parquet(path, partition_cols=["ivf_bucket"])
+    if input_fingerprint:
+        with open(marker, "w") as f:
+            json.dump({"input_fingerprint": input_fingerprint,
+                       "n_buckets": n_buckets, "dim": dim}, f)
     return path
 
 
