@@ -2400,6 +2400,38 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, "text", "doc_id", n=3)
 
 
+def q_browser_fetch(sf_dir: str):
+    """S5 browser-driven fetch through the SAME FetcherActor pool as
+    HTTP: a W3C-WebDriver wire-protocol transport (stdlib client)
+    driven against an in-process protocol server — the browser-binary
+    boundary is the endpoint, not the code path. Returns per-URL
+    status + body length + title extracted by the engine's regex
+    parser."""
+    from web_crawler_ray.sources.browser import SeleniumTransport
+    from web_crawler_ray.sources.fake_servers import (
+        DEFAULT_PAGES as PAGES,
+        start_webdriver_server,
+    )
+    from web_crawler_ray.sources.http_fetch import FetcherActor
+    import pyarrow as pa
+
+    srv, port = start_webdriver_server()
+    try:
+        urls = rd.from_arrow(pa.table({"url": sorted(PAGES)}))
+        out = urls.map_batches(
+            FetcherActor,
+            fn_constructor_kwargs={
+                "transport_factory":
+                    lambda: SeleniumTransport(port=port, poll_s=0.0)},
+            batch_format="pyarrow",
+            concurrency=1,
+        ).to_pandas()
+    finally:
+        srv.shutdown()
+    out["n_bytes"] = out["body"].str.len().astype("int64")
+    return out[["url", "status", "n_bytes"]].sort_values("url").reset_index(drop=True)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA: Gram + first-moment partials (one streaming
     pass), driver eigendecomposition of the d×d covariance, broadcast
@@ -2700,6 +2732,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_pairs": q_ngram_pairs,
         "q_image_features": q_image_features,
         "q_image_resize": q_image_resize,
+        "q_browser_fetch": q_browser_fetch,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,

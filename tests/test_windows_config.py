@@ -7,7 +7,7 @@ import ray.data as rd
 
 from web_crawler_ray.config import EngineConfig
 from web_crawler_ray.functions.timestamps import filename_stamp, parse_iso, parse_iso_batch
-from web_crawler_ray.sources.browser import SeleniumTransport
+from web_crawler_ray.sources.browser import AppleScriptTransport
 from web_crawler_ray.stages.windows import asof_join_latest, tumbling_window_agg
 
 
@@ -86,8 +86,10 @@ def test_timestamps():
 
 
 def test_browser_stub_fails_fast():
-    with pytest.raises(NotImplementedError, match="chromedriver"):
-        SeleniumTransport()
+    # S6/S8 need an OS desktop no protocol shim can fake — fail fast.
+    # (S5/S7 are now real wire-protocol clients, tests/test_browser.py.)
+    with pytest.raises(NotImplementedError, match="macOS"):
+        AppleScriptTransport()
 
 
 def test_rolling_agg(ray_session):
