@@ -660,6 +660,12 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             # of URLs where this differs from full canonicalization only
             # shifts the heuristic, never the results).
             def host_partial(batch: pa.Table) -> pa.Table:
+                # deterministic 1-in-8 stride sample: the detection is a
+                # placement heuristic (salting is result-invariant), and
+                # a uniform sample preserves the Zipf head while cutting
+                # the per-round extra pass's regex work 8×
+                if batch.num_rows > 64:
+                    batch = batch.take(np.arange(0, batch.num_rows, 8))
                 ex = pc.extract_regex(batch["url"], pattern=r"^[A-Za-z+.\-]+://(?P<host>[^/?#]+)")
                 hosts = pc.utf8_lower(pc.struct_field(ex, "host"))
                 vc = hosts.drop_null().value_counts()
@@ -683,12 +689,18 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 batch["host_hash"].to_numpy(zero_copy_only=False) % np.uint64(n_parts)
             ).astype(np.int64)
             if hot_hosts:
-                hosts_np = batch["host"].to_pylist()
-                uh = batch["url_hash"].to_numpy(zero_copy_only=False)
-                for i, h in enumerate(hosts_np):
-                    hot_idx = hot_hosts.get(h)
-                    if hot_idx is not None:
-                        part[i] = n_parts + hot_idx * salt + int(uh[i] % np.uint64(salt))
+                # vectorized hot-host remap (hot hosts are the HEAVY
+                # rows, so a Python per-row loop here scales with the
+                # Zipf head, not the tail)
+                import pandas as _pd
+
+                hot_idx = _pd.Series(
+                    batch["host"].to_pandas()).map(hot_hosts).to_numpy()
+                m = ~np.isnan(hot_idx)
+                if m.any():
+                    uh = batch["url_hash"].to_numpy(zero_copy_only=False)
+                    part[m] = (n_parts + hot_idx[m].astype(np.int64) * salt
+                               + (uh[m] % np.uint64(salt)).astype(np.int64))
             return batch.append_column("part", pa.array(part, pa.int64()))
 
         def dedup_probe(df: pd.DataFrame) -> pd.DataFrame:
