@@ -2432,6 +2432,19 @@ def q_browser_fetch(sf_dir: str):
     return out[["url", "status", "n_bytes"]].sort_values("url").reset_index(drop=True)
 
 
+def q_cap_per_group(sf_dir: str):
+    """Per-group row cap (max k docs per domain / cluster shape): the
+    k orders per priority class with the smallest deterministic id
+    hash — one coarse shuffle with a map-side top-k combiner."""
+    from web_crawler_ray.stages.sampling import cap_per_group
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority"])
+    out = cap_per_group(ds, "o_orderpriority", "o_orderkey", k=7)
+    return out.to_pandas().sort_values(
+        ["o_orderpriority", "o_orderkey"]).reset_index(drop=True)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA: Gram + first-moment partials (one streaming
     pass), driver eigendecomposition of the d×d covariance, broadcast
@@ -2712,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact": q_redact,
         "q_repetition": q_repetition,
         "q_decontaminate": q_decontaminate,
+        "q_cap_per_group": q_cap_per_group,
         "q_clean_flagship": q_clean_flagship,
         "q_html_parse": q_html_parse,
         "q_minhash_pairs": q_minhash_pairs,
@@ -3483,6 +3497,14 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 1.0 - len(list_distinct(tris)) * 1.0 / len(tris)
                          END, 6) AS rep_ratio
             FROM g
+        """,
+        "q_cap_per_group": r"""
+            SELECT o_orderkey, o_orderpriority FROM orders
+            QUALIFY row_number() OVER (
+              PARTITION BY o_orderpriority
+              ORDER BY ((o_orderkey % 2147483648) * 2654435761)
+                       % 4294967296 % 4294967296, o_orderkey) <= 7
+            ORDER BY o_orderpriority, o_orderkey
         """,
         "q_decontaminate": r"""
             WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks

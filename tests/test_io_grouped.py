@@ -808,3 +808,29 @@ def test_decontaminate_distinct_hits(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert out["doc_id"].tolist() == [1, 3]
     assert out["n_hits"].tolist() == [2, 1]
+
+
+def test_cap_per_group_deterministic_and_nested(ray_session):
+    """Per-group cap: ≤k rows per group, layout-invariant, and the k=3
+    winners are a subset of the k=8 winners (nested-cap consistency)."""
+    import numpy as np
+
+    from web_crawler_ray.stages.sampling import cap_per_group
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 300),
+        "id": np.arange(300, dtype="int64"),
+    })
+    outs = []
+    for parts in (2, 9):
+        out = (cap_per_group(rd.from_pandas(df).repartition(parts),
+                             "g", "id", k=8)
+               .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("g").size() == 8).all()
+    small = (cap_per_group(rd.from_pandas(df), "g", "id", k=3)
+             .to_pandas())
+    big_ids = set(outs[0]["id"])
+    assert set(small["id"]) <= big_ids and len(small) == 9

@@ -96,3 +96,34 @@ def weighted_sample(ds, id_col: str, weight_col: str, k: int,
     return (partials.sort_values(["es_key", id_col], ascending=[False, True],
                                  kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def cap_per_group(ds, group_col: str, id_col: str, k: int,
+                  num_partitions: int = 32, n_rows_hint: int | None = None):
+    """Deterministic per-group row cap — the "at most k documents per
+    domain / per dedup cluster" curation stage. Winners are the k rows
+    with the smallest (hash(id), id) per group, so the kept set is a
+    pure function of the data (stable across runs, cluster sizes and
+    repartitioning — the property a resumable 100-TB run needs), and
+    nested caps are consistent: the k'=5 winners are a subset of the
+    k=10 winners.
+
+    One coarse shuffle on the group key with a map-side combiner
+    (batch-local top-k per group — winner-of-winners under a fixed sort
+    order is the global winner, so the shuffle carries ≤ k rows per
+    (batch, group)); inside each partition one vectorized sort +
+    groupby-head. SQL replay: QUALIFY row_number() OVER (PARTITION BY
+    group ORDER BY hash_expr, id) <= k with the shared hash_bucket
+    expression."""
+    from .grouped import partitioned_apply
+
+    def top_k(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.assign(
+            __h=hash_bucket(part[id_col].to_numpy(), 1 << 32))
+        part = part.sort_values([group_col, "__h", id_col],
+                                kind="mergesort")
+        return (part.groupby(group_col, sort=False, dropna=False)
+                .head(k).drop(columns="__h"))
+
+    return partitioned_apply(ds, [group_col], top_k, num_partitions,
+                             n_rows_hint=n_rows_hint, pre_combine=top_k)
