@@ -834,3 +834,19 @@ def test_cap_per_group_deterministic_and_nested(ray_session):
              .to_pandas())
     big_ids = set(outs[0]["id"])
     assert set(small["id"]) <= big_ids and len(small) == 9
+
+
+def test_spec_text_quality_ops(ray_session):
+    """The zero-code spec surface covers the round-4 curation ops:
+    redact → cap_per_group → hash_split composes end-to-end."""
+    from web_crawler_ray.pipelines.spec import build_pipeline
+
+    out = build_pipeline("/root/testdata/sf0.001/documents.parquet", [
+        {"op": "redact", "patterns": {"cust": "customer [a-z]+"}},
+        {"op": "cap_per_group", "group": "lang", "id": "doc_id", "k": 4},
+        {"op": "hash_split", "id": "doc_id"},
+        {"op": "select", "columns": ["doc_id", "lang", "n_cust", "split"]},
+    ]).to_pandas()
+    assert (out.groupby("lang").size() <= 4).all()
+    assert set(out["split"]) <= {"train", "test"}
+    assert (out["n_cust"] >= 0).all()

@@ -31,6 +31,10 @@ Spec format (list of op dicts, applied in order):
     {"op": "melt",        "id_cols": [...], "value_cols": [...],
                           "var_col": "variable", "val_col": "value"}
     {"op": "explode",     "column": col, "out": name, "index_col": name}
+    {"op": "redact",      "patterns": {name: regex}, "text_col": "text",
+                          "out_col": "text_redacted"}
+    {"op": "cap_per_group", "group": col, "id": col, "k": N}
+    {"op": "hash_split",  "id": col, "train_frac": 0.8, "out_col": "split"}
 """
 
 from __future__ import annotations
@@ -119,6 +123,22 @@ def _apply_op(ds, op: dict):
 
         return explode_column(ds, op["column"], out_col=op.get("out"),
                               index_col=op.get("index_col"))
+    if kind == "redact":
+        from ..stages.text_quality import redact_patterns
+
+        return redact_patterns(ds, op["patterns"],
+                               text_col=op.get("text_col", "text"),
+                               out_col=op.get("out_col", "text_redacted"))
+    if kind == "cap_per_group":
+        from ..stages.sampling import cap_per_group
+
+        return cap_per_group(ds, op["group"], op["id"], op["k"])
+    if kind == "hash_split":
+        from ..stages.sampling import hash_split
+
+        return hash_split(ds, op["id"],
+                          train_frac=op.get("train_frac", 0.8),
+                          out_col=op.get("out_col", "split"))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -190,6 +210,15 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
                 created.add(op["out"])
             if op.get("index_col"):
                 created.add(op["index_col"])
+        elif kind == "redact":
+            need([op.get("text_col", "text")])
+            created.add(op.get("out_col", "text_redacted"))
+            created |= {f"n_{n}" for n in op["patterns"]}
+        elif kind == "cap_per_group":
+            need([op["group"], op["id"]])
+        elif kind == "hash_split":
+            need([op["id"]])
+            created.add(op.get("out_col", "split"))
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
