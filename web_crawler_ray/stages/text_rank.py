@@ -112,7 +112,7 @@ def top_bigrams(ds, text_col: str, k: int = 20):
     a driver top-k over the combined counts (bounded by distinct
     bigrams — for open-vocabulary corpora cap with heavy_hitters
     instead). Deterministic ties: ascending bigram."""
-    from ray.data.aggregate import Sum
+    from .graph import grouped_sum
 
     ds = ds.select_columns([text_col])
 
@@ -134,9 +134,13 @@ def top_bigrams(ds, text_col: str, k: int = 20):
         return pd.DataFrame({"bigram": vc.index.to_numpy(),
                              "n": vc.to_numpy().astype("int64")})
 
-    combined = (ds.map_batches(partial, batch_format="pandas")
-                .groupby("bigram").aggregate(Sum("n", alias_name="n"))
-                .to_pandas())
+    # coarse-partitioned sum, NOT Dataset.groupby().aggregate(): bigram
+    # cardinality is vocabulary², where the native groupby's
+    # per-key-task shape degrades ~100× past 10^4 keys
+    combined = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"),
+        "bigram", "n", "n",
+    ).to_pandas()
     return (combined.sort_values(["n", "bigram"], ascending=[False, True],
                                  kind="mergesort")
             .head(k).reset_index(drop=True))
