@@ -97,3 +97,83 @@ def test_browser_transport_in_fetch_actor_pool(webdriver_server, ray_session):
     ).to_pandas().sort_values("url").reset_index(drop=True)
     assert out["status"].tolist() == [200, 200]
     assert out["body"].tolist() == [PAGES[u].encode() for u in sorted(PAGES)]
+
+
+def test_applescript_transport_against_fake_osascript():
+    """S6: the transport builds the reference's AppleScript sequence
+    (open location → resize → scroll×N → outerHTML) and parses runner
+    output; FakeOsascript emulates scriptable Chrome."""
+    from web_crawler_ray.sources.browser import AppleScriptTransport
+    from web_crawler_ray.sources.fake_servers import FakeOsascript
+
+    osa = FakeOsascript()
+    tr = AppleScriptTransport(runner=osa, scroll_times=3)
+    status, body = tr.get("http://x.test/a")
+    assert (status, body.decode()) == (200, PAGES["http://x.test/a"])
+    assert osa.current_url == "http://x.test/a"
+    assert osa.scrolls == 3
+    # exact command shapes the real osascript would receive
+    assert osa.scripts[0] == (
+        'tell application "Google Chrome" to open location '
+        '"http://x.test/a"')
+    assert "set bounds of front window" in osa.scripts[1]
+    assert 'javascript "document.documentElement.outerHTML"' in osa.scripts[-1]
+
+
+def test_applescript_transport_fails_fast_without_binary():
+    from web_crawler_ray.sources.browser import AppleScriptTransport
+
+    with pytest.raises(NotImplementedError):
+        AppleScriptTransport()  # no osascript in this container
+
+
+def test_applescript_runner_error_is_errors_as_data():
+    from web_crawler_ray.sources.browser import AppleScriptTransport
+
+    def broken(script, timeout_s):
+        raise RuntimeError("(-600) application isn't running")
+
+    tr = AppleScriptTransport(runner=broken)
+    assert tr.get("http://x.test/a") == (502, b"")
+
+
+def test_rpa_transport_keystroke_flow_with_page_reader():
+    """S8: exact xdotool argv sequence (activate → ctrl+l → type →
+    Return), page read via injected reader."""
+    from web_crawler_ray.sources.browser import RpaTransport
+    from web_crawler_ray.sources.fake_servers import FakeXdotool
+
+    xdo = FakeXdotool()
+    tr = RpaTransport(runner=xdo, page_reader=xdo.page_reader)
+    status, body = tr.get("http://x.test/b")
+    assert (status, body.decode()) == (200, PAGES["http://x.test/b"])
+    assert xdo.argvs == [
+        ["xdotool", "search", "--onlyvisible", "--class", "google-chrome",
+         "windowactivate"],
+        ["xdotool", "key", "ctrl+l"],
+        ["xdotool", "type", "http://x.test/b"],
+        ["xdotool", "key", "Return"],
+    ]
+
+
+def test_rpa_transport_devtools_read_through_cdp(cdp_server):
+    """S8 full reference architecture: keystrokes navigate, the page
+    comes back through a REAL CDP attach (GET /json tab list →
+    websocket Runtime.evaluate) — fake keyboard and fake browser share
+    desktop state."""
+    from web_crawler_ray.sources.browser import CdpTransport, RpaTransport
+    from web_crawler_ray.sources.fake_servers import FakeXdotool
+
+    xdo = FakeXdotool(cdp_state=cdp_server.state)
+    tr = RpaTransport(runner=xdo,
+                      devtools=CdpTransport(debug_port=cdp_server.port,
+                                            load_timeout_s=5.0))
+    status, body = tr.get("http://x.test/a")
+    assert (status, body.decode()) == (200, PAGES["http://x.test/a"])
+
+
+def test_rpa_transport_fails_fast_without_binary():
+    from web_crawler_ray.sources.browser import RpaTransport
+
+    with pytest.raises(NotImplementedError):
+        RpaTransport(page_reader=lambda: "")  # no xdotool here

@@ -30,8 +30,27 @@ contract ``get(url) -> (status, bytes)`` so they plug straight into
 created lazily on first use in the actor process).
 
 AppleScript (S6) and RPA keystroke automation (S8) require an OS
-desktop session, which no protocol shim can fake — they stay fail-fast
-interface stubs.
+desktop session — but their CODE is command construction + output
+parsing, and only the command RUNNER (``osascript`` / ``xdotool``
+subprocess) needs the desktop:
+
+- :class:`AppleScriptTransport` — builds the exact AppleScript program
+  sequence of applescript.py:64-152 (open location, shrink window,
+  scroll via JS, outerHTML via JS) and executes each through an
+  injectable ``runner(script, timeout_s) -> stdout``; the default
+  runner shells ``osascript -e`` and the constructor fails fast when
+  the binary is absent (this container).
+- :class:`RpaTransport` — the keystroke-navigation flow of
+  rpa_chrome_controller.py:427-509 (activate window, meta+L address
+  bar, type URL, Return) as exact ``xdotool`` argv lists through an
+  injectable ``runner(argv) -> stdout``, then reads the page the way
+  the reference's LinuxController does (rpa_chrome_controller.py:373-
+  385): ``Runtime.evaluate`` over CDP — pass a :class:`CdpTransport`
+  or any ``page_reader``.
+
+Tests drive both against fake runners that emulate the OS side
+(``fake_servers.FakeOsascript`` / ``FakeXdotool``), so every command
+string the real binaries would receive is exercised.
 """
 
 from __future__ import annotations
@@ -137,6 +156,29 @@ class CdpTransport:
         if data.get("method") == "Page.loadEventFired":
             self._load_fired = True
 
+    def evaluate_active(self, expression: str) -> str:
+        """``Runtime.evaluate`` on the first existing page tab (no
+        navigation) — the reference's execute_javascript flow
+        (cdp.py:191-233): ``GET /json`` tab list → attach websocket →
+        evaluate. Raises on protocol failure (callers wrap)."""
+        status, tabs = _http_json(self.host, self.port, "GET", "/json")
+        if status != 200 or not tabs:
+            raise ConnectionError(f"no devtools tabs: {status}")
+        tab = next(t for t in tabs if t.get("webSocketDebuggerUrl"))
+        ws = WebSocketClient(tab["webSocketDebuggerUrl"],
+                             timeout_s=self.load_timeout_s)
+        try:
+            ws.send_text(json.dumps({"id": 1, "method": "Runtime.evaluate",
+                                     "params": {"expression": expression,
+                                                "returnByValue": True}}))
+            while True:
+                data = json.loads(ws.recv_text())
+                if data.get("id") == 1:
+                    return (data.get("result", {}).get("result", {})
+                            .get("value", ""))
+        finally:
+            ws.close()
+
 
 class SeleniumTransport:
     """S5 — W3C WebDriver wire protocol (what selenium speaks), stdlib
@@ -213,32 +255,125 @@ class SeleniumTransport:
             self.session_id = None
 
 
-class _UnavailableBrowserTransport:
-    """Base for OS-desktop transports: same ``get(url) -> (status,
-    body)`` protocol; constructing one without the backing desktop
-    raises immediately (actor __init__ fails fast)."""
+def _default_osascript_runner():
+    import shutil
+    import subprocess
 
-    REQUIRES: str = "a desktop session"
-
-    def __init__(self, *_a, **_kw):
+    if shutil.which("osascript") is None:
         raise NotImplementedError(
-            f"{type(self).__name__} needs {self.REQUIRES}, which is not "
-            "available in this container. Use CdpTransport/"
-            "SeleniumTransport against a real browser endpoint, or "
-            "http_fetch transports; any object with get(url)->(status, "
-            "body) plugs into the same actor pool."
-        )
+            "AppleScriptTransport needs macOS osascript, absent in this "
+            "container — inject runner= (tests use FakeOsascript) or use "
+            "CdpTransport/SeleniumTransport against a real endpoint.")
+
+    def run(script: str, timeout_s: float) -> str:
+        p = subprocess.run(["osascript", "-e", script], capture_output=True,
+                           text=True, check=True, timeout=timeout_s)
+        return p.stdout.strip()
+
+    return run
 
 
-class AppleScriptTransport(_UnavailableBrowserTransport):
-    """S6 — macOS Chrome via osascript: open, resize, scroll, grab
-    outerHTML (applescript.py:64-152)."""
+class AppleScriptTransport:
+    """S6 — macOS Chrome via osascript (applescript.py:64-152): open
+    location, shrink the window out of the way, scroll ``scroll_times``
+    via injected JS, read ``document.documentElement.outerHTML``.
 
-    REQUIRES = "macOS with scriptable Chrome"
+    Every AppleScript program is built here exactly as the reference
+    builds it; ``runner(script, timeout_s) -> stdout`` is the only OS
+    boundary (default: ``osascript -e``, fail-fast when absent)."""
+
+    JS_TMPL = ('tell application "Google Chrome" \n'
+               '    execute active tab of front window javascript "{js}"\n'
+               'end tell')
+    RESIZE = ('tell application "Google Chrome"\n'
+              '    activate\n'
+              '    try\n'
+              '        set bounds of front window to {100, 100, 101, 101}\n'
+              '    on error\n'
+              '    end try\n'
+              'end tell')
+
+    def __init__(self, wait_seconds: float = 0.0, scroll_times: int = 0,
+                 runner=None, timeout_s: float = 60.0):
+        self.wait_seconds = wait_seconds
+        self.scroll_times = scroll_times
+        self.timeout_s = timeout_s
+        self._run = runner if runner is not None else _default_osascript_runner()
+
+    def get(self, url: str) -> tuple[int, bytes]:
+        try:
+            self._run('tell application "Google Chrome" to open location '
+                      f'"{url}"', self.timeout_s)
+            self._run(self.RESIZE, self.timeout_s)
+            if self.wait_seconds:
+                time.sleep(self.wait_seconds)
+            for _ in range(self.scroll_times):
+                self._run(self.JS_TMPL.format(
+                    js="window.scrollBy(0, window.innerHeight);"),
+                    self.timeout_s)
+            html = self._run(self.JS_TMPL.format(
+                js="document.documentElement.outerHTML"), self.timeout_s)
+            return 200, html.encode()
+        except Exception:
+            return 502, b""
 
 
-class RpaTransport(_UnavailableBrowserTransport):
-    """S8 — OS-level keystroke automation + DevTools JS eval
-    (rpa_chrome_controller.py:386-556)."""
+def _default_xdotool_runner():
+    import shutil
+    import subprocess
 
-    REQUIRES = "a desktop session (pyautogui/xdotool)"
+    if shutil.which("xdotool") is None:
+        raise NotImplementedError(
+            "RpaTransport needs xdotool (a desktop session), absent in "
+            "this container — inject runner= (tests use FakeXdotool) or "
+            "use CdpTransport/SeleniumTransport against a real endpoint.")
+
+    def run(argv: list[str]) -> str:
+        p = subprocess.run(argv, capture_output=True, text=True, check=True)
+        return p.stdout
+
+    return run
+
+
+class RpaTransport:
+    """S8 — OS-level keystroke navigation + DevTools read
+    (rpa_chrome_controller.py:427-509): activate the Chrome window,
+    meta+L to focus the address bar, type the URL, Return; then read
+    the page like the reference's controllers do — ``Runtime.evaluate``
+    over CDP (rpa_chrome_controller.py:373-385).
+
+    ``runner(argv) -> stdout`` executes the exact xdotool argv lists
+    (default: subprocess, fail-fast without the binary);
+    ``page_reader() -> html`` supplies the devtools read (pass
+    ``devtools=CdpTransport(...)`` on a real desktop)."""
+
+    def __init__(self, runner=None, page_reader=None, devtools=None,
+                 settle_s: float = 0.0):
+        self._run = runner if runner is not None else _default_xdotool_runner()
+        if page_reader is None and devtools is None:
+            raise ValueError("RpaTransport needs page_reader= or "
+                             "devtools=CdpTransport(...)")
+        self._read = page_reader
+        self._devtools = devtools
+        self.settle_s = settle_s
+
+    def _activate(self) -> None:
+        self._run(["xdotool", "search", "--onlyvisible", "--class",
+                   "google-chrome", "windowactivate"])
+
+    def get(self, url: str) -> tuple[int, bytes]:
+        try:
+            self._activate()
+            self._run(["xdotool", "key", "ctrl+l"])
+            self._run(["xdotool", "type", url])
+            self._run(["xdotool", "key", "Return"])
+            if self.settle_s:
+                time.sleep(self.settle_s)
+            if self._read is not None:
+                html = self._read()
+            else:  # attach to the navigated tab through DevTools
+                html = self._devtools.evaluate_active(
+                    "document.documentElement.outerHTML")
+            return 200, html.encode() if isinstance(html, str) else html
+        except Exception:
+            return 502, b""

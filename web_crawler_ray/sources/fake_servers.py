@@ -9,6 +9,7 @@ the browser binary is only ever the far side of the socket.
 from __future__ import annotations
 
 import json
+import re
 import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -107,6 +108,14 @@ class CdpHttpHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/json/version":
             self._json(200, {"Browser": "FakeChrome/1.0"})
+        elif self.path in ("/json", "/json/list"):
+            # one existing page tab (what keystroke navigation drove)
+            self._json(200, [{
+                "id": "tab-kb", "type": "page",
+                "webSocketDebuggerUrl":
+                    f"ws://127.0.0.1:{self.server.state['ws_port']}"
+                    "/devtools/tab-kb",
+            }])
         else:
             self._json(404, {})
 
@@ -146,7 +155,9 @@ def _serve_cdp_ws_once(sock: socket.socket, state: dict, pages: dict):
             "Connection: Upgrade\r\n"
             f"Sec-WebSocket-Accept: {accept_key(key)}\r\n\r\n").encode())
         reader = _FrameReader(conn)
-        url = ""
+        # a fresh connection sees whatever the (fake) keyboard navigated
+        # the browser to — shared desktop state, like real Chrome
+        url = state.get("keyboard_url", "")
         while True:
             opcode, _fin, payload = reader.read_frame()
             if opcode == OP_CLOSE:
@@ -199,3 +210,75 @@ def start_cdp_server(pages: dict[str, str] | None = None):
     threading.Thread(target=http_srv.serve_forever, daemon=True).start()
     threading.Thread(target=ws_loop, daemon=True).start()
     return http_srv, http_srv.server_address[1], ws_sock
+
+
+class FakeOsascript:
+    """An ``osascript``-shaped runner for AppleScriptTransport tests:
+    parses the exact AppleScript programs the transport builds (open
+    location / resize / javascript eval) and emulates a scriptable
+    Chrome over a page dict. Records every script for assertions."""
+
+    OPEN_RE = re.compile(r'open location "([^"]+)"')
+    JS_RE = re.compile(r'javascript "(.*)"', re.S)
+
+    def __init__(self, pages: dict[str, str] | None = None):
+        self.pages = dict(DEFAULT_PAGES if pages is None else pages)
+        self.current_url = ""
+        self.scrolls = 0
+        self.scripts: list[str] = []
+
+    def __call__(self, script: str, timeout_s: float) -> str:
+        self.scripts.append(script)
+        m = self.OPEN_RE.search(script)
+        if m:
+            self.current_url = m.group(1)
+            return ""
+        m = self.JS_RE.search(script)
+        if m:
+            js = m.group(1)
+            if "scrollBy" in js:
+                self.scrolls += 1
+                return ""
+            if "outerHTML" in js:
+                return self.pages.get(self.current_url, "")
+            return ""
+        return ""  # resize / activate scripts
+
+
+class FakeXdotool:
+    """An ``xdotool``-shaped runner for RpaTransport tests: replays the
+    keystroke state machine (focus address bar, type, Return ⇒
+    navigation). Pass ``cdp_state`` (the fake CDP server's state dict)
+    to share the navigated URL with DevTools reads, like a real
+    desktop. Records every argv for assertions."""
+
+    def __init__(self, pages: dict[str, str] | None = None,
+                 cdp_state: dict | None = None):
+        self.pages = dict(DEFAULT_PAGES if pages is None else pages)
+        self.cdp_state = cdp_state
+        self.current_url = ""
+        self.typed = ""
+        self.argvs: list[list[str]] = []
+
+    def __call__(self, argv: list[str]) -> str:
+        self.argvs.append(list(argv))
+        if argv[0] != "xdotool":
+            raise FileNotFoundError(argv[0])
+        cmd = argv[1]
+        if cmd == "search":
+            return "12345678\n"  # a window id: Chrome is "running"
+        if cmd == "type":
+            self.typed += argv[2]
+            return ""
+        if cmd == "key":
+            if argv[2] == "ctrl+l":
+                self.typed = ""  # address bar focused & cleared
+            elif argv[2] == "Return" and self.typed:
+                self.current_url = self.typed
+                if self.cdp_state is not None:
+                    self.cdp_state["keyboard_url"] = self.typed
+            return ""
+        return ""
+
+    def page_reader(self) -> str:
+        return self.pages.get(self.current_url, "")
