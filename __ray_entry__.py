@@ -2400,6 +2400,49 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, "text", "doc_id", n=3)
 
 
+def q_doc_chunks(sf_dir: str):
+    """Fixed-window training-sequence chunking (window 12, stride 8 —
+    overlapping eval-context shape): one row per (doc, window) with the
+    window's token count and ' '-joined text. Map-only, zero shuffle."""
+    from web_crawler_ray.stages.packing import chunk_documents
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return chunk_documents(ds, window=12, stride=8)
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style concat-and-chunk packing plan: documents laid
+    end-to-end in doc_id order, cut into 100-token training sequences;
+    one row per (doc, sequence) overlap. The global token prefix sum is
+    bucket-based (two metadata-only passes) — text never shuffles."""
+    from web_crawler_ray.stages.packing import pack_sequences
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=100)
+
+
+def q_dup_blocks(sf_dir: str):
+    """Corpus-level duplicated-span removal (C4/CCNet line-dedup shape
+    over 3-token blocks): blocks occurring >= 2 times across the WHOLE
+    corpus are dropped from every document; per doc the block counts and
+    the surviving text come back. Block-count combine shuffle +
+    broadcast dup set; document text never shuffles."""
+    from web_crawler_ray.stages.text_quality import drop_duplicate_blocks
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return drop_duplicate_blocks(ds, block=3, min_count=2)
+
+
+def q_quality_gate(sf_dir: str):
+    """Global-quantile quality gate: keep documents at or above the
+    corpus-wide exact p75 of n_chars (value-count combine → driver rank
+    pick ≡ DuckDB quantile_disc → map-only Arrow filter)."""
+    from web_crawler_ray.stages.aggregate import quantile_gate
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+    return quantile_gate(ds, "n_chars", 0.75)
+
+
 def q_browser_fetch(sf_dir: str):
     """S5 browser-driven fetch through the SAME FetcherActor pool as
     HTTP: a W3C-WebDriver wire-protocol transport (stdlib client)
@@ -2428,6 +2471,32 @@ def q_browser_fetch(sf_dir: str):
         ).to_pandas()
     finally:
         srv.shutdown()
+    out["n_bytes"] = out["body"].str.len().astype("int64")
+    return out[["url", "status", "n_bytes"]].sort_values("url").reset_index(drop=True)
+
+
+def q_rpa_fetch(sf_dir: str):
+    """S8 RPA keystroke-navigation fetch through the FetcherActor pool:
+    the transport issues the reference's exact xdotool argv sequence
+    (activate → ctrl+l → type URL → Return) against an emulated desktop
+    (FakeXdotool — the binary is the boundary) and reads the navigated
+    page; same errors-as-data protocol as every other transport."""
+    from web_crawler_ray.sources.browser import RpaTransport
+    from web_crawler_ray.sources.fake_servers import DEFAULT_PAGES as PAGES, FakeXdotool
+    from web_crawler_ray.sources.http_fetch import FetcherActor
+    import pyarrow as pa
+
+    def factory():
+        xdo = FakeXdotool()
+        return RpaTransport(runner=xdo, page_reader=xdo.page_reader)
+
+    urls = rd.from_arrow(pa.table({"url": sorted(PAGES)}))
+    out = urls.map_batches(
+        FetcherActor,
+        fn_constructor_kwargs={"transport_factory": factory},
+        batch_format="pyarrow",
+        concurrency=1,
+    ).to_pandas()
     out["n_bytes"] = out["body"].str.len().astype("int64")
     return out[["url", "status", "n_bytes"]].sort_values("url").reset_index(drop=True)
 
@@ -2726,6 +2795,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": q_repetition,
         "q_decontaminate": q_decontaminate,
         "q_cap_per_group": q_cap_per_group,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pack_sequences": q_pack_sequences,
+        "q_dup_blocks": q_dup_blocks,
+        "q_quality_gate": q_quality_gate,
         "q_clean_flagship": q_clean_flagship,
         "q_html_parse": q_html_parse,
         "q_minhash_pairs": q_minhash_pairs,
@@ -2747,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_features": q_image_features,
         "q_image_resize": q_image_resize,
         "q_browser_fetch": q_browser_fetch,
+        "q_rpa_fetch": q_rpa_fetch,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,
@@ -3522,6 +3596,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
             FROM corpus JOIN bench USING (gram)
             GROUP BY doc_id
+        """,
+        "q_doc_chunks": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                    [{'idx': i,
+                      'nt': least((i*8)+12, len(toks)) - (i*8),
+                      'txt': array_to_string(
+                        toks[(i*8)+1 : least((i*8)+12, len(toks))], ' ')}
+                     FOR i IN range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))]
+                    AS chunks
+                  FROM t),
+            u AS (SELECT doc_id, unnest(chunks, recursive := true) FROM c)
+            SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx,
+                   CAST(nt AS BIGINT) AS n_tokens, txt AS chunk_text FROM u
+        """,
+        "q_pack_sequences": r"""
+            WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n
+                       FROM documents),
+            o AS (SELECT doc_id, n,
+                   CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS off
+                  FROM t),
+            e AS (SELECT doc_id, n, off,
+                    [{'c': (off // 100) + i}
+                     FOR i IN range(0, ((off + n - 1) // 100)
+                                       - (off // 100) + 1)] AS cs
+                  FROM o WHERE n > 0),
+            u AS (SELECT doc_id, n, off, unnest(cs, recursive := true) FROM e)
+            SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+                   CAST(least((c+1)*100, off + n) - greatest(c*100, off)
+                        AS BIGINT) AS n_tokens
+            FROM u
+        """,
+        "q_dup_blocks": r"""
+            WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+                       FROM documents),
+            b AS (SELECT doc_id,
+                    [array_to_string(
+                       toks[(j*3)+1 : least((j+1)*3, len(toks))], ' ')
+                     FOR j IN range(0, CAST(ceil(len(toks)/3.0) AS BIGINT))]
+                    AS blocks
+                  FROM t),
+            u AS (SELECT doc_id, unnest(blocks) AS blk,
+                         unnest(range(1, len(blocks)+1)) AS j
+                  FROM b),
+            d AS (SELECT blk FROM u GROUP BY blk HAVING count(*) >= 2)
+            SELECT u.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(count(d.blk) AS BIGINT) AS n_dup_blocks,
+                   coalesce(string_agg(CASE WHEN d.blk IS NULL THEN u.blk END,
+                                       ' ' ORDER BY u.j), '') AS text_deduped
+            FROM u LEFT JOIN d ON u.blk = d.blk
+            GROUP BY u.doc_id
+        """,
+        "q_quality_gate": """
+            WITH th AS (SELECT quantile_disc(n_chars, 0.75) AS t FROM documents)
+            SELECT doc_id, n_chars FROM documents, th WHERE n_chars >= th.t
         """,
         "q_phash_near_dup": """
             WITH img AS (

@@ -416,3 +416,50 @@ def group_mode(ds, key: str, cat_col: str, num_partitions: int = 32,
 
     return partitioned_apply(counts, [key], pick, num_partitions,
                              n_rows_hint=n_rows_hint)
+
+
+def quantile_gate(ds, col: str, q: float, keep: str = "ge"):
+    """Filter rows against the corpus-global EXACT discrete quantile of
+    ``col`` (quality-gate shape: "keep the top 25% by score"). Returns
+    the input rows whose ``col`` is >= (``keep="ge"``) or < the
+    threshold, i.e. the selection itself — callers chain further stages.
+
+    The threshold element matches DuckDB ``quantile_disc(col, q)``:
+    0-based rank ``ceil(q*n) - 1`` over the ascending sort (probed).
+
+    Shape: pass 1 ships per-batch (value, partial count) into one
+    tiny combine — volume is DISTINCT values per batch, never rows —
+    the driver resolves the rank over the sorted value/count table and
+    the second pass is a map-only Arrow filter. Assumes the column's
+    distinct-value count is driver-safe (ints, bounded-precision
+    scores); for unbounded continuous columns use the DDSketch quantile
+    (``stages/sketch.py``) and accept its relative-error bound."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts(sort=False)
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    acc = None
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+        s = b.groupby("v")["n"].sum()  # coalesced batches repeat keys
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    if acc is None or not len(acc):
+        return ds
+    acc = acc.sort_index()
+    counts = acc.to_numpy(np.int64)
+    n = int(counts.sum())
+    rank = max(int(np.ceil(q * n)) - 1, 0)
+    threshold = acc.index.to_numpy()[np.searchsorted(np.cumsum(counts),
+                                                     rank + 1)]
+
+    op = pc.greater_equal if keep == "ge" else pc.less
+
+    def gate(batch):
+        return batch.filter(op(batch[col], threshold))
+
+    return ds.map_batches(gate, batch_format="pyarrow")

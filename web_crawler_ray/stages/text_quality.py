@@ -102,6 +102,89 @@ def repetition_ratio(ds, text_col: str = "text", id_col: str = "doc_id",
         fn, batch_format="pandas")
 
 
+def _doc_blocks(texts: list, block: int) -> tuple[list, np.ndarray]:
+    """Disjoint ``block``-token blocks per document (trailing partial
+    block included). Returns (list-of-block-strings-per-doc,
+    blocks_per_doc)."""
+    out, counts = [], np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t or "")
+        blks = [" ".join(toks[j:j + block])
+                for j in range(0, len(toks), block)]
+        counts[i] = len(blks)
+        out.append(blks)
+    return out, counts
+
+
+def drop_duplicate_blocks(ds, text_col: str = "text", id_col: str = "doc_id",
+                          block: int = 8, min_count: int = 2,
+                          num_partitions: int = 32):
+    """Corpus-level duplicated-span removal (the C4/CCNet "drop lines
+    repeated across the corpus" stage, over disjoint ``block``-token
+    blocks since the corpus is single-line text): any block whose exact
+    string occurs >= ``min_count`` times ACROSS THE WHOLE CORPUS is
+    removed from every document. Emits one row per document with >= 1
+    block: (id_col, n_blocks, n_dup_blocks, text_deduped) where
+    ``text_deduped`` is the ' '-join of the surviving blocks in order.
+
+    Shape: pass A ships (block-string, partial count) into one coarse
+    combine shuffle (batch-local pre-combine caps volume at per-batch
+    distinct blocks); only blocks with global count >= min_count — the
+    duplicated TAIL, tiny relative to the corpus — come back to the
+    driver and broadcast once via ``ray.put``; pass B is map-only.
+    Past ~10^7 duplicated blocks, swap the broadcast for a bloom probe
+    + hash semi-join verify (the ``bloom_semi_join`` shape) — the text
+    column never enters a shuffle either way."""
+    import ray
+
+    from .grouped import partitioned_apply
+
+    src = ds.select_columns([id_col, text_col])
+
+    def emit_blocks(batch: pd.DataFrame) -> pd.DataFrame:
+        blks, _ = _doc_blocks(list(batch[text_col]), block)
+        flat = [b for doc in blks for b in doc]
+        s = pd.Series(flat, dtype="object").value_counts(sort=False)
+        return pd.DataFrame({"blk": s.index.to_numpy(),
+                             "n": s.to_numpy().astype("int64")})
+
+    def count_partition(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("blk", sort=False)["n"].sum()
+        g = g[g >= min_count]
+        return pd.DataFrame({"blk": g.index.to_numpy()})
+
+    dup_ds = partitioned_apply(src.map_batches(emit_blocks,
+                                               batch_format="pandas"),
+                               ["blk"], count_partition, num_partitions)
+    dup_set: set = set()
+    for b in dup_ds.iter_batches(batch_format="pandas"):
+        dup_set.update(b["blk"])
+    ref = ray.put(dup_set)
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        dset = ray.get(ref)
+        blks, counts = _doc_blocks(list(batch[text_col]), block)
+        ids = batch[id_col].to_numpy()
+        keep = counts > 0
+        n_dup = np.zeros(len(blks), dtype=np.int64)
+        texts = []
+        for i, doc in enumerate(blks):
+            if not doc:
+                texts.append("")
+                continue
+            survive = [b for b in doc if b not in dset]
+            n_dup[i] = len(doc) - len(survive)
+            texts.append(" ".join(survive))
+        return pd.DataFrame({
+            id_col: ids[keep],
+            "n_blocks": counts[keep],
+            "n_dup_blocks": n_dup[keep],
+            "text_deduped": pd.Series(texts, dtype="object")[keep].to_numpy(),
+        })
+
+    return src.map_batches(scrub, batch_format="pandas")
+
+
 def decontaminate(ds, bench_ds, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3):
     """Benchmark decontamination: per corpus document, how many of its
