@@ -1466,6 +1466,45 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_fuzzy_dedup(sf_dir: str):
+    """END-TO-END fuzzy dedup over the eligible corpus slice: exact
+    5-gram Jaccard pairs (small-subset exact path; the 100-TB path
+    swaps in banded MinHash candidates, same contract) → connected
+    components (min-label) → canonical-winner selection. Every eligible
+    document comes back with its cluster representative and whether it
+    survives the dedup — the decision table a curation pipeline feeds
+    into its filter stage."""
+    import ray
+
+    from web_crawler_ray.stages.graph import connected_components
+
+    pairs = q_jaccard_allpairs(sf_dir).select_columns(
+        ["id_a", "id_b"]).materialize()
+    comp = connected_components(pairs)
+
+    eligible = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b[(b["doc_id"] % 3 == 0) & (b["text"].str.len() >= 5)],
+        batch_format="pandas",
+    )
+    ref = ray.put((comp["node"].to_numpy(), comp["component"].to_numpy()))
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        ns, cs = ray.get(ref)
+        ids = batch["doc_id"].to_numpy()
+        canon = ids.copy()
+        if len(ns):
+            idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
+            hit = ns[idx] == ids
+            canon[hit] = cs[idx[hit]]
+        return pd.DataFrame({"doc_id": ids,
+                             "canon_id": canon.astype("int64"),
+                             "kept": canon == ids})
+
+    return eligible.map_batches(attach, batch_format="pandas")
+
+
 def q_clean_prices_oracle(sf_dir: str):
     """F1 price cleaning proven against SQL: lineitem prices are
     formatted as messy currency strings — US thousands style
@@ -2821,6 +2860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_resize": q_image_resize,
         "q_browser_fetch": q_browser_fetch,
         "q_rpa_fetch": q_rpa_fetch,
+        "q_fuzzy_dedup": q_fuzzy_dedup,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,
@@ -3475,6 +3515,36 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_fuzzy_dedup": """
+            WITH RECURSIVE s AS (
+                SELECT doc_id,
+                       list_distinct([substr(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)]) AS sh
+                FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 5
+            ), p AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / (len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh))) AS jac
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                ) WHERE jac >= 0.4
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION ALL
+                SELECT id_b, id_a FROM p
+            ), r(node, lab) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.src, r.lab FROM e JOIN r ON r.node = e.dst
+            ), comp AS (
+                SELECT node, min(lab) AS c FROM r GROUP BY node
+            )
+            SELECT s.doc_id,
+                   CAST(coalesce(comp.c, s.doc_id) AS BIGINT) AS canon_id,
+                   (comp.c IS NULL OR comp.c = s.doc_id) AS kept
+            FROM s LEFT JOIN comp ON s.doc_id = comp.node
         """,
         "q_heavy_hitters": """
             SELECT user_id, count(*) AS cnt FROM events

@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "q_image_curate",
     "q_redact",
     "q_decontaminate",
+    "q_pack_sequences",
+    "q_dup_blocks",
 ]
 
 
