@@ -1466,6 +1466,42 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_salted_join(sf_dir: str):
+    """Skew-defeating SALTED hash join (the north rule's hot-key salting
+    as a first-class relational operator): lineitem⋈supplier on a
+    deliberately-skewed key layout — left keys salted by stable row
+    hash, small side replicated per salt — then revenue per nation.
+    Result is provably identical to the unsalted join (same SQL)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.joins import salted_inner_join
+
+    li = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    sup = rd.read_parquet(_t(sf_dir, "supplier"),
+                          columns=["s_suppkey", "s_nationkey"])
+
+    def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch[["l_suppkey", "revenue"]]
+
+    joined = salted_inner_join(li.map_batches(add_rev, batch_format="pandas"),
+                               sup, on="l_suppkey", right_on="s_suppkey",
+                               n_salts=8)
+    out = partial_grouped_agg(joined, ["s_nationkey"],
+                              {"revenue_sum": ("sum", "revenue"),
+                               "n": ("count", None)})
+
+    def fmt(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["revenue_sum"] = sql_round(batch["revenue_sum"], 2)
+        batch["n"] = batch["n"].astype("int64")
+        return batch[["s_nationkey", "revenue_sum", "n"]]
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
 def q_fuzzy_dedup(sf_dir: str):
     """END-TO-END fuzzy dedup over the eligible corpus slice: exact
     5-gram Jaccard pairs (small-subset exact path; the 100-TB path
@@ -2861,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_browser_fetch": q_browser_fetch,
         "q_rpa_fetch": q_rpa_fetch,
         "q_fuzzy_dedup": q_fuzzy_dedup,
+        "q_salted_join": q_salted_join,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,
@@ -3515,6 +3552,14 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_salted_join": """
+            SELECT s_nationkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue_sum,
+                   count(*) AS n
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
         """,
         "q_fuzzy_dedup": """
             WITH RECURSIVE s AS (

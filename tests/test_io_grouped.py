@@ -850,3 +850,42 @@ def test_spec_text_quality_ops(ray_session):
     assert (out.groupby("lang").size() <= 4).all()
     assert set(out["split"]) <= {"train", "test"}
     assert (out["n_cust"] >= 0).all()
+
+
+class TestSaltedJoin:
+    def test_identical_to_plain_join_under_skew(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from web_crawler_ray.stages.joins import salted_inner_join
+
+        rng = np.random.default_rng(3)
+        # 90% of left rows hit ONE hot key
+        keys = np.where(rng.random(5000) < 0.9, 7,
+                        rng.integers(0, 50, 5000)).astype(np.int64)
+        left = rd.from_pandas(pd.DataFrame(
+            {"k": keys, "v": np.arange(5000, dtype=np.int64)}))
+        right = rd.from_pandas(pd.DataFrame(
+            {"rk": np.arange(50, dtype=np.int64),
+             "w": np.arange(50, dtype=np.int64) * 10}))
+        out = salted_inner_join(left, right, on="k", right_on="rk",
+                                n_salts=8).to_pandas()
+        ref = (pd.DataFrame({"k": keys, "v": np.arange(5000)})
+               .merge(pd.DataFrame({"k": np.arange(50),
+                                    "w": np.arange(50) * 10}), on="k"))
+        out = out.sort_values(["k", "v"]).reset_index(drop=True)
+        ref = ref.sort_values(["k", "v"]).reset_index(drop=True)
+        assert len(out) == len(ref)
+        assert (out[["k", "v", "w"]].to_numpy()
+                == ref[["k", "v", "w"]].to_numpy()).all()
+
+    def test_hot_key_spreads_over_salts(self):
+        import numpy as np
+        import pandas as pd
+
+        # the salting primitive itself: one hot key's rows get >1 salt
+        df = pd.DataFrame({"k": np.full(1000, 7),
+                           "v": np.arange(1000)})
+        h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+        assert len(np.unique(h % 8)) == 8

@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import ray
 
@@ -237,3 +238,42 @@ def interval_overlap_join(left, right, lo_a: str, hi_a: str,
         return batch[hit & canon].drop(columns=["__bucket"])
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def salted_inner_join(left, right, on: str, right_on: str | None = None,
+                      n_salts: int = 8, num_partitions: int = 8):
+    """Skew-defeating equi join: a single hot key collapses a hash join
+    to one reduce partition; salting splits it. Left rows get a
+    deterministic salt (stable row hash of the WHOLE row, so duplicate
+    keys spread) appended to the join key; the (small) right side is
+    replicated once per salt value, and the join runs on
+    (key, salt) — the hot key's rows now land on ``n_salts``
+    partitions. Inner-join semantics are unchanged: every left row
+    meets every matching right row exactly once, in the one salt
+    replica it carries.
+
+    Use when the LEFT is large and skewed and the RIGHT is small enough
+    to replicate ``n_salts``× (dimension tables, lookup sides). For a
+    right side too big to replicate, salt only the hot keys (detect via
+    a count sketch) and replicate just their right rows — the crawl
+    scheduler's hot-host remap (pipelines/crawl.py) is that variant."""
+    right_on = right_on or on
+
+    def salt_left(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        h = pd.util.hash_pandas_object(b, index=False).to_numpy()
+        b["__salt"] = (h % n_salts).astype("int64")
+        return b
+
+    def replicate_right(b: pd.DataFrame) -> pd.DataFrame:
+        n = len(b)
+        out = b.iloc[np.tile(np.arange(n), n_salts)].copy()
+        out["__salt"] = np.repeat(np.arange(n_salts, dtype=np.int64), n)
+        return out
+
+    l = left.map_batches(salt_left, batch_format="pandas")
+    r = right.map_batches(replicate_right, batch_format="pandas")
+    joined = l.join(r, join_type="inner", num_partitions=num_partitions,
+                    on=(on, "__salt"),
+                    right_on=(right_on, "__salt") if right_on != on else None)
+    return joined.drop_columns(["__salt"])
