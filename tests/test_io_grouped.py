@@ -889,3 +889,37 @@ class TestSaltedJoin:
                            "v": np.arange(1000)})
         h = pd.util.hash_pandas_object(df, index=False).to_numpy()
         assert len(np.unique(h % 8)) == 8
+
+
+def test_spec_packing_and_gate_ops(ray_session):
+    """Spec surface round-4b: dedup_blocks → quantile_gate → pack
+    compose end-to-end, with column pruning at the read."""
+    from web_crawler_ray.pipelines.spec import build_pipeline
+
+    out = build_pipeline("/root/testdata/sf0.001/documents.parquet", [
+        {"op": "quantile_gate", "column": "n_chars", "q": 0.5},
+        {"op": "chunk", "text_col": "text", "id": "doc_id",
+         "window": 16, "stride": 16},
+    ]).to_pandas()
+    assert {"doc_id", "chunk_idx", "n_tokens", "chunk_text"} <= set(out.columns)
+    assert (out["n_tokens"] <= 16).all() and len(out) > 0
+
+    packed = build_pipeline("/root/testdata/sf0.001/documents.parquet", [
+        {"op": "pack", "seq_len": 128},
+    ]).to_pandas()
+    full = packed.groupby("chunk_id")["n_tokens"].sum().sort_index()
+    assert (full.iloc[:-1] == 128).all()
+
+    scrubbed = build_pipeline("/root/testdata/sf0.001/documents.parquet", [
+        {"op": "dedup_blocks", "block": 3, "min_count": 2},
+    ]).to_pandas()
+    assert (scrubbed["n_dup_blocks"] <= scrubbed["n_blocks"]).all()
+
+    joined = build_pipeline("/root/testdata/sf0.001/lineitem.parquet", [
+        {"op": "salted_join", "right": "/root/testdata/sf0.001/supplier.parquet",
+         "on": "l_suppkey", "right_on": "s_suppkey",
+         "right_columns": ["s_suppkey", "s_nationkey"], "n_salts": 4},
+        {"op": "groupby_agg", "keys": ["s_nationkey"],
+         "aggs": {"n": ["count", None]}},
+    ]).to_pandas()
+    assert joined["n"].sum() > 0 and len(joined) >= 5

@@ -35,6 +35,14 @@ Spec format (list of op dicts, applied in order):
                           "out_col": "text_redacted"}
     {"op": "cap_per_group", "group": col, "id": col, "k": N}
     {"op": "hash_split",  "id": col, "train_frac": 0.8, "out_col": "split"}
+    {"op": "chunk",       "text_col": "text", "id": col, "window": W, "stride": S}
+    {"op": "pack",        "text_col": "text", "id": col, "seq_len": N}
+    {"op": "dedup_blocks", "text_col": "text", "id": col, "block": N,
+                          "min_count": 2}
+    {"op": "quantile_gate", "column": col, "q": 0.75, "keep": "ge"|"lt"}
+    {"op": "salted_join", "right": "/path.parquet", "on": col,
+                          "right_on": col, "right_columns": [...],
+                          "n_salts": 8}
 """
 
 from __future__ import annotations
@@ -139,6 +147,37 @@ def _apply_op(ds, op: dict):
         return hash_split(ds, op["id"],
                           train_frac=op.get("train_frac", 0.8),
                           out_col=op.get("out_col", "split"))
+    if kind == "chunk":
+        from ..stages.packing import chunk_documents
+
+        return chunk_documents(ds, text_col=op.get("text_col", "text"),
+                               id_col=op.get("id", "doc_id"),
+                               window=op.get("window", 64),
+                               stride=op.get("stride", 64))
+    if kind == "pack":
+        from ..stages.packing import pack_sequences
+
+        return pack_sequences(ds, text_col=op.get("text_col", "text"),
+                              id_col=op.get("id", "doc_id"),
+                              seq_len=op.get("seq_len", 256))
+    if kind == "dedup_blocks":
+        from ..stages.text_quality import drop_duplicate_blocks
+
+        return drop_duplicate_blocks(ds, text_col=op.get("text_col", "text"),
+                                     id_col=op.get("id", "doc_id"),
+                                     block=op.get("block", 8),
+                                     min_count=op.get("min_count", 2))
+    if kind == "quantile_gate":
+        from ..stages.aggregate import quantile_gate
+
+        return quantile_gate(ds, op["column"], op["q"],
+                             keep=op.get("keep", "ge"))
+    if kind == "salted_join":
+        from ..stages.joins import salted_inner_join
+
+        right = rd.read_parquet(op["right"], columns=op.get("right_columns"))
+        return salted_inner_join(ds, right, op["on"], op.get("right_on"),
+                                 n_salts=op.get("n_salts", 8))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -219,6 +258,17 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "hash_split":
             need([op["id"]])
             created.add(op.get("out_col", "split"))
+        elif kind in ("chunk", "pack", "dedup_blocks"):
+            need([op.get("text_col", "text"), op.get("id", "doc_id")])
+            created |= ({"chunk_idx", "n_tokens", "chunk_text"}
+                        if kind == "chunk" else
+                        {"chunk_id", "n_tokens"} if kind == "pack" else
+                        {"n_blocks", "n_dup_blocks", "text_deduped"})
+        elif kind == "quantile_gate":
+            need([op["column"]])
+        elif kind == "salted_join":
+            need([op["on"]])
+            created |= set(op.get("right_columns") or [])
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
