@@ -1466,6 +1466,25 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank (damping 0.85, 2 iterations, dangling mass
+    redistributed) over a deterministic directed graph derived from
+    orders; dual broadcast/join path like the other graph operators,
+    proven against a CTE-unrolled SQL replay."""
+    from web_crawler_ray.stages.graph import pagerank
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": (b["o_custkey"] % 97).astype("int64"),
+            "dst": (100 + b["o_orderkey"] % 89).astype("int64")})
+
+    return pagerank(orders.map_batches(to_edges, batch_format="pandas"),
+                    iterations=2)
+
+
 def q_salted_join(sf_dir: str):
     """Skew-defeating SALTED hash join (the north rule's hot-key salting
     as a first-class relational operator): lineitem⋈supplier on a
@@ -2898,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rpa_fetch": q_rpa_fetch,
         "q_fuzzy_dedup": q_fuzzy_dedup,
         "q_salted_join": q_salted_join,
+        "q_pagerank": q_pagerank,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,
@@ -3552,6 +3572,34 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_pagerank": """
+            WITH e AS (SELECT DISTINCT o_custkey % 97 AS src,
+                              100 + o_orderkey % 89 AS dst FROM orders),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od
+                    FROM e GROUP BY src),
+            nd AS (SELECT n.node, coalesce(deg.od, 0) AS od
+                   FROM n LEFT JOIN deg ON n.node = deg.node),
+            c AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM n),
+            s0 AS (SELECT node, od, 1.0 / c.nn AS s FROM nd, c),
+            i1 AS (SELECT e.dst AS node, sum(s0.s / s0.od) AS m
+                   FROM e JOIN s0 ON e.src = s0.node GROUP BY e.dst),
+            d1 AS (SELECT coalesce(sum(s), 0) AS dm FROM s0 WHERE od = 0),
+            s1 AS (SELECT nd.node, nd.od,
+                          (1 - CAST(0.85 AS DOUBLE)) / c.nn
+                          + CAST(0.85 AS DOUBLE)
+                            * (coalesce(i1.m, 0) + d1.dm / c.nn) AS s
+                   FROM nd LEFT JOIN i1 ON nd.node = i1.node, c, d1),
+            i2 AS (SELECT e.dst AS node, sum(s1.s / s1.od) AS m
+                   FROM e JOIN s1 ON e.src = s1.node GROUP BY e.dst),
+            d2 AS (SELECT coalesce(sum(s), 0) AS dm FROM s1 WHERE od = 0),
+            s2 AS (SELECT nd.node,
+                          (1 - CAST(0.85 AS DOUBLE)) / c.nn
+                          + CAST(0.85 AS DOUBLE)
+                            * (coalesce(i2.m, 0) + d2.dm / c.nn) AS s
+                   FROM nd LEFT JOIN i2 ON nd.node = i2.node, c, d2)
+            SELECT CAST(node AS BIGINT) AS node, round(s, 6) AS score FROM s2
         """,
         "q_salted_join": """
             SELECT s_nationkey,

@@ -923,3 +923,28 @@ def test_spec_packing_and_gate_ops(ray_session):
          "aggs": {"n": ["count", None]}},
     ]).to_pandas()
     assert joined["n"].sum() > 0 and len(joined) >= 5
+
+
+def test_pagerank_paths_match_and_sum_to_one(ray_session):
+    """PageRank broadcast vs join path: identical rounded scores on the
+    same graph, and total mass stays 1 (dangling redistribution)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 40, 300).astype(np.int64),
+        "dst": rng.integers(20, 70, 300).astype(np.int64),  # 40-69 dangle
+    })
+    ds = rd.from_pandas(edges).repartition(4)
+    fast = pagerank(ds, iterations=3).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    slow = pagerank(rd.from_pandas(edges).repartition(4), iterations=3,
+                    force_join_path=True).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert (fast["node"] == slow["node"]).all()
+    assert np.allclose(fast["score"], slow["score"], atol=1e-9)
+    assert abs(fast["score"].sum() - 1.0) < 1e-3  # rounded at 6 digits

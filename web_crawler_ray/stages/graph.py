@@ -324,3 +324,153 @@ def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
     out = labels.to_pandas().sort_values("n", kind="mergesort")
     return pd.DataFrame({"node": out["n"].to_numpy().astype("int64"),
                          "component": out["lab"].to_numpy().astype("int64")})
+
+
+def pagerank(edges_ds, src: str = "src", dst: str = "dst",
+             damping: float = 0.85, iterations: int = 2,
+             ndigits: int = 6, num_partitions: int = 16,
+             broadcast_nodes_max: int = 5_000_000,
+             force_join_path: bool = False):
+    """PageRank with damping over a directed DISTINCT edge list,
+    dangling mass redistributed uniformly (the standard formulation):
+
+        s(0)   = 1/N
+        s(t+1) = (1-d)/N + d·(Σ_{(u,v)∈E} s_u(t)/outdeg_u  +  D(t)/N)
+
+    where D(t) is the total score held by zero-outdegree nodes. Fixed
+    ``iterations`` so the result is SQL-replayable by CTE unrolling.
+
+    Dual path on the same node gate as :func:`bipartite_power_scores` /
+    :func:`connected_components`: broadcast (node-sized arrays via the
+    object store, one map pass per iteration) under the gate; past it,
+    scores stay a distributed Dataset and each iteration is one hash
+    join + coarse grouped sum (+ one scalar dangling aggregate) — the
+    10^9-node shape. Contributions are summed in sorted (dst, src)
+    order for run-to-run determinism of the float sum."""
+    import ray
+    import ray.data as rd
+
+    e = partitioned_drop_duplicates(
+        edges_ds.select_columns([src, dst]), [src, dst],
+        num_partitions, pre_dedup=True,
+    ).materialize()
+
+    if force_join_path or e.count() > broadcast_nodes_max:
+        return _join_pagerank(e, src, dst, damping, iterations, ndigits,
+                              num_partitions)
+
+    # node set + outdegrees: batch-local partials, node-sized driver state
+    parts = e.map_batches(
+        lambda b: pd.DataFrame(
+            {"n": pd.unique(pd.concat([b[src], b[dst]]).to_numpy())}),
+        batch_format="pandas").to_pandas()
+    nodes = np.sort(pd.unique(parts["n"]))
+    degp = e.map_batches(
+        lambda b: b.groupby(src, sort=False).size().rename("d").reset_index(),
+        batch_format="pandas").to_pandas()
+    deg_ser = degp.groupby(src)["d"].sum()
+    outdeg = np.zeros(len(nodes), dtype=np.float64)
+    outdeg[np.searchsorted(nodes, deg_ser.index.to_numpy())] = (
+        deg_ser.to_numpy())
+    n = float(len(nodes))
+    s = np.full(len(nodes), 1.0 / n)
+
+    for _ in range(iterations):
+        contrib = np.divide(s, outdeg, out=np.zeros_like(s),
+                            where=outdeg > 0)
+        ref = ray.put((nodes, contrib))
+
+        def step(batch: pd.DataFrame) -> pd.DataFrame:
+            ns, c = ray.get(ref)
+            b = batch.sort_values([dst, src], kind="mergesort")
+            vals = c[np.searchsorted(ns, b[src].to_numpy())]
+            return (pd.DataFrame({dst: b[dst].to_numpy(), "c": vals})
+                    .groupby(dst, sort=True)["c"].sum().reset_index())
+
+        part = e.map_batches(step, batch_format="pandas").to_pandas()
+        part = part.sort_values([dst, "c"], kind="mergesort")
+        in_ser = part.groupby(dst)["c"].sum()
+        in_sum = np.zeros(len(nodes), dtype=np.float64)
+        in_sum[np.searchsorted(nodes, in_ser.index.to_numpy())] = (
+            in_ser.to_numpy())
+        dangling = float(s[outdeg == 0].sum())
+        s = (1.0 - damping) / n + damping * (in_sum + dangling / n)
+
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes.astype("int64"),
+        "score": sql_round(pd.Series(s), ndigits)}))
+
+
+def _join_pagerank(e, src: str, dst: str, damping: float, iterations: int,
+                   ndigits: int, num_partitions: int):
+    """Distributed PageRank: scores live as a Dataset; per iteration one
+    hash join attaches scores to edge sources, a coarse grouped sum
+    reduces per destination, and the dangling mass is one scalar
+    aggregate. Materialize barriers between joins (chained lazy join
+    DAGs hold every aggregator pool alive and starve small sessions)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"node": pd.unique(pd.concat([b[src], b[dst]]).to_numpy())})
+
+    nodes = partitioned_drop_duplicates(
+        e.map_batches(endpoints, batch_format="pandas"), ["node"],
+        num_partitions, pre_dedup=True).materialize()
+    n = float(nodes.count())
+
+    def count_src(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(src, sort=False).size().rename("od")
+                .reset_index().rename(columns={src: "node"}))
+
+    deg = grouped_sum(e.map_batches(count_src, batch_format="pandas"),
+                      "node", "od", "od", num_partitions)
+    scores = nodes.join(deg, join_type="left_outer",
+                        num_partitions=num_partitions,
+                        on=("node",)).map_batches(
+        lambda b: pd.DataFrame({"node": b["node"],
+                                "od": b["od"].fillna(0).astype("float64"),
+                                "s": 1.0 / n}),
+        batch_format="pandas").materialize()
+
+    for _ in range(iterations):
+        dang = scores.map_batches(
+            lambda b: pd.DataFrame(
+                {"dm": [float(b.loc[b["od"] == 0, "s"].sum())]}),
+            batch_format="pandas").aggregate(Sum("dm", alias_name="dm"))
+        dangling = float(dang["dm"] or 0.0)
+
+        contrib = scores.map_batches(
+            lambda b: pd.DataFrame(
+                {src: b.loc[b["od"] > 0, "node"],
+                 "c": b.loc[b["od"] > 0, "s"] / b.loc[b["od"] > 0, "od"]}),
+            batch_format="pandas")
+        j = e.join(contrib, join_type="inner",
+                   num_partitions=num_partitions, on=(src,)).materialize()
+
+        def pre_sorted(p: pd.DataFrame) -> pd.DataFrame:
+            p = p.sort_values([dst, src], kind="mergesort")
+            return (p.groupby(dst, sort=True)["c"].sum().rename("c")
+                    .reset_index())
+
+        in_sum = partitioned_apply(
+            j.select_columns([src, dst, "c"]), [dst],
+            lambda p: (p.sort_values([dst, "c"], kind="mergesort")
+                       .groupby(dst, sort=True)["c"].sum().rename("m")
+                       .reset_index().rename(columns={dst: "node"})),
+            num_partitions, pre_combine=pre_sorted).materialize()
+
+        base = (1.0 - damping) / n + damping * dangling / n
+        scores = scores.join(
+            in_sum, join_type="left_outer", num_partitions=num_partitions,
+            on=("node",)).map_batches(
+            lambda b, _base=base: pd.DataFrame(
+                {"node": b["node"], "od": b["od"],
+                 "s": _base + damping * b["m"].fillna(0.0)}),
+            batch_format="pandas").materialize()
+
+    return scores.map_batches(
+        lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
+                                "score": sql_round(b["s"], ndigits)}),
+        batch_format="pandas")
