@@ -1023,6 +1023,24 @@ def q_image_resize(sf_dir: str):
     return checked.select_columns(["image_id", "w", "h", "fmt", "decode_ok"])
 
 
+def q_image_augment(sf_dir: str):
+    """Multimodal train-time augmentation: decode → deterministic
+    seeded flip/crop per image_id → re-encode, then a decode-validate
+    pass over the augmented rows (metadata must match the new pixels).
+    Rows-only; determinism + geometry pinned in tests."""
+    from web_crawler_ray.stages.multimodal import AugmentImages, DecodeAndValidate
+
+    n = max(200, int(5_000 * _sf_scale(sf_dir)))
+    aug = _images_ds(n).map_batches(
+        AugmentImages, batch_format="pyarrow", batch_size=128,
+        concurrency=auto_concurrency(),
+    )
+    checked = aug.map_batches(DecodeAndValidate, batch_format="pyarrow",
+                              batch_size=128,
+                              concurrency=auto_concurrency())
+    return checked.select_columns(["image_id", "w", "h", "aug", "decode_ok"])
+
+
 def q_video_frames(sf_dir: str):
     """Multimodal video plumbing: synthetic-container clips built
     distributively → actor-pool frame sampling (every 2nd frame,
@@ -1464,6 +1482,18 @@ def q_jaccard_allpairs(sf_dir: str):
         .repartition(auto_blocks())
         .map_batches(pairs, batch_format="pandas")
     )
+
+
+def q_embed_quantize(sf_dir: str):
+    """int8 scalar quantization of the embedding corpus (the ANN-index
+    RAM optimization): per-dimension global min/max from d-sized batch
+    partials, map-only quantize, exploded (vec_id, dim, q) for row-level
+    SQL replay."""
+    from web_crawler_ray.stages.similarity import quantize_embeddings
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds, "embedding", "vec_id")
 
 
 def q_pagerank(sf_dir: str):
@@ -2918,6 +2948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fuzzy_dedup": q_fuzzy_dedup,
         "q_salted_join": q_salted_join,
         "q_pagerank": q_pagerank,
+        "q_embed_quantize": q_embed_quantize,
+        "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
         "q_approx_distinct": q_approx_distinct,
@@ -3572,6 +3604,20 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_embed_quantize": """
+            WITH u AS (SELECT vec_id, unnest(embedding) AS x,
+                              unnest(range(1, len(embedding) + 1)) AS d
+                       FROM embeddings),
+            s AS (SELECT d, min(CAST(x AS DOUBLE)) AS mn,
+                         max(CAST(x AS DOUBLE)) AS mx
+                  FROM u GROUP BY d)
+            SELECT u.vec_id, CAST(u.d - 1 AS BIGINT) AS dim,
+                   CAST(CASE WHEN s.mx = s.mn THEN 0
+                        ELSE least(floor((CAST(u.x AS DOUBLE) - s.mn)
+                                         / (s.mx - s.mn) * 255), 255)
+                        END AS BIGINT) AS q
+            FROM u JOIN s ON u.d = s.d
         """,
         "q_pagerank": """
             WITH e AS (SELECT DISTINCT o_custkey % 97 AS src,

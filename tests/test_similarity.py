@@ -376,3 +376,62 @@ def test_pca_project_matches_numpy(ray_session):
                .to_pandas().sort_values("vec_id").reset_index(drop=True))
         got = out[["pc_1", "pc_2", "pc_3"]].to_numpy()
         assert np.allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_augment_images_deterministic_and_valid(ray_session):
+    """AugmentImages: per-image transform is a pure function of
+    (image_id, seed) — two runs byte-identical; crops shrink dims by
+    the ratio; flip preserves pixels as a mirrored array."""
+    import numpy as np
+
+    from web_crawler_ray.codecs import decode_image
+    from web_crawler_ray.stages.multimodal import AugmentImages
+    from web_crawler_ray.synth import gen_images
+
+    tab = gen_images(64, seed=5)
+    a1 = AugmentImages()(tab)
+    a2 = AugmentImages()(tab)
+    assert a1.equals(a2)
+    assert set(a1["aug"].to_pylist()) <= {"none", "flip", "crop", "flip+crop"}
+    # geometry: crop rows shrink, flip-only rows keep dims
+    for i in range(a1.num_rows):
+        tag = a1["aug"][i].as_py()
+        w0, h0 = tab["w"][i].as_py(), tab["h"][i].as_py()
+        w1, h1 = a1["w"][i].as_py(), a1["h"][i].as_py()
+        if "crop" in tag:
+            assert w1 <= w0 and h1 <= h0 and (w1 < w0 or h1 < h0 or w0 == 1)
+        else:
+            assert (w1, h1) == (w0, h0)
+        if tag == "flip":
+            src = decode_image(tab["bytes"][i].as_py())
+            out = decode_image(a1["bytes"][i].as_py())
+            assert np.array_equal(out, src[:, ::-1])
+    # a different seed changes at least one transform choice
+    a3 = AugmentImages(seed=99)(tab)
+    assert a3["aug"].to_pylist() != a1["aug"].to_pylist()
+
+
+def test_quantize_embeddings_bounds_and_extremes(ray_session):
+    """int8 quantization: q in [0,255]; per-dim min maps to 0 and max
+    to 255; constant dims quantize to 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(size=(50, 4))
+    vecs[:, 3] = 7.0  # constant dim
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(50, dtype=np.int64),
+        "embedding": [list(map(float, v)) for v in vecs]}))
+    out = quantize_embeddings(ds, "embedding", "vec_id").to_pandas()
+    assert len(out) == 200
+    assert out["q"].between(0, 255).all()
+    f32 = vecs.astype(np.float32).astype(np.float64)
+    for d in range(3):
+        sub = out[out["dim"] == d].set_index("vec_id")["q"]
+        assert sub[int(np.argmin(f32[:, d]))] == 0
+        assert sub[int(np.argmax(f32[:, d]))] == 255
+    assert (out[out["dim"] == 3]["q"] == 0).all()

@@ -189,3 +189,68 @@ class AudioFeatures:
             .append_column("peak", pa.array(peak, pa.float64()))
             .append_column("zcr", pa.array(zcr, pa.float64()))
         )
+
+
+class AugmentImages:
+    """Actor stage: deterministic train-time augmentation — decode →
+    seeded per-image transform (horizontal flip and/or crop-to-ratio,
+    chosen by a stable hash of image_id so reruns and resumes produce
+    byte-identical outputs) → re-encode. Emits the transformed row plus
+    an ``aug`` tag column; the original row is NOT kept (callers union
+    the source dataset when they want originals + augments).
+
+    Same scale shape as the other binary stages: actor pool, small
+    batches, bytes never enter a shuffle."""
+
+    def __init__(self, crop_ratio: float = 0.75, out_fmt: str = "png",
+                 seed: int = 13):
+        if not 0.0 < crop_ratio <= 1.0:
+            raise ValueError("crop_ratio must be in (0, 1]")
+        self.crop_ratio = crop_ratio
+        self.out_fmt = out_fmt
+        self.seed = seed
+
+    def _transform(self, px: np.ndarray, image_id) -> tuple[np.ndarray, str]:
+        # stable per-image hash: int ids directly, string ids via crc32
+        if isinstance(image_id, (int, np.integer)):
+            base = int(image_id)
+        else:
+            import zlib
+            base = zlib.crc32(str(image_id).encode())
+        h = (base * 2654435761 + self.seed) % (1 << 32)
+        flip = bool(h & 1)
+        crop = bool(h & 2)
+        tags = []
+        if flip:
+            px = px[:, ::-1]
+            tags.append("flip")
+        if crop:
+            ch = max(1, int(px.shape[0] * self.crop_ratio))
+            cw = max(1, int(px.shape[1] * self.crop_ratio))
+            # deterministic corner from the next hash bits
+            y0 = ((h >> 2) % (px.shape[0] - ch + 1))
+            x0 = ((h >> 12) % (px.shape[1] - cw + 1))
+            px = px[y0:y0 + ch, x0:x0 + cw]
+            tags.append("crop")
+        return np.ascontiguousarray(px), "+".join(tags) or "none"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, out_w, out_h, tags = [], [], [], []
+        for data, iid in zip(batch["bytes"].to_pylist(),
+                             batch["image_id"].to_pylist()):
+            px, tag = self._transform(decode_image(data), iid)
+            out_bytes.append(encode_image(px, self.out_fmt))
+            out_h.append(px.shape[0])
+            out_w.append(px.shape[1])
+            tags.append(tag)
+        names = batch.schema.names
+        batch = batch.set_column(names.index("bytes"), "bytes",
+                                 pa.array(out_bytes, pa.binary()))
+        batch = batch.set_column(names.index("w"), "w",
+                                 pa.array(out_w, pa.int32()))
+        batch = batch.set_column(names.index("h"), "h",
+                                 pa.array(out_h, pa.int32()))
+        batch = batch.set_column(names.index("fmt"), "fmt",
+                                 pa.array([self.out_fmt] * len(out_bytes),
+                                          pa.string()))
+        return batch.append_column("aug", pa.array(tags, pa.string()))

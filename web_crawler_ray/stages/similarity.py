@@ -563,3 +563,60 @@ def label_centroids(ds, vec_col: str, label_col: str, ndigits: int = 6) -> pd.Da
     out["i"] = out["i"].astype("int64")
     out["v"] = sql_round(out["v"], ndigits)
     return out
+
+
+def quantize_embeddings(ds, vec_col: str = "vec_col_unset",
+                        id_col: str = "vec_id"):
+    """Scalar int8 quantization of an embedding column — the ANN-index
+    memory optimization (4× smaller vectors, recall traded for RAM):
+    per-dimension global (min, max) from one streaming pass of d-sized
+    batch partials (driver combine is 2·d floats, corpus-size
+    independent), then a map-only pass emitting
+    q = min(floor((x − mn)/(mx − mn)·255), 255) per (row, dim).
+    Exploded output (id, dim, q) so the SQL oracle replays it row-level;
+    constant dimensions quantize to 0. All arithmetic in float64 —
+    bit-identical to the DuckDB DOUBLE expression."""
+    import ray
+
+    if vec_col == "vec_col_unset":
+        vec_col = "embedding"
+
+    src = ds.select_columns([id_col, vec_col])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        if not len(m):
+            return pd.DataFrame({"mn": [], "mx": []})
+        return pd.DataFrame({"mn": [m.min(axis=0).tobytes()],
+                             "mx": [m.max(axis=0).tobytes()]})
+
+    mn = mx = None
+    for b in src.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pandas"):
+        for lo_b, hi_b in zip(b["mn"], b["mx"]):
+            lo = np.frombuffer(lo_b, dtype=np.float64)
+            hi = np.frombuffer(hi_b, dtype=np.float64)
+            mn = lo if mn is None else np.minimum(mn, lo)
+            mx = hi if mx is None else np.maximum(mx, hi)
+    ref = ray.put((mn, mx))
+
+    def quant(batch: pa.Table) -> pd.DataFrame:
+        lo, hi = ray.get(ref)
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        n, d = m.shape if len(m) else (0, len(lo) if lo is not None else 0)
+        if not n:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "q": pd.Series([], dtype="int64")})
+        span = hi - lo
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = np.floor((m - lo) / span * 255.0)
+        q = np.where(span == 0, 0.0, np.minimum(q, 255.0))
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        return pd.DataFrame({
+            id_col: np.repeat(ids, d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "q": q.reshape(-1).astype("int64"),
+        })
+
+    return src.map_batches(quant, batch_format="pyarrow")
