@@ -1484,6 +1484,16 @@ def q_jaccard_allpairs(sf_dir: str):
     )
 
 
+def q_vocab_coverage(sf_dir: str):
+    """Tokenizer-prep: exact top-100 vocabulary (one combine shuffle of
+    distinct-token partials), broadcast once, map-only per-doc OOV
+    fraction."""
+    from web_crawler_ray.stages.text_rank import vocab_coverage
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return vocab_coverage(ds, "text", "doc_id", vocab_size=100)
+
+
 def q_embed_quantize(sf_dir: str):
     """int8 scalar quantization of the embedding corpus (the ANN-index
     RAM optimization): per-dimension global min/max from d-sized batch
@@ -2949,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_salted_join": q_salted_join,
         "q_pagerank": q_pagerank,
         "q_embed_quantize": q_embed_quantize,
+        "q_vocab_coverage": q_vocab_coverage,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -3604,6 +3615,27 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
                 FROM s a JOIN s b ON a.doc_id < b.doc_id
             ) WHERE jac >= 0.4
+        """,
+        "q_vocab_coverage": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*) AS n FROM toks GROUP BY token
+            ), v AS (
+              SELECT token FROM cnt ORDER BY n DESC, token ASC LIMIT 100
+            ), d AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM toks LEFT JOIN v ON toks.token = v.token
+              GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_oov AS BIGINT) AS n_oov,
+                   round(n_oov * 1.0 / n_tokens, 6) AS oov_ratio
+            FROM d
         """,
         "q_embed_quantize": """
             WITH u AS (SELECT vec_id, unnest(embedding) AS x,

@@ -213,3 +213,54 @@ def tfidf_keywords(ds, text_col: str, id_col: str, top: int = 3,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def vocab_coverage(ds, text_col: str, id_col: str, vocab_size: int = 100,
+                   ndigits: int = 6):
+    """Tokenizer-prep statistics: build the top-``vocab_size`` token
+    vocabulary by exact corpus count (ties: ascending token), then one
+    map-only pass computing each document's out-of-vocabulary token
+    fraction. Emits (id, n_tokens, n_oov, oov_ratio) for documents with
+    ≥1 token.
+
+    Shape: token counts move through ONE coarse combine shuffle (one
+    row per distinct token per batch); the vocabulary — vocab_size
+    rows — is broadcast once; the corpus pass never shuffles."""
+    import ray
+
+    from .graph import grouped_sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for txt in batch[text_col]
+                for t in TOK_RE.findall((txt or "").lower())]
+        vc = pd.Series(toks, dtype="object").value_counts(sort=False)
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    counts = grouped_sum(
+        ds.select_columns([text_col]).map_batches(partial,
+                                                  batch_format="pandas"),
+        "token", "n", "n").to_pandas()
+    vocab = (counts.sort_values(["n", "token"], ascending=[False, True],
+                                kind="mergesort")
+             .head(vocab_size)["token"])
+    ref = ray.put(set(vocab))
+
+    def cover(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(ref)
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        n = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        oov = np.array([sum(1 for t in doc if t not in v)
+                        for doc in toks_per_doc], dtype=np.int64)
+        keep = n > 0
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_tokens": n[keep],
+            "n_oov": oov[keep],
+            "oov_ratio": sql_round(
+                pd.Series(oov[keep] / n[keep].astype(np.float64)), ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        cover, batch_format="pandas")
