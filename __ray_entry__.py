@@ -1554,6 +1554,7 @@ def q_salted_join(sf_dir: str):
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
+        batch["s_nationkey"] = batch["s_nationkey"].astype("int64")
         batch["revenue_sum"] = sql_round(batch["revenue_sum"], 2)
         batch["n"] = batch["n"].astype("int64")
         return batch[["s_nationkey", "revenue_sum", "n"]]
@@ -3680,7 +3681,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS node, round(s, 6) AS score FROM s2
         """,
         "q_salted_join": """
-            SELECT s_nationkey,
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
                    round(sum(l_extendedprice * (1 - l_discount)), 2)
                      AS revenue_sum,
                    count(*) AS n
