@@ -2809,6 +2809,45 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard sink roundtrip over the documents corpus:
+    write (doc_id → utf-8 text payload + lang metadata) as size-bounded
+    content-addressed tar shards (``io/wds.py``), stream them back one
+    shard per task, and prove losslessness via per-doc byte counts.
+    This is the training-corpus export format at 100 TB: shard size
+    bounds worker heap on both the write and read side, and the
+    content-addressed names make an interrupted export idempotent.
+    Reference capability analogue: pacong's image/data store sinks."""
+    import shutil
+
+    from web_crawler_ray.io.wds import read_wds_shards, write_wds_shards
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/wcr_wds_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def keyed(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": batch["doc_id"].map("{:012d}".format),
+            "payload": batch["text"].str.encode("utf-8"),
+            "lang": batch["lang"],
+        })
+
+    write_wds_shards(ds.map_batches(keyed, batch_format="pandas"), root,
+                     "key", "payload", ext="txt", meta_cols=["lang"],
+                     max_shard_bytes=1 << 20)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["key"].astype("int64"),
+            "lang": batch["lang"],
+            "n_bytes": batch["payload"].map(len).astype("int64"),
+        })
+
+    return read_wds_shards(root).map_batches(finish, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -2961,6 +3000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank": q_pagerank,
         "q_embed_quantize": q_embed_quantize,
         "q_vocab_coverage": q_vocab_coverage,
+        "q_wds_roundtrip": q_wds_roundtrip,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4120,5 +4160,9 @@ def oracle_sql() -> dict[str, str]:
                                          / 30.0)), 6) AS decayed,
                    count(*) AS n
             FROM events GROUP BY user_id
+        """,
+        "q_wds_roundtrip": """
+            SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents
         """,
     }
