@@ -2809,6 +2809,21 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_hopping_window(sf_dir: str):
+    """Hopping-window event metrics: 24 h windows every 6 h (each event
+    fans out to exactly 4 windows map-side, partials fold before the
+    one window-count-sized shuffle) — the sliding URLs/sec / trending
+    shape over the event log."""
+    from web_crawler_ray.stages.windows import hopping_window_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    out = hopping_window_agg(
+        ds, "ts", stride_us=21_600_000_000, width_us=86_400_000_000,
+        aggs={"n": ("count", None), "value_sum": ("sum", "value")},
+    )
+    return _round_cols(out, {"value_sum": 2})
+
+
 def q_wds_roundtrip(sf_dir: str):
     """WebDataset tar-shard sink roundtrip over the documents corpus:
     write (doc_id → utf-8 text payload + lang metadata) as size-bounded
@@ -3001,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_quantize": q_embed_quantize,
         "q_vocab_coverage": q_vocab_coverage,
         "q_wds_roundtrip": q_wds_roundtrip,
+        "q_hopping_window": q_hopping_window,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4164,5 +4180,15 @@ def oracle_sql() -> dict[str, str]:
         "q_wds_roundtrip": """
             SELECT doc_id, lang, CAST(strlen(text) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "q_hopping_window": """
+            SELECT w_start, count(*) AS n, round(sum(value), 2) AS value_sum
+            FROM (
+                SELECT unnest([(epoch_us(ts) // 21600000000 - i)
+                               * 21600000000 FOR i IN range(0, 4)]) AS w_start,
+                       value
+                FROM events
+            )
+            GROUP BY w_start
         """,
     }

@@ -237,3 +237,29 @@ def test_rank_metrics_ties_and_singleton(ray_session):
     assert out["rk"].tolist() == [1, 2, 2, 4, 1]
     assert out["pr"].tolist() == [0.0, 1/3, 1/3, 1.0, 0.0]
     assert out["cd"].tolist() == [0.25, 0.75, 0.75, 1.0, 1.0]
+
+
+def test_hopping_window_membership(ray_session):
+    """Each event lands in exactly width/stride windows and every
+    window [w, w+width) contains precisely the events with
+    w <= ts < w+width (hand-checked against the definition)."""
+    from web_crawler_ray.stages.windows import hopping_window_agg
+
+    # stride 10us, width 30us -> 3 windows per event
+    ts = pd.to_datetime([5, 10, 29, 30], unit="us")
+    df = pd.DataFrame({"ts": ts, "v": [1.0, 2.0, 4.0, 8.0]})
+    out = (hopping_window_agg(rd.from_pandas(df).repartition(2), "ts",
+                              stride_us=10, width_us=30,
+                              aggs={"n": ("count", None), "s": ("sum", "v")})
+           .to_pandas().sort_values("w_start").reset_index(drop=True))
+    # windows: -20:[5], -10:[5], 0:[5,(10? 10 in [0,30) yes),29], ...
+    got = {int(r.w_start): (int(r.n), float(r.s)) for r in out.itertuples()}
+    assert got == {
+        -20: (1, 1.0), -10: (2, 3.0), 0: (3, 7.0),
+        10: (3, 14.0), 20: (2, 12.0), 30: (1, 8.0),
+    }
+    assert sum(n for n, _ in got.values()) == 4 * 3
+
+    with pytest.raises(ValueError):
+        hopping_window_agg(rd.from_pandas(df), "ts", stride_us=7,
+                           width_us=30, aggs={"n": ("count", None)})

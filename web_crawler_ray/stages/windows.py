@@ -34,6 +34,36 @@ def tumbling_window_agg(ds, ts_col: str, key_cols: list[str], freq: str,
     )
 
 
+def hopping_window_agg(ds, ts_col: str, stride_us: int, width_us: int,
+                       aggs: dict[str, tuple[str, str | None]]):
+    """Hopping (overlapping) event-time windows: width W = m·stride S,
+    so each event belongs to exactly m windows whose starts are
+    ``(ts//S − j)·S`` for j = 0..m−1. The fan-out happens map-side with
+    ``np.repeat``/``np.tile`` (no per-row loop), partial aggregation
+    folds it before the one small shuffle, so the exchange carries
+    O(windows) rows however large the log — the streaming-metrics shape
+    (URLs/sec over sliding horizons per the crawl monitor, reference
+    capability analogue: pacong run statistics)."""
+    if width_us % stride_us:
+        raise ValueError("width must be a multiple of stride")
+    m = width_us // stride_us
+    val_cols = sorted({c for _, c in aggs.values() if c})
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = ts // stride_us
+        starts = (np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64),
+                                               len(base))) * stride_us
+        out = {"w_start": starts}
+        for c in val_cols:
+            out[c] = np.repeat(batch[c].to_numpy(), m)
+        return pd.DataFrame(out)
+
+    return partial_grouped_agg(
+        ds.map_batches(fan_out, batch_format="pandas"), ["w_start"], aggs
+    )
+
+
 def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: dict[str, str],
                      tie_col: str, n_rows_hint: int | None = None):
     """Per-key as-of join against a filtered subset of the SAME log:
