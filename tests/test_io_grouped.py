@@ -948,3 +948,30 @@ def test_pagerank_paths_match_and_sum_to_one(ray_session):
     assert (fast["node"] == slow["node"]).all()
     assert np.allclose(fast["score"], slow["score"], atol=1e-9)
     assert abs(fast["score"].sum() - 1.0) < 1e-3  # rounded at 6 digits
+
+
+def test_spec_hopping_window_and_wds(ray_session, tmp_path):
+    """The declarative surface drives the new ops end-to-end: hopping
+    window over events, then a wds_write whose returned manifest rows
+    account for every input row."""
+    out = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "hopping_window", "ts_col": "ts",
+          "stride_us": 21_600_000_000, "width_us": 86_400_000_000,
+          "aggs": {"n": ["count", None]}}],
+    ).to_pandas()
+    import pyarrow.parquet as pq
+    n_events = pq.read_metadata("/root/testdata/sf0.001/events.parquet").num_rows
+    assert out["n"].sum() == 4 * n_events  # each event in exactly 4 windows
+
+    root = str(tmp_path / "wds_spec")
+    man = build_pipeline(
+        "/root/testdata/sf0.001/documents.parquet",
+        [{"op": "with_column", "name": "key", "expr": "doc_id"},
+         {"op": "wds_write", "root": root, "key": "key", "payload": "text",
+          "ext": "txt", "meta_cols": ["lang"], "max_shard_bytes": 1 << 18}],
+    ).to_pandas()
+    n_docs = pq.read_metadata("/root/testdata/sf0.001/documents.parquet").num_rows
+    assert man["rows"].sum() == n_docs
+    from web_crawler_ray.io.wds import read_wds_shards
+    assert read_wds_shards(root).count() == n_docs

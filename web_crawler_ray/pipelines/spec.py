@@ -40,6 +40,10 @@ Spec format (list of op dicts, applied in order):
     {"op": "dedup_blocks", "text_col": "text", "id": col, "block": N,
                           "min_count": 2}
     {"op": "quantile_gate", "column": col, "q": 0.75, "keep": "ge"|"lt"}
+    {"op": "hopping_window", "ts_col": "ts", "stride_us": S, "width_us": W,
+                  "aggs": {"out": ["sum"|"count"|..., col]}}
+    {"op": "wds_write",   "root": dir, "key": col, "payload": col,
+                  "ext": "bin", "meta_cols": [...], "max_shard_bytes": N}
     {"op": "salted_join", "right": "/path.parquet", "on": col,
                           "right_on": col, "right_columns": [...],
                           "n_salts": 8}
@@ -172,6 +176,21 @@ def _apply_op(ds, op: dict):
 
         return quantile_gate(ds, op["column"], op["q"],
                              keep=op.get("keep", "ge"))
+    if kind == "hopping_window":
+        from ..stages.windows import hopping_window_agg
+
+        return hopping_window_agg(
+            ds, op.get("ts_col", "ts"), op["stride_us"], op["width_us"],
+            {out: tuple(a) for out, a in op["aggs"].items()})
+    if kind == "wds_write":
+        from ..io.wds import write_wds_shards
+
+        man = write_wds_shards(
+            ds, op["root"], op["key"], op["payload"],
+            ext=op.get("ext", "bin"), meta_cols=op.get("meta_cols"),
+            max_shard_bytes=op.get("max_shard_bytes", 64 << 20))
+        return rd.from_items([{"shard": k, **v}
+                              for k, v in sorted(man["shards"].items())])
     if kind == "salted_join":
         from ..stages.joins import salted_inner_join
 
@@ -269,6 +288,16 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "salted_join":
             need([op["on"]])
             created |= set(op.get("right_columns") or [])
+        elif kind == "hopping_window":
+            need([op.get("ts_col", "ts")])
+            for out, (fn, col) in op["aggs"].items():
+                if col:
+                    need([col])
+                created.add(out)
+            created.add("w_start")
+        elif kind == "wds_write":
+            need([op["key"], op["payload"], *(op.get("meta_cols") or [])])
+            created |= {"shard", "rows", "bytes", "key_lo", "key_hi"}
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
