@@ -103,7 +103,11 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
     """
     import ray
 
-    meta = _token_counts_ds(ds, text_col, id_col)
+    # Both passes consume the (id, n_tok) metadata; materialize it once
+    # so the corpus read + tokenize does NOT re-execute for pass 2
+    # (16 B/doc in the object store — node-sized at any corpus scale,
+    # vs re-reading the text which is the whole corpus).
+    meta = _token_counts_ds(ds, text_col, id_col).materialize()
 
     # pass 1: per-bucket token totals (batch-local combine, coarse shuffle)
     def add_bucket(p: pd.DataFrame) -> pd.DataFrame:
