@@ -2809,6 +2809,30 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic training-epoch shuffle plan: (doc_id → shard,
+    position) from a seeded integer hash — reproducible on any cluster
+    size, 24 B/row exchange, corpus payload never moves. The SQL replay
+    shares the hash expression and ranks with row_number()."""
+    from web_crawler_ray.stages.sampling import epoch_shuffle_plan
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return epoch_shuffle_plan(ds, "doc_id", num_shards=8, seed=1,
+                              n_rows_hint=_nrows(sf_dir, "documents"))
+
+
+def q_mixture_plan(sf_dir: str):
+    """Data-mixture repetition plan (over-sample src0 at 2.25 epochs,
+    half-sample src1, drop src2, keep the rest at 1.0): per-doc
+    n_repeats = floor(w) + hash-Bernoulli(frac(w)) — zero shuffle,
+    exact SQL replay of the shared hash primitive."""
+    from web_crawler_ray.stages.sampling import mixture_plan
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    return mixture_plan(ds, "doc_id", "source",
+                        {"src0": 2.25, "src1": 0.5, "src2": 0.0})
+
+
 def q_hopping_window(sf_dir: str):
     """Hopping-window event metrics: 24 h windows every 6 h (each event
     fans out to exactly 4 windows map-side, partials fold before the
@@ -3017,6 +3041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_coverage": q_vocab_coverage,
         "q_wds_roundtrip": q_wds_roundtrip,
         "q_hopping_window": q_hopping_window,
+        "q_epoch_shuffle": q_epoch_shuffle,
+        "q_mixture_plan": q_mixture_plan,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4190,5 +4216,31 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY w_start
+        """,
+        "q_epoch_shuffle": """
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM (
+                SELECT doc_id,
+                       ((doc_id + 1) % 2147483648) * 2654435761
+                         % 4294967296 AS k,
+                       ((doc_id + 1) % 2147483648) * 2654435761
+                         % 4294967296 % 8 AS shard
+                FROM documents
+            )
+        """,
+        "q_mixture_plan": """
+            SELECT doc_id, source,
+                   CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                                    WHEN 'src2' THEN 0 ELSE 1 END
+                        + CASE WHEN (doc_id % 2147483648) * 2654435761
+                                    % 4294967296 % 1000
+                                    < CASE source WHEN 'src0' THEN 250
+                                                  WHEN 'src1' THEN 500
+                                                  ELSE 0 END
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+            FROM documents
         """,
     }

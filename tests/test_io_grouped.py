@@ -3,6 +3,7 @@ grouped apply vs naive groupby, pipeline-spec registry."""
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
@@ -975,3 +976,62 @@ def test_spec_hopping_window_and_wds(ray_session, tmp_path):
     assert man["rows"].sum() == n_docs
     from web_crawler_ray.io.wds import read_wds_shards
     assert read_wds_shards(root).count() == n_docs
+
+
+def test_epoch_shuffle_plan_properties(ray_session):
+    """Positions are dense 0..n-1 per shard, the plan covers every id
+    exactly once, is invariant to partition count, and a different
+    seed produces a different permutation."""
+    import ray.data as rd
+
+    from web_crawler_ray.stages.sampling import epoch_shuffle_plan
+
+    ids = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64)})
+
+    def plan(nparts, seed):
+        out = epoch_shuffle_plan(rd.from_pandas(ids).repartition(3),
+                                 "doc_id", num_shards=4, seed=seed,
+                                 num_partitions=nparts).to_pandas()
+        return out.sort_values(["shard", "pos"]).reset_index(drop=True)
+
+    p1 = plan(4, seed=1)
+    assert len(p1) == 200 and set(p1["doc_id"]) == set(range(200))
+    for _, g in p1.groupby("shard"):
+        assert g["pos"].tolist() == list(range(len(g)))
+    # cluster-size invariance: partition count doesn't change the plan
+    p2 = plan(9, seed=1)
+    pd.testing.assert_frame_equal(p1, p2)
+    # a new seed actually reshuffles
+    p3 = plan(4, seed=2)
+    assert not p1.equals(p3)
+
+
+def test_mixture_plan_nested_and_expected_share(ray_session):
+    """floor+Bernoulli repetition: weights 0/0.5/1/2.25 give exact
+    floors, the fractional keeps are nested (raising a weight never
+    drops a doc), and the mean matches the recipe within hash noise."""
+    import ray.data as rd
+
+    from web_crawler_ray.stages.sampling import mixture_plan
+
+    df = pd.DataFrame({"doc_id": np.arange(4000, dtype=np.int64),
+                       "src": ["a", "b", "c", "d"] * 1000})
+    ds = rd.from_pandas(df).repartition(4)
+
+    def reps(weights):
+        out = mixture_plan(ds, "doc_id", "src", weights).to_pandas()
+        return out.set_index("doc_id").sort_index()
+
+    r = reps({"a": 0.0, "b": 0.5, "c": 1.0, "d": 2.25})
+    by = r.groupby("src")["n_repeats"]
+    assert by.max()["a"] == 0
+    assert set(r[r["src"] == "b"]["n_repeats"]) == {0, 1}
+    assert by.min()["c"] == 1 and by.max()["c"] == 1
+    assert set(r[r["src"] == "d"]["n_repeats"]) <= {2, 3}
+    assert abs(by.mean()["b"] - 0.5) < 0.1
+    assert abs(by.mean()["d"] - 2.25) < 0.1
+    # nested: weight 0.25 keeps a subset of weight 0.5's keeps
+    lo = reps({"b": 0.25})
+    kept_lo = set(lo[(lo["src"] == "b") & (lo["n_repeats"] > 0)].index)
+    kept_hi = set(r[(r["src"] == "b") & (r["n_repeats"] > 0)].index)
+    assert kept_lo <= kept_hi

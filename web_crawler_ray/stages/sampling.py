@@ -127,3 +127,69 @@ def cap_per_group(ds, group_col: str, id_col: str, k: int,
 
     return partitioned_apply(ds, [group_col], top_k, num_partitions,
                              n_rows_hint=n_rows_hint, pre_combine=top_k)
+
+
+def epoch_shuffle_plan(ds, id_col: str, num_shards: int, seed: int = 0,
+                       num_partitions: int = 32,
+                       n_rows_hint: int | None = None):
+    """Deterministic training-epoch shuffle PLAN: every row gets a
+    pseudo-random sort key ``k = hash(id + seed)``, lands in shard
+    ``k % num_shards`` and position ``rank of (k, id) within the
+    shard`` — i.e. the (shard, pos) address a data loader would read
+    it from. Changing ``seed`` reshuffles; the same seed reproduces
+    the identical epoch order on any cluster size (the property an
+    elastic resume needs, which ``random_shuffle()`` can't give).
+
+    Scale shape: the key/shard assignment is map-side integer
+    arithmetic; only (id, key, shard) — 24 B/row — enters the one
+    hash-partitioned exchange, and the per-shard rank is an
+    in-partition vectorized argsort. The corpus payload never moves;
+    the plan joins back by id at read time. SQL replay: the shared
+    ``hash_bucket`` expression + row_number() OVER (PARTITION BY shard
+    ORDER BY k, id)."""
+    from .grouped import partitioned_apply
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        k = hash_bucket(ids + seed, 1 << 32)
+        return pd.DataFrame({id_col: ids, "k": k.astype("int64"),
+                             "shard": (k % num_shards).astype("int64")})
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["shard", "k", id_col], kind="mergesort")
+        pos = part.groupby("shard", sort=False).cumcount()
+        return pd.DataFrame({id_col: part[id_col].to_numpy(),
+                             "shard": part["shard"].to_numpy(),
+                             "pos": pos.to_numpy().astype("int64")})
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        assign, batch_format="pandas")
+    return partitioned_apply(keyed, ["shard"], rank, num_partitions,
+                             n_rows_hint=n_rows_hint)
+
+
+def mixture_plan(ds, id_col: str, source_col: str, weights: dict[str, float],
+                 default_weight: float = 1.0, mod: int = 1000):
+    """Data-mixture repetition plan: each source gets a target epoch
+    weight w (0.5 = sample half, 2.3 = repeat ~2.3×); every doc emits
+    ``n_repeats = floor(w) + (1 if hash(id) < frac(w)·mod)`` so the
+    EXPECTED per-source token share matches the recipe while the
+    decision stays a pure per-row hash — zero shuffle, reproducible,
+    and nested (raising a weight never drops a previously kept doc).
+    This is the mixture/repetition stage of LLM data recipes
+    (over-sample wiki, down-sample web) executed as a plan column.
+    """
+    floors = {s: int(np.floor(w)) for s, w in weights.items()}
+    fracs = {s: int(round((w - np.floor(w)) * mod)) for s, w in weights.items()}
+    d_floor = int(np.floor(default_weight))
+    d_frac = int(round((default_weight - np.floor(default_weight)) * mod))
+
+    def plan(batch: pd.DataFrame) -> pd.DataFrame:
+        b = hash_bucket(batch[id_col].to_numpy(), mod)
+        fl = batch[source_col].map(floors).fillna(d_floor).to_numpy(np.int64)
+        fr = batch[source_col].map(fracs).fillna(d_frac).to_numpy(np.int64)
+        batch = batch.copy()
+        batch["n_repeats"] = fl + (b < fr).astype(np.int64)
+        return batch
+
+    return ds.map_batches(plan, batch_format="pandas")
