@@ -2809,6 +2809,50 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_image_export(sf_dir: str):
+    """The 100-TB image-export path end-to-end: curation survivors'
+    ids (metadata-only pipeline) broadcast once as a semi-filter over
+    the image corpus, surviving (bytes, caption) rows packed into
+    WebDataset tar shards by the distributed sink, shards streamed
+    back one-per-task; returns per-format counts + payload byte totals
+    proving the roundtrip lossless. Rows-only (pixel codec + tar are
+    not SQL); the curation rule itself is SQL-proven row-level by
+    q_image_curate_oracle and the sink by q_wds_roundtrip."""
+    import shutil
+
+    import ray
+
+    from web_crawler_ray.io.wds import read_wds_shards, write_wds_shards
+    from web_crawler_ray.pipelines.curate_images import curate_images
+
+    n = max(200, int(20_000 * _sf_scale(sf_dir)))
+    ds = _images_ds(n, dup_rate=0.05)
+    kept = curate_images(ds, min_pixels=2048, n_rows_hint=n)
+    # survivor ids only — node-sized broadcast, the payload never
+    # transits the driver
+    ids = {r["image_id"] for r in kept.select_columns(["image_id"]).take_all()}
+    ref = ray.put(ids)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["image_id"].isin(ray.get(ref))]
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = f"/tmp/wcr_wds_img_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_wds_shards(ds.map_batches(keep, batch_format="pandas"), root,
+                     "image_id", "bytes", ext="img",
+                     meta_cols=["caption", "fmt"], max_shard_bytes=4 << 20)
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.assign(total_bytes=batch["bytes"].map(len))
+                .groupby("fmt", as_index=False)
+                .agg(n=("fmt", "size"), total_bytes=("total_bytes", "sum")))
+
+    part = read_wds_shards(root).map_batches(stats, batch_format="pandas").to_pandas()
+    return (part.groupby("fmt", as_index=False)[["n", "total_bytes"]].sum()
+            .astype({"n": "int64", "total_bytes": "int64"}))
+
+
 def q_epoch_shuffle(sf_dir: str):
     """Deterministic training-epoch shuffle plan: (doc_id → shard,
     position) from a seeded integer hash — reproducible on any cluster
@@ -3049,6 +3093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_approx_distinct": q_approx_distinct,
         "q_ddsketch_quantile": q_ddsketch_quantile,
         "q_image_curate": q_image_curate,
+        "q_image_export": q_image_export,
         "q_image_ann": q_image_ann,
         "q_pca_project": q_pca_project,
         "q_approx_intersect": q_approx_intersect,

@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     "q_decontaminate",
     "q_pack_sequences",
     "q_dup_blocks",
+    "q_hopping_window",
+    "q_epoch_shuffle",
+    "q_wds_roundtrip",
+    "q_image_export",
 ]
 
 

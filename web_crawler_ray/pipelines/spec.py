@@ -40,6 +40,9 @@ Spec format (list of op dicts, applied in order):
     {"op": "dedup_blocks", "text_col": "text", "id": col, "block": N,
                           "min_count": 2}
     {"op": "quantile_gate", "column": col, "q": 0.75, "keep": "ge"|"lt"}
+    {"op": "epoch_shuffle", "id": col, "num_shards": N, "seed": 0}
+    {"op": "mixture",     "id": col, "source": col, "weights": {src: w},
+                  "default_weight": 1.0}
     {"op": "hopping_window", "ts_col": "ts", "stride_us": S, "width_us": W,
                   "aggs": {"out": ["sum"|"count"|..., col]}}
     {"op": "wds_write",   "root": dir, "key": col, "payload": col,
@@ -176,6 +179,16 @@ def _apply_op(ds, op: dict):
 
         return quantile_gate(ds, op["column"], op["q"],
                              keep=op.get("keep", "ge"))
+    if kind == "epoch_shuffle":
+        from ..stages.sampling import epoch_shuffle_plan
+
+        return epoch_shuffle_plan(ds, op["id"], op["num_shards"],
+                                  seed=op.get("seed", 0))
+    if kind == "mixture":
+        from ..stages.sampling import mixture_plan
+
+        return mixture_plan(ds, op["id"], op["source"], op["weights"],
+                            default_weight=op.get("default_weight", 1.0))
     if kind == "hopping_window":
         from ..stages.windows import hopping_window_agg
 
@@ -288,6 +301,12 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "salted_join":
             need([op["on"]])
             created |= set(op.get("right_columns") or [])
+        elif kind == "epoch_shuffle":
+            need([op["id"]])
+            created |= {"shard", "pos"}
+        elif kind == "mixture":
+            need([op["id"], op["source"]])
+            created.add("n_repeats")
         elif kind == "hopping_window":
             need([op.get("ts_col", "ts")])
             for out, (fn, col) in op["aggs"].items():
