@@ -2809,6 +2809,17 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_unigram_logprob(sf_dir: str):
+    """LM quality proxy: per-doc mean unigram log-probability under the
+    corpus's own top-100 unigram model (OOV floored at count 1) — the
+    cheap KenLM-perplexity stand-in of a curation stack. One combine
+    shuffle + broadcast model + map-only scoring."""
+    from web_crawler_ray.stages.text_rank import unigram_logprob
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return unigram_logprob(ds, "text", "doc_id", vocab_size=100)
+
+
 def q_image_export(sf_dir: str):
     """The 100-TB image-export path end-to-end: curation survivors'
     ids (metadata-only pipeline) broadcast once as a semi-filter over
@@ -3087,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hopping_window": q_hopping_window,
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_mixture_plan": q_mixture_plan,
+        "q_unigram_logprob": q_unigram_logprob,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4287,5 +4299,23 @@ def oracle_sql() -> dict[str, str]:
                                                   ELSE 0 END
                                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
             FROM documents
+        """,
+        "q_unigram_logprob": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*) AS n FROM toks GROUP BY token
+            ), tot AS (SELECT sum(n) * 1.0 AS nn FROM cnt),
+            v AS (
+              SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 100
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(ln(coalesce(v.n, 1) * 1.0 / tot.nn)), 6)
+                     AS logprob
+            FROM toks LEFT JOIN v ON toks.token = v.token, tot
+            GROUP BY doc_id
         """,
     }

@@ -264,3 +264,58 @@ def vocab_coverage(ds, text_col: str, id_col: str, vocab_size: int = 100,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         cover, batch_format="pandas")
+
+
+def unigram_logprob(ds, text_col: str, id_col: str, vocab_size: int = 100,
+                    ndigits: int = 6):
+    """CCNet-style LM quality proxy: per-document mean unigram token
+    log-probability under the corpus's own top-``vocab_size`` unigram
+    model (OOV floored at count 1). Low scores = rare-token-heavy /
+    boilerplate-ish documents — the cheap stand-in for a KenLM
+    perplexity filter, exactly SQL-replayable (count ratios + ln).
+
+    Shape mirrors :func:`vocab_coverage`: exact token counts through
+    one coarse combine shuffle, the V-row model broadcast once, then a
+    map-only scoring pass (flat token map + ``np.add.reduceat`` — no
+    per-token Python)."""
+    import ray
+
+    from .graph import grouped_sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for txt in batch[text_col]
+                for t in TOK_RE.findall((txt or "").lower())]
+        vc = pd.Series(toks, dtype="object").value_counts(sort=False)
+        return pd.DataFrame({"token": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    counts = grouped_sum(
+        ds.select_columns([text_col]).map_batches(partial,
+                                                  batch_format="pandas"),
+        "token", "n", "n").to_pandas()
+    total = float(counts["n"].sum())
+    vocab = counts.sort_values(["n", "token"], ascending=[False, True],
+                               kind="mergesort").head(vocab_size)
+    ref = ray.put((dict(zip(vocab["token"], vocab["n"].astype(float))),
+                   total))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v, nn = ray.get(ref)
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        n = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        keep = n > 0
+        flat = pd.Series([t for doc in toks_per_doc for t in doc],
+                         dtype="object")
+        lp = np.log(flat.map(v).fillna(1.0).to_numpy(np.float64) / nn)
+        starts = np.zeros(int(keep.sum()), dtype=np.int64)
+        np.cumsum(n[keep][:-1], out=starts[1:])
+        sums = np.add.reduceat(lp, starts) if len(lp) else np.array([])
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_tokens": n[keep],
+            "logprob": sql_round(pd.Series(sums / n[keep]), ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")
