@@ -2809,6 +2809,18 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact unique users per 24 h hopping window (6 h stride):
+    map-side fan-out with batch-local pair dedup, so the exchange
+    carries distinct (window, user) pairs only."""
+    from web_crawler_ray.stages.windows import hopping_window_distinct
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "user_id"])
+    return hopping_window_distinct(ds, "ts", "user_id",
+                                   stride_us=21_600_000_000,
+                                   width_us=86_400_000_000)
+
+
 def q_unigram_logprob(sf_dir: str):
     """LM quality proxy: per-doc mean unigram log-probability under the
     corpus's own top-100 unigram model (OOV floored at count 1) — the
@@ -3099,6 +3111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_epoch_shuffle": q_epoch_shuffle,
         "q_mixture_plan": q_mixture_plan,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_window_distinct": q_window_distinct,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4317,5 +4330,16 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_window_distinct": """
+            SELECT w_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM (
+                SELECT unnest([(epoch_us(ts) // 21600000000 - i)
+                               * 21600000000 FOR i IN range(0, 4)]) AS w_start,
+                       user_id
+                FROM events
+            )
+            GROUP BY w_start
         """,
     }

@@ -64,6 +64,47 @@ def hopping_window_agg(ds, ts_col: str, stride_us: int, width_us: int,
     )
 
 
+def hopping_window_distinct(ds, ts_col: str, key_col: str, stride_us: int,
+                            width_us: int, num_partitions: int = 32):
+    """Exact distinct-key count per hopping window (unique users/URLs
+    per sliding horizon). Same fan-out as :func:`hopping_window_agg`,
+    but the pre-combine dedups (window, key) pairs batch-locally so the
+    window-partitioned exchange carries at most one row per distinct
+    pair per batch; the per-partition count is a vectorized
+    drop_duplicates + groupby-size. For cardinalities where exact pairs
+    are too heavy, the HLL path (``stages/sketch.py``) composes with
+    the same fan-out."""
+    from .grouped import partitioned_apply
+
+    if width_us % stride_us:
+        raise ValueError("width must be a multiple of stride")
+    m = width_us // stride_us
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = ts // stride_us
+        starts = (np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64),
+                                               len(base))) * stride_us
+        return pd.DataFrame({
+            "w_start": starts,
+            key_col: np.repeat(batch[key_col].to_numpy(), m),
+        }).drop_duplicates()
+
+    def dedup(p: pd.DataFrame) -> pd.DataFrame:
+        return p.drop_duplicates()
+
+    def count_part(p: pd.DataFrame) -> pd.DataFrame:
+        g = (p.drop_duplicates().groupby("w_start", sort=True)
+             .size().rename("n_distinct").reset_index())
+        g["n_distinct"] = g["n_distinct"].astype("int64")
+        return g
+
+    pairs = ds.select_columns([ts_col, key_col]).map_batches(
+        fan_out, batch_format="pandas")
+    return partitioned_apply(pairs, ["w_start"], count_part,
+                             num_partitions, pre_combine=dedup)
+
+
 def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: dict[str, str],
                      tie_col: str, n_rows_hint: int | None = None):
     """Per-key as-of join against a filtered subset of the SAME log:
