@@ -2809,6 +2809,20 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_lm_gate(sf_dir: str):
+    """LM-quality curation gate: per-doc unigram log-probability, then
+    keep docs at or above the corpus-exact p25 of the score (drop the
+    most perplexing quartile) — the CCNet-style perplexity filter as a
+    composition of two proven stages (model scoring + exact quantile
+    gate), both SQL-replayed in one chain."""
+    from web_crawler_ray.stages.aggregate import quantile_gate
+    from web_crawler_ray.stages.text_rank import unigram_logprob
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    scored = unigram_logprob(ds, "text", "doc_id", vocab_size=100)
+    return quantile_gate(scored, "logprob", 0.25, keep="ge")
+
+
 def q_window_distinct(sf_dir: str):
     """Exact unique users per 24 h hopping window (6 h stride):
     map-side fan-out with batch-local pair dedup, so the exchange
@@ -3112,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mixture_plan": q_mixture_plan,
         "q_unigram_logprob": q_unigram_logprob,
         "q_window_distinct": q_window_distinct,
+        "q_lm_gate": q_lm_gate,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4330,6 +4345,27 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_lm_gate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*) AS n FROM toks GROUP BY token
+            ), tot AS (SELECT sum(n) * 1.0 AS nn FROM cnt),
+            v AS (
+              SELECT token, n FROM cnt ORDER BY n DESC, token ASC LIMIT 100
+            ), d AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(coalesce(v.n, 1) * 1.0 / tot.nn)), 6)
+                       AS logprob
+              FROM toks LEFT JOIN v ON toks.token = v.token, tot
+              GROUP BY doc_id
+            ), thr AS (SELECT quantile_disc(logprob, 0.25) AS t FROM d)
+            SELECT d.doc_id, d.n_tokens, d.logprob
+            FROM d, thr WHERE d.logprob >= thr.t
         """,
         "q_window_distinct": """
             SELECT w_start,
