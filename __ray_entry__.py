@@ -2809,6 +2809,28 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing + batch packing plan over a
+    part-derived image-metadata table (the q_image_curate_oracle
+    derivation): nearest-ratio assign (vectorized argmin), deterministic
+    per-bucket pseudo-shuffle by (hash(id), id), batches of 16 — the
+    loader plan a diffusion-training pipeline feeds from."""
+    from web_crawler_ray.stages.multimodal import aspect_bucket_plan
+
+    def to_meta(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "iid": pk,
+            "w": (32 + (pk % 5) * 24).astype("int64"),
+            "h": (32 + (pk % 7) * 16).astype("int64"),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    return aspect_bucket_plan(ds.map_batches(to_meta, batch_format="pandas"),
+                              "iid", "w", "h", batch_size=16,
+                              n_rows_hint=_nrows(sf_dir, "part"))
+
+
 def q_lm_gate(sf_dir: str):
     """LM-quality curation gate: per-doc unigram log-probability, then
     keep docs at or above the corpus-exact p25 of the score (drop the
@@ -3127,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_window_distinct": q_window_distinct,
         "q_lm_gate": q_lm_gate,
+        "q_aspect_buckets": q_aspect_buckets,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4345,6 +4368,29 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_aspect_buckets": """
+            WITH m AS (
+              SELECT p_partkey AS iid,
+                     32 + (p_partkey % 5) * 24 AS w,
+                     32 + (p_partkey % 7) * 16 AS h
+              FROM part
+            ), b AS (
+              SELECT iid,
+                     CAST(list_position(
+                       [abs(w * 1.0 / h - r)
+                        FOR r IN [0.5, 0.75, 1.0, 4.0 / 3.0, 2.0]],
+                       list_min([abs(w * 1.0 / h - r)
+                                 FOR r IN [0.5, 0.75, 1.0, 4.0 / 3.0, 2.0]])
+                     ) AS BIGINT) AS bucket,
+                     (iid % 2147483648) * 2654435761 % 4294967296 AS hk
+              FROM m
+            )
+            SELECT iid, bucket,
+                   CAST((row_number() OVER (PARTITION BY bucket
+                                            ORDER BY hk, iid) - 1) // 16
+                        AS BIGINT) AS batch_idx
+            FROM b
         """,
         "q_lm_gate": """
             WITH toks AS (

@@ -254,3 +254,49 @@ class AugmentImages:
                                  pa.array([self.out_fmt] * len(out_bytes),
                                           pa.string()))
         return batch.append_column("aug", pa.array(tags, pa.string()))
+
+
+def aspect_bucket_plan(ds, id_col: str, w_col: str, h_col: str,
+                       ratios=(0.5, 0.75, 1.0, 4.0 / 3.0, 2.0),
+                       batch_size: int = 16, num_partitions: int = 32,
+                       n_rows_hint: int | None = None):
+    """SDXL-style aspect-ratio bucketing + training-batch assignment:
+    each image goes to the bucket of the NEAREST aspect ratio (ties →
+    the first, i.e. smaller, ratio), and within each bucket rows are
+    ordered by (hash(id), id) — a deterministic pseudo-shuffle — and
+    packed into batches of ``batch_size``. Output (id, bucket,
+    batch_idx) is the loader plan; the pixel payload never moves.
+
+    One bucket-partitioned metadata exchange (12 B/row); the nearest-
+    ratio assign is a vectorized broadcast argmin. SQL replay:
+    list_position/list_min over the same double arithmetic +
+    row_number() // batch_size."""
+    import pandas as pd
+
+    from .grouped import partitioned_apply
+    from .sampling import hash_bucket
+
+    r = np.asarray(ratios, dtype=np.float64)
+
+    def assign(batch: "pd.DataFrame") -> "pd.DataFrame":
+        a = (batch[w_col].to_numpy(np.float64)
+             / batch[h_col].to_numpy(np.float64))
+        b = np.argmin(np.abs(a[:, None] - r[None, :]), axis=1) + 1
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame({id_col: ids,
+                             "bucket": b.astype("int64"),
+                             "hk": hash_bucket(ids, 1 << 32).astype("int64")})
+
+    def pack(p: "pd.DataFrame") -> "pd.DataFrame":
+        p = p.sort_values(["bucket", "hk", id_col], kind="mergesort")
+        rn = p.groupby("bucket", sort=False).cumcount().to_numpy()
+        return pd.DataFrame({
+            id_col: p[id_col].to_numpy(),
+            "bucket": p["bucket"].to_numpy(),
+            "batch_idx": (rn // batch_size).astype("int64"),
+        })
+
+    keyed = ds.select_columns([id_col, w_col, h_col]).map_batches(
+        assign, batch_format="pandas")
+    return partitioned_apply(keyed, ["bucket"], pack, num_partitions,
+                             n_rows_hint=n_rows_hint)
