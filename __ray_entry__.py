@@ -2809,6 +2809,35 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_curation_funnel(sf_dir: str):
+    """Curation lineage funnel: how many documents survive each
+    successive gate (length → language allowlist → min tokens) — the
+    acceptance-report artifact every pipeline run publishes. ONE
+    map-only flags pass emitting 4 counters per batch, driver-summed:
+    no shuffle, no re-execution per stage (the naive per-stage
+    ds.count() chain would re-run the read N times)."""
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "lang"])
+    allowed = {"en", "zh", "fr"}
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        s1 = t.str.len() >= 200
+        s2 = s1 & batch["lang"].isin(allowed)
+        s3 = s2 & (t.str.count(r"\S+") >= 40)
+        return pd.DataFrame({"n_total": [len(t)], "n_len": [int(s1.sum())],
+                             "n_lang": [int(s2.sum())],
+                             "n_tok": [int(s3.sum())]})
+
+    tot = ds.map_batches(flags, batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({
+        "stage": ["1_total", "2_len_ge_200", "3_lang_allowed",
+                  "4_tokens_ge_40"],
+        "n": np.array([tot["n_total"], tot["n_len"], tot["n_lang"],
+                       tot["n_tok"]], dtype=np.int64),
+    })
+
+
 def q_aspect_buckets(sf_dir: str):
     """SDXL-style aspect-ratio bucketing + batch packing plan over a
     part-derived image-metadata table (the q_image_curate_oracle
@@ -3150,6 +3179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_window_distinct": q_window_distinct,
         "q_lm_gate": q_lm_gate,
         "q_aspect_buckets": q_aspect_buckets,
+        "q_curation_funnel": q_curation_funnel,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4368,6 +4398,24 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_curation_funnel": """
+            WITH f AS (
+              SELECT length(text) >= 200 AS l1,
+                     length(text) >= 200
+                       AND lang IN ('en', 'zh', 'fr') AS l2,
+                     length(text) >= 200
+                       AND lang IN ('en', 'zh', 'fr')
+                       AND len(regexp_extract_all(text, '\\S+')) >= 40 AS l3
+              FROM documents
+            )
+            SELECT '1_total' AS stage, count(*) AS n FROM f
+            UNION ALL SELECT '2_len_ge_200',
+                   CAST(sum(CASE WHEN l1 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+            UNION ALL SELECT '3_lang_allowed',
+                   CAST(sum(CASE WHEN l2 THEN 1 ELSE 0 END) AS BIGINT) FROM f
+            UNION ALL SELECT '4_tokens_ge_40',
+                   CAST(sum(CASE WHEN l3 THEN 1 ELSE 0 END) AS BIGINT) FROM f
         """,
         "q_aspect_buckets": """
             WITH m AS (
