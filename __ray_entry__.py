@@ -2809,6 +2809,35 @@ def q_countmin_freq(sf_dir: str):
     return countmin_frequencies(ds, "user_id", list(range(10)))
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-event day
+    (cohort), counted once per day they were active. One
+    user-partitioned exchange computes cohort + distinct active months
+    entirely in-partition (every user's rows co-locate), then a tiny
+    (cohort, month)-count combine — no join, no second scan."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        d = pd.to_datetime(p["ts"]).dt.strftime("%Y-%m-%d")
+        ud = pd.DataFrame({"user_id": p["user_id"].to_numpy(), "day": d})
+        # YYYY-MM-DD sorts chronologically, so min(day) == day(min ts)
+        cohort = ud.groupby("user_id")["day"].min()
+        act = ud.drop_duplicates()
+        act = act.assign(cohort=act["user_id"].map(cohort))
+        g = (act.groupby(["cohort", "day"], sort=True).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = partitioned_apply(ds, ["user_id"], per_part,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+    return partial_grouped_agg(parts, ["cohort", "day"],
+                               {"n_users": ("sum", "n")})
+
+
 def q_curation_funnel(sf_dir: str):
     """Curation lineage funnel: how many documents survive each
     successive gate (length → language allowlist → min tokens) — the
@@ -3180,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lm_gate": q_lm_gate,
         "q_aspect_buckets": q_aspect_buckets,
         "q_curation_funnel": q_curation_funnel,
+        "q_cohort_retention": q_cohort_retention,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4398,6 +4428,18 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_cohort_retention": """
+            WITH u AS (
+              SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS cohort
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events
+            )
+            SELECT cohort, day, CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN u USING (user_id)
+            GROUP BY cohort, day
         """,
         "q_curation_funnel": """
             WITH f AS (
