@@ -2838,6 +2838,42 @@ def q_cohort_retention(sf_dir: str):
                                {"n_users": ("sum", "n")})
 
 
+def q_event_funnel(sf_dir: str):
+    """Strict conversion funnel view → click → purchase: a user counts
+    at each stage iff the stage's FIRST event strictly follows the
+    previous stage's first event. Batch-local (user, type) min-ts
+    pre-combine shrinks the one user-partitioned exchange to ≤3 rows
+    per user per batch; stage flags are vectorized in-partition and
+    only 3 counters per partition reach the driver."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+    ds = ds.filter(expr="event_type == 'view' or event_type == 'click' "
+                        "or event_type == 'purchase'")
+
+    def pre(p: pd.DataFrame) -> pd.DataFrame:
+        return (p.groupby(["user_id", "event_type"], sort=False)["ts"]
+                .min().reset_index())
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        m = (p.groupby(["user_id", "event_type"])["ts"].min().unstack()
+             .reindex(columns=["view", "click", "purchase"]))
+        s1 = m["view"].notna()
+        s2 = s1 & m["click"].notna() & (m["click"] > m["view"])
+        s3 = s2 & m["purchase"].notna() & (m["purchase"] > m["click"])
+        return pd.DataFrame({"n1": [int(s1.sum())], "n2": [int(s2.sum())],
+                             "n3": [int(s3.sum())]})
+
+    tot = partitioned_apply(ds, ["user_id"], per_part,
+                            pre_combine=pre).to_pandas().sum()
+    return pd.DataFrame({
+        "stage": ["1_view", "2_click", "3_purchase"],
+        "n_users": np.array([tot["n1"], tot["n2"], tot["n3"]],
+                            dtype=np.int64),
+    })
+
+
 def q_curation_funnel(sf_dir: str):
     """Curation lineage funnel: how many documents survive each
     successive gate (length → language allowlist → min tokens) — the
@@ -3210,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_aspect_buckets": q_aspect_buckets,
         "q_curation_funnel": q_curation_funnel,
         "q_cohort_retention": q_cohort_retention,
+        "q_event_funnel": q_event_funnel,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4428,6 +4465,27 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_event_funnel": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                     min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+              FROM events GROUP BY user_id
+            )
+            SELECT '1_view' AS stage,
+                   CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_users FROM m
+            UNION ALL
+            SELECT '2_click',
+                   CAST(sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT)
+            FROM m
+            UNION ALL
+            SELECT '3_purchase',
+                   CAST(sum(CASE WHEN c > v AND p > c THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM m
         """,
         "q_cohort_retention": """
             WITH u AS (
