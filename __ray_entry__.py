@@ -2838,6 +2838,17 @@ def q_cohort_retention(sf_dir: str):
                                {"n_users": ("sum", "n")})
 
 
+def q_gini_events(sf_dir: str):
+    """Gini coefficient of per-user event counts — the skew/fairness
+    report (the crawl analogue: per-host fetch-share inequality). One
+    combine builds the key-cardinality-sized count table; the exact
+    rank formula runs on its single collapsed partition."""
+    from web_crawler_ray.stages.aggregate import gini_coefficient
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+    return gini_coefficient(ds, "user_id")
+
+
 def q_event_funnel(sf_dir: str):
     """Strict conversion funnel view → click → purchase: a user counts
     at each stage iff the stage's FIRST event strictly follows the
@@ -3247,6 +3258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curation_funnel": q_curation_funnel,
         "q_cohort_retention": q_cohort_retention,
         "q_event_funnel": q_event_funnel,
+        "q_gini_events": q_gini_events,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4465,6 +4477,22 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_gini_events": """
+            WITH c AS (
+              SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+              FROM events GROUP BY user_id
+            ), r AS (
+              SELECT x,
+                     row_number() OVER (ORDER BY x, user_id) AS i,
+                     count(*) OVER () AS n,
+                     sum(x) OVER () AS s
+              FROM c
+            )
+            SELECT round(sum((2 * i - n - 1) * x) / (any_value(n)
+                         * any_value(s)), 6) AS gini,
+                   CAST(any_value(n) AS BIGINT) AS n_keys
+            FROM r
         """,
         "q_event_funnel": """
             WITH m AS (

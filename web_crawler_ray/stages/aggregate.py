@@ -463,3 +463,42 @@ def quantile_gate(ds, col: str, q: float, keep: str = "ge"):
         return batch.filter(op(batch[col], threshold))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+def gini_coefficient(ds, key: str, ndigits: int = 6,
+                     num_partitions: int = 32):
+    """Gini coefficient of the per-``key`` row-count distribution — the
+    load-inequality / skew report (how unfair is the per-host crawl
+    share, the per-user event share). Formula over ascending-sorted
+    counts x_1..x_n: sum((2i − n − 1)·x_i) / (n·sum(x)).
+
+    Shape: per-key counts via one map-side-combined exchange (the
+    ``partial_grouped_agg`` path), then the KEY-CARDINALITY-sized count
+    table collapses to one partition for the exact rank formula — the
+    same key-cardinality gate the engine's other exact-rank ops
+    document (counts are ~16 B/key; 10^8 keys ≈ 1.6 GB, still
+    one-node-sized; past that, DDSketch the distribution instead)."""
+
+    def count_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key].value_counts(sort=False)
+        return pd.DataFrame({key: vc.index.to_numpy(),
+                             "x": vc.to_numpy().astype("int64")})
+
+    counts = partial_grouped_agg(
+        ds.select_columns([key]).map_batches(count_partial,
+                                             batch_format="pandas"),
+        [key], {"x": ("sum", "x")})
+
+    def gini(p: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        p = p.sort_values(["x", key], kind="mergesort")
+        x = p["x"].to_numpy(np.float64)
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        g = float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
+        return pd.DataFrame({"gini": sql_round(pd.Series([g]), ndigits),
+                             "n_keys": np.array([n], dtype=np.int64)})
+
+    return counts.repartition(1).map_batches(
+        gini, batch_format="pandas", batch_size=None)
