@@ -125,3 +125,28 @@ def test_fixed_width_histogram(ray_session):
     assert out.sum() == 5000
     assert {int(k): int(c) for k, c in out.items()} == \
            {int(k): int(c) for k, c in want.items()}
+
+
+def test_gini_degenerate_and_known(ray_session):
+    """Gini = 0 for perfectly equal shares; hand-computed value for a
+    known skewed distribution; single key well-defined."""
+    import numpy as np
+    import ray.data as rd
+
+    from web_crawler_ray.stages.aggregate import gini_coefficient
+
+    equal = rd.from_items([{"k": f"u{i % 4}"} for i in range(40)])
+    out = gini_coefficient(equal, "k").to_pandas()
+    assert out["gini"].iloc[0] == 0.0 and out["n_keys"].iloc[0] == 4
+
+    # counts 1,1,2,4 sorted -> sum((2i-n-1)x)/(n*sum) = (1*-3+2*-1+3*2+4*3+... )
+    skew = rd.from_items([{"k": "a"}] + [{"k": "b"}] + [{"k": "c"}] * 2
+                         + [{"k": "d"}] * 4)
+    g = gini_coefficient(skew, "k").to_pandas()["gini"].iloc[0]
+    x = np.array([1.0, 1.0, 2.0, 4.0])
+    i = np.arange(1, 5)
+    expect = ((2 * i - 5) * x).sum() / (4 * x.sum())
+    assert abs(g - round(expect, 6)) < 1e-9
+
+    one = gini_coefficient(rd.from_items([{"k": "z"}] * 7), "k").to_pandas()
+    assert one["gini"].iloc[0] == 0.0 and one["n_keys"].iloc[0] == 1

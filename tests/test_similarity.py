@@ -435,3 +435,34 @@ def test_quantize_embeddings_bounds_and_extremes(ray_session):
         assert sub[int(np.argmin(f32[:, d]))] == 0
         assert sub[int(np.argmax(f32[:, d]))] == 255
     assert (out[out["dim"] == 3]["q"] == 0).all()
+
+
+def test_aspect_bucket_nearest_and_ties(ray_session):
+    """Nearest-ratio assignment with ties going to the first (smaller)
+    ratio; batch packing is dense 0..ceil(n/B)-1 per bucket."""
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.multimodal import aspect_bucket_plan
+
+    # ratios (0.5, 0.75, 1.0, 4/3, 2.0); a=0.625 ties 0.5 vs 0.75 -> 0.5 (idx 1)
+    df = pd.DataFrame({
+        "iid": [1, 2, 3, 4],
+        "w": [625, 100, 133, 400],
+        "h": [1000, 100, 100, 100],
+    })
+    out = (aspect_bucket_plan(rd.from_pandas(df), "iid", "w", "h",
+                              batch_size=2)
+           .to_pandas().set_index("iid").sort_index())
+    assert out.loc[1, "bucket"] == 1   # tie -> first/smaller ratio
+    assert out.loc[2, "bucket"] == 3   # exactly 1.0
+    assert out.loc[3, "bucket"] == 4   # 1.33 -> 4/3
+    assert out.loc[4, "bucket"] == 5   # 4.0 -> nearest is 2.0
+
+    big = pd.DataFrame({"iid": range(100), "w": [100] * 100,
+                        "h": [100] * 100})
+    plan = (aspect_bucket_plan(rd.from_pandas(big).repartition(3),
+                               "iid", "w", "h", batch_size=16)
+            .to_pandas())
+    assert sorted(plan["batch_idx"].unique()) == list(range(7))  # ceil(100/16)
+    assert (plan.groupby("batch_idx").size() <= 16).all()
