@@ -2838,6 +2838,42 @@ def q_cohort_retention(sf_dir: str):
                                {"n_users": ("sum", "n")})
 
 
+def q_group_anomaly(sf_dir: str):
+    """Per-group outlier flags: events whose value sits more than 2
+    standard deviations from their event_type's mean. Group moments
+    (n, Σx, Σx²) come from one tiny combine (group-count-sized),
+    broadcast into a map-only flag pass — the monitoring/alerting shape.
+    Same naive-moments expression as q_zscore so SQL replays the
+    identical double."""
+    import ray
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["value"].to_numpy(np.float64)
+        g = batch.assign(sx=v, sxx=v * v, n=1).groupby(
+            "event_type", sort=False)[["n", "sx", "sxx"]].sum().reset_index()
+        return g
+
+    m = (ds.map_batches(moments, batch_format="pandas").to_pandas()
+         .groupby("event_type").sum())
+    mu = (m["sx"] / m["n"])
+    sd = ((m["sxx"] - m["sx"] * m["sx"] / m["n"]) / (m["n"] - 1.0)) ** 0.5
+    ref = ray.put((mu.to_dict(), sd.to_dict()))
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        mu_d, sd_d = ray.get(ref)
+        z = ((batch["value"] - batch["event_type"].map(mu_d))
+             / batch["event_type"].map(sd_d))
+        out = batch.assign(z=sql_round(z, 6))
+        return out[z.abs() > 2][["event_id", "event_type", "z"]]
+
+    return ds.map_batches(flag, batch_format="pandas")
+
+
 def q_gini_events(sf_dir: str):
     """Gini coefficient of per-user event counts — the skew/fairness
     report (the crawl analogue: per-host fetch-share inequality). One
@@ -3259,6 +3295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cohort_retention": q_cohort_retention,
         "q_event_funnel": q_event_funnel,
         "q_gini_events": q_gini_events,
+        "q_group_anomaly": q_group_anomaly,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4477,6 +4514,19 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_group_anomaly": """
+            WITH m AS (
+              SELECT event_type, count(*) AS n, sum(value) AS sx,
+                     sum(value * value) AS sxx
+              FROM events GROUP BY event_type
+            )
+            SELECT event_id, event_type,
+                   round((value - sx / n)
+                         / sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS z
+            FROM events JOIN m USING (event_type)
+            WHERE abs((value - sx / n)
+                      / sqrt((sxx - sx * sx / n) / (n - 1.0))) > 2
         """,
         "q_gini_events": """
             WITH c AS (
