@@ -1035,3 +1035,28 @@ def test_mixture_plan_nested_and_expected_share(ray_session):
     kept_lo = set(lo[(lo["src"] == "b") & (lo["n_repeats"] > 0)].index)
     kept_hi = set(r[(r["src"] == "b") & (r["n_repeats"] > 0)].index)
     assert kept_lo <= kept_hi
+
+
+def test_spec_analytics_ops(ray_session):
+    """Declarative lm_score → quantile_gate chain and gini op."""
+    out = build_pipeline(
+        "/root/testdata/sf0.001/documents.parquet",
+        [{"op": "lm_score", "text_col": "text", "id": "doc_id"},
+         {"op": "quantile_gate", "column": "logprob", "q": 0.25,
+          "keep": "ge"}],
+    ).to_pandas()
+    assert {"doc_id", "n_tokens", "logprob"} <= set(out.columns)
+    assert 0 < len(out) < 500
+
+    g = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "gini", "key": "user_id"}],
+    ).to_pandas()
+    assert 0.0 <= g["gini"].iloc[0] < 1.0
+
+    w = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "window_distinct", "ts_col": "ts", "key": "user_id",
+          "stride_us": 21_600_000_000, "width_us": 86_400_000_000}],
+    ).to_pandas()
+    assert (w["n_distinct"] > 0).all() and len(w) == 123

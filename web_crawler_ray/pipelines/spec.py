@@ -41,6 +41,12 @@ Spec format (list of op dicts, applied in order):
                           "min_count": 2}
     {"op": "quantile_gate", "column": col, "q": 0.75, "keep": "ge"|"lt"}
     {"op": "epoch_shuffle", "id": col, "num_shards": N, "seed": 0}
+    {"op": "lm_score",    "text_col": "text", "id": col, "vocab_size": V}
+    {"op": "gini",        "key": col}
+    {"op": "aspect_buckets", "id": col, "w": col, "h": col,
+                  "batch_size": N}
+    {"op": "window_distinct", "ts_col": "ts", "key": col,
+                  "stride_us": S, "width_us": W}
     {"op": "mixture",     "id": col, "source": col, "weights": {src: w},
                   "default_weight": 1.0}
     {"op": "hopping_window", "ts_col": "ts", "stride_us": S, "width_us": W,
@@ -179,6 +185,28 @@ def _apply_op(ds, op: dict):
 
         return quantile_gate(ds, op["column"], op["q"],
                              keep=op.get("keep", "ge"))
+    if kind == "lm_score":
+        from ..stages.text_rank import unigram_logprob
+
+        return unigram_logprob(ds, op.get("text_col", "text"),
+                               op.get("id", "doc_id"),
+                               vocab_size=op.get("vocab_size", 100))
+    if kind == "gini":
+        from ..stages.aggregate import gini_coefficient
+
+        return gini_coefficient(ds, op["key"])
+    if kind == "aspect_buckets":
+        from ..stages.multimodal import aspect_bucket_plan
+
+        return aspect_bucket_plan(ds, op["id"], op.get("w", "w"),
+                                  op.get("h", "h"),
+                                  batch_size=op.get("batch_size", 16))
+    if kind == "window_distinct":
+        from ..stages.windows import hopping_window_distinct
+
+        return hopping_window_distinct(ds, op.get("ts_col", "ts"),
+                                       op["key"], op["stride_us"],
+                                       op["width_us"])
     if kind == "epoch_shuffle":
         from ..stages.sampling import epoch_shuffle_plan
 
@@ -304,6 +332,18 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "epoch_shuffle":
             need([op["id"]])
             created |= {"shard", "pos"}
+        elif kind == "lm_score":
+            need([op.get("text_col", "text"), op.get("id", "doc_id")])
+            created |= {"n_tokens", "logprob"}
+        elif kind == "gini":
+            need([op["key"]])
+            created |= {"gini", "n_keys"}
+        elif kind == "aspect_buckets":
+            need([op["id"], op.get("w", "w"), op.get("h", "h")])
+            created |= {"bucket", "batch_idx"}
+        elif kind == "window_distinct":
+            need([op.get("ts_col", "ts"), op["key"]])
+            created |= {"w_start", "n_distinct"}
         elif kind == "mixture":
             need([op["id"], op["source"]])
             created.add("n_repeats")
