@@ -2867,6 +2867,35 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_csv_source(sf_dir: str):
+    """CSV ingestion (the reference's workbook/CSV path at bulk-file
+    scale): orders exported once to CSV (fixture prep, cached per sf),
+    read back with ray.data.read_csv and aggregated per priority —
+    same semantics as the parquet read, proven by the oracle."""
+    import ray.data as _rd
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/wcr_csv_{tag}"
+    done = path + ".done"
+    if not os.path.exists(done):
+        (rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_orderpriority",
+                                  "o_totalprice"])
+         .write_csv(path))
+        with open(done, "w") as fh:
+            fh.write("ok")
+    ds = _rd.read_csv(path)
+    g = ds.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="price_sum"))
+
+    def fix(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n"] = batch["n"].astype("int64")
+        batch["price_sum"] = sql_round(batch["price_sum"], 2)
+        return batch
+
+    return g.map_batches(fix, batch_format="pandas")
+
+
 def q_group_anomaly(sf_dir: str):
     """Per-group outlier flags: events whose value sits more than 2
     standard deviations from their event_type's mean. Group moments
@@ -3338,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gini_events": q_gini_events,
         "q_group_anomaly": q_group_anomaly,
         "q_jsonl_source": q_jsonl_source,
+        "q_csv_source": q_csv_source,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4556,6 +4586,11 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_csv_source": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(o_totalprice), 2) AS price_sum
+            FROM orders GROUP BY o_orderpriority
         """,
         "q_jsonl_source": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
