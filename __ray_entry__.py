@@ -2867,6 +2867,20 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_lookback_count(sf_dir: str):
+    """Trailing-hour event count per user at every event (the
+    velocity / rate-limit feature): RANGE-frame semantics, all groups
+    in a partition handled by two vectorized searchsorted calls on one
+    virtually-offset array — no per-group Python."""
+    from web_crawler_ray.stages.windows import lookback_count
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    out = lookback_count(ds, "user_id", "ts", horizon_us=3_600_000_000,
+                         n_rows_hint=_nrows(sf_dir, "events"))
+    return out.select_columns(["event_id", "user_id", "n_prev"])
+
+
 def q_csv_source(sf_dir: str):
     """CSV ingestion (the reference's workbook/CSV path at bulk-file
     scale): orders exported once to CSV (fixture prep, cached per sf),
@@ -3368,6 +3382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_anomaly": q_group_anomaly,
         "q_jsonl_source": q_jsonl_source,
         "q_csv_source": q_csv_source,
+        "q_lookback_count": q_lookback_count,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4586,6 +4601,13 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_lookback_count": """
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_prev
+            FROM events
         """,
         "q_csv_source": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

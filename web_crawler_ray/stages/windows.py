@@ -105,6 +105,37 @@ def hopping_window_distinct(ds, ts_col: str, key_col: str, stride_us: int,
                              num_partitions, pre_combine=dedup)
 
 
+def lookback_count(ds, key: str, ts_col: str, horizon_us: int,
+                   out_col: str = "n_prev", num_partitions: int = 32,
+                   n_rows_hint: int | None = None):
+    """Per-row trailing-horizon event count: for each row, how many
+    same-key rows have ts in [ts − horizon, ts] — SQL ``RANGE BETWEEN
+    <horizon> PRECEDING AND CURRENT ROW`` semantics (peers at equal ts
+    all count, so the result is tie-order independent). The
+    velocity/rate-limit feature of fraud and crawl-politeness stacks.
+
+    One key-partitioned exchange; inside a partition ALL groups are
+    handled by two vectorized searchsorted calls on a single combined
+    array (each group's timestamps shifted to a disjoint virtual range
+    — no per-group Python loop)."""
+    from .grouped import partitioned_apply
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col], kind="mergesort")
+        ts = p[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        codes = pd.factorize(p[key], use_na_sentinel=False)[0].astype(np.int64)
+        span = (ts.max() - ts.min() + horizon_us + 2) if len(ts) else 1
+        virt = (ts - (ts.min() if len(ts) else 0)) + codes * span
+        r = np.searchsorted(virt, virt, side="right")
+        lo = np.searchsorted(virt, virt - horizon_us, side="left")
+        out = p.copy()
+        out[out_col] = (r - lo).astype("int64")
+        return out
+
+    return partitioned_apply(ds, [key], per_partition, num_partitions,
+                             n_rows_hint=n_rows_hint)
+
+
 def asof_join_latest(ds, key_col: str, ts_col: str, right_filter, right_cols: dict[str, str],
                      tie_col: str, n_rows_hint: int | None = None):
     """Per-key as-of join against a filtered subset of the SAME log:
