@@ -2867,6 +2867,47 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_drift_report(sf_dir: str):
+    """Distribution-drift report: per event_type mean value in the
+    first half of the month vs the second, with the relative delta —
+    the data-quality monitor between two ingest windows. Map-side
+    conditional partials (n, Σ per half) into one group-count-sized
+    combine; the means divide the SAME doubles the SQL replays."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    cut_us = pd.Timestamp("2024-01-16").value // 1000
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def halves(batch: pd.DataFrame) -> pd.DataFrame:
+        early = (batch["ts"].astype("datetime64[us]").astype("int64")
+                 < cut_us)
+        v = batch["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "n1": early.astype("int64"), "s1": np.where(early, v, 0.0),
+            "n2": (~early).astype("int64"), "s2": np.where(early, 0.0, v),
+        })
+
+    g = partial_grouped_agg(
+        ds.map_batches(halves, batch_format="pandas"), ["event_type"],
+        {"n1": ("sum", "n1"), "s1": ("sum", "s1"),
+         "n2": ("sum", "n2"), "s2": ("sum", "s2")})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        m1 = batch["s1"] / batch["n1"]
+        m2 = batch["s2"] / batch["n2"]
+        return pd.DataFrame({
+            "event_type": batch["event_type"],
+            "mean_early": sql_round(m1, 6),
+            "mean_late": sql_round(m2, 6),
+            "rel_delta": sql_round((m2 - m1) / m1, 6),
+        })
+
+    return g.map_batches(finish, batch_format="pandas")
+
+
 def q_lookback_count(sf_dir: str):
     """Trailing-hour event count per user at every event (the
     velocity / rate-limit feature): RANGE-frame semantics, all groups
@@ -3383,6 +3424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsonl_source": q_jsonl_source,
         "q_csv_source": q_csv_source,
         "q_lookback_count": q_lookback_count,
+        "q_drift_report": q_drift_report,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4601,6 +4643,25 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_drift_report": """
+            WITH g AS (
+              SELECT event_type,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS n1,
+                     sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0.0 END) AS s1,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN 1 ELSE 0 END) AS n2,
+                     sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0.0 END) AS s2
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type,
+                   round(s1 / n1, 6) AS mean_early,
+                   round(s2 / n2, 6) AS mean_late,
+                   round((s2 / n2 - s1 / n1) / (s1 / n1), 6) AS rel_delta
+            FROM g
         """,
         "q_lookback_count": """
             SELECT event_id, user_id,
