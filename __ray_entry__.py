@@ -2867,6 +2867,35 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_transition_matrix(sf_dir: str):
+    """First-order event-transition counts (the Markov/user-journey
+    matrix): per user the ts-ordered event sequence yields (prev →
+    next) pairs — computed in-partition after the one user-partitioned
+    exchange (vectorized shift, no per-user loop), then a
+    type²-cardinality count combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = p.groupby("user_id", sort=False)["event_type"].shift()
+        m = prev.notna()
+        g = (pd.DataFrame({"prev_type": prev[m].to_numpy(),
+                           "next_type": p["event_type"][m].to_numpy()})
+             .groupby(["prev_type", "next_type"], sort=True).size()
+             .rename("n").reset_index())
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = partitioned_apply(ds, ["user_id"], per_part,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+    return partial_grouped_agg(parts, ["prev_type", "next_type"],
+                               {"n": ("sum", "n")})
+
+
 def q_drift_report(sf_dir: str):
     """Distribution-drift report: per event_type mean value in the
     first half of the month vs the second, with the relative delta —
@@ -3425,6 +3454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_csv_source": q_csv_source,
         "q_lookback_count": q_lookback_count,
         "q_drift_report": q_drift_report,
+        "q_transition_matrix": q_transition_matrix,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4643,6 +4673,18 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_transition_matrix": """
+            WITH s AS (
+              SELECT event_type AS next_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS prev_type
+              FROM events
+            )
+            SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
         """,
         "q_drift_report": """
             WITH g AS (
