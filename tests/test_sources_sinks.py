@@ -322,3 +322,38 @@ def test_wds_oversize_row_gets_own_shard(tmp_path):
     assert len(man["shards"]) == 2
     got = sorted(read_wds_shards(root).take_all(), key=lambda r: r["key"])
     assert [len(r["payload"]) for r in got] == [10_000, 10]
+
+
+def test_wds_reader_errors_on_corrupt_shard(tmp_path):
+    """A truncated shard must fail loudly, never silently drop rows —
+    tarfile treats a truncated archive as a short one, so the reader
+    checks member counts against the manifest."""
+    import tarfile
+
+    import pytest
+    import ray
+    import ray.data as rd
+
+    from web_crawler_ray.io.wds import read_wds_shards, write_wds_shards
+
+    rows = [{"key": f"{i:04d}", "payload": b"z" * 500} for i in range(20)]
+    root = str(tmp_path / "wds3")
+    man = write_wds_shards(rd.from_items(rows), root, "key", "payload",
+                           max_shard_bytes=2000)
+    victim = sorted(man["shards"])[0]
+    p = f"{root}/{victim}"
+    blob = open(p, "rb").read()
+    with open(p, "wb") as f:
+        f.write(blob[:1100])  # one member + change — rest of the rows gone
+    with pytest.raises((ray.exceptions.RayTaskError, tarfile.ReadError,
+                        ValueError), match="corrupt|truncated|tar"):
+        read_wds_shards(root).take_all()
+
+
+def test_wds_manifest_missing_is_loud(tmp_path):
+    import pytest
+
+    from web_crawler_ray.io.wds import read_wds_manifest
+
+    with pytest.raises(FileNotFoundError):
+        read_wds_manifest(str(tmp_path / "nope"))

@@ -186,12 +186,22 @@ def read_wds_shards(root: str, concurrency=None):
 
     man = read_wds_manifest(root)
     paths = [os.path.join(root, s) for s in sorted(man["shards"])]
+    expected = {os.path.join(root, s): v["rows"]
+                for s, v in man["shards"].items()}
     ext, key_col = man["ext"], man["key_col"]
     payload_col, meta_cols = man["payload_col"], list(man["meta_cols"])
 
     def unpack(batch: pa.Table) -> pa.Table:
-        tabs = [_unpack_shard(p, ext, key_col, payload_col, meta_cols)
-                for p in batch.column("path").to_pylist()]
+        tabs = []
+        for p in batch.column("path").to_pylist():
+            t = _unpack_shard(p, ext, key_col, payload_col, meta_cols)
+            # tarfile treats a truncated archive as a short one — row
+            # counts against the manifest turn silent data loss loud
+            if t.num_rows != expected[p]:
+                raise ValueError(
+                    f"shard {p} yielded {t.num_rows} rows, manifest "
+                    f"says {expected[p]} — corrupt or truncated shard")
+            tabs.append(t)
         return pa.concat_tables(tabs)
 
     return (
