@@ -62,9 +62,16 @@ def fragment_name(partition_id: int, round_index: int) -> str:
 
 def completed_fragment(root: str, partition_id: int, round_index: int, input_fingerprint: str) -> bool:
     """True iff this (partition, round) was already committed from the
-    same input — the resume skip condition."""
-    frag = read_manifest(root)["fragments"].get(fragment_name(partition_id, round_index))
-    return bool(frag) and frag["input_fingerprint"] == input_fingerprint
+    same input — the resume skip condition. Fragments folded into a
+    merged file by :func:`compact` stay resume-skippable via the
+    manifest's ``compacted`` ledger (their rows live on under the
+    merged name)."""
+    manifest = read_manifest(root)
+    name = fragment_name(partition_id, round_index)
+    frag = manifest["fragments"].get(name)
+    if frag:
+        return frag["input_fingerprint"] == input_fingerprint
+    return manifest.get("compacted", {}).get(name) == input_fingerprint
 
 
 def write_fragment(
@@ -161,3 +168,80 @@ def read_dataset(root: str) -> pa.Table:
 def dataset_paths(root: str) -> list[str]:
     manifest = read_manifest(root)
     return [os.path.join(root, frag["file"]) for _, frag in sorted(manifest["fragments"].items())]
+
+
+def compact(root: str, target_rows: int = 1_000_000) -> dict:
+    """Small-fragment compaction: coalesce adjacent committed fragments
+    (manifest order, so read order is preserved) into merged fragments
+    of ~``target_rows``, then swap the manifest atomically. The 100-TB
+    operational need this serves: a resumable run that commits one
+    fragment per (partition, round) accumulates many small parquet
+    files; readers pay per-file open cost. Compaction is idempotent —
+    already-large fragments pass through untouched — and crash-safe:
+    merged files are written and fsync-renamed BEFORE the manifest
+    flips, and old files are removed only after the swap, so any crash
+    leaves a readable table (at worst with orphaned files).
+
+    Resume safety: every merged-away fragment's (name → fingerprint)
+    moves to the manifest's ``compacted`` ledger, which
+    :func:`completed_fragment` consults — a resumed run still skips
+    partitions whose rows now live inside a merged file.
+
+    Returns the new manifest. Dir fragments (distributed sinks) are
+    left as-is — their layout is already reader-parallel."""
+    manifest = read_manifest(root)
+    compacted: dict = dict(manifest.get("compacted", {}))
+    items = sorted(manifest["fragments"].items())
+    new_fragments: dict = {}
+    pending: list[tuple[str, dict]] = []
+    pending_rows = 0
+    merged_idx = 0
+    to_delete: list[str] = []
+
+    def flush_pending():
+        nonlocal pending, pending_rows, merged_idx
+        if not pending:
+            return
+        if len(pending) == 1:  # nothing to merge — keep the original
+            name, frag = pending[0]
+            new_fragments[name] = frag
+        else:
+            tables = [pq.read_table(os.path.join(root, f["file"]))
+                      for _, f in pending]
+            merged = pa.concat_tables(tables)
+            name = f"compact-{merged_idx:05d}-{merged.num_rows}"
+            merged_idx += 1
+            tmp = os.path.join(root, name + ".parquet.tmp")
+            pq.write_table(merged, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(root, name + ".parquet"))
+            new_fragments[name] = {
+                "rows": merged.num_rows,
+                "input_fingerprint": "compact:" + "+".join(
+                    n for n, _ in pending),
+                "file": name + ".parquet",
+            }
+            to_delete.extend(f["file"] for _, f in pending)
+            compacted.update(
+                (n, f["input_fingerprint"]) for n, f in pending)
+        pending, pending_rows = [], 0
+
+    for name, frag in items:
+        if "dir" in frag or frag["rows"] >= target_rows:
+            flush_pending()
+            new_fragments[name] = frag
+            continue
+        pending.append((name, frag))
+        pending_rows += frag["rows"]
+        if pending_rows >= target_rows:
+            flush_pending()
+    flush_pending()
+
+    manifest = {"version": manifest["version"] + 1,
+                "fragments": new_fragments, "compacted": compacted}
+    _write_manifest(root, manifest)  # atomic swap — commit point
+    for fname in to_delete:
+        try:
+            os.remove(os.path.join(root, fname))
+        except FileNotFoundError:
+            pass
+    return manifest
