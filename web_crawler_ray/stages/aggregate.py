@@ -484,21 +484,31 @@ def gini_coefficient(ds, key: str, ndigits: int = 6,
         return pd.DataFrame({key: vc.index.to_numpy(),
                              "x": vc.to_numpy().astype("int64")})
 
-    counts = partial_grouped_agg(
-        ds.select_columns([key]).map_batches(count_partial,
-                                             batch_format="pandas"),
-        [key], {"x": ("sum", "x")})
+    import numpy as np
+    import ray.data as rd
 
-    def gini(p: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        p = p.sort_values(["x", key], kind="mergesort")
-        x = p["x"].to_numpy(np.float64)
-        n = len(x)
-        i = np.arange(1, n + 1, dtype=np.float64)
-        g = float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
-        return pd.DataFrame({"gini": sql_round(pd.Series([g]), ndigits),
-                             "n_keys": np.array([n], dtype=np.int64)})
-
-    return counts.repartition(1).map_batches(
-        gini, batch_format="pandas", batch_size=None)
+    # the per-batch partials already shrank the stream to distinct keys
+    # per batch; finish the combine on the driver (key-cardinality-sized
+    # — same surface partial_grouped_agg would shuffle) instead of
+    # paying a second exchange for repartition(1). Coalesced iterated
+    # batches may repeat keys, so groupby-sum each batch before adding
+    # (the duplicate-index Series.add gotcha).
+    partials = ds.select_columns([key]).map_batches(
+        count_partial, batch_format="pandas")
+    acc: pd.Series | None = None
+    for b in partials.iter_batches(batch_format="pandas"):
+        s = b.groupby(key)["x"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    if acc is None or not len(acc):
+        return rd.from_pandas(pd.DataFrame(
+            {"gini": pd.Series([], dtype="float64"),
+             "n_keys": pd.Series([], dtype="int64")}))
+    p = acc.rename("x").reset_index().sort_values(["x", key],
+                                                  kind="mergesort")
+    x = p["x"].to_numpy(np.float64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    g = float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
+    return rd.from_pandas(pd.DataFrame(
+        {"gini": sql_round(pd.Series([g]), ndigits),
+         "n_keys": np.array([n], dtype=np.int64)}))
