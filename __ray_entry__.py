@@ -2152,7 +2152,8 @@ def q_bloom_semi_join(sf_dir: str):
     urgent = rd.read_parquet(
         _t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
     ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_orderkey"])
-    out = bloom_semi_join(line, urgent, on="l_orderkey", right_on="o_orderkey")
+    out = bloom_semi_join(line, urgent, on="l_orderkey",
+                          right_on="o_orderkey", keys_unique=True)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()

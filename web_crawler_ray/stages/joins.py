@@ -54,11 +54,17 @@ def _distinct_keys(keys_ds, on: str, num_partitions: int):
 
 
 def semi_join(left, keys_ds, on: str, right_on: str | None = None,
-              num_partitions: int = 8):
+              num_partitions: int = 8, keys_unique: bool = False):
     """Rows of ``left`` whose ``on`` value appears in ``keys_ds``.
     Right side deduped first, so this is a duplication-free inner hash
-    join carrying only the key + a marker."""
-    right = _distinct_keys(keys_ds, right_on or on, num_partitions)
+    join carrying only the key + a marker. Pass ``keys_unique=True``
+    when the key column is known unique (a primary key) to skip the
+    dedup exchange."""
+    if keys_unique:
+        right = keys_ds.select_columns([right_on or on]).map_batches(
+            lambda b: b.assign(**{_MARKER: 1}), batch_format="pandas")
+    else:
+        right = _distinct_keys(keys_ds, right_on or on, num_partitions)
     joined = left.join(
         right, join_type="inner", num_partitions=num_partitions,
         on=(on,), right_on=(right_on or on,),
@@ -117,7 +123,7 @@ def anti_join(left, keys_ds, on: str, right_on: str | None = None,
 
 def bloom_semi_join(left, keys_ds, on: str, right_on: str | None = None,
                     bits_log2: int = 20, k_hashes: int = 4,
-                    num_partitions: int = 8):
+                    num_partitions: int = 8, keys_unique: bool = False):
     """Exact semi-join with a bloom-filter pushdown — the scale pattern
     for "big probe side, medium build side": the build side streams once
     into per-batch bloom bitmaps (OR-merged on the driver in O(2^bits/8)
@@ -137,6 +143,10 @@ def bloom_semi_join(left, keys_ds, on: str, right_on: str | None = None,
     rkey = right_on or on
     m_bits = 1 << bits_log2
     mask = np.uint64(m_bits - 1)
+    # the build side is consumed twice (bloom build + exact fix-up
+    # join); it is the medium/small side by assumption, so materialize
+    # its key column once instead of re-executing its read+filter
+    keys_ds = keys_ds.select_columns([rkey]).materialize()
 
     def _positions(col: pd.Series) -> np.ndarray:
         h = pd.util.hash_pandas_object(col, index=False).to_numpy(dtype=np.uint64)
@@ -171,7 +181,8 @@ def bloom_semi_join(left, keys_ds, on: str, right_on: str | None = None,
 
     candidates = left.map_batches(probe, batch_format="pandas")
     return semi_join(candidates, keys_ds, on, right_on=rkey,
-                     num_partitions=num_partitions)
+                     num_partitions=num_partitions,
+                     keys_unique=keys_unique)
 
 
 def interval_overlap_join(left, right, lo_a: str, hi_a: str,
