@@ -2868,6 +2868,18 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_winsorize(sf_dir: str):
+    """Outlier winsorization: event values clipped to the corpus-exact
+    [p01, p99] — one distinct-value-count combine resolves both
+    thresholds, the clip is a map-only Arrow kernel."""
+    from web_crawler_ray.stages.aggregate import winsorize
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    out = winsorize(ds, "value", lo_q=0.01, hi_q=0.99, out_col="value_w")
+    return _round_cols(out.select_columns(["event_id", "value_w"]),
+                       {"value_w": 2})
+
+
 def q_transition_matrix(sf_dir: str):
     """First-order event-transition counts (the Markov/user-journey
     matrix): per user the ts-ordered event sequence yields (prev →
@@ -3456,6 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lookback_count": q_lookback_count,
         "q_drift_report": q_drift_report,
         "q_transition_matrix": q_transition_matrix,
+        "q_winsorize": q_winsorize,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4674,6 +4687,16 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_winsorize": """
+            WITH t AS (
+              SELECT quantile_disc(value, 0.01) AS lo,
+                     quantile_disc(value, 0.99) AS hi
+              FROM events
+            )
+            SELECT event_id,
+                   round(least(greatest(value, lo), hi), 2) AS value_w
+            FROM events, t
         """,
         "q_transition_matrix": """
             WITH s AS (

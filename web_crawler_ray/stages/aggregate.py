@@ -512,3 +512,51 @@ def gini_coefficient(ds, key: str, ndigits: int = 6,
     return rd.from_pandas(pd.DataFrame(
         {"gini": sql_round(pd.Series([g]), ndigits),
          "n_keys": np.array([n], dtype=np.int64)}))
+
+
+def winsorize(ds, col: str, lo_q: float = 0.01, hi_q: float = 0.99,
+              out_col: str | None = None):
+    """Clip ``col`` to its corpus-exact [lo_q, hi_q] discrete quantiles
+    (outlier winsorization — the feature-preprocessing staple). Same
+    one-pass distinct-value-count combine as :func:`quantile_gate`
+    resolves BOTH thresholds from one table; the clip itself is a
+    map-only Arrow kernel. Thresholds match DuckDB ``quantile_disc``
+    (rank ceil(q·n) − 1 ascending, probed)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts(sort=False)
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    acc = None
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+        s = b.groupby("v")["n"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    if acc is None or not len(acc):
+        return ds
+    acc = acc.sort_index()
+    counts = acc.to_numpy(np.int64)
+    values = acc.index.to_numpy()
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+
+    def thr(q: float):
+        rank = max(int(np.ceil(q * n)) - 1, 0)
+        return values[np.searchsorted(cum, rank + 1)]
+
+    lo, hi = thr(lo_q), thr(hi_q)
+    dest = out_col or col
+
+    def clip(batch):
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(batch[col], lo), hi)
+        if dest in batch.schema.names:
+            return batch.set_column(batch.schema.names.index(dest), dest,
+                                    clipped)
+        return batch.append_column(dest, clipped)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
