@@ -2868,6 +2868,37 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_target_encode(sf_dir: str):
+    """Smoothed target encoding of a categorical column (the classic
+    tabular-ML feature): enc(cat) = (Σ_cat + m·μ)/(n_cat + m) with
+    m = 10 pseudo-observations of the global mean. One group-count-sized
+    combine, encodings broadcast into a map-only pass; the global mean
+    divides the same summed doubles the SQL replays."""
+    import ray
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    M = 10.0
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+    g = partial_grouped_agg(ds, ["event_type"],
+                            {"n": ("count", None), "s": ("sum", "value")}
+                            ).to_pandas()
+    mu = float(g["s"].sum()) / float(g["n"].sum())
+    enc = {t: (s + M * mu) / (n + M)
+           for t, n, s in zip(g["event_type"], g["n"], g["s"])}
+    ref = ray.put(enc)
+
+    def encode(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "enc": sql_round(batch["event_type"].map(ray.get(ref)), 6),
+        })
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
 def q_winsorize(sf_dir: str):
     """Outlier winsorization: event values clipped to the corpus-exact
     [p01, p99] — one distinct-value-count combine resolves both
@@ -3469,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_drift_report": q_drift_report,
         "q_transition_matrix": q_transition_matrix,
         "q_winsorize": q_winsorize,
+        "q_target_encode": q_target_encode,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4687,6 +4719,15 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_target_encode": """
+            WITH g AS (
+              SELECT event_type, count(*) AS n, sum(value) AS s
+              FROM events GROUP BY event_type
+            ), t AS (SELECT sum(s) / sum(n) AS mu FROM g)
+            SELECT event_id, event_type,
+                   round((g.s + 10.0 * t.mu) / (g.n + 10.0), 6) AS enc
+            FROM events JOIN g USING (event_type), t
         """,
         "q_winsorize": """
             WITH t AS (
