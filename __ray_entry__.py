@@ -2868,6 +2868,51 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_time_to_convert(sf_dir: str):
+    """Conversion-latency report: minutes from first view to first
+    purchase per converting user — converter count plus exact median
+    and p90. The user-partitioned exchange pivots first-event
+    timestamps in-partition (funnel shape); the integer-minute deltas
+    come back as value counts, the driver resolves the quantile_disc
+    ranks over the tiny distinct-minutes table."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts"])
+    ds = ds.filter(expr="event_type == 'view' or event_type == 'purchase'")
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        m = (p.groupby(["user_id", "event_type"])["ts"].min().unstack()
+             .reindex(columns=["view", "purchase"]))
+        ok = m["view"].notna() & m["purchase"].notna() & (m["purchase"] > m["view"])
+        d = m[ok]
+        mins = ((d["purchase"].astype("datetime64[us]").astype("int64")
+                 - d["view"].astype("datetime64[us]").astype("int64"))
+                // 60_000_000)
+        vc = mins.value_counts(sort=False)
+        return pd.DataFrame({"mins": vc.index.to_numpy().astype("int64"),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = partitioned_apply(ds, ["user_id"], per_part)
+    acc = None
+    for b in parts.iter_batches(batch_format="pandas"):
+        s = b.groupby("mins")["n"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    acc = acc.sort_index().astype("int64")
+    counts = acc.to_numpy()
+    vals = acc.index.to_numpy()
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+
+    def qd(q: float) -> int:  # DuckDB quantile_disc: rank ceil(q*n)-1
+        rank = max(int(np.ceil(q * n)) - 1, 0)
+        return int(vals[np.searchsorted(cum, rank + 1)])
+
+    return pd.DataFrame({"n_converters": np.array([n], dtype=np.int64),
+                         "median_min": np.array([qd(0.5)], dtype=np.int64),
+                         "p90_min": np.array([qd(0.9)], dtype=np.int64)})
+
+
 def q_target_encode(sf_dir: str):
     """Smoothed target encoding of a categorical column (the classic
     tabular-ML feature): enc(cat) = (Σ_cat + m·μ)/(n_cat + m) with
@@ -3501,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transition_matrix": q_transition_matrix,
         "q_winsorize": q_winsorize,
         "q_target_encode": q_target_encode,
+        "q_time_to_convert": q_time_to_convert,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4719,6 +4765,21 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_time_to_convert": """
+            WITH m AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+                     min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT (epoch_us(p) - epoch_us(v)) // 60000000 AS mins
+              FROM m WHERE p > v
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_converters,
+                   CAST(quantile_disc(mins, 0.5) AS BIGINT) AS median_min,
+                   CAST(quantile_disc(mins, 0.9) AS BIGINT) AS p90_min
+            FROM d
         """,
         "q_target_encode": """
             WITH g AS (
