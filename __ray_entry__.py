@@ -2868,6 +2868,29 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_user_event_set(sf_dir: str):
+    """collect_set per key: each user's sorted distinct event types as
+    one canonical comma string. Batch-local pair dedup bounds the one
+    user-partitioned exchange at distinct pairs per batch; the join is
+    a vectorized in-partition groupby-agg."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type"])
+
+    def pre(p: pd.DataFrame) -> pd.DataFrame:
+        return p.drop_duplicates()
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.drop_duplicates().sort_values(["user_id", "event_type"],
+                                            kind="mergesort")
+        g = p.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        return g.rename("types").reset_index()
+
+    return partitioned_apply(ds, ["user_id"], per_part, pre_combine=pre,
+                             n_rows_hint=_nrows(sf_dir, "events"))
+
+
 def q_time_to_convert(sf_dir: str):
     """Conversion-latency report: minutes from first view to first
     purchase per converting user — converter count plus exact median
@@ -3547,6 +3570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winsorize": q_winsorize,
         "q_target_encode": q_target_encode,
         "q_time_to_convert": q_time_to_convert,
+        "q_user_event_set": q_user_event_set,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4765,6 +4789,12 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_user_event_set": """
+            SELECT user_id,
+                   array_to_string(list_sort(list(DISTINCT event_type)),
+                                   ',') AS types
+            FROM events GROUP BY user_id
         """,
         "q_time_to_convert": """
             WITH m AS (
