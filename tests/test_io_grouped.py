@@ -1111,3 +1111,34 @@ def test_compaction_preserves_resume_skip(tmp_path):
         assert lancelike.completed_fragment(root, i, 0, f"fp-{i}")
         assert not lancelike.completed_fragment(root, i, 0, "other-fp")
     assert lancelike.read_dataset(root).num_rows == 8
+
+
+def test_dir_fragment_file_list_and_in_dir_compaction(tmp_path):
+    """Dir fragments record their committed file list (stray files from
+    crashed attempts are invisible to readers); in-dir compaction merges
+    small files and swaps the list atomically."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "dds")
+    os.makedirs(os.path.join(root, "round-000"))
+    for i in range(5):
+        pq.write_table(pa.table({"v": pa.array([i] * 4)}),
+                       os.path.join(root, "round-000", f"part-{i}.parquet"))
+    lancelike.commit_dir_fragment(root, "round-000", "round-000", 20, "fp")
+    # a stray file landing AFTER commit is not part of the fragment
+    pq.write_table(pa.table({"v": pa.array([99] * 100)}),
+                   os.path.join(root, "round-000", "stray.parquet"))
+    assert lancelike.read_dataset(root).num_rows == 20
+
+    man = lancelike.compact(root, target_rows=10)
+    files = man["fragments"]["round-000"]["files"]
+    assert any(f.startswith("merged-") for f in files)
+    assert "stray.parquet" not in files
+    assert lancelike.read_dataset(root).num_rows == 20
+    # replaced small files were deleted; the stray remains (orphan)
+    left = sorted(os.listdir(os.path.join(root, "round-000")))
+    assert "part-0.parquet" not in left and "stray.parquet" in left
+    # resume fingerprint still matches for the dir fragment
+    assert lancelike.read_manifest(root)["fragments"]["round-000"][
+        "input_fingerprint"] == "fp"

@@ -125,10 +125,15 @@ def commit_dir_fragment(
     """Register a worker-written parquet DIRECTORY (distributed sink) as
     one committed fragment; lineage sidecar + manifest update are the
     atomic commit point (the directory itself was written by Ray
-    workers, one file per block)."""
+    workers, one file per block). The fragment records its FILE LIST at
+    commit time, so readers are scoped to the committed set (stray
+    files from a crashed attempt are invisible) and in-dir compaction
+    can swap the list atomically."""
     if completed := (read_manifest(root)["fragments"].get(name) or None):
         if completed["input_fingerprint"] == input_fingerprint:
             return name
+    files = sorted(f for f in os.listdir(os.path.join(root, dirname))
+                   if f.endswith(".parquet"))
     lineage = {
         "fragment": name,
         "rows_out": rows,
@@ -143,6 +148,7 @@ def commit_dir_fragment(
         "rows": rows,
         "input_fingerprint": input_fingerprint,
         "dir": dirname,
+        "files": files,
     }
     _write_manifest(root, manifest)
     return name
@@ -155,9 +161,12 @@ def read_dataset(root: str) -> pa.Table:
     for _, frag in sorted(manifest["fragments"].items()):
         if "dir" in frag:
             d = os.path.join(root, frag["dir"])
-            for fname in sorted(os.listdir(d)):
-                if fname.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(d, fname)))
+            # committed file list when recorded (newer manifests);
+            # directory listing for manifests written before it existed
+            names = frag.get("files") or sorted(
+                f for f in os.listdir(d) if f.endswith(".parquet"))
+            for fname in names:
+                tables.append(pq.read_table(os.path.join(d, fname)))
         else:
             tables.append(pq.read_table(os.path.join(root, frag["file"])))
     if not tables:
@@ -168,6 +177,51 @@ def read_dataset(root: str) -> pa.Table:
 def dataset_paths(root: str) -> list[str]:
     manifest = read_manifest(root)
     return [os.path.join(root, frag["file"]) for _, frag in sorted(manifest["fragments"].items())]
+
+
+def _compact_dir_fragment(root: str, frag: dict, target_rows: int,
+                          to_delete: list) -> dict:
+    """Merge small adjacent files inside one committed dir fragment.
+    Writes merged files (tmp → rename) and returns the fragment record
+    with the new file list; replaced files go on ``to_delete`` for
+    removal AFTER the manifest swap."""
+    d = os.path.join(root, frag["dir"])
+    rows_of = {f: pq.read_metadata(os.path.join(d, f)).num_rows
+               for f in frag["files"]}
+    new_files: list[str] = []
+    group: list[str] = []
+    group_rows = 0
+    merged_idx = sum(1 for f in frag["files"] if f.startswith("merged-"))
+
+    def flush_group():
+        nonlocal group, group_rows, merged_idx
+        if not group:
+            return
+        if len(group) == 1:
+            new_files.append(group[0])
+        else:
+            merged = pa.concat_tables(
+                [pq.read_table(os.path.join(d, f)) for f in group])
+            name = f"merged-{merged_idx:05d}-{merged.num_rows}.parquet"
+            merged_idx += 1
+            tmp = os.path.join(d, name + ".tmp")
+            pq.write_table(merged, tmp, compression="zstd")
+            os.replace(tmp, os.path.join(d, name))
+            new_files.append(name)
+            to_delete.extend(os.path.join(frag["dir"], f) for f in group)
+        group, group_rows = [], 0
+
+    for f in frag["files"]:
+        if rows_of[f] >= target_rows:
+            flush_group()
+            new_files.append(f)
+            continue
+        group.append(f)
+        group_rows += rows_of[f]
+        if group_rows >= target_rows:
+            flush_group()
+    flush_group()
+    return {**frag, "files": new_files}
 
 
 def compact(root: str, target_rows: int = 1_000_000) -> dict:
@@ -187,8 +241,16 @@ def compact(root: str, target_rows: int = 1_000_000) -> dict:
     :func:`completed_fragment` consults — a resumed run still skips
     partitions whose rows now live inside a merged file.
 
-    Returns the new manifest. Dir fragments (distributed sinks) are
-    left as-is — their layout is already reader-parallel."""
+    Dir fragments (distributed sinks) with a committed ``files`` list
+    get IN-DIR compaction: small adjacent files merge into
+    ~``target_rows`` files, and because readers follow the manifest's
+    file list (not a directory listing) the swap is crash-safe — the
+    merged files are renamed into place before the manifest flips, and
+    the replaced files are deleted only after; a crash in the window
+    leaves orphans, never double rows. Legacy dir fragments without a
+    file list are left untouched.
+
+    Returns the new manifest."""
     manifest = read_manifest(root)
     compacted: dict = dict(manifest.get("compacted", {}))
     items = sorted(manifest["fragments"].items())
@@ -226,7 +288,14 @@ def compact(root: str, target_rows: int = 1_000_000) -> dict:
         pending, pending_rows = [], 0
 
     for name, frag in items:
-        if "dir" in frag or frag["rows"] >= target_rows:
+        if "dir" in frag:
+            flush_pending()
+            if frag.get("files") and len(frag["files"]) > 1:
+                frag = _compact_dir_fragment(root, frag, target_rows,
+                                             to_delete)
+            new_fragments[name] = frag
+            continue
+        if frag["rows"] >= target_rows:
             flush_pending()
             new_fragments[name] = frag
             continue
