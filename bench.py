@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "q_epoch_shuffle",
     "q_wds_roundtrip",
     "q_image_export",
+    "q_lookback_count",
+    "q_unigram_logprob",
+    "q_winsorize",
 ]
 
 

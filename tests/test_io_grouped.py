@@ -1142,3 +1142,22 @@ def test_dir_fragment_file_list_and_in_dir_compaction(tmp_path):
     # resume fingerprint still matches for the dir fragment
     assert lancelike.read_manifest(root)["fragments"]["round-000"][
         "input_fingerprint"] == "fp"
+
+
+def test_spec_winsorize(ray_session):
+    out = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "select", "columns": ["event_id", "value"]},
+         {"op": "winsorize", "column": "value", "lo_q": 0.1, "hi_q": 0.9,
+          "out": "value_w"}],
+    ).to_pandas()
+    import duckdb
+    want = duckdb.sql("""
+        WITH t AS (SELECT quantile_disc(value, 0.1) lo,
+                          quantile_disc(value, 0.9) hi
+                   FROM '/root/testdata/sf0.001/events.parquet')
+        SELECT least(greatest(value, lo), hi) AS value_w
+        FROM '/root/testdata/sf0.001/events.parquet', t ORDER BY event_id
+    """).df()
+    got = out.sort_values("event_id").reset_index(drop=True)
+    assert (got["value_w"].to_numpy() == want["value_w"].to_numpy()).all()

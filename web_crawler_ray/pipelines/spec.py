@@ -42,6 +42,8 @@ Spec format (list of op dicts, applied in order):
     {"op": "quantile_gate", "column": col, "q": 0.75, "keep": "ge"|"lt"}
     {"op": "epoch_shuffle", "id": col, "num_shards": N, "seed": 0}
     {"op": "lm_score",    "text_col": "text", "id": col, "vocab_size": V}
+    {"op": "winsorize",   "column": col, "lo_q": 0.01, "hi_q": 0.99,
+                  "out": col}
     {"op": "gini",        "key": col}
     {"op": "aspect_buckets", "id": col, "w": col, "h": col,
                   "batch_size": N}
@@ -195,6 +197,11 @@ def _apply_op(ds, op: dict):
         from ..stages.aggregate import gini_coefficient
 
         return gini_coefficient(ds, op["key"])
+    if kind == "winsorize":
+        from ..stages.aggregate import winsorize
+
+        return winsorize(ds, op["column"], lo_q=op.get("lo_q", 0.01),
+                         hi_q=op.get("hi_q", 0.99), out_col=op.get("out"))
     if kind == "aspect_buckets":
         from ..stages.multimodal import aspect_bucket_plan
 
@@ -338,6 +345,10 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "gini":
             need([op["key"]])
             created |= {"gini", "n_keys"}
+        elif kind == "winsorize":
+            need([op["column"]])
+            if op.get("out"):
+                created.add(op["out"])
         elif kind == "aspect_buckets":
             need([op["id"], op.get("w", "w"), op.get("h", "h")])
             created |= {"bucket", "batch_idx"}
