@@ -2868,6 +2868,63 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-shaped star join with aggregation pushdown: lineitem
+    revenue pre-aggregated to order grain BEFORE the one hash join
+    (orders), re-aggregated to customer grain before the dimension
+    lookup (customer→nation broadcast dict — the small side never
+    shuffles), final nation rollup. The fact table is never joined at
+    row grain: each exchange carries the current aggregation grain,
+    not lineitems."""
+    import ray
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.graph import grouped_sum
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def rev(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["r"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        return batch[["l_orderkey", "r"]]
+
+    # order/customer grains are HIGH-cardinality: use the coarse-
+    # partitioned grouped_sum (native groupby().aggregate() hits its
+    # ~100x per-key cliff past ~10^4 keys). Materialize the order-grain
+    # barrier so the join doesn't chain under the aggregation pool.
+    by_order = grouped_sum(
+        li.map_batches(rev, batch_format="pandas"),
+        "l_orderkey", "r", "r").materialize()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = by_order.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    by_cust = grouped_sum(j.select_columns(["o_custkey", "r"]),
+                          "o_custkey", "r", "r")
+
+    cust = pd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    nation = pd.read_parquet(_t(sf_dir, "nation"),
+                             columns=["n_nationkey", "n_name"])
+    nk = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nn = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((nk, nn))
+
+    def to_nation(batch: pd.DataFrame) -> pd.DataFrame:
+        k, n = ray.get(ref)
+        return pd.DataFrame({
+            "n_name": batch["o_custkey"].map(k).map(n),
+            "r": batch["r"],
+        })
+
+    g = partial_grouped_agg(
+        by_cust.map_batches(to_nation, batch_format="pandas"),
+        ["n_name"], {"revenue": ("sum", "r"), "n_customers": ("count", None)})
+    return _round_cols(g, {"revenue": 2})
+
+
 def q_user_event_set(sf_dir: str):
     """collect_set per key: each user's sorted distinct event types as
     one canonical comma string. Batch-local pair dedup bounds the one
@@ -3571,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_target_encode": q_target_encode,
         "q_time_to_convert": q_time_to_convert,
         "q_user_event_set": q_user_event_set,
+        "q_revenue_by_nation": q_revenue_by_nation,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4789,6 +4847,19 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_revenue_by_nation": """
+            WITH bc AS (
+              SELECT o_custkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_custkey
+            )
+            SELECT n_name, round(sum(r), 2) AS revenue,
+                   count(*) AS n_customers
+            FROM bc JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "q_user_event_set": """
             SELECT user_id,
