@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "q_lookback_count",
     "q_unigram_logprob",
     "q_winsorize",
+    "q_revenue_by_nation",
 ]
 
 
