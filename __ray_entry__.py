@@ -2868,6 +2868,24 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion matrix of labeled lang vs the
+    stopword-classifier's lang_pred (the model-eval artifact of the
+    curation stack). One actor-pool metrics pass, one tiny
+    (lang, lang_pred)-count combine; the classifier is replayed exactly
+    in SQL (same stopword lists, same first-max tie rule)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.text_stage import TextMetrics
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    m = ds.map_batches(TextMetrics, batch_format="pyarrow",
+                       concurrency=auto_concurrency(0.5))
+    return partial_grouped_agg(m.select_columns(["lang", "lang_pred"]),
+                               ["lang", "lang_pred"],
+                               {"n": ("count", None)})
+
+
 def q_revenue_by_nation(sf_dir: str):
     """TPC-H-Q5-shaped star join with aggregation pushdown: lineitem
     revenue pre-aggregated to order grain BEFORE the one hash join
@@ -3629,6 +3647,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_time_to_convert": q_time_to_convert,
         "q_user_event_set": q_user_event_set,
         "q_revenue_by_nation": q_revenue_by_nation,
+        "q_lang_confusion": q_lang_confusion,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4847,6 +4866,35 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_lang_confusion": r"""
+            WITH w AS (
+              SELECT lang,
+                     (regexp_extract_all(lower(text), '[a-z]+'))[1:200]
+                       AS words
+              FROM documents
+            ), s AS (
+              SELECT lang,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','den','mit','von'], x))) AS s_de,
+                len(list_filter(words, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','de','que','y','en','un','es','los','por'], x))) AS s_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','de','et','est','un','que','les','des','en'], x))) AS s_fr
+              FROM w
+            ), p AS (
+              SELECT lang,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM s
+            )
+            SELECT lang, lang_pred, count(*) AS n
+            FROM p GROUP BY lang, lang_pred
         """,
         "q_revenue_by_nation": """
             WITH bc AS (
