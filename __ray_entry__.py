@@ -2868,6 +2868,33 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_null_profile(sf_dir: str):
+    """Schema-wide data-quality profile: per-column null-or-blank
+    counts and fractions over the documents table — the ingest health
+    report. One map pass emits a fixed row of counters per batch; the
+    driver sums a (batches × columns)-sized table, never rows."""
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=cols)
+
+    def flags(batch: pd.DataFrame) -> pd.DataFrame:
+        out = {"n_rows": [len(batch)]}
+        for c in cols:
+            bad = batch[c].isna()
+            if batch[c].dtype == object:
+                bad = bad | (batch[c].astype(str).str.len() == 0)
+            out[f"null_{c}"] = [int(bad.sum())]
+        return pd.DataFrame(out)
+
+    tot = ds.map_batches(flags, batch_format="pandas").to_pandas().sum()
+    n = int(tot["n_rows"])
+    return pd.DataFrame({
+        "column": cols,
+        "n_null": np.array([tot[f"null_{c}"] for c in cols], dtype=np.int64),
+        "null_frac": sql_round(
+            pd.Series([float(tot[f"null_{c}"]) / n for c in cols]), 6),
+    })
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-ID evaluation: confusion matrix of labeled lang vs the
     stopword-classifier's lang_pred (the model-eval artifact of the
@@ -3648,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_user_event_set": q_user_event_set,
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_lang_confusion": q_lang_confusion,
+        "q_null_profile": q_null_profile,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4866,6 +4894,38 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_null_profile": """
+            SELECT 'doc_id' AS column,
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6) AS null_frac
+            FROM documents
+            UNION ALL SELECT 'text',
+                   CAST(sum(CASE WHEN text IS NULL OR text = ''
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN text IS NULL OR text = ''
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+            FROM documents
+            UNION ALL SELECT 'lang',
+                   CAST(sum(CASE WHEN lang IS NULL OR lang = ''
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN lang IS NULL OR lang = ''
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+            FROM documents
+            UNION ALL SELECT 'source',
+                   CAST(sum(CASE WHEN source IS NULL OR source = ''
+                            THEN 1 ELSE 0 END) AS BIGINT),
+                   round(sum(CASE WHEN source IS NULL OR source = ''
+                             THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+            FROM documents
+            UNION ALL SELECT 'n_chars',
+                   CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 6)
+            FROM documents
         """,
         "q_lang_confusion": r"""
             WITH w AS (
