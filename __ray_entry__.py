@@ -2868,6 +2868,36 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_degree_hist(sf_dir: str):
+    """Degree distribution over the part–supplier bipartite bridge:
+    distinct suppliers per part, then how many parts have each degree —
+    the two-level aggregation (distinct-count → histogram of counts)
+    every graph/marketplace report needs. Pair-dedup + per-key count
+    via one coarse exchange, then a tiny degree-count combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pre(p: pd.DataFrame) -> pd.DataFrame:
+        return p.drop_duplicates()
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        # every part's pairs co-locate: degree + histogram partial
+        # entirely in-partition (the key-grain combine would hit the
+        # native groupby cliff at part cardinality)
+        d = p.drop_duplicates().groupby("l_partkey", sort=False).size()
+        vc = d.value_counts(sort=False)
+        return pd.DataFrame({"n_distinct": vc.index.to_numpy().astype("int64"),
+                             "n_parts": vc.to_numpy().astype("int64")})
+
+    parts = partitioned_apply(ds, ["l_partkey"], per_part, pre_combine=pre,
+                              n_rows_hint=_nrows(sf_dir, "lineitem"))
+    return partial_grouped_agg(parts, ["n_distinct"],
+                               {"n_parts": ("sum", "n_parts")})
+
+
 def q_null_profile(sf_dir: str):
     """Schema-wide data-quality profile: per-column null-or-blank
     counts and fractions over the documents table — the ingest health
@@ -3676,6 +3706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_lang_confusion": q_lang_confusion,
         "q_null_profile": q_null_profile,
+        "q_degree_hist": q_degree_hist,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4894,6 +4925,16 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_degree_hist": """
+            WITH d AS (
+              SELECT l_partkey,
+                     CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS n_distinct
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT n_distinct, count(*) AS n_parts
+            FROM d GROUP BY n_distinct
         """,
         "q_null_profile": """
             SELECT 'doc_id' AS column,
