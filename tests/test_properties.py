@@ -215,3 +215,30 @@ def test_ddsketch_bucket_relative_error(x, alpha):
     i = math.ceil(math.log(x) / math.log(gamma))
     est = 2.0 * gamma**i / (gamma + 1.0)
     assert abs(est - x) <= alpha * x * (1 + 1e-9), (x, est, alpha)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1,
+             max_size=120),
+    st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]),
+)
+def test_quantile_disc_rank_convention_matches_duckdb(values, q):
+    """The rank formula ceil(q*n)-1 over the ascending sort — shared by
+    quantile_gate, winsorize and time_to_convert — equals DuckDB
+    quantile_disc on arbitrary int multisets."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    df = pd.DataFrame({"v": values})
+    want = duckdb.sql(
+        f"SELECT quantile_disc(v, {q}) AS t FROM df").fetchone()[0]
+    # the engine's formula over a value-count table (as the stages do)
+    vc = df["v"].value_counts().sort_index()
+    counts = vc.to_numpy(np.int64)
+    vals = vc.index.to_numpy()
+    n = int(counts.sum())
+    rank = max(int(np.ceil(q * n)) - 1, 0)
+    got = vals[np.searchsorted(np.cumsum(counts), rank + 1)]
+    assert got == want, (values, q, got, want)
