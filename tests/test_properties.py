@@ -242,3 +242,25 @@ def test_quantile_disc_rank_convention_matches_duckdb(values, q):
     rank = max(int(np.ceil(q * n)) - 1, 0)
     got = vals[np.searchsorted(np.cumsum(counts), rank + 1)]
     assert got == want, (values, q, got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1,
+                max_size=50),
+       st.sampled_from([10, 1000, 1 << 32]))
+def test_hash_bucket_matches_sql_expression(ids, mod):
+    """hash_bucket (the shared split/sample/shuffle/cap primitive) ==
+    the SQL expression ((id % 2^31) * K % 2^32 % mod) for the whole
+    int64 domain, including ids past the 31-bit fold boundary."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from web_crawler_ray.stages.sampling import hash_bucket
+
+    got = hash_bucket(np.array(ids, dtype=np.int64), mod)
+    df = pd.DataFrame({"i": pd.array(ids, dtype="int64")})
+    want = duckdb.sql(
+        f"SELECT (i % 2147483648) * 2654435761 % 4294967296 % {mod} AS b"
+        " FROM df").df()["b"].to_numpy()
+    assert (got == want).all(), (ids, mod)
