@@ -263,3 +263,27 @@ def test_hopping_window_membership(ray_session):
     with pytest.raises(ValueError):
         hopping_window_agg(rd.from_pandas(df), "ts", stride_us=7,
                            width_us=30, aggs={"n": ("count", None)})
+
+
+def test_hopping_window_brute_force_random(ray_session):
+    """Randomized cross-check: hopping counts equal the brute-force
+    'events with w <= ts < w+width' per emitted window, and each event
+    contributes to exactly width/stride windows."""
+    import numpy as np
+
+    from web_crawler_ray.stages.windows import hopping_window_agg
+
+    rng = np.random.default_rng(7)
+    for stride, width in [(10, 30), (7, 28), (100, 100)]:
+        ts_us = np.sort(rng.integers(0, 1000, 300))
+        df = pd.DataFrame({"ts": pd.to_datetime(ts_us, unit="us"),
+                           "v": np.ones(300)})
+        out = (hopping_window_agg(rd.from_pandas(df).repartition(4), "ts",
+                                  stride_us=stride, width_us=width,
+                                  aggs={"n": ("count", None)})
+               .to_pandas())
+        m = width // stride
+        assert out["n"].sum() == 300 * m
+        for w, n in zip(out["w_start"], out["n"]):
+            assert n == int(((ts_us >= w) & (ts_us < w + width)).sum()), \
+                (stride, width, w)
