@@ -287,3 +287,29 @@ def test_hopping_window_brute_force_random(ray_session):
         for w, n in zip(out["w_start"], out["n"]):
             assert n == int(((ts_us >= w) & (ts_us < w + width)).sum()), \
                 (stride, width, w)
+
+
+def test_lookback_count_brute_force_with_ties(ray_session):
+    """Randomized cross-check incl. duplicate timestamps: n_prev must
+    equal |{same-key rows with ts in [t-h, t]}| — RANGE-frame peers all
+    count, independent of tie order."""
+    import numpy as np
+
+    from web_crawler_ray.stages.windows import lookback_count
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ts_us = rng.integers(0, 50, n) * 10  # many exact ties
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),
+        "ts": pd.to_datetime(ts_us, unit="us"),
+        "rid": np.arange(n),
+    })
+    out = (lookback_count(rd.from_pandas(df).repartition(3), "k", "ts",
+                          horizon_us=100)
+           .to_pandas().set_index("rid").sort_index())
+    for rid, row in out.iterrows():
+        t = ts_us[rid]
+        k = df["k"].iloc[rid]
+        want = int(((df["k"] == k) & (ts_us >= t - 100) & (ts_us <= t)).sum())
+        assert row["n_prev"] == want, (rid, k, t, row["n_prev"], want)
