@@ -264,3 +264,26 @@ def test_hash_bucket_matches_sql_expression(ids, mod):
         f"SELECT (i % 2147483648) * 2654435761 % 4294967296 % {mod} AS b"
         " FROM df").df()["b"].to_numpy()
     assert (got == want).all(), (ids, mod)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 2), min_size=1,
+                max_size=40),
+       st.integers(min_value=0, max_value=100))
+def test_epoch_shuffle_key_matches_sql(ids, seed):
+    """The epoch-shuffle (key, shard) arithmetic — hash_bucket(id+seed)
+    — equals its SQL replay for arbitrary ids and seeds."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from web_crawler_ray.stages.sampling import hash_bucket
+
+    arr = np.array(ids, dtype=np.int64)
+    k = hash_bucket(arr + seed, 1 << 32)
+    df = pd.DataFrame({"i": pd.array(ids, dtype="int64")})
+    want = duckdb.sql(
+        f"SELECT ((i + {seed}) % 2147483648) * 2654435761"
+        " % 4294967296 AS k FROM df").df()["k"].to_numpy()
+    assert (k == want).all()
+    assert ((k % 8) == (want % 8)).all()
