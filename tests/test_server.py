@@ -71,3 +71,12 @@ def test_pipeline_endpoint(server, ray_session):
     })
     assert status == 200
     assert sum(r["n"] for r in out["data"]) == 1500
+
+
+def test_pipelines_listing(server):
+    from web_crawler_ray.pipelines.spec import register_pipeline
+
+    register_pipeline("srv_demo", "orders",
+                      [{"op": "limit", "n": 1}])
+    status, out = _req(server, "GET", "/pipelines")
+    assert status == 200 and "srv_demo" in out["pipelines"]

@@ -77,6 +77,10 @@ def make_server(registry: dict, host: str = "127.0.0.1", port: int = 0,
                 self._send(200, {"ok": True})
             elif self.path == "/queries":
                 self._send(200, {"queries": sorted(registry)})
+            elif self.path == "/pipelines":
+                from .pipelines.spec import list_pipelines
+
+                self._send(200, {"pipelines": sorted(list_pipelines())})
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
