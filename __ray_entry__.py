@@ -2868,6 +2868,22 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_id_islands(sf_dir: str):
+    """Islands-and-gaps data-completeness audit: consecutive event_id
+    runs among click events (which ids are present, where the holes
+    are). Global rank WITHOUT a global sort: ordered range buckets give
+    prefix bases (one int per 4096 ids to the driver), in-bucket ranks
+    are vectorized, and boundary-spanning islands merge in the isl-key
+    combine."""
+    from web_crawler_ray.stages.windows import sequence_islands
+
+    ds = (rd.read_parquet(_t(sf_dir, "events"),
+                          columns=["event_id", "event_type"])
+          .filter(expr="event_type == 'click'")
+          .select_columns(["event_id"]))
+    return sequence_islands(ds, "event_id")
+
+
 def q_degree_hist(sf_dir: str):
     """Degree distribution over the part–supplier bipartite bridge:
     distinct suppliers per part, then how many parts have each degree —
@@ -3707,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_confusion": q_lang_confusion,
         "q_null_profile": q_null_profile,
         "q_degree_hist": q_degree_hist,
+        "q_id_islands": q_id_islands,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4925,6 +4942,19 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_id_islands": """
+            WITH c AS (
+              SELECT event_id FROM events WHERE event_type = 'click'
+            ), r AS (
+              SELECT event_id,
+                     event_id - row_number() OVER (ORDER BY event_id)
+                       AS isl
+              FROM c
+            )
+            SELECT min(event_id) AS start_id, max(event_id) AS end_id,
+                   count(*) AS n
+            FROM r GROUP BY isl
         """,
         "q_degree_hist": """
             WITH d AS (

@@ -313,3 +313,17 @@ def test_lookback_count_brute_force_with_ties(ray_session):
         k = df["k"].iloc[rid]
         want = int(((df["k"] == k) & (ts_us >= t - 100) & (ts_us <= t)).sum())
         assert row["n_prev"] == want, (rid, k, t, row["n_prev"], want)
+
+
+def test_sequence_islands_bucket_boundary(ray_session):
+    """An island spanning a range-bucket boundary merges into one row;
+    gaps split islands; singleton islands survive."""
+    from web_crawler_ray.stages.windows import sequence_islands
+
+    ids = [2, 3, 4, 5, 9, 12, 13, 100]  # bucket_shift=2 -> buckets of 4
+    ds = rd.from_pandas(pd.DataFrame({"i": pd.array(ids, dtype="int64")})
+                        ).repartition(3)
+    out = (sequence_islands(ds, "i", bucket_shift=2)
+           .to_pandas().sort_values("start_id").reset_index(drop=True))
+    got = list(zip(out["start_id"], out["end_id"], out["n"]))
+    assert got == [(2, 5, 4), (9, 9, 1), (12, 13, 2), (100, 100, 1)]

@@ -105,6 +105,89 @@ def hopping_window_distinct(ds, ts_col: str, key_col: str, stride_us: int,
                              num_partitions, pre_combine=dedup)
 
 
+def sequence_islands(ds, id_col: str, bucket_shift: int = 12,
+                     num_partitions: int = 32):
+    """Islands-and-gaps over a sparse integer id sequence (the data-
+    completeness audit: which id runs are present, where are the
+    holes). Classic SQL: island = id − row_number() OVER (ORDER BY id);
+    distributed WITHOUT a global sort via the range-bucket two-pass
+    (the pack_sequences trick): buckets ``id >> shift`` are themselves
+    ordered, so per-bucket counts give exclusive global-rank bases
+    (driver prefix-sums one int per 2^shift ids), and the in-bucket
+    rank is a vectorized sort position. Islands spanning bucket
+    boundaries merge in the final combine because their island key
+    (id − global_rank) is identical on both sides. Emits one row per
+    island: (start_id, end_id, n)."""
+    import ray
+
+    from .grouped import partitioned_apply
+
+    ids_only = ds.select_columns([id_col])
+
+    def add_bucket(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.copy()
+        p["__bucket"] = p[id_col].to_numpy().astype(np.int64) >> bucket_shift
+        return p
+
+    def bucket_pre(p: pd.DataFrame) -> pd.DataFrame:
+        p = add_bucket(p)
+        return (p.groupby("__bucket", sort=False)[id_col].count()
+                .rename("n").reset_index())
+
+    def bucket_sum(p: pd.DataFrame) -> pd.DataFrame:
+        return (p.groupby("__bucket", sort=True)["n"].sum()
+                .rename("n").reset_index())
+
+    parts = partitioned_apply(ids_only.map_batches(bucket_pre,
+                                                   batch_format="pandas"),
+                              ["__bucket"], bucket_sum, num_partitions)
+    acc = None
+    for b in parts.iter_batches(batch_format="pandas"):
+        s = b.groupby("__bucket")["n"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    if acc is None or not len(acc):
+        import ray.data as rd
+        return rd.from_pandas(pd.DataFrame({
+            "start_id": pd.Series([], dtype="int64"),
+            "end_id": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64")}))
+    acc = acc.sort_index().astype(np.int64)
+    bases = acc.cumsum().shift(fill_value=0).astype(np.int64)
+    base_ref = ray.put((bases.index.to_numpy(np.int64),
+                        bases.to_numpy(np.int64)))
+
+    def islands(p: pd.DataFrame) -> pd.DataFrame:
+        # runs per BUCKET-PARTITION (co-located below), so each bucket's
+        # rows are all present and the in-bucket cumcount is its true
+        # intra-bucket rank
+        p = p.sort_values(["__bucket", id_col], kind="mergesort")
+        ids = p[id_col].to_numpy(np.int64)
+        buckets = p["__bucket"].to_numpy(np.int64)
+        intra = p.groupby("__bucket", sort=False).cumcount().to_numpy(
+            np.int64)
+        bk, bv = ray.get(base_ref)
+        rank = intra + bv[np.searchsorted(bk, buckets)] + 1  # 1-based
+        isl = ids - rank
+        g = pd.DataFrame({"isl": isl, id_col: ids}).groupby(
+            "isl", sort=True)[id_col].agg(["min", "max", "count"])
+        return pd.DataFrame({"isl": g.index.to_numpy(),
+                             "start_id": g["min"].to_numpy(),
+                             "end_id": g["max"].to_numpy(),
+                             "n": g["count"].to_numpy().astype("int64")})
+
+    def merge(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("isl", sort=True).agg(
+            start_id=("start_id", "min"), end_id=("end_id", "max"),
+            n=("n", "sum"))
+        return g.reset_index(drop=True).astype(
+            {"start_id": "int64", "end_id": "int64", "n": "int64"})
+
+    keyed = partitioned_apply(
+        ids_only.map_batches(add_bucket, batch_format="pandas"),
+        ["__bucket"], islands, num_partitions)
+    return partitioned_apply(keyed, ["isl"], merge, num_partitions)
+
+
 def lookback_count(ds, key: str, ts_col: str, horizon_us: int,
                    out_col: str = "n_prev", num_partitions: int = 32,
                    n_rows_hint: int | None = None):
