@@ -2914,6 +2914,37 @@ def q_degree_hist(sf_dir: str):
                                {"n_parts": ("sum", "n_parts")})
 
 
+def q_lang_kappa(sf_dir: str):
+    """Cohen's kappa for the language classifier vs labels — the
+    chance-corrected agreement scalar on top of the confusion matrix.
+    Same metrics pass + pair-count combine; the driver folds the
+    class-count-sized matrix into (po − pe)/(1 − pe), and the SQL
+    replays the identical expression from the same matrix."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.text_stage import TextMetrics
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    m = ds.map_batches(TextMetrics, batch_format="pyarrow",
+                       concurrency=auto_concurrency(0.5))
+    cm = partial_grouped_agg(m.select_columns(["lang", "lang_pred"]),
+                             ["lang", "lang_pred"],
+                             {"n": ("count", None)}).to_pandas()
+    n = float(cm["n"].sum())
+    po = float(cm[cm["lang"] == cm["lang_pred"]]["n"].sum()) / n
+    row = cm.groupby("lang")["n"].sum()
+    col = cm.groupby("lang_pred")["n"].sum()
+    classes = sorted(set(row.index) | set(col.index))
+    pe = sum(float(row.get(c, 0)) * float(col.get(c, 0)) for c in classes
+             ) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    return pd.DataFrame({
+        "po": sql_round(pd.Series([po]), 6),
+        "pe": sql_round(pd.Series([pe]), 6),
+        "kappa": sql_round(pd.Series([kappa]), 6),
+    })
+
+
 def q_null_profile(sf_dir: str):
     """Schema-wide data-quality profile: per-column null-or-blank
     counts and fractions over the documents table — the ingest health
@@ -3722,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_nation": q_revenue_by_nation,
         "q_lang_confusion": q_lang_confusion,
         "q_null_profile": q_null_profile,
+        "q_lang_kappa": q_lang_kappa,
         "q_degree_hist": q_degree_hist,
         "q_id_islands": q_id_islands,
         "q_image_augment": q_image_augment,
@@ -4965,6 +4997,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT n_distinct, count(*) AS n_parts
             FROM d GROUP BY n_distinct
+        """,
+        "q_lang_kappa": r"""
+            WITH w AS (
+              SELECT lang,
+                     (regexp_extract_all(lower(text), '[a-z]+'))[1:200]
+                       AS words
+              FROM documents
+            ), s AS (
+              SELECT lang,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','das','und','ist','ein','zu','den','mit','von'], x))) AS s_de,
+                len(list_filter(words, x -> list_contains(
+                  ['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','de','que','y','en','un','es','los','por'], x))) AS s_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','de','et','est','un','que','les','des','en'], x))) AS s_fr
+              FROM w
+            ), p AS (
+              SELECT lang,
+                     CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                          WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                          WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                          WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM s
+            ), cm AS (
+              SELECT lang, lang_pred, count(*) AS n
+              FROM p GROUP BY lang, lang_pred
+            ), tot AS (SELECT sum(cm.n) * 1.0 AS n FROM cm),
+            po AS (
+              SELECT sum(CASE WHEN lang = lang_pred THEN cm.n ELSE 0 END)
+                     / any_value(t.n) AS po
+              FROM cm, tot t
+            ), r AS (
+              SELECT lang AS c, sum(cm.n) * 1.0 AS rn
+              FROM cm GROUP BY lang
+            ), cl AS (
+              SELECT lang_pred AS c, sum(cm.n) * 1.0 AS cn
+              FROM cm GROUP BY lang_pred
+            ), pe AS (
+              SELECT sum(r.rn * cl.cn) / (any_value(t.n) * any_value(t.n))
+                       AS pe
+              FROM r JOIN cl USING (c), tot t
+            )
+            SELECT round(po.po, 6) AS po, round(pe.pe, 6) AS pe,
+                   round((po.po - pe.pe) / (1 - pe.pe), 6) AS kappa
+            FROM po, pe
         """,
         "q_null_profile": """
             SELECT 'doc_id' AS column,
