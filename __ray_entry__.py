@@ -2868,6 +2868,18 @@ def q_jsonl_source(sf_dir: str):
     return g.map_batches(fix, batch_format="pandas")
 
 
+def q_rank_transform(sf_dir: str):
+    """Global percent-rank (quantile) transform of event values — rank
+    normalization without a global sort: ordered value buckets give
+    prefix rank bases, in-bucket ranks are vectorized after one
+    co-locating exchange."""
+    from web_crawler_ray.stages.windows import rank_transform
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_id", "value"])
+    out = rank_transform(ds, "value", "event_id")
+    return out.select_columns(["event_id", "pct_rank"])
+
+
 def q_id_islands(sf_dir: str):
     """Islands-and-gaps data-completeness audit: consecutive event_id
     runs among click events (which ids are present, where the holes
@@ -3756,6 +3768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_kappa": q_lang_kappa,
         "q_degree_hist": q_degree_hist,
         "q_id_islands": q_id_islands,
+        "q_rank_transform": q_rank_transform,
         "q_image_augment": q_image_augment,
         "q_video_frames": q_video_frames,
         "q_audio_features": q_audio_features,
@@ -4974,6 +4987,12 @@ def oracle_sql() -> dict[str, str]:
                      AS logprob
             FROM toks LEFT JOIN v ON toks.token = v.token, tot
             GROUP BY doc_id
+        """,
+        "q_rank_transform": """
+            SELECT event_id,
+                   round(percent_rank() OVER (ORDER BY value, event_id),
+                         6) AS pct_rank
+            FROM events
         """,
         "q_id_islands": """
             WITH c AS (

@@ -10,6 +10,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from ..functions.rounding import sql_round
 from .aggregate import partial_grouped_agg
 from .grouped import partitioned_apply
 
@@ -186,6 +187,66 @@ def sequence_islands(ds, id_col: str, bucket_shift: int = 12,
         ids_only.map_batches(add_bucket, batch_format="pandas"),
         ["__bucket"], islands, num_partitions)
     return partitioned_apply(keyed, ["isl"], merge, num_partitions)
+
+
+def rank_transform(ds, col: str, tie_col: str, out_col: str = "pct_rank",
+                   num_partitions: int = 32, ndigits: int = 6):
+    """Global rank / quantile transform (the ML rank-normalization
+    step): every row gets its exact global percent rank
+    ``(rank − 1)/(n − 1)`` under the total order (col, tie_col) —
+    WITHOUT a global sort. Value buckets ``floor(col)`` are themselves
+    ordered, so per-bucket counts give exclusive rank bases (driver
+    prefix-sums one int per distinct integer band) and the in-bucket
+    rank is a vectorized sort position after bucket co-location — the
+    same two-pass shape as :func:`sequence_islands`. Rows shuffle once,
+    carrying (col, tie) only."""
+    import ray
+
+    from .grouped import partitioned_apply
+
+    src = ds.select_columns([col, tie_col])
+
+    def add_bucket(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.copy()
+        p["__bucket"] = np.floor(p[col].to_numpy(np.float64)).astype(np.int64)
+        return p
+
+    def bucket_pre(p: pd.DataFrame) -> pd.DataFrame:
+        p = add_bucket(p)
+        return (p.groupby("__bucket", sort=False)[col].count()
+                .rename("n").reset_index())
+
+    def bucket_sum(p: pd.DataFrame) -> pd.DataFrame:
+        return (p.groupby("__bucket", sort=True)["n"].sum()
+                .rename("n").reset_index())
+
+    parts = partitioned_apply(src.map_batches(bucket_pre,
+                                              batch_format="pandas"),
+                              ["__bucket"], bucket_sum, num_partitions)
+    acc = None
+    for b in parts.iter_batches(batch_format="pandas"):
+        s = b.groupby("__bucket")["n"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    acc = acc.sort_index().astype(np.int64)
+    n_total = int(acc.sum())
+    bases = acc.cumsum().shift(fill_value=0).astype(np.int64)
+    base_ref = ray.put((bases.index.to_numpy(np.int64),
+                        bases.to_numpy(np.int64)))
+
+    def rank_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["__bucket", col, tie_col], kind="mergesort")
+        buckets = p["__bucket"].to_numpy(np.int64)
+        intra = p.groupby("__bucket", sort=False).cumcount().to_numpy(
+            np.int64)
+        bk, bv = ray.get(base_ref)
+        rank = intra + bv[np.searchsorted(bk, buckets)] + 1
+        out = p.drop(columns="__bucket").copy()
+        out[out_col] = sql_round((rank - 1) / max(n_total - 1, 1), ndigits)
+        return out
+
+    keyed = src.map_batches(add_bucket, batch_format="pandas")
+    return partitioned_apply(keyed, ["__bucket"], rank_part,
+                             num_partitions)
 
 
 def lookback_count(ds, key: str, ts_col: str, horizon_us: int,
