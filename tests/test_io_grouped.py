@@ -1161,3 +1161,20 @@ def test_spec_winsorize(ray_session):
     """).df()
     got = out.sort_values("event_id").reset_index(drop=True)
     assert (got["value_w"].to_numpy() == want["value_w"].to_numpy()).all()
+
+
+def test_spec_islands_and_rank(ray_session):
+    out = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "filter", "expr": "event_type == 'click'"},
+         {"op": "islands", "id": "event_id"}],
+    ).to_pandas()
+    assert (out["end_id"] >= out["start_id"]).all()
+    assert out["n"].sum() == 210  # click count at sf0.001
+
+    r = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "rank_transform", "column": "value", "tie": "event_id"}],
+    ).to_pandas()
+    assert len(r) == 1000
+    assert r["pct_rank"].min() == 0.0 and r["pct_rank"].max() == 1.0

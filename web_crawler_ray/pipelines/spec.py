@@ -44,6 +44,8 @@ Spec format (list of op dicts, applied in order):
     {"op": "lm_score",    "text_col": "text", "id": col, "vocab_size": V}
     {"op": "winsorize",   "column": col, "lo_q": 0.01, "hi_q": 0.99,
                   "out": col}
+    {"op": "islands",     "id": col}
+    {"op": "rank_transform", "column": col, "tie": col, "out": "pct_rank"}
     {"op": "gini",        "key": col}
     {"op": "aspect_buckets", "id": col, "w": col, "h": col,
                   "batch_size": N}
@@ -202,6 +204,15 @@ def _apply_op(ds, op: dict):
 
         return winsorize(ds, op["column"], lo_q=op.get("lo_q", 0.01),
                          hi_q=op.get("hi_q", 0.99), out_col=op.get("out"))
+    if kind == "islands":
+        from ..stages.windows import sequence_islands
+
+        return sequence_islands(ds, op["id"])
+    if kind == "rank_transform":
+        from ..stages.windows import rank_transform
+
+        return rank_transform(ds, op["column"], op["tie"],
+                              out_col=op.get("out", "pct_rank"))
     if kind == "aspect_buckets":
         from ..stages.multimodal import aspect_bucket_plan
 
@@ -349,6 +360,12 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             need([op["column"]])
             if op.get("out"):
                 created.add(op["out"])
+        elif kind == "islands":
+            need([op["id"]])
+            created |= {"start_id", "end_id", "n"}
+        elif kind == "rank_transform":
+            need([op["column"], op["tie"]])
+            created.add(op.get("out", "pct_rank"))
         elif kind == "aspect_buckets":
             need([op["id"], op.get("w", "w"), op.get("h", "h")])
             created |= {"bucket", "batch_idx"}
