@@ -3588,6 +3588,165 @@ def q_wds_roundtrip(sf_dir: str):
     return read_wds_shards(root).map_batches(finish, batch_format="pandas")
 
 
+def q_assoc_stats(sf_dir: str):
+    """Categorical-association profile of the corpus: the lang x source
+    contingency table with per-cell pointwise mutual information and
+    chi-squared contribution — the "is this metadata column informative
+    / leaking?" check a curation pipeline runs before using a column
+    as a sampling key. Map-side cell counts, one tiny combine, every
+    double a pure function of four integers."""
+    from web_crawler_ray.stages.stats import contingency_assoc
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["lang", "source"])
+    return contingency_assoc(ds, "lang", "source")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier report: median, MAD, and the count of
+    events beyond 3 MADs per event_type — the dispersion check a few
+    extreme values cannot mask (unlike the z-score variant in
+    q_group_anomaly). quantile_cont interpolation expression shared
+    with the SQL replay."""
+    from web_crawler_ray.stages.stats import group_mad_outliers
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type", "value"])
+    return group_mad_outliers(ds, "event_type", "value", c=3.0,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_ks_drift(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov drift per event_type between
+    the first and second half of the month — the distribution-shape
+    drift test that catches variance moves q_drift_report's mean-delta
+    misses. Distinct-value collapse before the cumulative pass bounds
+    the exchange by value cardinality."""
+    from web_crawler_ray.stages.stats import group_ks_drift
+
+    cut_us = pd.Timestamp("2024-01-16").value // 1000
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        early = (batch["ts"].astype("datetime64[us]").astype("int64") < cut_us)
+        return pd.DataFrame({"event_type": batch["event_type"],
+                             "value": batch["value"], "early": early})
+
+    return group_ks_drift(ds.map_batches(flag, batch_format="pandas"),
+                          "event_type", "value", "early",
+                          n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_sample_exact_k(sf_dir: str):
+    """Exactly-100 uniform document sample by hash rank (deterministic,
+    seed-free, size-guaranteed — the eval-set carve-out primitive).
+    Partial top-k per batch, one 100-rows-per-batch merge."""
+    from web_crawler_ray.stages.sampling import sample_exact_k
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id"])
+    return sample_exact_k(ds, "doc_id", k=100)
+
+
+def q_weighted_median(sf_dir: str):
+    """Weighted median extended price per return flag, weighted by
+    quantity (the 'median dollar' not the 'median row' — duplicate-
+    aware quantiles for weighted corpora). Lower-weighted-median rule
+    ``first v with 2·cumw ≥ totw`` over integer weights, so the pick is
+    exact and the SQL window replay is bit-identical."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                                 "wmedian": pd.Series(dtype="float64")})
+        g = (p.assign(w=p["l_quantity"].astype("int64"))
+             .groupby(["l_returnflag", "l_extendedprice"], sort=True)["w"]
+             .sum().reset_index())
+        gb = g.groupby("l_returnflag", sort=False)
+        cw = gb["w"].cumsum().to_numpy()
+        tot = gb["w"].transform("sum").to_numpy()
+        hit = g[2 * cw >= tot]
+        out = hit.groupby("l_returnflag", sort=True)["l_extendedprice"].first()
+        return out.rename("wmedian").reset_index()
+
+    return partitioned_apply(ds, ["l_returnflag"], per_partition,
+                             n_rows_hint=_nrows(sf_dir, "lineitem"))
+
+
+def q_near_dup_eval(sf_dir: str):
+    """MinHash+LSH quality evaluation: precision / recall of the
+    candidate pairs against EXACT char-5-gram Jaccard ≥ 0.5 on the
+    every-3rd-doc subset (same shingle definition both sides — the
+    estimator eval every dedup deployment needs before trusting its
+    threshold). Truth via bounded broadcast all-pairs; candidates via
+    the production LSH path."""
+    import ray
+
+    from web_crawler_ray.stages.dedup import minhash_near_dup_pairs
+
+    k = 5
+    subset_ds = rd.read_parquet(
+        _t(sf_dir, "documents"), columns=["doc_id", "text"]
+    ).map_batches(
+        lambda b: b[(b["doc_id"] % 3 == 0) & (b["text"].str.len() >= k)],
+        batch_format="pandas",
+    )
+
+    cand = minhash_near_dup_pairs(subset_ds, threshold=0.5,
+                                  n_docs_hint=_nrows(sf_dir, "documents")).to_pandas()
+    cand_set = set(zip(cand["id_a"], cand["id_b"]))
+
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+                for t in batch["text"].str.lower()]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "sh": sets})
+
+    subset = subset_ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    ref = ray.put(list(zip(subset["doc_id"].tolist(), subset["sh"].tolist())))
+
+    def true_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        others = ray.get(ref)
+        a_out, b_out = [], []
+        for my_id, my_sh in zip(batch["doc_id"], batch["sh"]):
+            for other_id, other_sh in others:
+                if other_id <= my_id:
+                    continue
+                inter = len(my_sh & other_sh)
+                if inter / (len(my_sh) + len(other_sh) - inter) >= 0.5:
+                    a_out.append(my_id)
+                    b_out.append(other_id)
+        return pd.DataFrame({"id_a": pd.Series(a_out, dtype="int64"),
+                             "id_b": pd.Series(b_out, dtype="int64")})
+
+    truth = (rd.from_pandas(subset).repartition(auto_blocks())
+             .map_batches(true_pairs, batch_format="pandas").to_pandas())
+    truth_set = set(zip(truth["id_a"], truth["id_b"]))
+
+    n_hit = len(cand_set & truth_set)
+    precision = n_hit / len(cand_set) if cand_set else 1.0
+    recall = n_hit / len(truth_set) if truth_set else 1.0
+    return pd.DataFrame({
+        "n_candidates": pd.Series([len(cand_set)], dtype="int64"),
+        "n_true": pd.Series([len(truth_set)], dtype="int64"),
+        "n_hit": pd.Series([n_hit], dtype="int64"),
+        "precision": sql_round(pd.Series([precision]), 6),
+        "recall": sql_round(pd.Series([recall]), 6),
+    })
+
+
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (first 8 merges) over the document
+    corpus: the distributed stage is the word-frequency count (the only
+    corpus-sized pass); merges run over the top-V vocabulary. The
+    tokenizer-training shape of an LLM data pipeline."""
+    from web_crawler_ray.stages.tokenizer import bpe_merges
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return bpe_merges(ds, "text", num_merges=8, top_v=5000)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -3779,6 +3938,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_ann": q_image_ann,
         "q_pca_project": q_pca_project,
         "q_approx_intersect": q_approx_intersect,
+        "q_assoc_stats": q_assoc_stats,
+        "q_mad_outliers": q_mad_outliers,
+        "q_ks_drift": q_ks_drift,
+        "q_sample_exact_k": q_sample_exact_k,
+        "q_weighted_median": q_weighted_median,
+        "q_near_dup_eval": q_near_dup_eval,
+        "q_bpe_merges": q_bpe_merges,
     }
 
 
@@ -5361,5 +5527,87 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             GROUP BY w_start
+        """,
+        "q_assoc_stats": """
+            WITH j AS (
+              SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+            ), a AS (
+              SELECT lang, CAST(sum(n) AS DOUBLE) AS na FROM j GROUP BY 1
+            ), b AS (
+              SELECT source, CAST(sum(n) AS DOUBLE) AS nb FROM j GROUP BY 1
+            ), t AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS nn FROM j
+            )
+            SELECT j.lang, j.source, CAST(j.n AS BIGINT) AS n,
+                   round(ln((t.nn * j.n) / (a.na * b.nb)), 6) AS pmi,
+                   round((j.n - a.na * b.nb / t.nn)
+                         * (j.n - a.na * b.nb / t.nn)
+                         / (a.na * b.nb / t.nn), 6) AS chi2_term
+            FROM j CROSS JOIN t
+            JOIN a USING (lang) JOIN b USING (source)
+        """,
+        "q_mad_outliers": """
+            WITH m1 AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY 1
+            ), dev AS (
+              SELECT e.event_type, abs(e.value - m1.med) AS d, m1.med AS med
+              FROM events e JOIN m1 USING (event_type)
+            ), m2 AS (
+              SELECT event_type, quantile_cont(d, 0.5) AS mad
+              FROM dev GROUP BY 1
+            )
+            SELECT dev.event_type,
+                   round(min(dev.med), 6) AS med,
+                   round(min(m2.mad), 6) AS mad,
+                   CAST(sum(CASE WHEN dev.d > 3 * m2.mad THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_out
+            FROM dev JOIN m2 USING (event_type)
+            GROUP BY 1
+        """,
+        "q_ks_drift": """
+            WITH e AS (
+              SELECT event_type, value AS v,
+                     (ts < TIMESTAMP '2024-01-16') AS early
+              FROM events
+            ), g AS (
+              SELECT event_type, v,
+                     sum(CASE WHEN early THEN 1 ELSE 0 END) AS c1,
+                     sum(CASE WHEN NOT early THEN 1 ELSE 0 END) AS c2
+              FROM e GROUP BY 1, 2
+            ), r AS (
+              SELECT event_type,
+                     CAST(sum(c1) OVER (PARTITION BY event_type ORDER BY v)
+                          AS DOUBLE) AS k1,
+                     CAST(sum(c2) OVER (PARTITION BY event_type ORDER BY v)
+                          AS DOUBLE) AS k2,
+                     sum(c1) OVER (PARTITION BY event_type) AS n1,
+                     sum(c2) OVER (PARTITION BY event_type) AS n2
+              FROM g
+            )
+            SELECT event_type,
+                   round(max(abs(k1 / n1 - k2 / n2)), 6) AS ks,
+                   CAST(min(n1) AS BIGINT) AS n1,
+                   CAST(min(n2) AS BIGINT) AS n2
+            FROM r GROUP BY 1
+        """,
+        "q_sample_exact_k": """
+            SELECT doc_id,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+            FROM documents ORDER BY h, doc_id LIMIT 100
+        """,
+        "q_weighted_median": """
+            WITH c AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+              FROM lineitem GROUP BY 1, 2
+            ), r AS (
+              SELECT l_returnflag, v,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tot
+              FROM c
+            )
+            SELECT l_returnflag, min(v) AS wmedian
+            FROM r WHERE 2 * cw >= tot GROUP BY 1
         """,
     }

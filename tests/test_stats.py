@@ -1,0 +1,88 @@
+"""Unit tests for stages/stats.py, sample_exact_k, and BPE training —
+hand-computed small cases independent of the SQL-oracle parity suite."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from web_crawler_ray.stages.sampling import KNUTH, _FOLD, sample_exact_k
+from web_crawler_ray.stages.stats import (
+    contingency_assoc,
+    group_ks_drift,
+    group_mad_outliers,
+)
+from web_crawler_ray.stages.tokenizer import bpe_merges, word_vocab
+
+
+def test_contingency_assoc_hand_case(ray_session):
+    # 2x2 table: n = [[30, 10], [10, 50]]
+    rows = (
+        [{"a": "x", "b": "p"}] * 30 + [{"a": "x", "b": "q"}] * 10
+        + [{"a": "y", "b": "p"}] * 10 + [{"a": "y", "b": "q"}] * 50
+    )
+    out = contingency_assoc(rd.from_pandas(pd.DataFrame(rows)), "a", "b")
+    out = out.sort_values(["a", "b"]).reset_index(drop=True)
+    assert out["n"].tolist() == [30, 10, 10, 50]
+    # cell (x, p): N=100, na=40, nb=40 -> e=16, pmi=ln(100*30/1600)
+    assert out.loc[0, "pmi"] == round(np.log(100.0 * 30 / (40.0 * 40)), 6)
+    assert out.loc[0, "chi2_term"] == round((30 - 16.0) ** 2 / 16.0, 6)
+    # independence sanity: chi2 terms all positive, pmi signs correct
+    assert out.loc[1, "pmi"] < 0 < out.loc[3, "pmi"]
+
+
+def test_group_mad_outliers_hand_case(ray_session):
+    # group g: values 1..9 plus an extreme 1000
+    vals = list(range(1, 10)) + [1000]
+    df = pd.DataFrame({"k": ["g"] * 10, "v": [float(x) for x in vals]})
+    out = group_mad_outliers(
+        rd.from_pandas(df), "k", "v", c=3.0).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # median of sorted 10 values = (5+6)/2; devs from 5.5:
+    # [4.5,3.5,2.5,1.5,.5,.5,1.5,2.5,3.5,994.5] -> mad = (2.5+2.5)/2
+    assert r["med"] == 5.5
+    assert r["mad"] == 2.5
+    assert r["n_out"] == 1  # only 1000 is beyond 3*2.5 of 5.5... check 1: |1-5.5|=4.5 <= 7.5
+
+
+def test_group_ks_drift_hand_case(ray_session):
+    # sample1 = {1,2,3,4}, sample2 = {3,4,5,6}: KS = 0.5 at v=2
+    df = pd.DataFrame({
+        "k": ["g"] * 8,
+        "v": [1.0, 2.0, 3.0, 4.0, 3.0, 4.0, 5.0, 6.0],
+        "early": [True] * 4 + [False] * 4,
+    })
+    out = group_ks_drift(rd.from_pandas(df), "k", "v", "early").to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["ks"] == 0.5
+    assert out.iloc[0]["n1"] == 4 and out.iloc[0]["n2"] == 4
+
+
+def test_sample_exact_k_properties(ray_session):
+    ids = pd.DataFrame({"doc_id": np.arange(1, 1001, dtype=np.int64)})
+    out = sample_exact_k(rd.from_pandas(ids), "doc_id", k=50).to_pandas()
+    assert len(out) == 50
+    assert out["doc_id"].is_unique
+    # the selected hashes are exactly the 50 smallest over the domain
+    h_all = ((ids["doc_id"].to_numpy() % _FOLD) * KNUTH) % (1 << 32)
+    expect = np.sort(h_all)[:50]
+    assert np.array_equal(np.sort(out["h"].to_numpy()), expect)
+    # deterministic across runs
+    out2 = sample_exact_k(rd.from_pandas(ids), "doc_id", k=50).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_bpe_merges_toy_vocab(ray_session):
+    # Sennrich-style toy corpus: low x5, lower x2, newest x6, widest x3
+    corpus = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    ds = rd.from_pandas(pd.DataFrame({"text": [corpus]}))
+    vocab = word_vocab(ds, "text", top_v=10)
+    assert vocab.iloc[0]["word"] == "newest" and vocab.iloc[0]["n"] == 6
+    out = bpe_merges(ds, "text", num_merges=3, top_v=10)
+    assert out["rank"].tolist() == [1, 2, 3]
+    # first merge: ('e','s') or ('s','t') both occur 9 times; ('e','s') is
+    # lexicographically smaller -> picked first, then ('es','t') 9x
+    assert (out.iloc[0]["left"], out.iloc[0]["right"]) == ("e", "s")
+    assert out.iloc[0]["n"] == 9
+    assert (out.iloc[1]["left"], out.iloc[1]["right"]) == ("es", "t")
+    assert out.iloc[2]["merged"] == "est</w>"

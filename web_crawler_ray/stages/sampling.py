@@ -193,3 +193,29 @@ def mixture_plan(ds, id_col: str, source_col: str, weights: dict[str, float],
         return batch
 
     return ds.map_batches(plan, batch_format="pandas")
+
+
+def sample_exact_k(ds, id_col: str, k: int):
+    """EXACTLY-k uniform sample without replacement: rank every id by
+    its 32-bit multiplicative hash and keep the k smallest (ties broken
+    by id). Unlike the per-row Bernoulli splits this guarantees the
+    sample SIZE; unlike ``Dataset.random_sample`` it is seed-free
+    deterministic and replayable in SQL (``ORDER BY h, id LIMIT k``).
+
+    Distributed as a partial top-k per batch (np.lexsort over at most
+    the batch) followed by one k-row-per-batch merge — the exchange is
+    O(k · n_batches), never the corpus.
+    """
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        h = ((ids % _FOLD) * KNUTH) % (1 << 32)
+        o = np.lexsort((ids, h))[:k]
+        return pd.DataFrame({id_col: ids[o], "h": h[o].astype("int64")})
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((batch[id_col].to_numpy(), batch["h"].to_numpy()))[:k]
+        return batch.iloc[o].reset_index(drop=True)
+
+    parts = ds.select_columns([id_col]).map_batches(partial, batch_format="pandas")
+    return parts.repartition(1).map_batches(final, batch_format="pandas")

@@ -1,0 +1,159 @@
+"""Dataset-profiling statistics: categorical association (PMI /
+chi-squared contingency cells), robust per-group dispersion
+(median + MAD outliers), and two-sample KS drift.
+
+These are the data-quality / feature-analysis operators a curation
+pipeline runs before training: "is `lang` independent of `source`?",
+"which groups have heavy tails?", "did the distribution move between
+two ingest windows?". All three reduce to group-count-sized exchanges:
+the corpus never leaves the mappers, only (key, count/partial) rows
+shuffle. Reference capability analogue: the validation / summary
+reporting layer (pacong/data/validator.py, pacong/core/analyzer
+summaries) generalized to distribution-level checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.rounding import sql_round
+from .aggregate import partial_grouped_agg
+from .grouped import partitioned_apply
+
+
+def contingency_assoc(ds, col_a: str, col_b: str) -> pd.DataFrame:
+    """Contingency table of two categorical columns with per-cell
+    pointwise mutual information and chi-squared contribution.
+
+    Map-side (a, b) counts pre-combine inside ``map_batches``; the only
+    shuffle carries one row per (batch, cell). Marginals and the
+    per-cell doubles are computed on the driver over the |A|x|B|-cell
+    result (group-count-sized by construction — this is the documented
+    partitioning assumption). Every output double is a pure function of
+    four integers (n, n_a, n_b, N), so the result is exactly
+    reproducible and SQL-replayable:
+
+        pmi       = ln((N * n) / (n_a * n_b))
+        expected  = n_a * n_b / N
+        chi2_term = (n - e) * (n - e) / e
+    """
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby([col_a, col_b], sort=False, dropna=False)
+                .size().rename("n").reset_index())
+
+    cells = partial_grouped_agg(
+        ds.map_batches(pre, batch_format="pandas"),
+        [col_a, col_b], {"n": ("sum", "n")},
+    ).to_pandas()
+
+    cells = cells.sort_values([col_a, col_b], kind="mergesort").reset_index(drop=True)
+    n = cells["n"].to_numpy(np.float64)
+    na = cells.groupby(col_a)["n"].transform("sum").to_numpy(np.float64)
+    nb = cells.groupby(col_b)["n"].transform("sum").to_numpy(np.float64)
+    nn = float(cells["n"].sum())
+
+    e = na * nb / nn
+    pmi = np.log((nn * n) / (na * nb))
+    chi2 = (n - e) * (n - e) / e
+    return pd.DataFrame({
+        col_a: cells[col_a], col_b: cells[col_b],
+        "n": cells["n"].astype("int64"),
+        "pmi": sql_round(pmi, 6),
+        "chi2_term": sql_round(chi2, 6),
+    })
+
+
+def group_mad_outliers(ds, key: str, col: str, c: float = 3.0,
+                       n_rows_hint: int | None = None):
+    """Per-key robust dispersion: median, MAD (median absolute
+    deviation) and the count of rows beyond ``c`` MADs — the outlier
+    detector that, unlike z-scores, a few extreme values cannot mask.
+
+    Medians use the quantile_cont interpolation expression
+    ``lo + (hi - lo) * frac`` (the exact FP form DuckDB evaluates, see
+    :func:`..windows.group_quantile_cont`); the outlier test compares
+    UNROUNDED doubles so the SQL replay sees identical values.
+    Partitioning assumption: one key's rows fit a task (bounded-
+    cardinality keys); giant groups need the sketch path
+    (:mod:`.sketch` DDSketch) instead.
+    """
+
+    def _interp_median(v: np.ndarray, starts: np.ndarray, n: np.ndarray) -> np.ndarray:
+        pos = 0.5 * (n - 1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        frac = pos - lo
+        vlo = v[starts + lo]
+        return vlo + (v[starts + hi] - vlo) * frac
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "med": pd.Series(dtype="float64"),
+                                 "mad": pd.Series(dtype="float64"),
+                                 "n_out": pd.Series(dtype="int64")})
+        p = p.sort_values([key, col], kind="mergesort")
+        keys_arr = p[key].to_numpy()
+        v = p[col].to_numpy(np.float64)
+        change = np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]])
+        starts = np.nonzero(change)[0]
+        n = np.diff(np.concatenate([starts, [len(v)]]))
+        med = _interp_median(v, starts, n)
+        dev = np.abs(v - np.repeat(med, n))
+        # median of deviations: second in-group sort (group order and
+        # sizes are unchanged, so starts/n still apply)
+        dv = (pd.DataFrame({"k": keys_arr, "d": dev})
+              .sort_values(["k", "d"], kind="mergesort")["d"].to_numpy())
+        mad = _interp_median(dv, starts, n)
+        n_out = np.add.reduceat((dev > c * np.repeat(mad, n)).astype(np.int64), starts)
+        return pd.DataFrame({key: keys_arr[starts],
+                             "med": sql_round(med, 6),
+                             "mad": sql_round(mad, 6),
+                             "n_out": n_out.astype("int64")})
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def group_ks_drift(ds, key: str, col: str, flag_col: str,
+                   n_rows_hint: int | None = None):
+    """Two-sample Kolmogorov–Smirnov distance per key between the rows
+    where ``flag_col`` is true (sample 1) and false (sample 2) — the
+    exact distribution-drift test between two ingest windows /
+    pipeline versions (complements the mean-delta drift report, which
+    misses variance/shape moves).
+
+    Per key the value axis is collapsed to distinct values with
+    per-sample counts FIRST (a groupby, so the exchange is bounded by
+    distinct values, not rows), then one cumulative pass gives both
+    empirical CDFs and ``ks = max |cdf1 - cdf2|``. CDFs are int/int
+    double divisions — bit-identical to the SQL window replay.
+    """
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "ks": pd.Series(dtype="float64"),
+                                 "n1": pd.Series(dtype="int64"),
+                                 "n2": pd.Series(dtype="int64")})
+        f = p[flag_col].to_numpy(bool)
+        g = (pd.DataFrame({key: p[key].to_numpy(), "v": p[col].to_numpy(),
+                           "c1": f.astype(np.int64), "c2": (~f).astype(np.int64)})
+             .groupby([key, "v"], sort=True)[["c1", "c2"]].sum().reset_index())
+        gb = g.groupby(key, sort=False)
+        k1 = gb["c1"].cumsum().to_numpy(np.float64)
+        k2 = gb["c2"].cumsum().to_numpy(np.float64)
+        n1 = gb["c1"].transform("sum").to_numpy(np.int64)
+        n2 = gb["c2"].transform("sum").to_numpy(np.int64)
+        d = np.abs(k1 / n1 - k2 / n2)
+        out = pd.DataFrame({key: g[key], "d": d, "n1": n1, "n2": n2})
+        res = (out.groupby(key, sort=True)
+               .agg(ks=("d", "max"), n1=("n1", "first"), n2=("n2", "first"))
+               .reset_index())
+        res["ks"] = sql_round(res["ks"], 6)
+        res["n1"] = res["n1"].astype("int64")
+        res["n2"] = res["n2"].astype("int64")
+        return res
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
