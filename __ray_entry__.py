@@ -3652,27 +3652,13 @@ def q_weighted_median(sf_dir: str):
     aware quantiles for weighted corpora). Lower-weighted-median rule
     ``first v with 2·cumw ≥ totw`` over integer weights, so the pick is
     exact and the SQL window replay is bit-identical."""
-    from web_crawler_ray.stages.grouped import partitioned_apply
+    from web_crawler_ray.stages.stats import group_weighted_median
 
     ds = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_returnflag", "l_extendedprice", "l_quantity"])
-
-    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
-        if p.empty:
-            return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
-                                 "wmedian": pd.Series(dtype="float64")})
-        g = (p.assign(w=p["l_quantity"].astype("int64"))
-             .groupby(["l_returnflag", "l_extendedprice"], sort=True)["w"]
-             .sum().reset_index())
-        gb = g.groupby("l_returnflag", sort=False)
-        cw = gb["w"].cumsum().to_numpy()
-        tot = gb["w"].transform("sum").to_numpy()
-        hit = g[2 * cw >= tot]
-        out = hit.groupby("l_returnflag", sort=True)["l_extendedprice"].first()
-        return out.rename("wmedian").reset_index()
-
-    return partitioned_apply(ds, ["l_returnflag"], per_partition,
-                             n_rows_hint=_nrows(sf_dir, "lineitem"))
+    return group_weighted_median(ds, "l_returnflag", "l_extendedprice",
+                                 "l_quantity",
+                                 n_rows_hint=_nrows(sf_dir, "lineitem"))
 
 
 def q_near_dup_eval(sf_dir: str):

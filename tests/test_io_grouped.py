@@ -1178,3 +1178,38 @@ def test_spec_islands_and_rank(ray_session):
     ).to_pandas()
     assert len(r) == 1000
     assert r["pct_rank"].min() == 0.0 and r["pct_rank"].max() == 1.0
+
+
+def test_spec_stats_ops(ray_session):
+    # assoc: contingency over documents lang x source
+    out = build_pipeline(
+        "/root/testdata/sf0.001/documents.parquet",
+        [{"op": "select", "columns": ["lang", "source"]},
+         {"op": "assoc", "a": "lang", "b": "source"}],
+    ).to_pandas()
+    assert {"lang", "source", "n", "pmi", "chi2_term"} <= set(out.columns)
+    assert out["n"].sum() == 500  # docs at sf0.001
+
+    # mad_outliers + ks_drift + weighted_median + sample_k smoke through
+    # the compiler (kernel correctness is pinned in tests/test_stats.py)
+    m = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "select", "columns": ["event_type", "value"]},
+         {"op": "mad_outliers", "key": "event_type", "column": "value"}],
+    ).to_pandas()
+    assert {"med", "mad", "n_out"} <= set(m.columns) and len(m) == 5
+
+    s = build_pipeline(
+        "/root/testdata/sf0.001/documents.parquet",
+        [{"op": "sample_k", "id": "doc_id", "k": 7}],
+    ).to_pandas()
+    assert len(s) == 7 and s["doc_id"].is_unique
+
+    w = build_pipeline(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        [{"op": "select",
+          "columns": ["l_returnflag", "l_extendedprice", "l_quantity"]},
+         {"op": "weighted_median", "key": "l_returnflag",
+          "column": "l_extendedprice", "weight": "l_quantity"}],
+    ).to_pandas()
+    assert len(w) == 3 and (w["wmedian"] > 0).all()

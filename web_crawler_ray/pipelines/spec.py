@@ -46,6 +46,11 @@ Spec format (list of op dicts, applied in order):
                   "out": col}
     {"op": "islands",     "id": col}
     {"op": "rank_transform", "column": col, "tie": col, "out": "pct_rank"}
+    {"op": "assoc",       "a": col, "b": col}
+    {"op": "mad_outliers", "key": col, "column": col, "c": 3.0}
+    {"op": "ks_drift",    "key": col, "column": col, "flag": col}
+    {"op": "weighted_median", "key": col, "column": col, "weight": col}
+    {"op": "sample_k",    "id": col, "k": N}
     {"op": "gini",        "key": col}
     {"op": "aspect_buckets", "id": col, "w": col, "h": col,
                   "batch_size": N}
@@ -213,6 +218,30 @@ def _apply_op(ds, op: dict):
 
         return rank_transform(ds, op["column"], op["tie"],
                               out_col=op.get("out", "pct_rank"))
+    if kind == "assoc":
+        import ray.data as _rd
+
+        from ..stages.stats import contingency_assoc
+
+        return _rd.from_pandas(contingency_assoc(ds, op["a"], op["b"]))
+    if kind == "mad_outliers":
+        from ..stages.stats import group_mad_outliers
+
+        return group_mad_outliers(ds, op["key"], op["column"],
+                                  c=op.get("c", 3.0))
+    if kind == "ks_drift":
+        from ..stages.stats import group_ks_drift
+
+        return group_ks_drift(ds, op["key"], op["column"], op["flag"])
+    if kind == "weighted_median":
+        from ..stages.stats import group_weighted_median
+
+        return group_weighted_median(ds, op["key"], op["column"],
+                                     op["weight"])
+    if kind == "sample_k":
+        from ..stages.sampling import sample_exact_k
+
+        return sample_exact_k(ds, op["id"], op["k"])
     if kind == "aspect_buckets":
         from ..stages.multimodal import aspect_bucket_plan
 
@@ -366,6 +395,21 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "rank_transform":
             need([op["column"], op["tie"]])
             created.add(op.get("out", "pct_rank"))
+        elif kind == "assoc":
+            need([op["a"], op["b"]])
+            created |= {"n", "pmi", "chi2_term"}
+        elif kind == "mad_outliers":
+            need([op["key"], op["column"]])
+            created |= {"med", "mad", "n_out"}
+        elif kind == "ks_drift":
+            need([op["key"], op["column"], op["flag"]])
+            created |= {"ks", "n1", "n2"}
+        elif kind == "weighted_median":
+            need([op["key"], op["column"], op["weight"]])
+            created.add("wmedian")
+        elif kind == "sample_k":
+            need([op["id"]])
+            created.add("h")
         elif kind == "aspect_buckets":
             need([op["id"], op.get("w", "w"), op.get("h", "h")])
             created |= {"bucket", "batch_idx"}

@@ -157,3 +157,28 @@ def group_ks_drift(ds, key: str, col: str, flag_col: str,
         return res
 
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def group_weighted_median(ds, key: str, val_col: str, weight_col: str,
+                          n_rows_hint: int | None = None):
+    """Weighted median of ``val_col`` per key (the 'median dollar', not
+    the 'median row'): lower-weighted-median rule — ascending by value,
+    first value whose cumulative weight reaches half the total
+    (``2·cumw ≥ totw`` over INTEGER weights, so the pick is exact and
+    replayable as a SQL window). Values collapse to distinct
+    (value, Σweight) rows before the cumulative pass."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        if p.empty:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "wmedian": pd.Series(dtype="float64")})
+        g = (p.assign(w=p[weight_col].astype("int64"))
+             .groupby([key, val_col], sort=True)["w"].sum().reset_index())
+        gb = g.groupby(key, sort=False)
+        cw = gb["w"].cumsum().to_numpy()
+        tot = gb["w"].transform("sum").to_numpy()
+        hit = g[2 * cw >= tot]
+        out = hit.groupby(key, sort=True)[val_col].first()
+        return out.rename("wmedian").reset_index()
+
+    return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
