@@ -3733,6 +3733,45 @@ def q_bpe_merges(sf_dir: str):
     return bpe_merges(ds, "text", num_merges=8, top_v=5000)
 
 
+def q_pq_error(sf_dir: str):
+    """Product-quantization fidelity report: train (m=8, k=16)
+    codebooks over the embedding corpus (one distributed Lloyd pass
+    per iteration covering ALL subspaces), then the per-subspace mean
+    squared reconstruction error — the go/no-go check before shipping
+    a PQ-compressed ANN index."""
+    from web_crawler_ray.stages.similarity import pq_recon_error, pq_train
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k=16, iterations=2)
+    return pq_recon_error(ds, books)
+
+
+def q_ann_pq(sf_dir: str):
+    """ANN over PQ codes: encode the corpus to 8 uint8 codes/vector
+    (32× smaller than float32), then asymmetric-distance top-10 for
+    the vec_id-0 query — the query never touches a float vector, only
+    an (m, k) lookup table. The compressed-index path of the ANN
+    suite (exact: q_ann_topk; partitioned: q_ann_ivf_index)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    qvec = qtab.filter(
+        pd.Series(qtab["vec_id"].to_pylist()).eq(0).to_numpy()
+    )["embedding"].to_pylist()[0]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    books = pq_train(ds, m=8, k=16, iterations=2)
+    codes = pq_encode(ds, books)
+    return pq_adc_topk(codes, books, qvec, k_top=10)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -3931,6 +3970,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_median": q_weighted_median,
         "q_near_dup_eval": q_near_dup_eval,
         "q_bpe_merges": q_bpe_merges,
+        "q_pq_error": q_pq_error,
+        "q_ann_pq": q_ann_pq,
     }
 
 

@@ -86,3 +86,39 @@ def test_bpe_merges_toy_vocab(ray_session):
     assert out.iloc[0]["n"] == 9
     assert (out.iloc[1]["left"], out.iloc[1]["right"]) == ("es", "t")
     assert out.iloc[2]["merged"] == "est</w>"
+
+
+def test_pq_adc_equals_reconstruction_distance(ray_session):
+    """ADC distance over PQ codes must equal the exact squared L2 to
+    the reconstructed vector (the PQ correctness invariant), and the
+    ADC top-k must therefore match brute force over reconstructions."""
+    from web_crawler_ray.stages.similarity import (
+        pq_adc_topk, pq_encode, pq_recon_error, pq_train,
+    )
+
+    rng = np.random.default_rng(3)
+    d, n, m, k = 16, 200, 4, 8
+    vecs = rng.normal(size=(n, d)).astype(np.float64)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [list(v) for v in vecs]})
+    ds = rd.from_pandas(df)
+
+    books = pq_train(ds, m=m, k=k, iterations=3)
+    assert books.shape == (m, k, d // m)
+
+    codes_df = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    codes = np.frombuffer(b"".join(codes_df["codes"]), dtype=np.uint8).reshape(n, m)
+    recon = books[np.arange(m)[None, :], codes].reshape(n, d)
+
+    q = vecs[0]
+    exact = ((recon - q) ** 2).sum(axis=1)
+    top = pq_adc_topk(rd.from_pandas(codes_df), books, q, k_top=10).to_pandas()
+    order = np.lexsort((np.arange(n), exact))[:10]
+    assert top["vec_id"].tolist() == list(np.arange(n)[order])
+    assert np.allclose(top["dist"].to_numpy(), exact[order], atol=1e-6)
+
+    # training reduced error vs the 1-iteration (seed-only) codebooks
+    seed_books = pq_train(ds, m=m, k=k, iterations=1)
+    err_trained = pq_recon_error(ds, books)["mse"].sum()
+    err_seed = pq_recon_error(ds, seed_books)["mse"].sum()
+    assert err_trained <= err_seed

@@ -620,3 +620,146 @@ def quantize_embeddings(ds, vec_col: str = "vec_col_unset",
         })
 
     return src.map_batches(quant, batch_format="pyarrow")
+
+
+def pq_train(ds, m: int = 8, k: int = 16, iterations: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, public
+    algorithm): split the d dims into ``m`` contiguous subspaces and run
+    Lloyd's k-means independently in each — all m subspaces trained in
+    the SAME distributed passes (one batch pass emits the per-cluster
+    partial sums for every subspace at once, so training costs exactly
+    ``iterations`` corpus reads regardless of m). Returns the
+    (m, k, d/m) codebook array; seeds are the first k vectors by id
+    (the deterministic stand-in used by :func:`kmeans_lloyd`)."""
+    seeds = ds.filter(expr=f"{id_col} < {k}").take_all()
+    seeds.sort(key=lambda r: r[id_col])
+    smat = np.asarray([list(r[vec_col]) for r in seeds], dtype=np.float64)
+    d = smat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.ascontiguousarray(smat.reshape(k, m, dsub).transpose(1, 0, 2))
+
+    for _ in range(iterations - 1):
+        bref = ray.put(books)
+
+        def partial(batch: pa.Table, _bref=bref) -> pa.Table:
+            b = ray.get(_bref)  # (m, k, dsub)
+            x = _as_matrix(batch[vec_col]).astype(np.float64).reshape(-1, m, dsub)
+            sums = np.zeros((m, k, dsub), dtype=np.float64)
+            counts = np.zeros((m, k), dtype=np.int64)
+            for s in range(m):  # m is small; within-subspace math is vectorized
+                d2 = ((x[:, s, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums[s], a, x[:, s, :])
+                counts[s] += np.bincount(a, minlength=k)
+            return pa.table({
+                "sub": pa.array(np.repeat(np.arange(m, dtype=np.int64), k)),
+                "cluster": pa.array(np.tile(np.arange(k, dtype=np.int64), m)),
+                "n": pa.array(counts.reshape(-1)),
+                "vsum": pa.array(list(sums.reshape(m * k, dsub)),
+                                 pa.list_(pa.float64())),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        sums = np.zeros((m, k, dsub))
+        counts = np.zeros((m, k), dtype=np.int64)
+        for _, row in parts.iterrows():  # m·k×batches rows — tiny
+            sums[row["sub"], row["cluster"]] += np.asarray(row["vsum"])
+            counts[row["sub"], row["cluster"]] += row["n"]
+        nonempty = counts > 0
+        books = books.copy()
+        books[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+    return books
+
+
+def pq_encode(ds, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Encode each vector to m uint8 codes (one byte per subspace,
+    packed into a binary column — a 64-d float32 row compresses 32×).
+    Map-only: the codebooks broadcast once, no shuffle."""
+    m, k, dsub = books.shape
+    bref = ray.put(books)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64).reshape(-1, m, dsub)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for s in range(m):
+            d2 = ((x[:, s, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: batch[id_col],
+            "codes": pa.array([c.tobytes() for c in codes], pa.binary()),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_recon_error(ds, books: np.ndarray, id_col: str = "vec_id",
+                   vec_col: str = "embedding", ndigits: int = 6):
+    """Per-subspace mean squared reconstruction error of the trained
+    codebooks over the corpus — the fidelity report that decides
+    whether a PQ index is usable. Map-side (sub, Σerr, n) partials,
+    driver combine of m·batches tiny rows."""
+    m, k, dsub = books.shape
+    bref = ray.put(books)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64).reshape(-1, m, dsub)
+        errs = np.zeros(m, dtype=np.float64)
+        for s in range(m):
+            d2 = ((x[:, s, None, :] - b[s][None, :, :]) ** 2).sum(axis=2)
+            errs[s] = d2.min(axis=1).sum()
+        return pa.table({
+            "sub": pa.array(np.arange(m, dtype=np.int64)),
+            "err": pa.array(errs),
+            "n": pa.array(np.full(m, len(x), dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("sub", sort=True)[["err", "n"]].sum()
+    return pd.DataFrame({
+        "sub": agg.index.to_numpy(np.int64),
+        "mse": sql_round(agg["err"].to_numpy() / agg["n"].to_numpy(), ndigits),
+        "n": agg["n"].to_numpy(np.int64),
+    })
+
+
+def pq_adc_topk(codes_ds, books: np.ndarray, query_vec, k_top: int = 10,
+                id_col: str = "vec_id", ndigits: int = 6):
+    """Asymmetric-distance top-k over PQ codes: the query builds one
+    (m, k) lookup table of subspace distances; each encoded row's
+    distance is m table lookups summed — no float vectors are read at
+    query time. By construction the ADC distance equals the exact
+    squared L2 between the query and the row's RECONSTRUCTION
+    (property-tested). Partial top-k per batch + one tiny merge, the
+    same exchange shape as :func:`cosine_topk`."""
+    m, k, dsub = books.shape
+    q = np.asarray(query_vec, dtype=np.float64).reshape(m, dsub)
+    lut = ((q[:, None, :] - books) ** 2).sum(axis=2)  # (m, k)
+    lref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        table = ray.get(lref)
+        raw = batch["codes"].to_pylist()
+        if not raw:
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="float64")})
+        codes = np.frombuffer(b"".join(raw), dtype=np.uint8).reshape(-1, m)
+        dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        o = np.lexsort((ids, dist))[:k_top]
+        return pd.DataFrame({id_col: ids[o], "dist": dist[o]})
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        o = np.lexsort((batch[id_col].to_numpy(), batch["dist"].to_numpy()))[:k_top]
+        out = batch.iloc[o].reset_index(drop=True)
+        out["dist"] = sql_round(out["dist"], ndigits)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    parts = codes_ds.map_batches(partial, batch_format="pyarrow")
+    return parts.repartition(1).map_batches(merge, batch_format="pandas")
