@@ -82,6 +82,11 @@ BENCH_QUERIES = [
     "q_unigram_logprob",
     "q_winsorize",
     "q_revenue_by_nation",
+    "q_assoc_stats",
+    "q_mad_outliers",
+    "q_ks_drift",
+    "q_bpe_merges",
+    "q_ann_pq",
 ]
 
 
