@@ -3772,6 +3772,20 @@ def q_ann_pq(sf_dir: str):
     return pq_adc_topk(codes, books, qvec, k_top=10)
 
 
+def q_winnow_pairs(sf_dir: str):
+    """Winnowing-fingerprint substring-duplication candidates
+    (Schleimer et al., SIGMOD'03): token 3-grams → window-of-4
+    lexicographic-min fingerprints → pairs sharing >= 2 distinct
+    fingerprints. Completes the fingerprint family next to MinHash
+    (set overlap) and SimHash (cosine-ish): winnowing catches CONTIGUOUS
+    shared substrings with a length guarantee (any shared run of
+    >= w+k-1 tokens surfaces). Texts never shuffle — only (fp, doc_id)."""
+    from web_crawler_ray.stages.text_quality import winnow_dup_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return winnow_dup_pairs(ds, k=3, w=4, min_shared=2)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -3972,6 +3986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_merges": q_bpe_merges,
         "q_pq_error": q_pq_error,
         "q_ann_pq": q_ann_pq,
+        "q_winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -5636,5 +5651,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag, min(v) AS wmedian
             FROM r WHERE 2 * cw >= tot GROUP BY 1
+        """,
+        "q_winnow_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text, ''), '\S+') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN [array_to_string(t[i:i+2], ' ')
+                                FOR i IN range(1, len(t)-3+2)]
+                          ELSE CAST([] AS VARCHAR[]) END AS g
+              FROM toks
+            ), fps AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(g) >= 4
+                          THEN [list_min(g[i:i+3])
+                                FOR i IN range(1, len(g)-4+2)]
+                          ELSE CAST([] AS VARCHAR[]) END) AS f
+              FROM grams
+            ), u AS (
+              SELECT doc_id, unnest(f) AS fp FROM fps
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_shared
+            FROM u a JOIN u b USING (fp)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
         """,
     }

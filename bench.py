@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q_ks_drift",
     "q_bpe_merges",
     "q_ann_pq",
+    "q_winnow_pairs",
 ]
 
 

@@ -1213,3 +1213,55 @@ def test_spec_stats_ops(ray_session):
           "column": "l_extendedprice", "weight": "l_quantity"}],
     ).to_pandas()
     assert len(w) == 3 and (w["wmedian"] > 0).all()
+
+
+def test_winnow_fingerprints_reference(ray_session):
+    """Batch window-min kernel equals the per-doc reference (explicit
+    sliding min over the doc's own gram list), and the winnowing
+    guarantee holds: docs sharing a run of >= w+k-1 tokens share a
+    fingerprint. Layout-invariant across block counts."""
+    from web_crawler_ray.functions.text import TOKEN_RE
+    from web_crawler_ray.stages.text_quality import winnow_fingerprints
+
+    k, w = 3, 4
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+             for _ in range(40)]
+    shared = "s1 s2 s3 s4 s5 s6"  # w+k-1 = 6 tokens
+    texts[5] = texts[5] + " " + shared
+    texts[17] = shared + " " + texts[17]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    def ref_doc(t):
+        toks = TOKEN_RE.findall(t or "")
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        return {min(grams[i:i + w]) for i in range(len(grams) - w + 1)}
+
+    expect = {(i, fp) for i, t in enumerate(texts) for fp in ref_doc(t)}
+    for parts in (1, 4):
+        out = winnow_fingerprints(
+            rd.from_pandas(df).repartition(parts), k=k, w=w).to_pandas()
+        got = set(zip(out["doc_id"], out["fp"]))
+        assert got == expect
+    shared5 = {fp for i, fp in expect if i == 5}
+    shared17 = {fp for i, fp in expect if i == 17}
+    assert shared5 & shared17  # the guarantee
+
+
+def test_winnow_dup_pairs_counts(ray_session):
+    """Pair multiplicity is the number of DISTINCT shared fingerprints
+    (repeats inside one doc count once) and min_shared gates."""
+    from web_crawler_ray.stages.text_quality import winnow_dup_pairs
+
+    a = "p q r s t u v w"          # long shared run with b
+    b = "p q r s t u v w x y"
+    c = "p q r s t u"              # shares exactly the first window min
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [a, b, c]})
+    out = (winnow_dup_pairs(rd.from_pandas(df), k=3, w=4, min_shared=2)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert [(r.id_a, r.id_b) for r in out.itertuples()] == [(1, 2)]
+    assert (out["n_shared"] >= 2).all()
+    out1 = (winnow_dup_pairs(rd.from_pandas(df), k=3, w=4, min_shared=1)
+            .to_pandas())
+    assert {(r.id_a, r.id_b) for r in out1.itertuples()} >= {(1, 2), (1, 3), (2, 3)}

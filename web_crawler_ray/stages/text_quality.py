@@ -224,3 +224,105 @@ def decontaminate(ds, bench_ds, text_col: str = "text",
 
     return ds.select_columns([id_col, text_col]).map_batches(
         probe, batch_format="pandas")
+
+def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): slide a ``w``-wide window over the document's token
+    ``k``-gram sequence and keep each window's MINIMUM gram — the
+    selection function is lexicographic (binary-collation) min over the
+    gram STRINGS instead of min-of-hash, so a DuckDB oracle can replay
+    it exactly (``list_min`` compares UTF-8 bytes; Python compares code
+    points — identical order). Guarantees of winnowing hold unchanged:
+    any shared substring of >= w+k-1 tokens yields a shared
+    fingerprint.
+
+    Map-only, no shuffle: emits DISTINCT (id_col, fp) rows. The window
+    minimum is one ``np.minimum`` reduce over ``w`` shifted views of
+    the batch-flattened gram array (no per-doc loop); document
+    boundaries are masked with the repeated doc-index array, the same
+    kernel shape as ``_doc_ngrams``."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy()
+        grams, gdoc, _ = _doc_ngrams(list(batch[text_col]), k)
+        empty = pd.DataFrame({id_col: pd.Series([], dtype=ids.dtype),
+                              "fp": pd.Series([], dtype="object")})
+        m = len(grams) - (w - 1)
+        if m <= 0:
+            return empty
+        valid = gdoc[:m] == gdoc[w - 1:]
+        mins = grams[:m].copy()
+        for j in range(1, w):
+            np.minimum(mins, grams[j:j + m], out=mins)
+        fps = pd.DataFrame({"d": gdoc[:m][valid], "fp": mins[valid]})
+        fps = fps.drop_duplicates()
+        if fps.empty:
+            return empty
+        return pd.DataFrame({id_col: ids[fps["d"].to_numpy()],
+                             "fp": fps["fp"].to_numpy()})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pandas")
+
+
+def winnow_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3, w: int = 4, min_shared: int = 2,
+                     max_bucket: int | None = None,
+                     num_partitions: int = 32):
+    """Substring-duplication candidate pairs by shared winnowing
+    fingerprints: docs sharing >= ``min_shared`` distinct fingerprints.
+    Returns (id_a, id_b, n_shared), id_a < id_b.
+
+    Shape: the only payload that shuffles is (fp, doc_id) — texts never
+    leave the map stage. One coarse hash partition on fp emits pairs
+    per fingerprint group (vectorized triu per group, one pass per
+    partition); a second partition on the pair key sums multiplicities
+    into n_shared with a map-side combiner. ``max_bucket`` (None = keep
+    all, required for oracle parity) drops fingerprint groups larger
+    than the cap at scale — a hot fingerprint is boilerplate and a
+    g**2 pair blow-up; the C4-style fix is dropping the gram, not
+    pairing it."""
+    from .grouped import partitioned_apply
+
+    fps = winnow_fingerprints(ds, text_col=text_col, id_col=id_col, k=k, w=w)
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["fp", id_col], kind="mergesort")
+        ids = part[id_col].to_numpy()
+        keys = part["fp"].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2 or (max_bucket is not None and g > max_bucket):
+                continue
+            iu, ju = np.triu_indices(g, 1)
+            a_out.append(ids[s + iu])
+            b_out.append(ids[s + ju])
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        return (pd.DataFrame({"id_a": a.astype("int64"),
+                              "id_b": b.astype("int64")})
+                .groupby(["id_a", "id_b"], sort=False).size()
+                .rename("n").reset_index())
+
+    pair_counts = partitioned_apply(fps, ["fp"], emit_pairs,
+                                    num_partitions=num_partitions)
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        return (batch.groupby(["id_a", "id_b"], sort=False)["n"].sum()
+                .reset_index())
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["id_a", "id_b"], sort=False)["n"].sum()
+        g = g[g >= min_shared].rename("n_shared").reset_index()
+        return g
+
+    return partitioned_apply(pair_counts, ["id_a", "id_b"], finish,
+                             num_partitions=8, pre_combine=combine)
