@@ -3786,6 +3786,21 @@ def q_winnow_pairs(sf_dir: str):
     return winnow_dup_pairs(ds, k=3, w=4, min_shared=2)
 
 
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout report over orders: interleave the low
+    16 bits of (o_custkey, o_orderkey), range-partition on the z-value,
+    and report per-partition row count + min/max of BOTH source columns
+    — narrow ranges on both axes is what makes the layout prunable for
+    either predicate (the OPTIMIZE ZORDER shape). Pure integer
+    arithmetic, replayed bit-for-bit by the SQL oracle."""
+    from web_crawler_ray.stages.layout import zorder_layout_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_custkey", "o_orderkey"])
+    return zorder_layout_stats(ds, "o_custkey", "o_orderkey",
+                               num_partitions=16, bits=8)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -3987,6 +4002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pq_error": q_pq_error,
         "q_ann_pq": q_ann_pq,
         "q_winnow_pairs": q_winnow_pairs,
+        "q_zorder_layout": q_zorder_layout,
     }
 
 
@@ -5679,5 +5695,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2
             HAVING count(*) >= 2
+        """,
+        "q_zorder_layout": """
+            WITH z AS (
+              SELECT o_custkey, o_orderkey,
+                     list_sum([(((o_custkey % 256) >> i) & 1)
+                               * (1::BIGINT << (2 * i))
+                               FOR i IN range(0, 8)])
+                   + list_sum([(((o_orderkey % 256) >> i) & 1)
+                               * (1::BIGINT << (2 * i + 1))
+                               FOR i IN range(0, 8)]) AS zkey
+              FROM orders
+            )
+            SELECT zkey >> 12 AS zpart,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(zkey) AS z_min, max(zkey) AS z_max,
+                   min(o_custkey) AS a_min, max(o_custkey) AS a_max,
+                   min(o_orderkey) AS b_min, max(o_orderkey) AS b_max
+            FROM z GROUP BY 1
         """,
     }

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q_bpe_merges",
     "q_ann_pq",
     "q_winnow_pairs",
+    "q_zorder_layout",
 ]
 
 

@@ -150,3 +150,39 @@ def test_gini_degenerate_and_known(ray_session):
 
     one = gini_coefficient(rd.from_items([{"k": "z"}] * 7), "k").to_pandas()
     assert one["gini"].iloc[0] == 0.0 and one["n_keys"].iloc[0] == 1
+
+
+def test_zorder_key_locality(ray_session):
+    """Morton spread matches the per-bit reference; partition ids cover
+    the full range and each partition's source-column spans are narrow
+    on BOTH axes (the point of the layout)."""
+    import numpy as np
+    import pytest
+
+    from web_crawler_ray.stages.layout import zorder_key, zorder_layout_stats
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"a": rng.integers(0, 256, 4096),
+                       "b": rng.integers(0, 256, 4096)})
+    out = zorder_key(rd.from_pandas(df), "a", "b", num_partitions=16,
+                     bits=8).to_pandas()
+
+    def ref(a, b):
+        return sum((((a >> i) & 1) << (2 * i)) | (((b >> i) & 1) << (2 * i + 1))
+                   for i in range(8))
+
+    sample = out.head(200)
+    assert all(ref(int(r.a), int(r.b)) == r.zkey for r in sample.itertuples())
+    assert (out["zpart"].to_numpy() == (out["zkey"].to_numpy() >> 12)).all()
+    assert set(out["zpart"]) == set(range(16))
+
+    stats = (zorder_layout_stats(rd.from_pandas(df), "a", "b",
+                                 num_partitions=16, bits=8)
+             .to_pandas().sort_values("zpart"))
+    # each z-range partition spans at most half of either axis
+    assert ((stats["a_max"] - stats["a_min"]) <= 128).all()
+    assert ((stats["b_max"] - stats["b_min"]) <= 128).all()
+    assert stats["n_rows"].sum() == 4096
+
+    with pytest.raises(ValueError):
+        zorder_key(rd.from_pandas(df), "a", "b", num_partitions=10)

@@ -1,0 +1,84 @@
+"""Data-layout operators: Z-order (Morton) interleaving for
+multi-column locality.
+
+At 100 TB the dominant cost of a selective scan is how many files a
+two-column predicate has to open. Hash or single-column range layout
+clusters ONE key; a Z-order key interleaves the bits of two keys so a
+range partition on the z-value keeps BOTH columns' ranges narrow per
+partition — the Delta/Iceberg ``OPTIMIZE ZORDER BY`` trick, expressed
+here as plain columns so ``repartition``/``write_parquet`` on the key
+range gives the pruned layout.
+
+No reference counterpart (the reference is a scraper); public
+knowledge: Morton 1966, the standard magic-number bit-spread. The
+z-value arithmetic is pure integer ops replayed bit-for-bit by the
+DuckDB oracle (list-comprehension over bit positions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .aggregate import partial_grouped_agg
+
+
+def _spread16(x: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Spread the low ``bits`` (≤ 16) bits of each int64 so bit i lands
+    at bit 2i (Morton magic numbers), vectorized."""
+    x = x.astype(np.int64) & ((1 << bits) - 1)
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def zorder_key(ds, col_a: str, col_b: str, num_partitions: int = 16,
+               bits: int = 16, out_col: str = "zkey", part_col: str = "zpart"):
+    """Append the 2·bits-wide Morton z-value of (col_a low ``bits``
+    bits, col_b low ``bits`` bits) and its range-partition id (top
+    log2(P) bits of the z-value). Map-only; downstream ``repartition``
+    / partitioned write on ``part_col`` produces the clustered layout.
+    ``num_partitions`` must be a power of two (the partition id is a
+    bit shift, so the SQL replay is exact integer arithmetic)."""
+    p = int(num_partitions)
+    if p & (p - 1) or p <= 0:
+        raise ValueError(f"num_partitions must be a power of two, got {p}")
+    if not 1 <= bits <= 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    shift = 2 * bits - (p.bit_length() - 1)  # z in [0, 2^(2·bits))
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[col_a].to_numpy()
+        b = batch[col_b].to_numpy()
+        z = _spread16(a, bits) | (_spread16(b, bits) << 1)
+        batch = batch.copy()
+        batch[out_col] = z.astype("int64")
+        batch[part_col] = (z >> shift).astype("int64")
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def zorder_layout_stats(ds, col_a: str, col_b: str, num_partitions: int = 16,
+                        bits: int = 16):
+    """Layout-quality report: per z-range partition, row count plus the
+    min/max of BOTH source columns — narrow per-partition ranges on
+    both axes is exactly what makes the layout prunable for either
+    predicate. One map pass + a P-row combine (partial agg per batch;
+    the shuffle carries ≤ P rows per batch)."""
+    keyed = zorder_key(ds, col_a, col_b, num_partitions, bits=bits)
+    return partial_grouped_agg(
+        keyed.select_columns(["zpart", "zkey", col_a, col_b]),
+        ["zpart"],
+        {
+            "n_rows": ("count", None),
+            "z_min": ("min", "zkey"),
+            "z_max": ("max", "zkey"),
+            "a_min": ("min", col_a),
+            "a_max": ("max", col_a),
+            "b_min": ("min", col_b),
+            "b_max": ("max", col_b),
+        },
+    )
