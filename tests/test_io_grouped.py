@@ -1265,3 +1265,21 @@ def test_winnow_dup_pairs_counts(ray_session):
     out1 = (winnow_dup_pairs(rd.from_pandas(df), k=3, w=4, min_shared=1)
             .to_pandas())
     assert {(r.id_a, r.id_b) for r in out1.itertuples()} >= {(1, 2), (1, 3), (2, 3)}
+
+
+def test_spec_winnow_and_zorder(ray_session):
+    pairs = build_pipeline(
+        "/root/testdata/sf0.001/documents.parquet",
+        [{"op": "winnow_pairs", "k": 3, "w": 4, "min_shared": 1}],
+    ).to_pandas()
+    assert list(pairs.columns) == ["id_a", "id_b", "n_shared"]
+    assert (pairs["id_a"] < pairs["id_b"]).all()
+
+    z = build_pipeline(
+        "/root/testdata/sf0.001/orders.parquet",
+        [{"op": "select", "columns": ["o_orderkey", "o_custkey"]},
+         {"op": "zorder", "a": "o_custkey", "b": "o_orderkey",
+          "num_partitions": 8, "bits": 8}],
+    ).to_pandas()
+    assert {"zkey", "zpart"} <= set(z.columns)
+    assert z["zpart"].between(0, 7).all()

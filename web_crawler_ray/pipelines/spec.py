@@ -65,6 +65,10 @@ Spec format (list of op dicts, applied in order):
     {"op": "salted_join", "right": "/path.parquet", "on": col,
                           "right_on": col, "right_columns": [...],
                           "n_salts": 8}
+    {"op": "winnow_pairs", "text_col": "text", "id": col, "k": 3, "w": 4,
+                  "min_shared": 2, "max_bucket": None}
+    {"op": "zorder",      "a": col, "b": col, "num_partitions": 16,
+                  "bits": 16}
 """
 
 from __future__ import annotations
@@ -285,6 +289,20 @@ def _apply_op(ds, op: dict):
         right = rd.read_parquet(op["right"], columns=op.get("right_columns"))
         return salted_inner_join(ds, right, op["on"], op.get("right_on"),
                                  n_salts=op.get("n_salts", 8))
+    if kind == "winnow_pairs":
+        from ..stages.text_quality import winnow_dup_pairs
+
+        return winnow_dup_pairs(ds, text_col=op.get("text_col", "text"),
+                                id_col=op.get("id", "doc_id"),
+                                k=op.get("k", 3), w=op.get("w", 4),
+                                min_shared=op.get("min_shared", 2),
+                                max_bucket=op.get("max_bucket"))
+    if kind == "zorder":
+        from ..stages.layout import zorder_key
+
+        return zorder_key(ds, op["a"], op["b"],
+                          num_partitions=op.get("num_partitions", 16),
+                          bits=op.get("bits", 16))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -429,6 +447,12 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "wds_write":
             need([op["key"], op["payload"], *(op.get("meta_cols") or [])])
             created |= {"shard", "rows", "bytes", "key_lo", "key_hi"}
+        elif kind == "winnow_pairs":
+            need([op.get("text_col", "text"), op.get("id", "doc_id")])
+            created |= {"id_a", "id_b", "n_shared"}
+        elif kind == "zorder":
+            need([op["a"], op["b"]])
+            created |= {"zkey", "zpart"}
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
