@@ -3801,6 +3801,35 @@ def q_zorder_layout(sf_dir: str):
                                num_partitions=16, bits=8)
 
 
+def q_corpus_diff(sf_dir: str):
+    """Incremental snapshot diff: two deterministic views of the
+    documents table (old = doc_id % 10 != 0; new = doc_id % 10 != 1
+    with text upper-cased when doc_id % 7 == 0) → per-id added /
+    removed / changed rows. Text hashes map-side; the one shuffle
+    carries (id, digest, side) — the recompute-the-delta primitive of
+    an incremental curation pipeline."""
+    import numpy as np
+
+    from web_crawler_ray.stages.dedup import snapshot_diff
+
+    def old_side(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["doc_id"].to_numpy() % 10 != 0]
+
+    def new_side(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["doc_id"].to_numpy() % 10 != 1].copy()
+        ids = batch["doc_id"].to_numpy()
+        text = batch["text"].fillna("")
+        batch["text"] = np.where(ids % 7 == 0, text.str.upper(), text)
+        return batch
+
+    cols = ["doc_id", "text"]
+    old_ds = rd.read_parquet(_t(sf_dir, "documents"), columns=cols).map_batches(
+        old_side, batch_format="pandas")
+    new_ds = rd.read_parquet(_t(sf_dir, "documents"), columns=cols).map_batches(
+        new_side, batch_format="pandas")
+    return snapshot_diff(old_ds, new_ds)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4003,6 +4032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_pq": q_ann_pq,
         "q_winnow_pairs": q_winnow_pairs,
         "q_zorder_layout": q_zorder_layout,
+        "q_corpus_diff": q_corpus_diff,
     }
 
 
@@ -5713,5 +5743,23 @@ def oracle_sql() -> dict[str, str]:
                    min(o_custkey) AS a_min, max(o_custkey) AS a_max,
                    min(o_orderkey) AS b_min, max(o_orderkey) AS b_max
             FROM z GROUP BY 1
+        """,
+        "q_corpus_diff": """
+            WITH old AS (
+              SELECT doc_id, md5(coalesce(text, '')) AS h
+              FROM documents WHERE doc_id % 10 != 0
+            ), new AS (
+              SELECT doc_id,
+                     md5(CASE WHEN doc_id % 7 = 0
+                              THEN upper(coalesce(text, ''))
+                              ELSE coalesce(text, '') END) AS h
+              FROM documents WHERE doc_id % 10 != 1
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
         """,
     }

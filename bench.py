@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_ann_pq",
     "q_winnow_pairs",
     "q_zorder_layout",
+    "q_corpus_diff",
 ]
 
 

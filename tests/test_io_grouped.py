@@ -1283,3 +1283,18 @@ def test_spec_winnow_and_zorder(ray_session):
     ).to_pandas()
     assert {"zkey", "zpart"} <= set(z.columns)
     assert z["zpart"].between(0, 7).all()
+
+
+def test_snapshot_diff_classification(ray_session):
+    """added/removed/changed/unchanged classification on a hand-built
+    pair of snapshots; unchanged ids are absent from the output."""
+    from web_crawler_ray.stages.dedup import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                        "text": ["a", "b", "c", ""]})
+    new = pd.DataFrame({"doc_id": [2, 3, 4, 5],
+                        "text": ["b", "C", "", "e"]})
+    out = (snapshot_diff(rd.from_pandas(old), rd.from_pandas(new))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["status"])) == [
+        (1, "removed"), (3, "changed"), (5, "added")]

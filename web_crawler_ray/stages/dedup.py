@@ -450,3 +450,51 @@ def phash_dup_groups(ds, phash_col: str = "phash", id_col: str = "image_id"):
         return out
 
     return partitioned_apply(ds, [phash_col], collect_partition, num_partitions=32)
+
+
+def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
+                  text_col: str = "text", num_partitions: int = 32):
+    """Incremental corpus diff between two snapshots: per id, 'added'
+    (new only), 'removed' (old only) or 'changed' (both sides, content
+    hash differs); unchanged rows are dropped — at 100 TB the diff
+    output is the small delta, never the corpus. The recompute-only-
+    what-changed primitive of an incremental curation pipeline.
+
+    Shape: both sides hash their text MAP-SIDE (md5, the same digest
+    the exact-dedup stage uses — DuckDB replays it), so the single
+    co-locating shuffle carries (id, 32-byte hex, side-tag) — payload
+    text never moves. One vectorized pivot per partition classifies
+    every id group; ids are unique per side by contract (snapshots are
+    post-dedup)."""
+    from .grouped import partitioned_apply
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            hashed = add_content_hash(batch, text_col)
+            n = hashed.num_rows
+            return pa.table({
+                id_col: hashed[id_col],
+                "h": hashed["content_hash"],
+                "side": pa.array([side] * n, pa.string()),
+            })
+        return fn
+
+    both = (old_ds.select_columns([id_col, text_col])
+            .map_batches(tag("old"), batch_format="pyarrow")
+            .union(new_ds.select_columns([id_col, text_col])
+                   .map_batches(tag("new"), batch_format="pyarrow")))
+
+    def classify(part: pd.DataFrame) -> pd.DataFrame:
+        wide = part.pivot(index=id_col, columns="side", values="h")
+        old_h = wide["old"] if "old" in wide else pd.Series(pd.NA, index=wide.index)
+        new_h = wide["new"] if "new" in wide else pd.Series(pd.NA, index=wide.index)
+        status = np.where(
+            old_h.isna(), "added",
+            np.where(new_h.isna(), "removed",
+                     np.where(old_h != new_h, "changed", "unchanged")))
+        out = pd.DataFrame({id_col: wide.index.to_numpy(),
+                            "status": status})
+        return out[out["status"] != "unchanged"].reset_index(drop=True)
+
+    return partitioned_apply(both, [id_col], classify,
+                             num_partitions=num_partitions)
