@@ -3830,6 +3830,54 @@ def q_corpus_diff(sf_dir: str):
     return snapshot_diff(old_ds, new_ds)
 
 
+def q_clip_gate(sf_dir: str):
+    """LAION-shaped CLIP-score alignment filter: plant three caption
+    kinds over the image corpus (aligned = the caption that truly
+    describes the image's luminance grid; permuted = same tokens
+    claiming the wrong cells; freetext = the original random caption),
+    score every (image, caption) row with the deterministic encoder
+    pair, gate at 0.5, and report per-kind n / n_pass / mean score.
+    Model scoring — rows-only; separation (aligned ≈ 1.0, others ≈ 0)
+    is pinned in tests/test_similarity.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_ray.codecs import decode_image
+    from web_crawler_ray.stages.multimodal import (
+        CLIP_GRID,
+        clip_gate_stats,
+        grid_caption,
+    )
+
+    n = max(300, int(6_000 * _sf_scale(sf_dir)))
+    perm = np.roll(np.arange(CLIP_GRID * CLIP_GRID), 1)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        datas = batch["bytes"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        kinds, out_caps = [], []
+        for iid, data, cap in zip(ids, datas, caps):
+            i = int(iid.rsplit("-", 1)[-1])
+            if i % 5 == 0:
+                kinds.append("aligned")
+                out_caps.append(grid_caption(decode_image(data)))
+            elif i % 5 == 1:
+                kinds.append("permuted")
+                out_caps.append(grid_caption(decode_image(data), perm=perm))
+            else:
+                kinds.append("freetext")
+                out_caps.append(cap)
+        return (batch.drop_columns(["caption"])
+                .append_column("caption", pa.array(out_caps, pa.string()))
+                .append_column("cap_kind", pa.array(kinds, pa.string())))
+
+    planted = _images_ds(n).map_batches(plant, batch_format="pyarrow",
+                                        batch_size=128)
+    return clip_gate_stats(planted, threshold=0.5,
+                           concurrency=auto_concurrency(0.5))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4033,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnow_pairs": q_winnow_pairs,
         "q_zorder_layout": q_zorder_layout,
         "q_corpus_diff": q_corpus_diff,
+        "q_clip_gate": q_clip_gate,
     }
 
 

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_winnow_pairs",
     "q_zorder_layout",
     "q_corpus_diff",
+    "q_clip_gate",
 ]
 
 

@@ -466,3 +466,49 @@ def test_aspect_bucket_nearest_and_ties(ray_session):
             .to_pandas())
     assert sorted(plan["batch_idx"].unique()) == list(range(7))  # ceil(100/16)
     assert (plan.groupby("batch_idx").size() <= 16).all()
+
+
+def test_clip_gate_separation(ray_session):
+    """The aligned codebook separates: a caption that truly describes
+    its image scores exactly 1.0 cosine; permuted/free-text captions
+    hover near 0 and mostly fail the 0.5 gate."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_ray.codecs import decode_image, encode_image
+    from web_crawler_ray.stages.multimodal import (
+        CLIP_GRID,
+        clip_gate_stats,
+        clip_image_embedding,
+        clip_text_embedding,
+        grid_caption,
+    )
+
+    rng = np.random.default_rng(5)
+    perm = np.roll(np.arange(CLIP_GRID * CLIP_GRID), 1)
+    rows = {"image_id": [], "bytes": [], "caption": [], "cap_kind": []}
+    for i in range(90):
+        px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        data = encode_image(px, "png")
+        px = decode_image(data)
+        kind = ["aligned", "permuted", "freetext"][i % 3]
+        cap = (grid_caption(px) if kind == "aligned" else
+               grid_caption(px, perm=perm) if kind == "permuted" else
+               "some random words here")
+        rows["image_id"].append(f"t-{i}")
+        rows["bytes"].append(data)
+        rows["caption"].append(cap)
+        rows["cap_kind"].append(kind)
+        if kind == "aligned":
+            iv = clip_image_embedding(px)
+            tv = clip_text_embedding(cap)
+            assert abs(float(iv @ tv) - 1.0) < 1e-9
+
+    ds = rd.from_arrow(pa.table(rows))
+    out = (clip_gate_stats(ds, threshold=0.5).to_pandas()
+           .set_index("cap_kind"))
+    assert out.loc["aligned", "n_pass"] == out.loc["aligned", "n"] == 30
+    assert out.loc["aligned", "mean_score"] == 1.0
+    for kind in ("permuted", "freetext"):
+        assert out.loc[kind, "n_pass"] <= 0.2 * out.loc[kind, "n"]
+        assert abs(out.loc[kind, "mean_score"]) < 0.3
