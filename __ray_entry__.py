@@ -3878,6 +3878,26 @@ def q_clip_gate(sf_dir: str):
                            concurrency=auto_concurrency(0.5))
 
 
+def q_bpe_encode(sf_dir: str):
+    """Tokenizer inference: train 8 BPE merges over the corpus
+    (q_bpe_merges' trainer), apply them to every document, and report
+    per-language doc/word/token totals — integer-only output, so the
+    rows-only check is still exact. The train→encode→count loop every
+    tokenizer change reruns over the corpus."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.tokenizer import bpe_encode, bpe_merges
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "text", "lang"])
+    merges = bpe_merges(docs, "text", num_merges=8, top_v=5000)
+    enc = bpe_encode(docs, merges, extra_cols=["lang"])
+    return partial_grouped_agg(
+        enc, ["lang"],
+        {"n_docs": ("count", None), "n_words": ("sum", "n_words"),
+         "n_tokens": ("sum", "n_tokens")},
+    )
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4082,6 +4102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zorder_layout": q_zorder_layout,
         "q_corpus_diff": q_corpus_diff,
         "q_clip_gate": q_clip_gate,
+        "q_bpe_encode": q_bpe_encode,
     }
 
 

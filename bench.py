@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q_zorder_layout",
     "q_corpus_diff",
     "q_clip_gate",
+    "q_bpe_encode",
 ]
 
 

@@ -122,3 +122,47 @@ def test_pq_adc_equals_reconstruction_distance(ray_session):
     err_trained = pq_recon_error(ds, books)["mse"].sum()
     err_seed = pq_recon_error(ds, seed_books)["mse"].sum()
     assert err_trained <= err_seed
+
+
+def test_bpe_encode_sennrich(ray_session):
+    """Encoding with trained merges: merged symbols shrink the token
+    count, untrained words stay character-length, and the per-word
+    symbol count matches a hand-applied merge sequence."""
+    from web_crawler_ray.stages.tokenizer import bpe_encode, bpe_merges
+
+    corpus = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["low low low low low",
+                 "lower lower",
+                 "newest newest newest newest newest newest",
+                 "widest widest widest"],
+    })
+    ds = rd.from_pandas(corpus)
+    merges = bpe_merges(ds, "text", num_merges=10, top_v=100)
+    out = (bpe_encode(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_words"].tolist() == [5, 2, 6, 3]
+
+    def encode(word):
+        syms = list(word) + ["</w>"]
+        for left, right, fused in zip(merges["left"], merges["right"],
+                                      merges["merged"]):
+            i, o = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    o.append(fused); i += 2
+                else:
+                    o.append(syms[i]); i += 1
+            syms = o
+        return len(syms) - (1 if syms[-1] == "</w>" else 0)
+
+    assert out["n_tokens"].tolist() == [
+        5 * encode("low"), 2 * encode("lower"),
+        6 * encode("newest"), 3 * encode("widest")]
+    # the most frequent word compresses below its character length
+    assert encode("newest") < len("newest")
+
+    empty = bpe_encode(rd.from_pandas(pd.DataFrame(
+        {"doc_id": [9], "text": [""]})), merges).to_pandas()
+    assert empty["n_tokens"].tolist() == [0]
+    assert empty["tokens_per_word"].tolist() == [0.0]

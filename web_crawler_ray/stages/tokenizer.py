@@ -21,6 +21,7 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..functions.rounding import sql_round
 from .graph import grouped_sum
 
 _WORD_RE = re.compile(r"[a-z]+")
@@ -96,3 +97,61 @@ def bpe_merges(ds, text_col: str = "text", num_merges: int = 8,
             new_words.append(tuple(out))
         words = new_words
     return pd.DataFrame(rows, columns=["rank", "left", "right", "merged", "n"])
+
+
+def bpe_encode(ds, merges: pd.DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", ndigits: int = 6,
+               extra_cols: list[str] | None = None):
+    """Apply trained merges to the corpus — the inference half of the
+    tokenizer (train with ``bpe_merges``). Per document emits
+    (id_col, n_words, n_tokens, tokens_per_word): ``n_tokens`` is the
+    post-merge symbol count (``</w>`` markers fused into their word's
+    last symbol are counted once, as in the published algorithm).
+
+    Shape: the merge table is a few-KB closure constant (broadcast by
+    value with the task); each batch encodes its DISTINCT lowercase
+    words once and maps counts back through the word column — encode
+    cost scales with per-batch vocabulary, not token count. Map-only,
+    no shuffle."""
+    merge_list = list(zip(merges["left"], merges["right"], merges["merged"]))
+
+    def encode_word(word: str) -> int:
+        syms = list(word) + ["</w>"]
+        for left, right, fused in merge_list:
+            i, out = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(fused)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        # </w> surviving unfused is a word-boundary marker, not a token
+        return len(syms) - (1 if syms and syms[-1] == "</w>" else 0)
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        words = batch[text_col].fillna("").str.lower().str.findall(_WORD_RE)
+        flat = words.explode().dropna()
+        memo: dict[str, int] = {}
+        for w in pd.unique(flat):
+            memo[w] = encode_word(w)
+        tok = flat.map(memo).groupby(level=0).sum()
+        n_words = words.str.len().astype("int64")
+        n_tokens = pd.Series(np.zeros(len(batch), dtype=np.int64),
+                             index=batch.index)
+        n_tokens.loc[tok.index] = tok.astype("int64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(n_words > 0, n_tokens / n_words, 0.0)
+        out = pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_words": n_words.to_numpy(),
+            "n_tokens": n_tokens.to_numpy(),
+            "tokens_per_word": sql_round(pd.Series(ratio), ndigits),
+        })
+        for c in extra_cols or []:
+            out[c] = batch[c].to_numpy()
+        return out
+
+    return ds.select_columns([id_col, text_col, *(extra_cols or [])]
+                             ).map_batches(fn, batch_format="pandas")
