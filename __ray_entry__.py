@@ -3898,6 +3898,28 @@ def q_bpe_encode(sf_dir: str):
     )
 
 
+def q_equidepth_hist(sf_dir: str):
+    """Equi-depth histogram of events.value (k=10): exact discrete
+    quantile edges, per-bucket count/min/max — the adaptive column-
+    statistics pass (fixed-width sibling: q_histogram)."""
+    from web_crawler_ray.stages.aggregate import equidepth_histogram
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    return equidepth_histogram(ds, "value", k=10)
+
+
+def q_skew_report(sf_dir: str):
+    """Pre-shuffle skew diagnostic over events.event_type: per hot key
+    (≥ 1% of rows) its count, integer ppm share, and the salt factor
+    ceil(n·P/total) that levels a 32-partition exchange. All-integer
+    output, exact SQL replay."""
+    from web_crawler_ray.stages.aggregate import shuffle_skew_report
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    return shuffle_skew_report(ds, "event_type", hot_frac=0.01,
+                               max_partitions=32)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4103,6 +4125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_corpus_diff": q_corpus_diff,
         "q_clip_gate": q_clip_gate,
         "q_bpe_encode": q_bpe_encode,
+        "q_equidepth_hist": q_equidepth_hist,
+        "q_skew_report": q_skew_report,
     }
 
 
@@ -5831,5 +5855,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status
             FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h != n.h
+        """,
+        "q_equidepth_hist": """
+            WITH e AS (
+              SELECT quantile_disc(value, [i / 10.0 FOR i IN range(1, 10)])
+                     AS edges
+              FROM events
+            ), b AS (
+              SELECT value,
+                     len(list_filter(e.edges, x -> value >= x)) AS bucket
+              FROM events, e
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   min(value) AS v_min, max(value) AS v_max
+            FROM b GROUP BY 1
+        """,
+        "q_skew_report": """
+            WITH c AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1
+            ), t AS (SELECT sum(n) AS total FROM c)
+            SELECT event_type, n,
+                   CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
+                   CAST((n * 32 + total - 1) // total AS BIGINT) AS n_salts
+            FROM c, t WHERE n >= 0.01 * total
         """,
     }

@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "q_corpus_diff",
     "q_clip_gate",
     "q_bpe_encode",
+    "q_equidepth_hist",
+    "q_skew_report",
 ]
 
 

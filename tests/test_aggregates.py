@@ -186,3 +186,48 @@ def test_zorder_key_locality(ray_session):
 
     with pytest.raises(ValueError):
         zorder_key(rd.from_pandas(df), "a", "b", num_partitions=10)
+
+
+def test_equidepth_histogram_ties_and_edges(ray_session):
+    """Heavy ties collapse buckets (duplicate edges are legal) and
+    counts always total the input; buckets are near-equal on a
+    tie-free column."""
+    import numpy as np
+
+    from web_crawler_ray.stages.aggregate import equidepth_histogram
+
+    tied = pd.DataFrame({"v": [1.0] * 90 + [2.0] * 10})
+    out = (equidepth_histogram(rd.from_pandas(tied), "v", k=4)
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    assert out["n"].sum() == 100
+    # all three interior edges collapse onto 1.0 (the 25/50/75%
+    # quantiles of a 90%-tied column), so every row — ties sit at or
+    # above their edge — lands in the single top bucket
+    assert len(out) == 1 and out["bucket"].iloc[0] == 3
+
+    rng = np.random.default_rng(7)
+    smooth = pd.DataFrame({"v": rng.permutation(np.arange(1000)).astype(float)})
+    out2 = (equidepth_histogram(rd.from_pandas(smooth).repartition(4), "v", k=10)
+            .to_pandas().sort_values("bucket"))
+    # quantile_disc rank ceil(q·n)−1 puts the edge element itself in
+    # the upper bucket: ends are 99/101, interiors exactly 100
+    assert len(out2) == 10 and out2["n"].between(99, 101).all()
+    assert (out2["n"].to_numpy()[1:-1] == 100).all()
+    assert out2["n"].sum() == 1000
+    assert (out2["v_min"].to_numpy()[1:] > out2["v_max"].to_numpy()[:-1]).all()
+
+
+def test_shuffle_skew_report_salts(ray_session):
+    """Hot keys surface with the exact integer salt factor; cold keys
+    are absent."""
+    from web_crawler_ray.stages.aggregate import shuffle_skew_report
+
+    df = pd.DataFrame({"k": ["hot"] * 800 + ["warm"] * 150 +
+                       [f"c{i}" for i in range(50)]})
+    out = (shuffle_skew_report(rd.from_pandas(df).repartition(4), "k",
+                               hot_frac=0.05, max_partitions=8)
+           .to_pandas().set_index("k"))
+    assert set(out.index) == {"hot", "warm"}
+    assert out.loc["hot", "share_ppm"] == 800 * 1_000_000 // 1000
+    assert out.loc["hot", "n_salts"] == (800 * 8 + 999) // 1000  # 7
+    assert out.loc["warm", "n_salts"] == (150 * 8 + 999) // 1000  # 2

@@ -560,3 +560,106 @@ def winsorize(ds, col: str, lo_q: float = 0.01, hi_q: float = 0.99,
         return batch.append_column(dest, clipped)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def equidepth_histogram(ds, col: str, k: int = 10):
+    """Equi-depth (quantile-bucket) histogram: interior edges at the
+    exact discrete quantiles i/k (the shared ``quantile_disc`` rank
+    convention: 0-based rank ceil(q·n)−1 ascending), bucket of a row =
+    number of edges ≤ its value, per-bucket count/min/max. The
+    column-statistics pass an optimizer or skew planner runs — unlike
+    the fixed-width histogram it adapts to the distribution.
+
+    Shape: pass 1 is the distinct-value-count combine (volume ∝ batch-
+    distinct values, same as ``quantile_gate``); the driver resolves
+    k−1 edges; pass 2 is a map-only searchsorted + a ≤k-row partial
+    agg combine."""
+    import numpy as np
+
+    import ray.data as rd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[col].value_counts(sort=False)
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    acc = None
+    for b in ds.select_columns([col]).map_batches(
+            partial, batch_format="pandas").iter_batches(
+                batch_format="pandas"):
+        s = b.groupby("v")["n"].sum()
+        acc = s if acc is None else acc.add(s, fill_value=0)
+    if acc is None or not len(acc):
+        return rd.from_pandas(pd.DataFrame(
+            {"bucket": pd.Series([], dtype="int64"),
+             "n": pd.Series([], dtype="int64")}))
+    acc = acc.sort_index()
+    counts = acc.to_numpy(np.int64)
+    values = acc.index.to_numpy()
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    edges = np.array([
+        values[np.searchsorted(cum, max(int(np.ceil((i / k) * n)) - 1, 0) + 1)]
+        for i in range(1, k)
+    ])
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["bucket"] = np.searchsorted(
+            edges, batch[col].to_numpy(), side="right").astype("int64")
+        return batch
+
+    return partial_grouped_agg(
+        ds.select_columns([col]).map_batches(bucketize, batch_format="pandas"),
+        ["bucket"],
+        {"n": ("count", None), "v_min": ("min", col), "v_max": ("max", col)},
+    )
+
+
+def shuffle_skew_report(ds, key: str, hot_frac: float = 0.01,
+                        max_partitions: int = 32,
+                        num_partitions: int = 32):
+    """Pre-shuffle skew diagnostic: which keys would overload a
+    hash-partitioned exchange, and how many salts each needs. Emits,
+    for every key holding ≥ ``hot_frac`` of the rows: its count, its
+    integer share in ppm, and ``n_salts = ceil(n·P/total)`` — the salt
+    factor that caps each (key, salt) slice at one partition's fair
+    share of ``max_partitions``. All-integer output (exact SQL replay).
+
+    Shape: per-key counts via map-side pre-combine + one coarse hash
+    shuffle carrying (key, partial) rows; the hot tail that returns is
+    ≤ 1/hot_frac keys by construction."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from .graph import grouped_sum
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[key].value_counts(sort=False, dropna=False)
+        return pd.DataFrame({key: vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    counts = grouped_sum(
+        ds.select_columns([key]).map_batches(pre, batch_format="pandas"),
+        key, "n", "n", num_partitions=num_partitions,
+    ).materialize()
+    total = 0
+    for b in counts.iter_batches(batch_format="pandas"):
+        total += int(b["n"].sum())
+    if total == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {key: pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "share_ppm": pd.Series([], dtype="int64"),
+             "n_salts": pd.Series([], dtype="int64")}))
+    cut = hot_frac * total
+
+    def hot(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["n"] >= cut].copy()
+        nn = batch["n"].to_numpy(np.int64)
+        batch["share_ppm"] = nn * 1_000_000 // total
+        batch["n_salts"] = (nn * max_partitions + total - 1) // total
+        return batch
+
+    return counts.map_batches(hot, batch_format="pandas")
