@@ -287,3 +287,26 @@ def test_epoch_shuffle_key_matches_sql(ids, seed):
         " % 4294967296 AS k FROM df").df()["k"].to_numpy()
     assert (k == want).all()
     assert ((k % 8) == (want % 8)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("ab cd ef aa zz b1".split()),
+                         min_size=0, max_size=20),
+                min_size=1, max_size=6),
+       st.integers(2, 3), st.integers(2, 4))
+def test_winnow_batch_matches_reference(tok_docs, k, w):
+    """The flattened+masked window-min kernel equals the per-document
+    sliding-min reference for every (k, w) and any doc-length mix
+    (including empty and shorter-than-k docs)."""
+    from web_crawler_ray.stages.text_quality import winnow_batch
+
+    texts = [" ".join(toks) for toks in tok_docs]
+    d, fp = winnow_batch(texts, k, w)
+    got = set(zip(d.tolist(), fp.tolist()))
+
+    expect = set()
+    for i, toks in enumerate(tok_docs):
+        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        for j in range(len(grams) - w + 1):
+            expect.add((i, min(grams[j:j + w])))
+    assert got == expect

@@ -244,26 +244,31 @@ def winnow_fingerprints(ds, text_col: str = "text", id_col: str = "doc_id",
     kernel shape as ``_doc_ngrams``."""
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        d, fp = winnow_batch(list(batch[text_col]), k, w)
         ids = batch[id_col].to_numpy()
-        grams, gdoc, _ = _doc_ngrams(list(batch[text_col]), k)
-        empty = pd.DataFrame({id_col: pd.Series([], dtype=ids.dtype),
-                              "fp": pd.Series([], dtype="object")})
-        m = len(grams) - (w - 1)
-        if m <= 0:
-            return empty
-        valid = gdoc[:m] == gdoc[w - 1:]
-        mins = grams[:m].copy()
-        for j in range(1, w):
-            np.minimum(mins, grams[j:j + m], out=mins)
-        fps = pd.DataFrame({"d": gdoc[:m][valid], "fp": mins[valid]})
-        fps = fps.drop_duplicates()
-        if fps.empty:
-            return empty
-        return pd.DataFrame({id_col: ids[fps["d"].to_numpy()],
-                             "fp": fps["fp"].to_numpy()})
+        return pd.DataFrame({id_col: ids[d] if len(d)
+                             else pd.Series([], dtype=ids.dtype),
+                             "fp": fp})
 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pandas")
+
+
+def winnow_batch(texts: list, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """The batch winnowing kernel (property-tested against the per-doc
+    reference): returns (doc_index, fingerprint) pairs, distinct per
+    document."""
+    grams, gdoc, _ = _doc_ngrams(texts, k)
+    m = len(grams) - (w - 1)
+    if m <= 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=object))
+    valid = gdoc[:m] == gdoc[w - 1:]
+    mins = grams[:m].copy()
+    for j in range(1, w):
+        np.minimum(mins, grams[j:j + m], out=mins)
+    fps = pd.DataFrame({"d": gdoc[:m][valid],
+                        "fp": mins[valid]}).drop_duplicates()
+    return (fps["d"].to_numpy(np.int64), fps["fp"].to_numpy())
 
 
 def winnow_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
