@@ -3920,6 +3920,19 @@ def q_skew_report(sf_dir: str):
                                max_partitions=32)
 
 
+def q_triangles(sf_dir: str):
+    """Triangle count over the part co-purchase graph (parts sharing an
+    order are an edge): distinct-edge build → id-orientation wedge join
+    — the two-shuffle distributed triangle algorithm. Returns
+    (n_edges, n_wedges, n_triangles)."""
+    from web_crawler_ray.stages.graph import cooccurrence_edges, triangle_count
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4127,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_encode": q_bpe_encode,
         "q_equidepth_hist": q_equidepth_hist,
         "q_skew_report": q_skew_report,
+        "q_triangles": q_triangles,
     }
 
 
@@ -5880,5 +5894,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * 1000000 // total AS BIGINT) AS share_ppm,
                    CAST((n * 32 + total - 1) // total AS BIGINT) AS n_salts
             FROM c, t WHERE n >= 0.01 * total
+        """,
+        "q_triangles": """
+            WITH e AS (
+              SELECT DISTINCT l.l_partkey AS a, r.l_partkey AS b
+              FROM lineitem l
+              JOIN lineitem r ON l.l_orderkey = r.l_orderkey
+                             AND l.l_partkey < r.l_partkey
+            ), w AS (
+              SELECT e1.b AS x, e2.b AS y
+              FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+                   (SELECT CAST(count(*) AS BIGINT)
+                    FROM w JOIN e ON w.x = e.a AND w.y = e.b) AS n_triangles
         """,
     }

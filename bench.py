@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "q_bpe_encode",
     "q_equidepth_hist",
     "q_skew_report",
+    "q_triangles",
 ]
 
 

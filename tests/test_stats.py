@@ -166,3 +166,46 @@ def test_bpe_encode_sennrich(ray_session):
         {"doc_id": [9], "text": [""]})), merges).to_pandas()
     assert empty["n_tokens"].tolist() == [0]
     assert empty["tokens_per_word"].tolist() == [0.0]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 has 4 triangles and 4 oriented wedges; a star has wedges but
+    no closures; co-occurrence edge build dedups across groups."""
+    from web_crawler_ray.stages.graph import cooccurrence_edges, triangle_count
+
+    def run(edges, gate):
+        df = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        return (triangle_count(rd.from_pandas(df), broadcast_gate=gate)
+                .to_pandas().iloc[0])
+
+    for gate in (0, 1_000_000):  # both closure paths (shuffle/broadcast)
+        k4 = run([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], gate)
+        assert (k4["n_edges"], k4["n_wedges"], k4["n_triangles"]) == (6, 4, 4)
+
+        star = run([(1, 2), (1, 3), (1, 4)], gate)
+        assert (star["n_edges"], star["n_wedges"],
+                star["n_triangles"]) == (3, 3, 0)
+
+    # huge ids overflow the 31-bit pack → broadcast path must defer to
+    # the shuffle path and still be exact
+    big = run([(1 << 40, 1 << 41), (1 << 40, 1 << 42), ((1 << 41), 1 << 42)],
+              1_000_000)
+    assert (big["n_edges"], big["n_wedges"], big["n_triangles"]) == (3, 1, 1)
+
+    groups = pd.DataFrame({
+        "g": [10, 10, 10, 20, 20, 20, 30],
+        "item": [1, 2, 3, 2, 3, 4, 1],
+    })
+    e = (cooccurrence_edges(rd.from_pandas(groups).repartition(3), "g", "item")
+         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # (2,3) occurs in both groups but is one edge
+    assert [tuple(r) for r in e.to_numpy()] == [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    tri = triangle_count(rd.from_pandas(e)).to_pandas().iloc[0]
+    assert tri["n_triangles"] == 2  # (1,2,3) and (2,3,4)
+
+    import pytest
+    with pytest.raises(ValueError):
+        cooccurrence_edges(rd.from_pandas(pd.DataFrame(
+            {"g": [1] * 40, "item": range(40)})), "g", "item",
+            max_group=10).to_pandas()

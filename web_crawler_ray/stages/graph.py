@@ -474,3 +474,192 @@ def _join_pagerank(e, src: str, dst: str, damping: float, iterations: int,
         lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
                                 "score": sql_round(b["s"], ndigits)}),
         batch_format="pandas")
+
+
+def cooccurrence_edges(ds, group_col: str, item_col: str,
+                       num_partitions: int = 32, max_group: int = 1024):
+    """Undirected co-occurrence edges: items sharing a group (parts on
+    one order, tokens in one doc) become an (id_a < id_b) edge, distinct
+    across the corpus. One co-locating shuffle on ``group_col`` with a
+    batch-local distinct pre-combine; pair fan-out per group is
+    vectorized triu (groups are receipt-sized — ``max_group`` raises on
+    pathological groups rather than silently emitting g² rows)."""
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[group_col, item_col]].drop_duplicates()
+
+    def pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = (part.drop_duplicates()
+                .sort_values([group_col, item_col], kind="mergesort"))
+        keys = part[group_col].to_numpy()
+        items = part[item_col].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
+        a_out, b_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            if g > max_group:
+                raise ValueError(
+                    f"group of size {g} exceeds max_group={max_group}")
+            iu, ju = np.triu_indices(g, 1)
+            a_out.append(items[s + iu])
+            b_out.append(items[s + ju])
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(a_out).astype("int64"),
+            "id_b": np.concatenate(b_out).astype("int64"),
+        }).drop_duplicates()
+
+    pairs = partitioned_apply(
+        ds.map_batches(pre, batch_format="pandas"),
+        [group_col], pairs_part, num_partitions=num_partitions)
+    return partitioned_drop_duplicates(pairs, ["id_a", "id_b"],
+                                       num_partitions=num_partitions)
+
+
+def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
+                   num_partitions: int = 32,
+                   broadcast_gate: int = 20_000_000):
+    """Distributed triangle count over a distinct (a < b) edge list —
+    the clustering-structure probe of the graph suite. Id-orientation
+    wedge enumeration: every triangle a<b<c is counted exactly once as
+    a wedge (b, c) opened at its smallest vertex a and closed by the
+    edge (b, c).
+
+    Shape: shuffle 1 co-locates edges by ``a``; each partition
+    enumerates its wedges vectorized. Closure has two paths, the same
+    dual-path rule as ``bipartite_power_scores``: at or below
+    ``broadcast_gate`` edges (and 31-bit ids) the sorted packed edge-key
+    array broadcasts once via ``ray.put`` and wedges close map-side with
+    a searchsorted probe — the (wedges ≫ edges) set never shuffles.
+    Past the gate, wedges pre-aggregate to (b, c, n_wedge) rows and a
+    second shuffle co-locates them with edges — nothing ever gathers a
+    neighborhood on the driver. Wedge fan-out is quadratic in
+    out-degree by id order; for power-law graphs switch the orientation
+    to (degree, id) order (standard trick, same join), which caps
+    fan-out at O(E^1.5).
+    Returns one row: (n_edges, n_wedges, n_triangles)."""
+    import ray
+
+    # consumed by BOTH the wedge branch and the closure tag — without a
+    # barrier the whole upstream edge build executes twice
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+
+    if n_edges <= broadcast_gate:
+        keys_parts, small_ids = [], True
+        for b in edges_ds.iter_batches(batch_format="pandas"):
+            a = b[a_col].to_numpy(np.int64)
+            bb = b[b_col].to_numpy(np.int64)
+            if len(a) and (a.min() < 0 or bb.min() < 0
+                           or max(a.max(), bb.max()) >= (1 << 31)):
+                small_ids = False
+                break
+            keys_parts.append((a << 32) | bb)
+        if small_ids:
+            edge_keys = np.sort(np.concatenate(keys_parts)
+                                if keys_parts else np.array([], np.int64))
+            ref = ray.put(edge_keys)
+
+            def close_map(part: pd.DataFrame) -> pd.DataFrame:
+                ek = ray.get(ref)
+                part = (part.drop_duplicates(subset=[a_col, b_col])
+                        .sort_values([a_col, b_col], kind="mergesort"))
+                keys = part[a_col].to_numpy()
+                nbrs = part[b_col].to_numpy(np.int64)
+                bounds = np.concatenate(
+                    [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1,
+                     [len(keys)]])
+                n_w = 0
+                n_t = 0
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    g = e - s
+                    if g < 2:
+                        continue
+                    iu, ju = np.triu_indices(g, 1)
+                    wk = (nbrs[s + iu] << 32) | nbrs[s + ju]
+                    n_w += len(wk)
+                    pos = np.searchsorted(ek, wk)
+                    ok = pos < len(ek)
+                    n_t += int((ek[pos[ok]] == wk[ok]).sum())
+                return pd.DataFrame({"n_wedges": [np.int64(n_w)],
+                                     "n_triangles": [np.int64(n_t)]})
+
+            partials = partitioned_apply(edges_ds, [a_col], close_map,
+                                         num_partitions=num_partitions)
+            n_w = n_t = 0
+            for b in partials.iter_batches(batch_format="pandas"):
+                n_w += int(b["n_wedges"].sum())
+                n_t += int(b["n_triangles"].sum())
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame(
+                {"n_edges": np.array([n_edges], dtype=np.int64),
+                 "n_wedges": np.array([n_w], dtype=np.int64),
+                 "n_triangles": np.array([n_t], dtype=np.int64)}))
+
+    def wedges_part(part: pd.DataFrame) -> pd.DataFrame:
+        part = (part.drop_duplicates(subset=[a_col, b_col])
+                .sort_values([a_col, b_col], kind="mergesort"))
+        keys = part[a_col].to_numpy()
+        nbrs = part[b_col].to_numpy()
+        bounds = np.concatenate(
+            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
+        b_out, c_out = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            g = e - s
+            if g < 2:
+                continue
+            iu, ju = np.triu_indices(g, 1)
+            b_out.append(nbrs[s + iu])
+            c_out.append(nbrs[s + ju])
+        if not b_out:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "y": pd.Series([], dtype="int64"),
+                                 "n_wedge": pd.Series([], dtype="int64"),
+                                 "is_edge": pd.Series([], dtype="int64")})
+        out = (pd.DataFrame({"x": np.concatenate(b_out).astype("int64"),
+                             "y": np.concatenate(c_out).astype("int64")})
+               .groupby(["x", "y"], sort=False).size()
+               .rename("n_wedge").reset_index())
+        out["is_edge"] = np.int64(0)
+        return out
+
+    wedges = partitioned_apply(edges_ds, [a_col], wedges_part,
+                               num_partitions=num_partitions)
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "x": batch[a_col].to_numpy().astype("int64"),
+            "y": batch[b_col].to_numpy().astype("int64"),
+            "n_wedge": np.zeros(len(batch), dtype=np.int64),
+            "is_edge": np.ones(len(batch), dtype=np.int64),
+        })
+
+    def close_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["x", "y"], sort=False).agg(
+            n_wedge=("n_wedge", "sum"), is_edge=("is_edge", "max"))
+        return pd.DataFrame({
+            "n_edges": [np.int64(g["is_edge"].sum())],
+            "n_wedges": [np.int64(g["n_wedge"].sum())],
+            "n_triangles": [np.int64(
+                g.loc[g["is_edge"] > 0, "n_wedge"].sum())],
+        })
+
+    both = wedges.union(
+        edges_ds.map_batches(tag_edges, batch_format="pandas"))
+    partials = partitioned_apply(both, ["x", "y"], close_part,
+                                 num_partitions=num_partitions)
+    tot = np.zeros(3, dtype=np.int64)
+    for b in partials.iter_batches(batch_format="pandas"):
+        tot += np.array([b["n_edges"].sum(), b["n_wedges"].sum(),
+                         b["n_triangles"].sum()], dtype=np.int64)
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"n_edges": [tot[0]], "n_wedges": [tot[1]],
+         "n_triangles": [tot[2]]}))
