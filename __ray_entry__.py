@@ -3933,6 +3933,56 @@ def q_triangles(sf_dir: str):
     return triangle_count(edges)
 
 
+def q_window_dedup(sf_dir: str):
+    """Windowed dedup: at most one event per user per 1-hour tumbling
+    window (first by ts, then event_id) — the streaming throttle /
+    re-fetch-suppression shape. Batch-local winner pre-combine, one
+    co-locating shuffle."""
+    from web_crawler_ray.stages.windows import window_dedup
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    out = window_dedup(ds, "user_id", "ts", 3_600_000_000, "event_id")
+    return out.select_columns(["event_id", "user_id", "w_start"])
+
+
+def q_cdc_apply(sf_dir: str):
+    """CDC merge: apply a deterministic changelog (upsert n_chars+1000
+    for doc_id % 4 == 0 at seq 1, delete doc_id % 8 == 0 at seq 2 —
+    last wins — and insert doc_id+1000000 for doc_id % 50 == 0) to the
+    documents snapshot. One co-locating shuffle produces the next
+    snapshot without recomputing it."""
+    import numpy as np
+
+    from web_crawler_ray.stages.dedup import apply_changes
+
+    base = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "n_chars"])
+
+    def gen_changes(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(np.int64)
+        nch = batch["n_chars"].to_numpy(np.int64)
+        up = ids % 4 == 0
+        de = ids % 8 == 0
+        ins = ids % 50 == 0
+        return pd.DataFrame({
+            "doc_id": np.concatenate([ids[up], ids[de], ids[ins] + 1_000_000]),
+            "op": ["upsert"] * int(up.sum()) + ["delete"] * int(de.sum())
+                  + ["upsert"] * int(ins.sum()),
+            "seq": np.concatenate([np.ones(up.sum(), np.int64),
+                                   np.full(de.sum(), 2, np.int64),
+                                   np.ones(ins.sum(), np.int64)]),
+            "n_chars": np.concatenate([nch[up] + 1000,
+                                       np.zeros(de.sum(), np.int64),
+                                       ids[ins]]),
+        })
+
+    changes = rd.read_parquet(_t(sf_dir, "documents"),
+                              columns=["doc_id", "n_chars"]).map_batches(
+        gen_changes, batch_format="pandas")
+    return apply_changes(base, changes)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4141,6 +4191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_equidepth_hist": q_equidepth_hist,
         "q_skew_report": q_skew_report,
         "q_triangles": q_triangles,
+        "q_window_dedup": q_window_dedup,
+        "q_cdc_apply": q_cdc_apply,
     }
 
 
@@ -5909,5 +5961,35 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
                    (SELECT CAST(count(*) AS BIGINT)
                     FROM w JOIN e ON w.x = e.a AND w.y = e.b) AS n_triangles
+        """,
+        "q_window_dedup": """
+            WITH w AS (
+              SELECT event_id, user_id, ts,
+                     (epoch_us(ts) // 3600000000) * 3600000000 AS w_start
+              FROM events
+            )
+            SELECT event_id, user_id, w_start FROM w
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, w_start ORDER BY ts, event_id) = 1
+        """,
+        "q_cdc_apply": """
+            WITH ch AS (
+              SELECT doc_id, 'upsert' AS op, 1 AS seq,
+                     n_chars + 1000 AS n_chars
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, 'delete', 2, 0 FROM documents
+              WHERE doc_id % 8 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'upsert', 1, doc_id
+              FROM documents WHERE doc_id % 50 = 0
+            ), win AS (
+              SELECT * FROM ch QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY seq DESC, op) = 1
+            )
+            SELECT b.doc_id, b.n_chars FROM documents b
+            ANTI JOIN win ON b.doc_id = win.doc_id
+            UNION ALL
+            SELECT doc_id, n_chars FROM win WHERE op = 'upsert'
         """,
     }

@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "q_equidepth_hist",
     "q_skew_report",
     "q_triangles",
+    "q_window_dedup",
+    "q_cdc_apply",
 ]
 
 

@@ -1298,3 +1298,40 @@ def test_snapshot_diff_classification(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(zip(out["doc_id"], out["status"])) == [
         (1, "removed"), (3, "changed"), (5, "added")]
+
+
+def test_window_dedup_first_wins(ray_session):
+    """Exactly one survivor per (key, window); min-ts then min-tie
+    wins; windows are tumbling (boundary event starts a new window)."""
+    from web_crawler_ray.stages.windows import window_dedup
+
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:05", "2024-01-01 00:00:30",  # u1 window 0
+        "2024-01-01 00:01:00",                          # u1 window 1 (boundary)
+        "2024-01-01 00:00:10", "2024-01-01 00:00:10",  # u2 tie on ts
+    ])
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2], "ts": ts,
+                       "eid": [11, 10, 12, 21, 20]})
+    out = (window_dedup(rd.from_pandas(df).repartition(3), "u", "ts",
+                        60_000_000, "eid")
+           .to_pandas().sort_values("eid").reset_index(drop=True))
+    assert out["eid"].tolist() == [11, 12, 20]  # ts wins, then tie by eid
+
+
+def test_apply_changes_semantics(ray_session):
+    """Last change per id wins; delete removes; upsert inserts or
+    replaces; untouched base rows pass through."""
+    from web_crawler_ray.stages.dedup import apply_changes
+
+    base = pd.DataFrame({"doc_id": [1, 2, 3, 4], "v": [10, 20, 30, 40]})
+    ch = pd.DataFrame({
+        "doc_id": [2, 2, 3, 9],
+        "op": ["upsert", "delete", "upsert", "upsert"],
+        "seq": [1, 2, 1, 1],
+        "v": [99, 0, 33, 90],
+    })
+    out = (apply_changes(rd.from_pandas(base), rd.from_pandas(ch),
+                         id_col="doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["v"])) == [
+        (1, 10), (3, 33), (4, 40), (9, 90)]  # 2 deleted (seq 2 > 1)

@@ -498,3 +498,49 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
 
     return partitioned_apply(both, [id_col], classify,
                              num_partitions=num_partitions)
+
+
+def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
+                  op_col: str = "op", seq_col: str = "seq",
+                  num_partitions: int = 32):
+    """CDC merge: apply a changelog of (id, op ∈ {'upsert','delete'},
+    seq, payload…) rows to a base snapshot — last change per id wins
+    (max ``seq``), 'delete' removes the row, 'upsert' replaces or
+    inserts it, untouched base rows pass through. The incremental
+    companion of :func:`snapshot_diff`: diff tells you what changed,
+    apply produces the next snapshot without recomputing it.
+
+    Shape: one co-locating shuffle of base ∪ changelog on ``id_col``
+    (the changelog is the small side by construction); per partition a
+    vectorized sort + drop_duplicates resolves winners — no per-id
+    Python. Payload columns are every shared column except id/op/seq."""
+    from .grouped import partitioned_apply
+
+    base_cols = [c for c in base_ds.schema().names]
+    payload = [c for c in base_cols if c != id_col]
+
+    def tag_base(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[base_cols].copy()
+        batch[op_col] = "base"
+        batch[seq_col] = np.int64(-1)
+        return batch
+
+    def tag_change(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[id_col, op_col, seq_col, *payload]]
+
+    both = (base_ds.map_batches(tag_base, batch_format="pandas")
+            .union(changes_ds.map_batches(tag_change,
+                                          batch_format="pandas")))
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        # winner per id: max seq (base rows carry seq −1, so any change
+        # beats the base); deterministic tie-break on op then payload
+        part = part.sort_values([id_col, seq_col, op_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        win = part.drop_duplicates(subset=[id_col])
+        out = win[win[op_col] != "delete"]
+        return out[[id_col, *payload]].reset_index(drop=True)
+
+    return partitioned_apply(both, [id_col], resolve,
+                             num_partitions=num_partitions)

@@ -587,3 +587,36 @@ def sessionize(ds, key: str, ts_col: str, tie_col: str, gap_ms: int,
         return res[[key, "session_id", "n_events", "start_us", "end_us"]]
 
     return partitioned_apply(ds, [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def window_dedup(ds, key_col: str, ts_col: str, width_us: int,
+                 tie_col: str, num_partitions: int = 32):
+    """Streaming-style windowed dedup: within each (key, tumbling
+    width_us window) keep only the FIRST row (min ts, then min
+    ``tie_col``) — the at-most-once-per-key-per-window throttle
+    (alert suppression, per-user event sampling, crawl re-fetch
+    suppression). Emits the surviving rows plus their ``w_start``.
+
+    Shape: a batch-local winner pre-combine caps shuffle volume at one
+    row per (batch, key, window); one co-locating shuffle; vectorized
+    sort + drop_duplicates per partition — no per-group Python."""
+    from .grouped import partitioned_apply
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        ts = batch[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        batch["w_start"] = (ts // width_us) * width_us
+        return (batch.sort_values([key_col, "w_start", ts_col, tie_col],
+                                  kind="mergesort")
+                .drop_duplicates(subset=[key_col, "w_start"]))
+
+    def first_per_window(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.sort_values([key_col, "w_start", ts_col, tie_col],
+                                 kind="mergesort")
+                .drop_duplicates(subset=[key_col, "w_start"])
+                .reset_index(drop=True))
+
+    return partitioned_apply(
+        ds.map_batches(add_window, batch_format="pandas"),
+        [key_col, "w_start"], first_per_window,
+        num_partitions=num_partitions)
