@@ -1335,3 +1335,31 @@ def test_apply_changes_semantics(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(zip(out["doc_id"], out["v"])) == [
         (1, 10), (3, 33), (4, 40), (9, 90)]  # 2 deleted (seq 2 > 1)
+
+
+def test_spec_round4_ops(ray_session):
+    dedup = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "window_dedup", "key": "user_id", "ts_col": "ts",
+          "width_us": 3_600_000_000, "tie": "event_id"}],
+    ).to_pandas()
+    assert not dedup.duplicated(subset=["user_id", "w_start"]).any()
+
+    hist = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "equidepth_hist", "column": "value", "k": 5}],
+    ).to_pandas()
+    assert hist["n"].sum() == 1000 and len(hist) == 5
+
+    skew = build_pipeline(
+        "/root/testdata/sf0.001/events.parquet",
+        [{"op": "skew_report", "key": "event_type"}],
+    ).to_pandas()
+    assert (skew["n_salts"] >= 1).all()
+
+    tri = build_pipeline(
+        "/root/testdata/sf0.001/lineitem.parquet",
+        [{"op": "cooccur_edges", "group": "l_orderkey", "item": "l_partkey"},
+         {"op": "triangle_count"}],
+    ).to_pandas()
+    assert tri["n_edges"].iloc[0] > 0

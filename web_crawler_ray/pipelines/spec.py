@@ -69,6 +69,13 @@ Spec format (list of op dicts, applied in order):
                   "min_shared": 2, "max_bucket": None}
     {"op": "zorder",      "a": col, "b": col, "num_partitions": 16,
                   "bits": 16}
+    {"op": "window_dedup", "key": col, "ts_col": "ts", "width_us": W,
+                  "tie": col}
+    {"op": "equidepth_hist", "column": col, "k": 10}
+    {"op": "skew_report", "key": col, "hot_frac": 0.01,
+                  "max_partitions": 32}
+    {"op": "cooccur_edges", "group": col, "item": col, "max_group": 1024}
+    {"op": "triangle_count", "a": "id_a", "b": "id_b"}
 """
 
 from __future__ import annotations
@@ -303,6 +310,31 @@ def _apply_op(ds, op: dict):
         return zorder_key(ds, op["a"], op["b"],
                           num_partitions=op.get("num_partitions", 16),
                           bits=op.get("bits", 16))
+    if kind == "window_dedup":
+        from ..stages.windows import window_dedup
+
+        return window_dedup(ds, op["key"], op.get("ts_col", "ts"),
+                            op["width_us"], op["tie"])
+    if kind == "equidepth_hist":
+        from ..stages.aggregate import equidepth_histogram
+
+        return equidepth_histogram(ds, op["column"], k=op.get("k", 10))
+    if kind == "skew_report":
+        from ..stages.aggregate import shuffle_skew_report
+
+        return shuffle_skew_report(ds, op["key"],
+                                   hot_frac=op.get("hot_frac", 0.01),
+                                   max_partitions=op.get("max_partitions", 32))
+    if kind == "cooccur_edges":
+        from ..stages.graph import cooccurrence_edges
+
+        return cooccurrence_edges(ds, op["group"], op["item"],
+                                  max_group=op.get("max_group", 1024))
+    if kind == "triangle_count":
+        from ..stages.graph import triangle_count
+
+        return triangle_count(ds, a_col=op.get("a", "id_a"),
+                              b_col=op.get("b", "id_b"))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -453,6 +485,21 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "zorder":
             need([op["a"], op["b"]])
             created |= {"zkey", "zpart"}
+        elif kind == "window_dedup":
+            need([op["key"], op.get("ts_col", "ts"), op["tie"]])
+            created.add("w_start")
+        elif kind == "equidepth_hist":
+            need([op["column"]])
+            created |= {"bucket", "n", "v_min", "v_max"}
+        elif kind == "skew_report":
+            need([op["key"]])
+            created |= {"n", "share_ppm", "n_salts"}
+        elif kind == "cooccur_edges":
+            need([op["group"], op["item"]])
+            created |= {"id_a", "id_b"}
+        elif kind == "triangle_count":
+            need([op.get("a", "id_a"), op.get("b", "id_b")])
+            created |= {"n_edges", "n_wedges", "n_triangles"}
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
