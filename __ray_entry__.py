@@ -5889,12 +5889,12 @@ def oracle_sql() -> dict[str, str]:
         "q_zorder_layout": """
             WITH z AS (
               SELECT o_custkey, o_orderkey,
-                     list_sum([(((o_custkey % 256) >> i) & 1)
-                               * (1::BIGINT << (2 * i))
-                               FOR i IN range(0, 8)])
-                   + list_sum([(((o_orderkey % 256) >> i) & 1)
-                               * (1::BIGINT << (2 * i + 1))
-                               FOR i IN range(0, 8)]) AS zkey
+                     CAST(list_sum([(((o_custkey % 256) >> i) & 1)
+                                    * (1::BIGINT << (2 * i))
+                                    FOR i IN range(0, 8)])
+                        + list_sum([(((o_orderkey % 256) >> i) & 1)
+                                    * (1::BIGINT << (2 * i + 1))
+                                    FOR i IN range(0, 8)]) AS BIGINT) AS zkey
               FROM orders
             )
             SELECT zkey >> 12 AS zpart,
