@@ -3983,6 +3983,45 @@ def q_cdc_apply(sf_dir: str):
     return apply_changes(base, changes)
 
 
+def q_benford(sf_dir: str):
+    """Leading-digit (Benford) data-quality profile of the extended
+    price column — the fabricated-data screen over monetary columns.
+    Map-side 9-cell digit counts, one tiny combine; the column never
+    leaves the mappers. Reference capability analogue: the validation
+    summary layer (pacong/data/validator.py) generalized to a
+    distribution-level audit."""
+    from web_crawler_ray.stages.stats import benford_profile
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_extendedprice"])
+    return benford_profile(ds, "l_extendedprice", scale=100)
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 collocations by pointwise mutual information (min pair
+    count 5): one tokenize pass emits unigram AND bigram partials,
+    one coarse grouped_sum combine, PMI over the vocabulary-bounded
+    count table."""
+    from web_crawler_ray.stages.text_rank import pmi_bigrams
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+    return pmi_bigrams(ds, "text", k=20, min_count=5)
+
+
+CHI2_TERMS = ["batch", "customer", "query", "scan", "spark",
+              "table", "value", "window"]
+
+
+def q_chi2_terms(sf_dir: str):
+    """Chi-squared term-vs-language feature selection over a bounded
+    candidate list: per-batch (terms × labels) presence-count
+    partials, corpus-size-independent combine, one-vs-rest 2×2 chi2
+    per cell — 'which tokens characterize which language slice'."""
+    from web_crawler_ray.stages.text_rank import chi2_terms
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text", "lang"])
+    return chi2_terms(ds, "text", "lang", CHI2_TERMS, k=20)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4193,6 +4232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": q_triangles,
         "q_window_dedup": q_window_dedup,
         "q_cdc_apply": q_cdc_apply,
+        "q_benford": q_benford,
+        "q_pmi_bigrams": q_pmi_bigrams,
+        "q_chi2_terms": q_chi2_terms,
     }
 
 
@@ -5991,5 +6033,67 @@ def oracle_sql() -> dict[str, str]:
             ANTI JOIN win ON b.doc_id = win.doc_id
             UNION ALL
             SELECT doc_id, n_chars FROM win WHERE op = 'upsert'
+        """,
+        "q_benford": """
+            WITH v AS (
+              SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS n
+              FROM lineitem
+            ), d AS (
+              SELECT CAST(substr(CAST(n AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM v WHERE n > 0
+            )
+            SELECT digit, CAST(count(*) AS BIGINT) AS n_vals,
+                   round(CAST(count(*) AS DOUBLE)
+                         / (SELECT CAST(count(*) AS DOUBLE) FROM d), 6) AS share,
+                   round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS expected
+            FROM d GROUP BY digit ORDER BY digit
+        """,
+        "q_pmi_bigrams": """
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), uni AS (SELECT unnest(t) AS w FROM toks),
+            bi AS (
+              SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+              FROM toks
+            ),
+            uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w),
+            bc AS (SELECT bg, count(*) AS c FROM bi GROUP BY bg
+                   HAVING count(*) >= 5),
+            tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS nu,
+                           (SELECT CAST(count(*) AS DOUBLE) FROM bi) AS nb)
+            SELECT bc.bg AS bigram, CAST(bc.c AS BIGINT) AS n,
+                   round(ln((CAST(bc.c AS DOUBLE) / tot.nb)
+                            / ((ua.c / tot.nu) * (ub.c / tot.nu))), 6) AS pmi
+            FROM bc, tot
+            JOIN uc ua ON ua.w = split_part(bc.bg, ' ', 1)
+            JOIN uc ub ON ub.w = split_part(bc.bg, ' ', 2)
+            ORDER BY pmi DESC, bigram LIMIT 20
+        """,
+        "q_chi2_terms": """
+            WITH docs AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t, lang
+              FROM documents
+            ), terms(term) AS (
+              VALUES ('batch'), ('customer'), ('query'), ('scan'),
+                     ('spark'), ('table'), ('value'), ('window')
+            ), cells AS (
+              SELECT term, lang AS label,
+                     CAST(sum(CAST(list_contains(t, term) AS INT)) AS DOUBLE) AS a,
+                     CAST(count(*) AS DOUBLE) AS n_l
+              FROM docs CROSS JOIN terms GROUP BY term, lang
+            ), tots AS (
+              SELECT term, sum(a) AS n_t FROM cells GROUP BY term
+            ), nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+            SELECT c.term, c.label, CAST(c.a AS BIGINT) AS n_docs,
+                   round(CASE WHEN ((t.n_t * (nn.n - t.n_t)) * c.n_l) * (nn.n - c.n_l) > 0
+                     THEN ((nn.n * (c.a * (nn.n - t.n_t - c.n_l + c.a)
+                                    - (t.n_t - c.a) * (c.n_l - c.a)))
+                           * (c.a * (nn.n - t.n_t - c.n_l + c.a)
+                              - (t.n_t - c.a) * (c.n_l - c.a)))
+                          / (((t.n_t * (nn.n - t.n_t)) * c.n_l) * (nn.n - c.n_l))
+                     ELSE 0.0 END, 6) AS chi2
+            FROM cells c JOIN tots t ON c.term = t.term CROSS JOIN nn
+            ORDER BY chi2 DESC, c.term, c.label LIMIT 20
         """,
     }

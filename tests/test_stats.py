@@ -209,3 +209,72 @@ def test_triangle_count_known_graphs(ray_session):
         cooccurrence_edges(rd.from_pandas(pd.DataFrame(
             {"g": [1] * 40, "item": range(40)})), "g", "item",
             max_group=10).to_pandas()
+
+
+def test_benford_profile_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import benford_profile
+
+    # values whose leading digits (after *100 scaling) are known,
+    # including exact powers of ten where float log10 needs the
+    # integer correction: 10.00 -> 1000 -> digit 1, 99.99 -> 9999 -> 9
+    df = pd.DataFrame({"x": [10.00, 99.99, 1.00, 0.01, 2.5, 25.0, 3.33]})
+    out = benford_profile(rd.from_pandas(df), "x", scale=100)
+    got = dict(zip(out["digit"], out["n_vals"]))
+    # digits: 1000->1, 9999->9, 100->1, 1->1, 250->2, 2500->2, 333->3
+    assert got == {1: 3, 2: 2, 3: 1, 9: 1}
+    assert abs(float(out["share"].sum()) - 1.0) < 1e-5
+    row1 = out[out["digit"] == 1].iloc[0]
+    assert row1["expected"] == round(np.log10(2.0), 6)
+
+
+def test_benford_power_of_ten_correction(ray_session):
+    from web_crawler_ray.stages.stats import benford_profile
+
+    # exact powers of ten at several magnitudes: every leading digit
+    # must be exactly 1 (the naive float log10 path misassigns some)
+    vals = [10.0 ** k for k in range(-2, 10)]
+    out = benford_profile(rd.from_pandas(pd.DataFrame({"x": vals})), "x")
+    assert out["digit"].tolist() == [1]
+    assert int(out["n_vals"].iloc[0]) == len(vals)
+
+
+def test_pmi_bigrams_hand_case(ray_session):
+    from web_crawler_ray.stages.text_rank import pmi_bigrams
+
+    # corpus: "a b" x4 in one doc-pattern, "a c" x4; unigrams a=8,b=4,c=4
+    docs = pd.DataFrame({"t": ["a b", "a b", "a b", "a b",
+                               "a c", "a c", "a c", "a c"]})
+    out = pmi_bigrams(rd.from_pandas(docs), "t", k=10, min_count=1)
+    # per doc one bigram -> N_bi=8, N_uni=16, c(a b)=4, c_a=8, c_b=4
+    exp = round(np.log((4 / 8.0) / ((8 / 16.0) * (4 / 16.0))), 6)
+    got = dict(zip(out["bigram"], out["pmi"]))
+    assert got == {"a b": exp, "a c": exp}
+
+
+def test_pmi_min_count_filter(ray_session):
+    from web_crawler_ray.stages.text_rank import pmi_bigrams
+
+    docs = pd.DataFrame({"t": ["x y"] * 5 + ["p q"]})
+    out = pmi_bigrams(rd.from_pandas(docs), "t", k=10, min_count=2)
+    assert out["bigram"].tolist() == ["x y"]
+
+
+def test_chi2_terms_hand_case(ray_session):
+    from web_crawler_ray.stages.text_rank import chi2_terms
+
+    # 40 docs: term "hot" in 18/20 label-A docs and 2/20 label-B docs
+    rows = ([{"text": "hot stuff", "lab": "A"}] * 18
+            + [{"text": "cold stuff", "lab": "A"}] * 2
+            + [{"text": "hot stuff", "lab": "B"}] * 2
+            + [{"text": "cold stuff", "lab": "B"}] * 18)
+    out = chi2_terms(rd.from_pandas(pd.DataFrame(rows)), "text", "lab",
+                     ["hot"], k=10)
+    # a=18 b=2 c=2 d=18, N=40: chi2 = 40*(18*18-2*2)^2/(20*20*20*20)
+    exp = round(40.0 * (18.0 * 18 - 2.0 * 2) ** 2 / (20.0 ** 4), 6)
+    got = {(r["term"], r["label"]): r["chi2"] for _, r in out.iterrows()}
+    assert got[("hot", "A")] == exp
+    assert got[("hot", "B")] == exp  # symmetric 2x2
+    # "stuff" is in every doc -> chi2 0 if it were a candidate
+    out2 = chi2_terms(rd.from_pandas(pd.DataFrame(rows)), "text", "lab",
+                      ["stuff"], k=10)
+    assert set(out2["chi2"]) == {0.0}

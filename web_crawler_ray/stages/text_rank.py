@@ -319,3 +319,142 @@ def unigram_logprob(ds, text_col: str, id_col: str, vocab_size: int = 100,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def pmi_bigrams(ds, text_col: str, k: int = 20, min_count: int = 5,
+                ndigits: int = 6) -> pd.DataFrame:
+    """Top-k collocations by pointwise mutual information,
+    ``pmi = ln( (c_ab/N_bi) / ((c_a/N_uni)·(c_b/N_uni)) )`` over corpus
+    bigram/unigram counts (Church & Hanks 1990) — the statistic that
+    separates real collocations ("hong kong") from merely-frequent
+    pairs top_bigrams keeps.
+
+    One tokenize pass emits BOTH unigram and bigram partial counts
+    (kind-prefixed key so a single coarse grouped_sum combines them);
+    the shuffle carries one row per (batch, distinct term). PMI is
+    computed on the driver over the combined vocabulary-bounded count
+    table (same boundedness note as top_bigrams; cap with
+    heavy_hitters for open vocabularies). Rare pairs below
+    ``min_count`` are dropped before ranking; ties break ascending by
+    bigram."""
+    from .graph import grouped_sum
+
+    ds = ds.select_columns([text_col])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_per_doc if t])
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        same_doc = doc_ids[:-1] == doc_ids[1:]
+        bigrams = (flat[:-1] + " " + flat[1:])[same_doc]
+        uc = pd.Series(np.char.add("u\x1f", flat.astype(str))).value_counts(sort=False)
+        bc = pd.Series(np.char.add("b\x1f", bigrams.astype(str))).value_counts(sort=False)
+        return pd.DataFrame({
+            "key": np.concatenate([uc.index.to_numpy(), bc.index.to_numpy()]),
+            "n": np.concatenate([uc.to_numpy(), bc.to_numpy()]).astype("int64"),
+        })
+
+    combined = grouped_sum(
+        ds.map_batches(partial, batch_format="pandas"), "key", "n", "n",
+    ).to_pandas()
+    kind = combined["key"].str.slice(0, 1)
+    uni = combined[kind == "u"]
+    unigram = dict(zip(uni["key"].str.slice(2), uni["n"].astype(float)))
+    n_uni = float(uni["n"].sum())
+    bi = combined[kind == "b"].copy()
+    bi["bigram"] = bi["key"].str.slice(2)
+    bi = bi[bi["n"] >= min_count]
+    if bi.empty:
+        return pd.DataFrame({"bigram": pd.Series(dtype=object),
+                             "n": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+    n_bi = float(combined[kind == "b"]["n"].sum())
+    halves = bi["bigram"].str.split(" ", n=1, expand=True)
+    ca = halves[0].map(unigram).to_numpy(np.float64)
+    cb = halves[1].map(unigram).to_numpy(np.float64)
+    cab = bi["n"].to_numpy(np.float64)
+    pmi = np.log((cab / n_bi) / ((ca / n_uni) * (cb / n_uni)))
+    out = pd.DataFrame({"bigram": bi["bigram"].to_numpy(),
+                        "n": bi["n"].astype("int64").to_numpy(),
+                        "pmi": sql_round(pd.Series(pmi), ndigits)})
+    return (out.sort_values(["pmi", "bigram"], ascending=[False, True],
+                            kind="mergesort")
+            .head(k).reset_index(drop=True))
+
+
+def chi2_terms(ds, text_col: str, label_col: str, terms: list[str],
+               k: int = 20, ndigits: int = 6) -> pd.DataFrame:
+    """Chi-squared term-vs-label feature selection: for each candidate
+    term and each label, the one-vs-rest 2×2 presence test
+    ``chi2 = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))`` over document
+    counts (a = docs with term ∧ label, …) — the standard supervised
+    feature-selection screen (Manning/Raghavan/Schütze IR ch. 13)
+    for "which tokens characterize which language/source slice".
+
+    The candidate list is explicit and bounded, so each batch ships one
+    (terms × labels) presence-count partial plus per-label doc counts;
+    the combine is cardinality-independent of the corpus. All chi2
+    doubles are pure functions of four integers — exactly replayable
+    in SQL. Output: top-k (term, label) by chi2 desc, ties ascending
+    (term, label)."""
+    from .aggregate import partial_grouped_agg
+
+    terms = sorted(set(terms))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        tf, _dl = _term_freqs(list(batch[text_col]), terms)
+        present = tf > 0
+        labels = batch[label_col].astype(str).to_numpy()
+        codes, uniq = pd.factorize(labels, use_na_sentinel=False)
+        rows = []
+        for li, lab in enumerate(uniq):
+            mask = codes == li
+            rows.append(pd.DataFrame({
+                "term": terms,
+                "label": lab,
+                "n_tl": present[mask].sum(axis=0).astype("int64"),
+                "n_l": np.int64(mask.sum()),
+            }))
+        return pd.concat(rows, ignore_index=True)
+
+    cells = partial_grouped_agg(
+        ds.select_columns([text_col, label_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["term", "label"],
+        {"n_tl": ("sum", "n_tl"), "n_l": ("sum", "n_l")},
+    ).to_pandas().sort_values(["term", "label"], kind="mergesort")
+
+    # n_l was emitted once per (term, label) partial row, so the sum
+    # over batches double-counts it |terms| times per batch only if a
+    # term column were collapsed — it is keyed by (term, label), so
+    # each (term, label) row's n_l is the true per-label count summed
+    # over batches. Marginals:
+    n_t = cells.groupby("term")["n_tl"].transform("sum").to_numpy(np.float64)
+    nn = float(cells.groupby("label")["n_l"].first().sum())
+    a = cells["n_tl"].to_numpy(np.float64)
+    n_l = cells["n_l"].to_numpy(np.float64)
+    b = n_t - a
+    c = n_l - a
+    d = nn - n_t - n_l + a
+    # exact same expression tree as the SQL oracle (left-assoc
+    # products): the operands are exact integers in float64 but the
+    # products can pass 2^53, where evaluation ORDER decides the final
+    # ulp — keep both sides identical.
+    diff = a * d - b * c
+    denom = ((n_t * (nn - n_t)) * n_l) * (nn - n_l)
+    chi2 = np.where(denom > 0,
+                    ((nn * diff) * diff) / np.where(denom > 0, denom, 1.0),
+                    0.0)
+    out = pd.DataFrame({"term": cells["term"].to_numpy(),
+                        "label": cells["label"].to_numpy(),
+                        "n_docs": cells["n_tl"].astype("int64").to_numpy(),
+                        "chi2": sql_round(pd.Series(chi2), ndigits)})
+    return (out.sort_values(["chi2", "term", "label"],
+                            ascending=[False, True, True], kind="mergesort")
+            .head(k).reset_index(drop=True))
