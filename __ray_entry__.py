@@ -4022,6 +4022,77 @@ def q_chi2_terms(sf_dir: str):
     return chi2_terms(ds, "text", "lang", CHI2_TERMS, k=20)
 
 
+def q_bucketed_join(sf_dir: str):
+    """Shuffle-FREE join via co-partitioned bucketed storage: both
+    sides are hash-bucketed by the join key ONCE at ingest
+    (hive-partitioned parquet, idempotent via fingerprint marker), and
+    the join is one task per bucket reading only that bucket's files
+    from each side — the Hive/Iceberg bucketed-join layout, the
+    at-scale answer to re-shuffling a fact table for every query."""
+    from web_crawler_ray.stages.joins import bucketed_join, bucketed_write
+
+    nb = 16
+    ob = bucketed_write(
+        rd.read_parquet(_t(sf_dir, "orders"),
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"]),
+        "o_custkey", nb, "/tmp/wcr_bucketed/orders",
+        fingerprint=f"{sf_dir}:orders:v1:{nb}")
+    cb = bucketed_write(
+        rd.read_parquet(_t(sf_dir, "customer"),
+                        columns=["c_custkey", "c_mktsegment"]),
+        "c_custkey", nb, "/tmp/wcr_bucketed/customer",
+        fingerprint=f"{sf_dir}:customer:v1:{nb}")
+    out = bucketed_join(ob, cb, on="o_custkey", right_on="c_custkey",
+                        num_buckets=nb)
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].astype("int64"),
+            "c_custkey": batch["c_custkey"].astype("int64"),
+            "c_mktsegment": batch["c_mktsegment"],
+            "o_totalprice": sql_round(batch["o_totalprice"], 2),
+        })
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+def q_zonemap_scan(sf_dir: str):
+    """Zone-map pruned range scan: lineitem is range-clustered on
+    l_shipdate once (sort + write; the parquet FOOTERS are the zone
+    map), then a shipdate range query opens only the files whose
+    footer [min, max] intersects the predicate and applies the exact
+    filter per batch. Aggregation by returnflag on the pruned stream —
+    the tests pin that the prune actually skips files."""
+    import os
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.layout import zonemap_scan
+
+    path = "/tmp/wcr_zonemap_lineitem"
+    marker = os.path.join(path, "_BUILT.txt")
+    fp = f"{sf_dir}:lineitem:v1"
+    if not (os.path.exists(marker) and open(marker).read() == fp):
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        (rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_shipdate", "l_returnflag", "l_quantity"])
+         .sort("l_shipdate").write_parquet(path))
+        with open(marker, "w") as f:
+            f.write(fp)
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-12-31")
+    scan = zonemap_scan(path, "l_shipdate", lo, hi,
+                        columns=["l_returnflag", "l_quantity"])
+    agg = partial_grouped_agg(scan, ["l_returnflag"],
+                              {"n_rows": ("count", None),
+                               "sum_qty": ("sum", "l_quantity")}).to_pandas()
+    agg = agg.sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+    agg["sum_qty"] = sql_round(agg["sum_qty"], 2)
+    return agg
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4235,6 +4306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_benford": q_benford,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_chi2_terms": q_chi2_terms,
+        "q_bucketed_join": q_bucketed_join,
+        "q_zonemap_scan": q_zonemap_scan,
     }
 
 
@@ -6095,5 +6168,18 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS chi2
             FROM cells c JOIN tots t ON c.term = t.term CROSS JOIN nn
             ORDER BY chi2 DESC, c.term, c.label LIMIT 20
+        """,
+        "q_bucketed_join": """
+            SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment,
+                   round(o.o_totalprice, 2) AS o_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "q_zonemap_scan": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <= TIMESTAMP '1996-12-31'
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
     }

@@ -1363,3 +1363,71 @@ def test_spec_round4_ops(ray_session):
          {"op": "triangle_count"}],
     ).to_pandas()
     assert tri["n_edges"].iloc[0] > 0
+
+
+def test_bucketed_join_matches_merge(ray_session, tmp_path):
+    import ray.data as rd
+
+    from web_crawler_ray.stages.joins import bucketed_join, bucketed_write
+
+    rng = np.random.default_rng(7)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                         "lv": np.arange(300)})
+    right = pd.DataFrame({"k2": np.arange(0, 60),
+                          "rv": np.arange(0, 60) * 10})
+    lp = bucketed_write(rd.from_pandas(left), "k", 8, str(tmp_path / "l"))
+    rp = bucketed_write(rd.from_pandas(right), "k2", 8, str(tmp_path / "r"))
+    got = (bucketed_join(lp, rp, on="k", right_on="k2", num_buckets=8)
+           .to_pandas().sort_values(["lv"]).reset_index(drop=True))
+    exp = (left.merge(right, left_on="k", right_on="k2")
+           .sort_values(["lv"]).reset_index(drop=True))
+    assert got[["k", "lv", "rv"]].equals(exp[["k", "lv", "rv"]])
+
+
+def test_bucketed_write_idempotent_by_fingerprint(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from web_crawler_ray.stages.joins import bucketed_write
+
+    df = pd.DataFrame({"k": [1, 2, 3], "v": [1, 2, 3]})
+    p = bucketed_write(rd.from_pandas(df), "k", 4, str(tmp_path / "t"),
+                       fingerprint="fp1")
+    mtimes = {f: os.path.getmtime(os.path.join(dp, f))
+              for dp, _dn, fn in os.walk(p) for f in fn}
+    bucketed_write(rd.from_pandas(df), "k", 4, str(tmp_path / "t"),
+                   fingerprint="fp1")
+    mtimes2 = {f: os.path.getmtime(os.path.join(dp, f))
+               for dp, _dn, fn in os.walk(p) for f in fn}
+    assert mtimes == mtimes2  # second build skipped entirely
+
+
+def test_zonemap_prunes_files_and_stays_exact(ray_session, tmp_path):
+    import ray.data as rd
+
+    from web_crawler_ray.stages.layout import zonemap_prune, zonemap_scan
+
+    # range-clustered layout: sorted on x, many files
+    df = pd.DataFrame({"x": np.arange(1000), "y": np.arange(1000) % 7})
+    (rd.from_pandas(df).repartition(10).sort("x")
+     .write_parquet(str(tmp_path / "z")))
+    kept, total = zonemap_prune(str(tmp_path / "z"), "x", 100, 199)
+    assert total >= 5 and len(kept) < total  # the footer stats pruned
+    got = (zonemap_scan(str(tmp_path / "z"), "x", 100, 199)
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    exp = df[(df.x >= 100) & (df.x <= 199)].reset_index(drop=True)
+    assert got["x"].tolist() == exp["x"].tolist()
+    assert got["y"].tolist() == exp["y"].tolist()
+
+
+def test_zonemap_scan_raises_when_all_pruned(ray_session, tmp_path):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from web_crawler_ray.stages.layout import zonemap_scan
+
+    df = pd.DataFrame({"x": np.arange(100)})
+    rd.from_pandas(df).write_parquet(str(tmp_path / "z2"))
+    with _pytest.raises(ValueError, match="pruned every file"):
+        zonemap_scan(str(tmp_path / "z2"), "x", 10_000, 20_000)

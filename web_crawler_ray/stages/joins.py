@@ -288,3 +288,88 @@ def salted_inner_join(left, right, on: str, right_on: str | None = None,
                     on=(on, "__salt"),
                     right_on=(right_on, "__salt") if right_on != on else None)
     return joined.drop_columns(["__salt"])
+
+
+def bucketed_write(ds, key: str, num_buckets: int, path: str,
+                   fingerprint: str | None = None) -> str:
+    """Materialize a table hash-bucketed by ``key`` as hive-partitioned
+    parquet (one directory per ``_bkt``) — the Hive/Iceberg bucketed
+    storage layout. Written ONCE; any number of later joins on the
+    same key read bucket-by-bucket with NO shuffle at all (the whole
+    point of co-partitioned storage at 100 TB: the exchange happens at
+    ingest, not per query). ``fingerprint`` makes the build idempotent
+    via a ``_BUILT.json`` marker, same rule as the IVF index."""
+    import json
+    import os
+    import shutil
+
+    from .sampling import hash_bucket
+
+    marker = os.path.join(path, "_BUILT.json")
+    if fingerprint and os.path.exists(marker):
+        meta = json.load(open(marker))
+        if (meta.get("fingerprint") == fingerprint
+                and meta.get("num_buckets") == num_buckets
+                and meta.get("key") == key):
+            return path
+    if os.path.exists(path):
+        shutil.rmtree(path)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_bkt"] = hash_bucket(batch[key].to_numpy(), num_buckets).astype("int64")
+        return batch
+
+    ds.map_batches(tag, batch_format="pandas").write_parquet(
+        path, partition_cols=["_bkt"])
+    if fingerprint:
+        with open(marker, "w") as f:
+            json.dump({"fingerprint": fingerprint,
+                       "num_buckets": num_buckets, "key": key}, f)
+    return path
+
+
+def bucketed_join(left_path: str, right_path: str, on: str,
+                  right_on: str | None = None, num_buckets: int = 16,
+                  left_cols: list[str] | None = None,
+                  right_cols: list[str] | None = None):
+    """Shuffle-free join of two bucketed tables written by
+    ``bucketed_write`` with the SAME ``num_buckets`` (both sides use
+    the shared ``hash_bucket`` primitive, so equal keys are guaranteed
+    co-bucketed): one task per bucket reads only that bucket's files
+    from each side and merges vectorized. No all-to-all exchange —
+    the scan IS the partitioning. Returns a Dataset of joined rows."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    right_on = right_on or on
+
+    def bucket_files(root: str, b: int) -> list[str]:
+        return sorted(glob.glob(os.path.join(root, f"_bkt={b}", "*.parquet")))
+
+    # capture output dtypes up front so empty buckets stay schema-stable
+    def side_schema(root: str, cols: list[str] | None):
+        f = sorted(glob.glob(os.path.join(root, "_bkt=*", "*.parquet")))[0]
+        empty = pq.ParquetFile(f).schema_arrow.empty_table().to_pandas()
+        return empty[cols] if cols else empty.drop(columns=["_bkt"], errors="ignore")
+
+    lempty, rempty = side_schema(left_path, left_cols), side_schema(right_path, right_cols)
+    empty_out = lempty.merge(rempty, left_on=on, right_on=right_on)
+
+    def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for b in batch["bkt"].tolist():
+            lf, rf = bucket_files(left_path, b), bucket_files(right_path, b)
+            if not lf or not rf:
+                continue
+            lt = pq.read_table(lf, columns=left_cols).to_pandas()
+            rt = pq.read_table(rf, columns=right_cols).to_pandas()
+            outs.append(lt.merge(rt, left_on=on, right_on=right_on))
+        return pd.concat(outs, ignore_index=True) if outs else empty_out
+
+    buckets = rd.from_items([{"bkt": b} for b in range(num_buckets)],
+                            override_num_blocks=num_buckets)
+    return buckets.map_batches(join_bucket, batch_format="pandas")

@@ -82,3 +82,63 @@ def zorder_layout_stats(ds, col_a: str, col_b: str, num_partitions: int = 16,
             "b_max": ("max", col_b),
         },
     )
+
+
+def zonemap_prune(path: str, col: str, lo, hi) -> tuple[list[str], int]:
+    """File-level zone-map pruning from parquet FOOTER statistics: keep
+    only the files whose row-group [min, max] range on ``col``
+    intersects [lo, hi]. The footers are the zone map — nothing extra
+    is built or maintained; a range-clustered layout (sort or z-order
+    before writing) is what makes the pruning selective. Returns
+    (kept_paths, total_files) so callers can assert/report the prune
+    rate. Driver-side cost: one footer read per file (KBs each), never
+    any data pages."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True))
+    kept = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        keep = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                keep = True  # no stats -> cannot prune this file
+                break
+            if not (st.max < lo or st.min > hi):
+                keep = True
+                break
+        if keep:
+            kept.append(f)
+    return kept, len(files)
+
+
+def zonemap_scan(path: str, col: str, lo, hi, columns: list[str] | None = None):
+    """Range scan that opens ONLY the files the zone map admits, then
+    applies the exact predicate per batch (footer stats prune at file
+    granularity; the residual filter restores exactness). On a
+    range-clustered table this reads O(selectivity) of the bytes — the
+    same discipline as the IVF index's partition-pruned read, for
+    arbitrary range predicates."""
+    import ray.data as rd
+
+    kept, _total = zonemap_prune(path, col, lo, hi)
+    if not kept:
+        raise ValueError(f"zone map pruned every file of {path} for "
+                         f"[{lo}, {hi}] — nothing to scan")
+    read_cols = None
+    if columns is not None:
+        read_cols = sorted(set(columns) | {col})
+
+    def exact(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col]
+        out = batch[(v >= lo) & (v <= hi)]
+        return out[columns] if columns is not None else out
+
+    return rd.read_parquet(kept, columns=read_cols).map_batches(
+        exact, batch_format="pandas")
