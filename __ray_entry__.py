@@ -4093,6 +4093,54 @@ def q_zonemap_scan(sf_dir: str):
     return agg
 
 
+def q_token_budget(sf_dir: str):
+    """Token-budget corpus selection: keep the highest-quality docs
+    (n_chars desc, doc_id asc) whose running token total stays within
+    a 10k-token budget — the 'best N tokens' curation cut, computed
+    WITHOUT a global sort (per-quality-level combine + boundary-level
+    resolve + broadcast filter)."""
+    from web_crawler_ray.stages.sampling import token_budget_select
+    from web_crawler_ray.stages.text_rank import TOK_RE
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "n_chars", "text"])
+
+    def add_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "n_tokens": [len(TOK_RE.findall((t or "").lower()))
+                         for t in batch["text"]],
+        })
+
+    tagged = ds.map_batches(add_tokens, batch_format="pandas")
+    out = token_budget_select(tagged, "doc_id", "n_chars", "n_tokens",
+                              budget=10_000)
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[["doc_id", "n_chars", "n_tokens"]].astype("int64")
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Hybrid-retrieval rank fusion: reciprocal-rank fusion of the
+    cosine top-50 lists for two query vectors (vec_id 0 and 1) —
+    exchange bounded by queries × 50 rows regardless of corpus size."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import rrf_fusion
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    ids = pd.Series(qtab["vec_id"].to_pylist())
+    vecs = [qtab["embedding"].to_pylist()[int(ids[ids == q].index[0])]
+            for q in (0, 1)]
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return rrf_fusion(ds, [0, 1], vecs, k=10, list_k=50)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4308,6 +4356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chi2_terms": q_chi2_terms,
         "q_bucketed_join": q_bucketed_join,
         "q_zonemap_scan": q_zonemap_scan,
+        "q_token_budget": q_token_budget,
+        "q_rrf_fusion": q_rrf_fusion,
     }
 
 
@@ -6181,5 +6231,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate <= TIMESTAMP '1996-12-31'
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_token_budget": """
+            WITH t AS (
+              SELECT doc_id, n_chars,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+              FROM documents
+            ), w AS (
+              SELECT *, sum(n_tokens) OVER (
+                  ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM t
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM w WHERE cum <= 10000
+        """,
+        "q_rrf_fusion": """
+            WITH q AS (
+              SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ), s AS (
+              SELECT q.qid, e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score6
+              FROM embeddings e CROSS JOIN q
+            ), r AS (
+              SELECT qid, vec_id,
+                     row_number() OVER (
+                         PARTITION BY qid ORDER BY score6 DESC, vec_id) AS rnk
+              FROM s QUALIFY rnk <= 50
+            )
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_lists,
+                   round(sum(1.0 / (60 + rnk)), 6) AS rrf
+            FROM r GROUP BY vec_id
+            ORDER BY round(sum(1.0 / (60 + rnk)), 6) DESC, vec_id LIMIT 10
         """,
     }

@@ -278,3 +278,57 @@ def test_chi2_terms_hand_case(ray_session):
     out2 = chi2_terms(rd.from_pandas(pd.DataFrame(rows)), "text", "lab",
                       ["stuff"], k=10)
     assert set(out2["chi2"]) == {0.0}
+
+
+def test_token_budget_select_boundary_cut(ray_session):
+    from web_crawler_ray.stages.sampling import token_budget_select
+
+    # qualities 3,3,2,2,1 with tokens 4,4,4,4,4; budget 10 ->
+    # both q=3 docs (8), then within q=2 only the lower id fits? 8+4=12>10
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                       "q": [3, 3, 2, 2, 1],
+                       "tok": [4, 4, 4, 4, 4]})
+    out = token_budget_select(rd.from_pandas(df), "id", "q", "tok",
+                              budget=10).to_pandas()
+    assert sorted(out["id"]) == [1, 2]
+    # budget 12: boundary level q=2 admits id=3 only
+    out = token_budget_select(rd.from_pandas(df), "id", "q", "tok",
+                              budget=12).to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3]
+    # budget large: everything
+    out = token_budget_select(rd.from_pandas(df), "id", "q", "tok",
+                              budget=1000).to_pandas()
+    assert sorted(out["id"]) == [1, 2, 3, 4, 5]
+
+
+def test_token_budget_matches_window_replay(ray_session):
+    from web_crawler_ray.stages.sampling import token_budget_select
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(200),
+                       "q": rng.integers(0, 12, 200),
+                       "tok": rng.integers(1, 30, 200)})
+    budget = 900
+    out = token_budget_select(rd.from_pandas(df), "id", "q", "tok",
+                              budget=budget).to_pandas()
+    # reference: explicit window replay
+    ref = df.sort_values(["q", "id"], ascending=[False, True],
+                         kind="mergesort")
+    ref = ref[ref["tok"].cumsum() <= budget]
+    assert sorted(out["id"]) == sorted(ref["id"])
+
+
+def test_rrf_fusion_hand_case(ray_session):
+    from web_crawler_ray.stages.similarity import rrf_fusion
+
+    # 3 orthogonal-ish docs; queries = doc0 and doc1 vectors
+    vecs = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.7, 0.7, 0.0]]
+    df = pd.DataFrame({"vec_id": [0, 1, 2], "embedding": vecs})
+    out = rrf_fusion(rd.from_pandas(df), [0, 1], [vecs[0], vecs[1]],
+                     k=3, list_k=3)
+    got = dict(zip(out["vec_id"], out["n_lists"]))
+    assert got == {0: 2, 1: 2, 2: 2}  # every doc appears in both lists
+    # doc2 ranks 2nd in both lists -> rrf = 2/62; docs 0/1 get 1/61 + 1/63
+    r = dict(zip(out["vec_id"], out["rrf"]))
+    assert r[2] == round(2 / 62.0, 6)
+    assert r[0] == r[1] == round(1 / 61.0 + 1 / 63.0, 6)

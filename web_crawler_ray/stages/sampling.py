@@ -219,3 +219,59 @@ def sample_exact_k(ds, id_col: str, k: int):
 
     parts = ds.select_columns([id_col]).map_batches(partial, batch_format="pandas")
     return parts.repartition(1).map_batches(final, batch_format="pandas")
+
+
+def token_budget_select(ds, id_col: str, quality_col: str, token_col: str,
+                        budget: int):
+    """Greedy token-budget corpus selection WITHOUT a global sort: keep
+    the best documents (by ``quality_col`` desc, ``id_col`` asc) whose
+    running token total stays within ``budget`` — exactly the rows a
+    ``SUM(tokens) OVER (ORDER BY quality DESC, id) <= budget`` window
+    would keep.
+
+    Instead of globally sorting the corpus, pass 1 combines per-QUALITY
+    token sums (exchange bounded by distinct quality values, not
+    rows); the driver finds the boundary quality level from the
+    descending cumulative sums; only the boundary level's rows (a tie
+    group) are pulled to resolve the intra-level prefix by id. The
+    final pass is a broadcast filter. Same 2-pass shape as
+    rank_transform."""
+    import ray
+
+    from .graph import grouped_sum
+
+    slim = ds.select_columns([id_col, quality_col, token_col])
+    per_q = grouped_sum(
+        slim.select_columns([quality_col, token_col]),
+        quality_col, token_col, "toks",
+    ).to_pandas().sort_values(quality_col, ascending=False, kind="mergesort")
+
+    cum = per_q["toks"].cumsum()
+    full = per_q[cum <= budget]
+    q_min_full = full[quality_col].min() if len(full) else None
+    spent = int(full["toks"].sum())
+    boundary = per_q[~per_q.index.isin(full.index)].head(1)
+
+    boundary_ids: set = set()
+    if len(boundary):
+        q_star = boundary[quality_col].iloc[0]
+
+        def only_boundary(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch[batch[quality_col] == q_star]
+
+        tie = (slim.map_batches(only_boundary, batch_format="pandas")
+               .to_pandas().sort_values(id_col, kind="mergesort"))
+        within = tie[token_col].cumsum() + spent <= budget
+        boundary_ids = set(tie[id_col][within].tolist())
+
+    ids_ref = ray.put(boundary_ids)
+    threshold = q_min_full
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        bid = ray.get(ids_ref)
+        mask = batch[id_col].isin(bid)
+        if threshold is not None:
+            mask = mask | (batch[quality_col] >= threshold)
+        return batch[mask]
+
+    return slim.map_batches(keep, batch_format="pandas")

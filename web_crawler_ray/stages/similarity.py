@@ -763,3 +763,33 @@ def pq_adc_topk(codes_ds, books: np.ndarray, query_vec, k_top: int = 10,
 
     parts = codes_ds.map_batches(partial, batch_format="pyarrow")
     return parts.repartition(1).map_batches(merge, batch_format="pandas")
+
+
+def rrf_fusion(ds, query_ids, query_vecs, k: int = 10, list_k: int = 50,
+               rrf_k: int = 60, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of the
+    per-query cosine top-``list_k`` lists:
+    ``rrf(d) = Σ_lists 1 / (rrf_k + rank_list(d))`` — the standard
+    hybrid-retrieval combiner (multi-vector / multi-query search).
+
+    Reuses ``cosine_topk`` (partial top-k per batch + tiny merge), so
+    the fused exchange is bounded by queries × list_k rows no matter
+    the corpus size; the fusion itself is a driver combine over that
+    k-bounded frame. Ranks come from the same rounded-score,
+    id-tie-broken ordering the ANN oracle uses; each document
+    contributes at most one term per list, so with ≤ 2 lists the float
+    sum is order-independent bit-for-bit."""
+    lists = cosine_topk(ds, query_ids, query_vecs, k=list_k,
+                        id_col=id_col, vec_col=vec_col).to_pandas()
+    lists = lists.sort_values(["query_id", "rank"], kind="mergesort")
+    contrib = 1.0 / (rrf_k + lists["rank"].to_numpy(np.float64))
+    f = (pd.DataFrame({id_col: lists[id_col].to_numpy(), "c": contrib})
+         .groupby(id_col, sort=True)
+         .agg(n_lists=("c", "size"), rrf=("c", "sum"))
+         .reset_index())
+    f["n_lists"] = f["n_lists"].astype("int64")
+    f["rrf"] = sql_round(f["rrf"], 6)
+    return (f.sort_values(["rrf", id_col], ascending=[False, True],
+                          kind="mergesort")
+            .head(k).reset_index(drop=True))
