@@ -1431,3 +1431,41 @@ def test_zonemap_scan_raises_when_all_pruned(ray_session, tmp_path):
     rd.from_pandas(df).write_parquet(str(tmp_path / "z2"))
     with _pytest.raises(ValueError, match="pruned every file"):
         zonemap_scan(str(tmp_path / "z2"), "x", 10_000, 20_000)
+
+
+def test_spec_profile_and_budget_ops(ray_session):
+    """Spec-compiler round-4 ops: benford / pmi_bigrams / chi2_terms /
+    token_budget compile and run over the column-pruned read."""
+    sf = "/root/testdata/sf0.001"
+    ben = build_pipeline(
+        f"{sf}/lineitem.parquet",
+        [{"op": "benford", "column": "l_extendedprice"}],
+    ).to_pandas()
+    assert set(ben.columns) == {"digit", "n_vals", "share", "expected"}
+    assert ben["digit"].between(1, 9).all()
+
+    pmi = build_pipeline(
+        f"{sf}/documents.parquet",
+        [{"op": "pmi_bigrams", "k": 5, "min_count": 2}],
+    ).to_pandas()
+    assert len(pmi) == 5 and {"bigram", "n", "pmi"} <= set(pmi.columns)
+
+    chi = build_pipeline(
+        f"{sf}/documents.parquet",
+        [{"op": "chi2_terms", "label": "lang", "terms": ["table", "query"],
+          "k": 4}],
+    ).to_pandas()
+    assert len(chi) == 4 and (chi["chi2"] >= 0).all()
+
+    sel = build_pipeline(
+        f"{sf}/documents.parquet",
+        [{"op": "token_budget", "id": "doc_id", "quality": "n_chars",
+          "tokens": "n_chars", "budget": 50_000}],
+    ).to_pandas()
+    # greedy prefix by n_chars desc: replay
+    ref = pd.read_parquet(f"{sf}/documents.parquet",
+                          columns=["doc_id", "n_chars"])
+    ref = ref.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+    ref = ref[ref["n_chars"].cumsum() <= 50_000]
+    assert sorted(sel["doc_id"]) == sorted(ref["doc_id"])

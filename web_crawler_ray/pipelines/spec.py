@@ -76,6 +76,12 @@ Spec format (list of op dicts, applied in order):
                   "max_partitions": 32}
     {"op": "cooccur_edges", "group": col, "item": col, "max_group": 1024}
     {"op": "triangle_count", "a": "id_a", "b": "id_b"}
+    {"op": "benford",     "column": col, "scale": 100}
+    {"op": "pmi_bigrams", "text_col": "text", "k": 20, "min_count": 5}
+    {"op": "chi2_terms",  "text_col": "text", "label": col,
+                  "terms": [...], "k": 20}
+    {"op": "token_budget", "id": col, "quality": col, "tokens": col,
+                  "budget": N}
 """
 
 from __future__ import annotations
@@ -335,6 +341,28 @@ def _apply_op(ds, op: dict):
 
         return triangle_count(ds, a_col=op.get("a", "id_a"),
                               b_col=op.get("b", "id_b"))
+    if kind == "benford":
+        from ..stages.stats import benford_profile
+
+        return rd.from_pandas(
+            benford_profile(ds, op["column"], scale=op.get("scale", 100)))
+    if kind == "pmi_bigrams":
+        from ..stages.text_rank import pmi_bigrams
+
+        return rd.from_pandas(
+            pmi_bigrams(ds, op.get("text_col", "text"), k=op.get("k", 20),
+                        min_count=op.get("min_count", 5)))
+    if kind == "chi2_terms":
+        from ..stages.text_rank import chi2_terms
+
+        return rd.from_pandas(
+            chi2_terms(ds, op.get("text_col", "text"), op["label"],
+                       op["terms"], k=op.get("k", 20)))
+    if kind == "token_budget":
+        from ..stages.sampling import token_budget_select
+
+        return token_budget_select(ds, op["id"], op["quality"],
+                                   op["tokens"], op["budget"])
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -500,6 +528,17 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
         elif kind == "triangle_count":
             need([op.get("a", "id_a"), op.get("b", "id_b")])
             created |= {"n_edges", "n_wedges", "n_triangles"}
+        elif kind == "benford":
+            need([op["column"]])
+            created |= {"digit", "n_vals", "share", "expected"}
+        elif kind == "pmi_bigrams":
+            need([op.get("text_col", "text")])
+            created |= {"bigram", "n", "pmi"}
+        elif kind == "chi2_terms":
+            need([op.get("text_col", "text"), op["label"]])
+            created |= {"term", "label", "n_docs", "chi2"}
+        elif kind == "token_budget":
+            need([op["id"], op["quality"], op["tokens"]])
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 

@@ -240,11 +240,19 @@ def token_budget_select(ds, id_col: str, quality_col: str, token_col: str,
 
     from .graph import grouped_sum
 
-    slim = ds.select_columns([id_col, quality_col, token_col])
-    per_q = grouped_sum(
-        slim.select_columns([quality_col, token_col]),
-        quality_col, token_col, "toks",
-    ).to_pandas().sort_values(quality_col, ascending=False, kind="mergesort")
+    slim = ds.select_columns(list(dict.fromkeys([id_col, quality_col, token_col])))
+    if quality_col == token_col:
+        per_q = grouped_sum(
+            slim.select_columns([quality_col]).add_column(
+                "_tok", lambda b: b[quality_col]),
+            quality_col, "_tok", "toks",
+        ).to_pandas()
+    else:
+        per_q = grouped_sum(
+            slim.select_columns([quality_col, token_col]),
+            quality_col, token_col, "toks",
+        ).to_pandas()
+    per_q = per_q.sort_values(quality_col, ascending=False, kind="mergesort")
 
     cum = per_q["toks"].cumsum()
     full = per_q[cum <= budget]
