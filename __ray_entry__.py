@@ -4141,6 +4141,116 @@ def q_rrf_fusion(sf_dir: str):
     return rrf_fusion(ds, [0, 1], vecs, k=10, list_k=50)
 
 
+def q_bigram_lm(sf_dir: str):
+    """Interpolated bigram LM score per document (λ=0.7 bigram +
+    0.3 unigram, corpus-trained) — the KenLM-shaped quality signal
+    above q_unigram_logprob. One counting pass, broadcast count
+    tables, map-only scoring."""
+    from web_crawler_ray.stages.text_rank import bigram_lm_score
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return bigram_lm_score(ds, "text", "doc_id", lam=0.7)
+
+
+def q_event_paths(sf_dir: str):
+    """Top-20 three-step user journeys: per user the ts-ordered event
+    sequence yields (t1, t2, t3) trigrams — in-partition double shift
+    after ONE user-partitioned exchange, then a type³-bounded count
+    combine. The sequence-mining big sibling of q_transition_matrix."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = p.groupby("user_id", sort=False)["event_type"]
+        t2 = g.shift(-1)
+        t3 = g.shift(-2)
+        m = t3.notna()
+        out = (pd.DataFrame({"t1": p["event_type"][m].to_numpy(),
+                             "t2": t2[m].to_numpy(),
+                             "t3": t3[m].to_numpy()})
+               .groupby(["t1", "t2", "t3"], sort=True).size()
+               .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = partitioned_apply(ds, ["user_id"], per_part,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+    top = partial_grouped_agg(parts, ["t1", "t2", "t3"],
+                              {"n": ("sum", "n")}).to_pandas()
+    return (top.sort_values(["n", "t1", "t2", "t3"],
+                            ascending=[False, True, True, True],
+                            kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+def q_collapse_runs(sf_dir: str):
+    """Consecutive-duplicate collapse (event-stream compression): per
+    user keep only events whose type differs from the immediately
+    preceding one (ts, event_id order) — run-length style dedup, one
+    user-partitioned exchange + vectorized in-partition shift."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = p.groupby("user_id", sort=False)["event_type"].shift()
+        keep = prev.isna() | (prev != p["event_type"])
+        out = p[keep]
+        return pd.DataFrame({"user_id": out["user_id"].astype("int64"),
+                             "event_id": out["event_id"].astype("int64"),
+                             "event_type": out["event_type"]})
+
+    return partitioned_apply(ds, ["user_id"], per_part,
+                             n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-evolution read: two snapshot generations (v1 lacks the
+    later-added ``lang`` column) unify to the UNION schema with a
+    typed default backfill and a lineage tag — the add-column-on-read
+    rule that keeps old shards readable. Map-only; the union is block
+    concatenation."""
+    import os
+
+    from web_crawler_ray.io.evolve import read_evolved
+
+    root = "/tmp/wcr_evolve"
+    marker = os.path.join(root, "_BUILT.txt")
+    fp = f"{sf_dir}:documents:v1"
+    if not (os.path.exists(marker) and open(marker).read() == fp):
+        import shutil
+
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        docs = rd.read_parquet(_t(sf_dir, "documents"),
+                               columns=["doc_id", "n_chars", "lang"])
+        (docs.map_batches(lambda b: b[b["doc_id"] % 2 == 0],
+                          batch_format="pandas")
+         .select_columns(["doc_id", "n_chars"])
+         .write_parquet(f"{root}/v1"))
+        (docs.map_batches(lambda b: b[b["doc_id"] % 2 == 1],
+                          batch_format="pandas")
+         .write_parquet(f"{root}/v2"))
+        with open(marker, "w") as f:
+            f.write(fp)
+
+    out = read_evolved([f"{root}/v1", f"{root}/v2"],
+                       defaults={"lang": "und"}, source_col="snap")
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["snap"] = batch["snap"].astype("int64")
+        return batch[["doc_id", "n_chars", "lang", "snap"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4358,6 +4468,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zonemap_scan": q_zonemap_scan,
         "q_token_budget": q_token_budget,
         "q_rrf_fusion": q_rrf_fusion,
+        "q_bigram_lm": q_bigram_lm,
+        "q_event_paths": q_event_paths,
+        "q_collapse_runs": q_collapse_runs,
+        "q_schema_evolution": q_schema_evolution,
     }
 
 
@@ -6266,5 +6380,59 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(1.0 / (60 + rnk)), 6) AS rrf
             FROM r GROUP BY vec_id
             ORDER BY round(sum(1.0 / (60 + rnk)), 6) DESC, vec_id LIMIT 10
+        """,
+        "q_bigram_lm": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), uni AS (SELECT unnest(t) AS w FROM toks),
+            ucnt AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM uni GROUP BY w),
+            nu AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni),
+            bi AS (
+              SELECT doc_id,
+                     unnest([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS bg
+              FROM toks
+            ),
+            bcnt AS (SELECT bg, CAST(count(*) AS DOUBLE) AS c FROM bi GROUP BY bg),
+            hcnt AS (SELECT split_part(bg, ' ', 1) AS v, sum(c) AS ch
+                     FROM bcnt GROUP BY v)
+            SELECT bi.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(ln(0.7 * (bcnt.c / hcnt.ch)
+                                + 0.3 * (ucnt.c / nu.n))), 6) AS lm_score
+            FROM bi
+            JOIN bcnt ON bi.bg = bcnt.bg
+            JOIN hcnt ON split_part(bi.bg, ' ', 1) = hcnt.v
+            JOIN ucnt ON split_part(bi.bg, ' ', 2) = ucnt.w
+            CROSS JOIN nu
+            GROUP BY bi.doc_id
+        """,
+        "q_event_paths": """
+            WITH o AS (
+              SELECT user_id, event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+            FROM o WHERE t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY n DESC, t1, t2, t3 LIMIT 20
+        """,
+        "q_collapse_runs": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(event_id AS BIGINT) AS event_id, event_type
+            FROM events
+            QUALIFY lag(event_type) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              IS DISTINCT FROM event_type
+        """,
+        "q_schema_evolution": """
+            SELECT doc_id, n_chars, CAST('und' AS VARCHAR) AS lang,
+                   CAST(0 AS BIGINT) AS snap
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, n_chars, lang, CAST(1 AS BIGINT)
+            FROM documents WHERE doc_id % 2 = 1
         """,
     }

@@ -1469,3 +1469,46 @@ def test_spec_profile_and_budget_ops(ray_session):
                           kind="mergesort")
     ref = ref[ref["n_chars"].cumsum() <= 50_000]
     assert sorted(sel["doc_id"]) == sorted(ref["doc_id"])
+
+
+def test_read_evolved_union_schema(ray_session, tmp_path):
+    import ray.data as rd
+
+    from web_crawler_ray.io.evolve import evolved_schema, read_evolved
+
+    v1 = pd.DataFrame({"id": [1, 2], "a": [10, 20]})
+    v2 = pd.DataFrame({"id": [3], "a": [30], "b": ["x"]})
+    rd.from_pandas(v1).write_parquet(str(tmp_path / "v1"))
+    rd.from_pandas(v2).write_parquet(str(tmp_path / "v2"))
+
+    sch = evolved_schema([str(tmp_path / "v1"), str(tmp_path / "v2")])
+    assert set(sch.names) == {"id", "a", "b"}
+
+    # default backfill + lineage tag
+    out = (read_evolved([str(tmp_path / "v1"), str(tmp_path / "v2")],
+                        defaults={"b": "?"}, source_col="src")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out["b"].tolist() == ["?", "?", "x"]
+    assert out["src"].tolist() == [0, 0, 1]
+
+    # NULL backfill when no default
+    out2 = (read_evolved([str(tmp_path / "v1"), str(tmp_path / "v2")])
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    assert out2["b"].isna().tolist() == [True, True, False]
+
+
+def test_bigram_lm_hand_case(ray_session):
+    from web_crawler_ray.stages.text_rank import bigram_lm_score
+
+    # corpus: one doc "a b a b", one doc "a"
+    # unigrams: a=3, b=2, N=5; bigrams: "a b"x2, "b a"x1; heads: a->2, b->1
+    df = pd.DataFrame({"doc_id": [0, 1], "text": ["a b a b", "a"]})
+    out = (bigram_lm_score(rd.from_pandas(df), "text", "doc_id", lam=0.7)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 1 has <2 tokens -> dropped
+    assert out["doc_id"].tolist() == [0]
+    p_ab = 0.7 * (2 / 2.0) + 0.3 * (2 / 5.0)   # P(b|a), P(b)
+    p_ba = 0.7 * (1 / 1.0) + 0.3 * (3 / 5.0)   # P(a|b), P(a)
+    exp = (np.log(p_ab) + np.log(p_ba) + np.log(p_ab)) / 3.0
+    assert out["n_bigrams"].tolist() == [3]
+    assert abs(out["lm_score"].iloc[0] - round(exp, 6)) <= 1e-6

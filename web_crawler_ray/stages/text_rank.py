@@ -458,3 +458,91 @@ def chi2_terms(ds, text_col: str, label_col: str, terms: list[str],
     return (out.sort_values(["chi2", "term", "label"],
                             ascending=[False, True, True], kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def bigram_lm_score(ds, text_col: str, id_col: str, lam: float = 0.7,
+                    ndigits: int = 6):
+    """Interpolated bigram language-model score per document (the
+    KenLM-shaped upgrade of ``unigram_logprob``): mean over positions
+    i ≥ 2 of ``ln(λ·P(w_i|w_{i-1}) + (1−λ)·P(w_i))`` with
+    ``P(w|v) = c(v w)/Σ_x c(v x)`` and ``P(w) = c(w)/N`` — the corpus
+    scores itself, so every looked-up count exists (no OOV smoothing
+    term needed; the unigram interpolation still regularizes rare
+    continuations).
+
+    One tokenize pass emits unigram and bigram partials (the
+    ``pmi_bigrams`` kernel); head counts derive from the bigram table;
+    the three count tables broadcast once (vocabulary-bounded, same
+    note as the other text models) into a map-only scoring pass.
+    Documents with fewer than 2 tokens are dropped (no positions)."""
+    import ray
+
+    from .graph import grouped_sum
+
+    counts_in = ds.select_columns([text_col])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks_per_doc if t])
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        same_doc = doc_ids[:-1] == doc_ids[1:]
+        bigrams = (flat[:-1] + " " + flat[1:])[same_doc]
+        uc = pd.Series(np.char.add("u\x1f", flat.astype(str))).value_counts(sort=False)
+        bc = pd.Series(np.char.add("b\x1f", bigrams.astype(str))).value_counts(sort=False)
+        return pd.DataFrame({
+            "key": np.concatenate([uc.index.to_numpy(), bc.index.to_numpy()]),
+            "n": np.concatenate([uc.to_numpy(), bc.to_numpy()]).astype("int64"),
+        })
+
+    combined = grouped_sum(
+        counts_in.map_batches(partial, batch_format="pandas"),
+        "key", "n", "n").to_pandas()
+    kind = combined["key"].str.slice(0, 1)
+    uni = combined[kind == "u"]
+    c_uni = dict(zip(uni["key"].str.slice(2), uni["n"].astype(float)))
+    n_uni = float(uni["n"].sum())
+    bi = combined[kind == "b"].copy()
+    bi["bg"] = bi["key"].str.slice(2)
+    c_bi = dict(zip(bi["bg"], bi["n"].astype(float)))
+    heads = bi["bg"].str.split(" ", n=1).str[0]
+    c_head = bi.groupby(heads)["n"].sum().astype(float).to_dict()
+    ref = ray.put((c_bi, c_head, c_uni, n_uni))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        cb, ch, cu, nn = ray.get(ref)
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        n = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        keep = n >= 2
+        if not keep.any():
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "n_bigrams": pd.Series(dtype="int64"),
+                                 "lm_score": pd.Series(dtype="float64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t, k in zip(toks_per_doc, keep) if k])
+        nk = n[keep]
+        doc_ids = np.repeat(np.arange(len(nk)), nk)
+        same_doc = doc_ids[:-1] == doc_ids[1:]
+        heads_f = flat[:-1][same_doc]
+        tails_f = flat[1:][same_doc]
+        bgs = pd.Series(heads_f + " " + tails_f, dtype="object")
+        p_bi = bgs.map(cb).to_numpy(np.float64) / pd.Series(heads_f).map(ch).to_numpy(np.float64)
+        p_uni = pd.Series(tails_f).map(cu).to_numpy(np.float64) / nn
+        lp = np.log(lam * p_bi + (1.0 - lam) * p_uni)
+        starts = np.zeros(int(keep.sum()), dtype=np.int64)
+        np.cumsum(nk[:-1] - 1, out=starts[1:])
+        sums = np.add.reduceat(lp, starts)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_bigrams": nk - 1,
+            "lm_score": sql_round(pd.Series(sums / (nk - 1)), ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pandas")
