@@ -4251,6 +4251,47 @@ def q_schema_evolution(sf_dir: str):
     return out.map_batches(shape, batch_format="pandas")
 
 
+def q_attribution(sf_dir: str):
+    """First-/last-touch conversion attribution: for every purchase,
+    the first and the most recent PRECEDING non-purchase event type in
+    the user's journey, counted per (first, last) channel pair — the
+    marketing-analytics window (IGNORE NULLS first/last_value)
+    computed with one user-partitioned exchange + vectorized
+    group-ffill, no per-user loop."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts", "event_id"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        u = p["user_id"]
+        ch = p["event_type"].where(p["event_type"] != "purchase")
+        # last non-purchase type over rows <= i-1: group-ffill, then
+        # group-shift by one
+        last_ch = ch.groupby(u).ffill().groupby(u).shift(1)
+        # first non-purchase type over rows <= i-1: keep only each
+        # user's first non-null, ffill it forward, shift by one
+        nn_rank = ch.notna().astype("int64").groupby(u).cumsum()
+        first_only = ch.where(ch.notna() & (nn_rank == 1))
+        first_ch = first_only.groupby(u).ffill().groupby(u).shift(1)
+        conv = p["event_type"] == "purchase"
+        out = (pd.DataFrame({
+            "first_touch": first_ch[conv].fillna("none").to_numpy(),
+            "last_touch": last_ch[conv].fillna("none").to_numpy(),
+        }).groupby(["first_touch", "last_touch"], sort=True).size()
+            .rename("n").reset_index())
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = partitioned_apply(ds, ["user_id"], per_part,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+    return partial_grouped_agg(parts, ["first_touch", "last_touch"],
+                               {"n": ("sum", "n")})
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4472,6 +4513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_event_paths": q_event_paths,
         "q_collapse_runs": q_collapse_runs,
         "q_schema_evolution": q_schema_evolution,
+        "q_attribution": q_attribution,
     }
 
 
@@ -6434,5 +6476,26 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, n_chars, lang, CAST(1 AS BIGINT)
             FROM documents WHERE doc_id % 2 = 1
+        """,
+        "q_attribution": """
+            WITH w AS (
+              SELECT user_id, event_type,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                      THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS first_ch,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                     THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS last_ch
+              FROM events
+            )
+            SELECT coalesce(first_ch, 'none') AS first_touch,
+                   coalesce(last_ch, 'none') AS last_touch,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }

@@ -97,6 +97,11 @@ BENCH_QUERIES = [
     "q_triangles",
     "q_window_dedup",
     "q_cdc_apply",
+    "q_bucketed_join",
+    "q_zonemap_scan",
+    "q_pmi_bigrams",
+    "q_token_budget",
+    "q_bigram_lm",
 ]
 
 
