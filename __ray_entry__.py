@@ -4292,6 +4292,77 @@ def q_attribution(sf_dir: str):
                                {"n": ("sum", "n")})
 
 
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking stats (FastCDC/LBFS family): cut
+    points where the rolling 4-gram hash masks to zero, so boundaries
+    move with the content and edits only reshape local chunks — the
+    storage-dedup chunker. One vectorized map pass, zero shuffle."""
+    from web_crawler_ray.stages.text_quality import cdc_chunk_stats
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    return cdc_chunk_stats(ds, "text", "doc_id", k=4, mask=63)
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-5 most similar corpus vectors with a DIFFERENT
+    label (the informative negatives). Label filter pushed into the
+    scan, then the bounded brute-force top-k merge."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_ray.stages.similarity import cosine_topk
+
+    qtab = pq.read_table(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+    qdf = qtab.to_pandas()
+    outs = []
+    for qid in (0, 1):
+        row = qdf[qdf["vec_id"] == qid].iloc[0]
+        qlab = int(row["label"])
+        ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                             columns=["vec_id", "embedding", "label"])
+        import pyarrow.compute as pc
+
+        cand = ds.map_batches(
+            lambda b, _l=qlab: b.filter(
+                pc.not_equal(b["label"], _l)).select(["vec_id", "embedding"]),
+            batch_format="pyarrow")
+        top = cosine_topk(cand, [qid], [list(row["embedding"])], k=5).to_pandas()
+        outs.append(top)
+    out = pd.concat(outs, ignore_index=True)
+    out["score"] = sql_round(out["score"], 4)
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-flattened data mixture (T5/UNIMAX recipe): source
+    sampling shares ∝ n_s^0.5, converted to per-doc expected repeat
+    counts and materialized by the hash-deterministic mixture plan —
+    small sources get boosted, the web crawl gets trimmed. Per-source
+    counts are one tiny combine; the plan itself is zero-shuffle."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.sampling import mixture_plan
+
+    alpha = 0.5
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["doc_id", "source"])
+    counts = partial_grouped_agg(ds, ["source"],
+                                 {"n": ("count", None)}).to_pandas()
+    counts = counts.sort_values("source", kind="mergesort")
+    n = counts["n"].to_numpy(np.float64)
+    z = float(np.power(n, alpha).sum())
+    nn = float(n.sum())
+    weights = {s: float(nn * (ns ** alpha / z) / ns)
+               for s, ns in zip(counts["source"], n)}
+    out = mixture_plan(ds, "doc_id", "source", weights, default_weight=0.0)
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["n_repeats"] = batch["n_repeats"].astype("int64")
+        return batch[["doc_id", "source", "n_repeats"]]
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4514,6 +4585,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_collapse_runs": q_collapse_runs,
         "q_schema_evolution": q_schema_evolution,
         "q_attribution": q_attribution,
+        "q_cdc_chunks": q_cdc_chunks,
+        "q_hard_negatives": q_hard_negatives,
+        "q_temperature_mix": q_temperature_mix,
     }
 
 
@@ -6497,5 +6571,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n
             FROM w WHERE event_type = 'purchase'
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_cdc_chunks": """
+            WITH s AS (SELECT doc_id, text, len(text) AS n FROM documents),
+            h AS (
+              SELECT doc_id, n,
+                     [ (ascii(substr(text, i, 1)) * 29791
+                        + ascii(substr(text, i + 1, 1)) * 961
+                        + ascii(substr(text, i + 2, 1)) * 31
+                        + ascii(substr(text, i + 3, 1))) % 1048576
+                       FOR i IN range(1, n - 2) ] AS hs
+              FROM s
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(hs, x -> x % 64 = 0)) AS BIGINT)
+                     AS n_cuts,
+                   CAST(len(list_filter(hs, x -> x % 64 = 0))
+                        + CASE WHEN n > 0 THEN 1 ELSE 0 END AS BIGINT)
+                     AS n_chunks
+            FROM h
+        """,
+        "q_hard_negatives": """
+            WITH q AS (
+              SELECT vec_id AS qid, label AS qlab,
+                     CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id IN (0, 1)
+            ), s AS (
+              SELECT q.qid, e.vec_id,
+                     round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score6
+              FROM embeddings e JOIN q ON e.label <> q.qlab
+            ), r AS (
+              SELECT qid AS query_id, vec_id, round(score6, 4) AS score,
+                     CAST(row_number() OVER (
+                         PARTITION BY qid ORDER BY score6 DESC, vec_id)
+                       AS BIGINT) AS rank
+              FROM s
+            )
+            SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+        """,
+        "q_temperature_mix": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT sum(pow(n, 0.5)) AS z, sum(n) AS nn FROM c
+            ), w AS (
+              SELECT c.source,
+                     t.nn * (pow(c.n, 0.5) / t.z) / c.n AS wt
+              FROM c, t
+            )
+            SELECT d.doc_id, d.source,
+                   CAST(CAST(floor(w.wt) AS BIGINT)
+                        + CASE WHEN (d.doc_id % 2147483648) * 2654435761
+                                    % 4294967296 % 1000
+                                    < CAST(round((w.wt - floor(w.wt)) * 1000, 0)
+                                           AS BIGINT)
+                               THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
+            FROM documents d JOIN w ON d.source = w.source
         """,
     }

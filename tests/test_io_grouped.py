@@ -1512,3 +1512,40 @@ def test_bigram_lm_hand_case(ray_session):
     exp = (np.log(p_ab) + np.log(p_ba) + np.log(p_ab)) / 3.0
     assert out["n_bigrams"].tolist() == [3]
     assert abs(out["lm_score"].iloc[0] - round(exp, 6)) <= 1e-6
+
+
+def test_cdc_chunk_stats_reference_and_edit_stability(ray_session):
+    from web_crawler_ray.stages.text_quality import cdc_chunk_stats
+
+    k, base, mod, mask = 4, 31, 1 << 20, 63
+
+    def naive_cuts(t):
+        cuts = 0
+        for i in range(len(t) - k + 1):
+            h = 0
+            for j, ch in enumerate(t[i:i + k]):
+                h = (h + ord(ch) * pow(base, k - 1 - j, mod)) % mod
+            if h & mask == 0:
+                cuts += 1
+        return cuts
+
+    rng = np.random.default_rng(11)
+    texts = ["".join(chr(97 + c) for c in rng.integers(0, 26, n))
+             for n in (0, 1, 3, 4, 50, 400, 1000)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    out = (cdc_chunk_stats(rd.from_pandas(df), "text", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["n_cuts"].tolist() == [naive_cuts(t) for t in texts]
+    assert out["n_chunks"].tolist() == [
+        naive_cuts(t) + (1 if t else 0) for t in texts]
+
+    # content-defined property: an edit at the front shifts ALL
+    # fixed-width boundaries but CDC cut positions after the edit
+    # window are unchanged (counts differ by at most the cuts in the
+    # perturbed neighborhood)
+    t = texts[-1]
+    edited = "zzz" + t
+    base_cuts = naive_cuts(t)
+    edited_cuts = naive_cuts(edited)
+    # the suffix t[3:] contributes identical cut positions in both
+    assert abs(edited_cuts - base_cuts) <= k + 3

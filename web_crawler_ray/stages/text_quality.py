@@ -331,3 +331,62 @@ def winnow_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return partitioned_apply(pair_counts, ["id_a", "id_b"], finish,
                              num_partitions=8, pre_combine=combine)
+
+
+def cdc_chunk_stats(ds, text_col: str = "text", id_col: str = "doc_id",
+                    k: int = 4, base: int = 31, mod: int = 1 << 20,
+                    mask: int = 63):
+    """Content-defined chunking statistics (the FastCDC/rsync family):
+    a cut point is every position whose k-gram polynomial hash
+    ``Σ code_j · base^(k-1-j) mod mod`` satisfies ``hash & mask == 0``
+    — boundaries move WITH the content, so an insertion only reshapes
+    the chunks around it (the property that makes storage-level dedup
+    survive edits; Muthitacharoen et al., LBFS SOSP'01).
+
+    Per batch the whole text column becomes ONE code array + doc
+    offsets; the k shifted multiply-adds are vectorized across every
+    document at once, windows crossing doc boundaries are masked, and
+    cut counts reduce per doc — no per-char Python. Expected chunk
+    length ≈ mask+1 chars. Character codes are latin-1 (== ord for
+    code points < 256; the SQL replay uses ``ascii()`` which matches
+    on this corpus' ASCII text). Map-only, zero shuffle; output one
+    row per doc: n_chars, n_cuts, n_chunks."""
+    powers = [pow(base, k - 1 - j, mod) for j in range(k)]
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [(t or "") for t in batch[text_col]]
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame({
+                id_col: batch[id_col].astype("int64"),
+                "n_chars": lens, "n_cuts": np.zeros(len(lens), np.int64),
+                "n_chunks": (lens > 0).astype("int64"),
+            })
+        codes = np.frombuffer("".join(texts).encode("latin-1"),
+                              dtype=np.uint8).astype(np.int64)
+        doc_ids = np.repeat(np.arange(len(lens)), lens)
+        # k-gram hash at window start positions 0..total-k
+        n_win = total - k + 1
+        if n_win <= 0:
+            h = np.zeros(0, dtype=np.int64)
+            win_doc = np.zeros(0, dtype=np.int64)
+            valid = np.zeros(0, dtype=bool)
+        else:
+            h = np.zeros(n_win, dtype=np.int64)
+            for j, p in enumerate(powers):
+                h = (h + codes[j:j + n_win] * p) % mod
+            # a window is in-doc iff its first and last char share a doc
+            win_doc = doc_ids[:n_win]
+            valid = win_doc == doc_ids[k - 1:]
+        cut = valid & ((h & mask) == 0)
+        n_cuts = np.bincount(win_doc[cut], minlength=len(lens)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: batch[id_col].astype("int64"),
+            "n_chars": lens,
+            "n_cuts": n_cuts,
+            "n_chunks": n_cuts + (lens > 0).astype(np.int64),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        stats, batch_format="pandas")
