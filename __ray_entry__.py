@@ -4363,6 +4363,28 @@ def q_temperature_mix(sf_dir: str):
     return out.map_batches(shape, batch_format="pandas")
 
 
+def q_hash_walks(sf_dir: str):
+    """Deterministic DeepWalk-style sampling: one 2-step walk per part
+    over the part–supplier bipartite graph (part→supplier→part), the
+    next hop chosen by integer-hash argmin so the sampled paths are
+    exactly reproducible and SQL-replayable. Per step: one hash join
+    + per-walk vectorized argmin in a coarse partition."""
+    from web_crawler_ray.stages.graph import hash_walks
+
+    e = rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_suppkey"])
+    out = hash_walks(e, "l_partkey", "l_suppkey", n_steps=2)
+
+    def shape(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "walk_id": batch["walk_id"].astype("int64"),
+            "n1": batch["n1"].astype("int64"),
+            "n2": batch["n2"].astype("int64"),
+        })
+
+    return out.map_batches(shape, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4588,6 +4610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdc_chunks": q_cdc_chunks,
         "q_hard_negatives": q_hard_negatives,
         "q_temperature_mix": q_temperature_mix,
+        "q_hash_walks": q_hash_walks,
     }
 
 
@@ -6629,5 +6652,29 @@ def oracle_sql() -> dict[str, str]:
                                            AS BIGINT)
                                THEN 1 ELSE 0 END AS BIGINT) AS n_repeats
             FROM documents d JOIN w ON d.source = w.source
+        """,
+        "q_hash_walks": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+            ), s1 AS (
+              SELECT p AS walk, s AS n1 FROM (
+                SELECT p, s,
+                       ((p % 2147483648) * 1315423911
+                        + 1 * 2654435761
+                        + (s % 2147483648) * 97867) % 4294967296 AS h
+                FROM e)
+              QUALIFY row_number() OVER (PARTITION BY p ORDER BY h, s) = 1
+            ), s2 AS (
+              SELECT s1.walk, s1.n1, e2.p AS n2,
+                     ((s1.walk % 2147483648) * 1315423911
+                      + 2 * 2654435761
+                      + (e2.p % 2147483648) * 97867) % 4294967296 AS h2
+              FROM s1 JOIN e e2 ON e2.s = s1.n1
+              QUALIFY row_number() OVER (
+                  PARTITION BY s1.walk ORDER BY h2, e2.p) = 1
+            )
+            SELECT CAST(walk AS BIGINT) AS walk_id, CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2
+            FROM s2
         """,
     }

@@ -332,3 +332,27 @@ def test_rrf_fusion_hand_case(ray_session):
     r = dict(zip(out["vec_id"], out["rrf"]))
     assert r[2] == round(2 / 62.0, 6)
     assert r[0] == r[1] == round(1 / 61.0 + 1 / 63.0, 6)
+
+
+def test_hash_walks_edges_valid_and_deterministic(ray_session):
+    from web_crawler_ray.stages.graph import hash_walks
+
+    rng = np.random.default_rng(5)
+    edges = pd.DataFrame({
+        "a": rng.integers(0, 20, 200),
+        "b": rng.integers(100, 115, 200),
+    }).drop_duplicates()
+    ds = rd.from_pandas(edges)
+    out = (hash_walks(ds, "a", "b", n_steps=2).to_pandas()
+           .sort_values("walk_id").reset_index(drop=True))
+    # one walk per distinct start node
+    assert sorted(out["walk_id"]) == sorted(edges["a"].unique())
+    eset = set(map(tuple, edges.values))
+    for _, r in out.iterrows():
+        assert (r["walk_id"], r["n1"]) in eset      # hop 1 is an edge
+        assert (r["n2"], r["n1"]) in eset           # hop 2 back-edge
+    # deterministic across runs and partitionings
+    out2 = (hash_walks(rd.from_pandas(edges).repartition(7), "a", "b",
+                       n_steps=2).to_pandas()
+            .sort_values("walk_id").reset_index(drop=True))
+    assert out.equals(out2)

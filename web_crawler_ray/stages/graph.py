@@ -663,3 +663,75 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
     return rd.from_pandas(pd.DataFrame(
         {"n_edges": [tot[0]], "n_wedges": [tot[1]],
          "n_triangles": [tot[2]]}))
+
+
+def hash_walks(edges, a_col: str, b_col: str, n_steps: int = 2,
+               num_partitions: int = 8, num_blocks: int = 8):
+    """Deterministic 'random' walks over a bipartite edge list — the
+    DeepWalk/node2vec sampling stage made exactly reproducible: one
+    walk starts at every distinct ``a_col`` node, and at step t the
+    next node u minimizes the integer hash
+    ``((walk % 2^31)·1315423911 + t·2654435761 + (u % 2^31)·97867)
+    mod 2^32`` (ties by ascending u), so cluster size, partitioning
+    and retries never change the sampled paths and the whole walk set
+    replays in SQL.
+
+    Each step is one hash join (frontier ⋈ edges on the current side)
+    followed by a per-walk vectorized argmin inside a coarse partition
+    — the exchange carries candidate rows (Σ degree of the frontier),
+    never the corpus. The visited path rides ALONG the frontier as
+    n1..nt columns (no end-of-walk reassembly joins). Steps alternate
+    sides (a→b→a→…). Frontiers are node-sized, MATERIALIZED between
+    joins (chained join DAGs hold every aggregator pool alive at once
+    — measured hang at 8 CPUs) and REPARTITIONED first: map_groups
+    leaves schema-less empty blocks that the Arrow hash join rejects
+    ('no match for key field'), and repartition absorbs them into
+    typed blocks."""
+    from .grouped import partitioned_apply, partitioned_drop_duplicates
+
+    def _ren(ds, mapping):
+        # Dataset.rename_columns requires Arrow blocks; these pipelines
+        # carry pandas blocks, so rename inside a map
+        return ds.map_batches(
+            lambda b, _m=dict(mapping): b.rename(columns=_m),
+            batch_format="pandas")
+
+    e = partitioned_drop_duplicates(
+        edges.select_columns([a_col, b_col]), [a_col, b_col],
+        num_partitions=num_partitions).repartition(num_blocks).materialize()
+
+    def start(p: pd.DataFrame) -> pd.DataFrame:
+        w = p[a_col].drop_duplicates()
+        return pd.DataFrame({"walk_id": w.astype("int64"),
+                             "cur": w.astype("int64")})
+
+    frontier = partitioned_apply(
+        e, [a_col], start, num_partitions=num_partitions,
+    ).repartition(num_blocks).materialize()
+    for t in range(1, n_steps + 1):
+        side_in, side_out = (a_col, b_col) if t % 2 == 1 else (b_col, a_col)
+        cand = frontier.join(
+            _ren(e, {side_in: "cur", side_out: "nxt"}),
+            join_type="inner", on=("cur",), num_partitions=num_partitions)
+
+        def pick(p: pd.DataFrame, _t=t) -> pd.DataFrame:
+            w = p["walk_id"].to_numpy(np.int64)
+            u = p["nxt"].to_numpy(np.int64)
+            h = ((w % (1 << 31)) * 1315423911 + _t * 2654435761
+                 + (u % (1 << 31)) * 97867) % (1 << 32)
+            q = p.assign(h=h).sort_values(["walk_id", "h", "nxt"],
+                                          kind="mergesort")
+            win = q.drop_duplicates("walk_id", keep="first")
+            win = win.drop(columns=["cur", "h"]).rename(
+                columns={"nxt": f"n{_t}"})
+            win["cur"] = win[f"n{_t}"]
+            return win.reset_index(drop=True)
+
+        frontier = partitioned_apply(
+            cand, ["walk_id"], pick, num_partitions=num_partitions,
+        ).repartition(num_blocks).materialize()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop(columns=["cur"])
+
+    return frontier.map_batches(finish, batch_format="pandas")
