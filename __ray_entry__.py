@@ -4385,6 +4385,44 @@ def q_hash_walks(sf_dir: str):
     return out.map_batches(shape, batch_format="pandas")
 
 
+def q_incremental_agg(sf_dir: str):
+    """Incremental materialized-view maintenance: refresh the
+    per-source (count, Σ n_chars) aggregate under a CDC changelog
+    with delta-sized work only — old contributions fetched by ONE
+    broadcast-filter pass over the base, delta merged into the stored
+    aggregate; the base is never re-aggregated. Result ≡ aggregating
+    apply_changes(base, changes) (also pinned in tests)."""
+    from web_crawler_ray.stages.aggregate import incremental_agg_merge
+
+    def gen_changes(batch: pd.DataFrame) -> pd.DataFrame:
+        # q_cdc_apply's synthetic changelog, carrying the group column
+        ids = batch["doc_id"].to_numpy(np.int64)
+        nch = batch["n_chars"].to_numpy(np.int64)
+        src = batch["source"].to_numpy()
+        up = ids % 4 == 0
+        de = ids % 8 == 0
+        ins = ids % 50 == 0
+        return pd.DataFrame({
+            "doc_id": np.concatenate([ids[up], ids[de], ids[ins] + 1_000_000]),
+            "op": ["upsert"] * int(up.sum()) + ["delete"] * int(de.sum())
+                  + ["upsert"] * int(ins.sum()),
+            "seq": np.concatenate([np.ones(up.sum(), np.int64),
+                                   np.full(de.sum(), 2, np.int64),
+                                   np.ones(ins.sum(), np.int64)]),
+            "n_chars": np.concatenate([nch[up] + 1000,
+                                       np.zeros(de.sum(), np.int64),
+                                       ids[ins]]),
+            "source": np.concatenate([src[up], src[de], src[ins]]),
+        })
+
+    base = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "source", "n_chars"])
+    changes = rd.read_parquet(_t(sf_dir, "documents"),
+                              columns=["doc_id", "n_chars", "source"]).map_batches(
+        gen_changes, batch_format="pandas")
+    return incremental_agg_merge(base, changes, "source", "doc_id", "n_chars")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4611,6 +4649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hard_negatives": q_hard_negatives,
         "q_temperature_mix": q_temperature_mix,
         "q_hash_walks": q_hash_walks,
+        "q_incremental_agg": q_incremental_agg,
     }
 
 
@@ -6676,5 +6715,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(walk AS BIGINT) AS walk_id, CAST(n1 AS BIGINT) AS n1,
                    CAST(n2 AS BIGINT) AS n2
             FROM s2
+        """,
+        "q_incremental_agg": """
+            WITH ch AS (
+              SELECT doc_id, 'upsert' AS op, 1 AS seq,
+                     n_chars + 1000 AS n_chars, source
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT doc_id, 'delete', 2, 0, source FROM documents
+              WHERE doc_id % 8 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'upsert', 1, doc_id, source
+              FROM documents WHERE doc_id % 50 = 0
+            ), win AS (
+              SELECT * FROM ch QUALIFY row_number() OVER (
+                  PARTITION BY doc_id ORDER BY seq DESC, op) = 1
+            ), snap AS (
+              SELECT b.doc_id, b.source, b.n_chars FROM documents b
+              ANTI JOIN win ON b.doc_id = win.doc_id
+              UNION ALL
+              SELECT doc_id, source, n_chars FROM win WHERE op = 'upsert'
+            )
+            SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(n_chars) AS BIGINT) AS v_sum
+            FROM snap GROUP BY source ORDER BY source
         """,
     }

@@ -231,3 +231,38 @@ def test_shuffle_skew_report_salts(ray_session):
     assert out.loc["hot", "share_ppm"] == 800 * 1_000_000 // 1000
     assert out.loc["hot", "n_salts"] == (800 * 8 + 999) // 1000  # 7
     assert out.loc["warm", "n_salts"] == (150 * 8 + 999) // 1000  # 2
+
+
+def test_incremental_agg_matches_full_recompute(ray_session):
+    """Delta-merge maintenance must equal re-aggregating the merged
+    snapshot (apply_changes), including deletes, group moves, and
+    insert-created groups."""
+    import numpy as np
+    import ray.data as rd
+
+    from web_crawler_ray.stages.aggregate import incremental_agg_merge
+    from web_crawler_ray.stages.dedup import apply_changes
+
+    base = pd.DataFrame({
+        "id": np.arange(100),
+        "g": np.repeat(["a", "b", "c", "d"], 25),
+        "v": np.arange(100, dtype=np.int64),
+    })
+    changes = pd.DataFrame({
+        "id": [0, 1, 2, 30, 101, 102, 0],
+        "op": ["upsert", "delete", "upsert", "delete", "upsert",
+               "upsert", "upsert"],
+        "seq": [1, 1, 1, 1, 1, 1, 2],
+        "g": ["a", "a", "b", "b", "e", "a", "a"],   # id 2 moves a->b
+        "v": [1000, 0, 50, 0, 7, 9, 2000],          # id 0: seq2 wins
+    })
+    inc = incremental_agg_merge(rd.from_pandas(base),
+                                rd.from_pandas(changes), "g", "id", "v")
+    snap = apply_changes(rd.from_pandas(base), rd.from_pandas(changes),
+                         id_col="id").to_pandas()
+    full = (snap.groupby("g").agg(n_rows=("id", "size"), v_sum=("v", "sum"))
+            .reset_index().sort_values("g").reset_index(drop=True))
+    inc = inc.rename(columns={"g": "g"})[["g", "n_rows", "v_sum"]]
+    full["n_rows"] = full["n_rows"].astype("int64")
+    full["v_sum"] = full["v_sum"].astype("int64")
+    assert inc.reset_index(drop=True).equals(full)
