@@ -372,3 +372,43 @@ def test_crashed_attempt_stale_files_cleared(fixtures, ray_run):
     assert set(int(x) for x in res["seen_hashes"]) == set(
         int(x) for x in ray_run["res"]["seen_hashes"]
     )
+
+
+def test_dimension_robots_equals_broadcast(fixtures, ray_run):
+    """robots_mode='dimension' (rules ride the politeness shuffle as a
+    Dataset — the 10^9-hosts path: no driver-held map, no slice refs)
+    produces identical order and seen set, including hot-host rules
+    forwarding to the home task."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth",
+        checkpoint_dir=os.path.join(fixtures["root"], "dimension"),
+        num_blocks=4, write_images=False, robots_mode="dimension",
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
+def test_dimension_robots_with_forced_hot_host(fixtures, tmp_path):
+    """Force hot-host salting (factor 0 => every host hot) under
+    dimension mode: every rules row must forward to its home task and
+    the result must equal the broadcast run with the same forcing."""
+    outs = {}
+    for mode in ("broadcast", "dimension"):
+        cfg = CrawlConfig(
+            n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=2,
+            fetch_mode="synth",
+            checkpoint_dir=str(tmp_path / f"hot_{mode}"),
+            num_blocks=4, write_images=False, robots_mode=mode,
+            hot_host_factor=0.0,
+        )
+        res = run_crawl(cfg, fixtures["seeds"],
+                        robots_table=fixtures["robots"], collect_seen=True)
+        outs[mode] = (read_crawl_order(cfg.checkpoint_dir),
+                      set(int(x) for x in res["seen_hashes"]))
+    assert outs["broadcast"][0].equals(outs["dimension"][0])
+    assert outs["broadcast"][1] == outs["dimension"][1]

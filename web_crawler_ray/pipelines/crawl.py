@@ -53,7 +53,7 @@ import ray
 import ray.data as rd
 
 from ..codecs import decode_image, phash64, psnr
-from ..hashing import fingerprint_bytes, hash64
+from ..hashing import fingerprint_bytes, hash64, hash64_batch
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
 from ..state.politeness import DEFAULT_DELAY_MS, build_robots_map, schedule_host_batch
@@ -106,7 +106,13 @@ class CrawlConfig:
     # robots rule distribution: "broadcast" ships the whole map once via
     # the object store; "sliced" shards it by host_hash % num_blocks so
     # each schedule task reads only its partition's slice (the
-    # 10^7-hosts path — per-task payload stops growing with host count)
+    # 10^7-hosts path — per-task payload stops growing with host count);
+    # "dimension" keeps the rules a DATASET that rides the politeness
+    # shuffle itself (rule rows co-partition with their host's URLs, a
+    # hot host's rules follow its survivors to the home task) — the
+    # 10^9-hosts path: no driver-held map, no per-task slice refs,
+    # per-task rule payload ∝ hosts-in-partition. Results are
+    # identical across all three modes (test-pinned).
     robots_mode: str = "broadcast"
     # granted sets at or below this size take the single-driver-pass
     # order write (one traversal, single file); larger sets stream a
@@ -534,8 +540,48 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         for host, rules in robots_map_full.items():
             slices[int(hash64(host)) % cfg.num_blocks][host] = rules
         robots_slice_refs = [ray.put(s) for s in slices]
+    elif cfg.robots_mode == "dimension":
+        pass  # rules ride the politeness shuffle as a Dataset (below)
     else:
         robots_ref = ray.put(robots_map_full)
+    robots_dim_ds = None
+    if cfg.robots_mode == "dimension":
+        # rules as a DATASET co-shuffled with the frontier (the
+        # 10^9-host path): one frontier-schema row per host carrying
+        # its serialized rules; unioned into the canon stream each
+        # round so the ONE politeness shuffle co-locates every host's
+        # rules with its URLs. No driver-held map ships to tasks.
+        # (robots_map_full above is still used for the driver-side
+        # order-push BOUND only — at true dimension scale that bound
+        # would be computed with one distributed pass instead.)
+        def _rules_rows(tab: pa.Table) -> pa.Table:
+            hosts = tab["host"].to_pylist()
+            delays = tab["crawl_delay_ms"].to_pylist()
+            prefs = tab["disallow_prefixes"].to_pylist()
+            rjs = [
+                json.dumps([int(d) if d else DEFAULT_DELAY_MS,
+                            list(p or ())])
+                for d, p in zip(delays, prefs)
+            ]
+            hh = hash64_batch(hosts)
+            n = len(hosts)
+            return pa.table({
+                "url": pa.array([""] * n, pa.string()),
+                "depth": pa.array([0] * n, pa.int32()),
+                "priority": pa.array([0.0] * n, pa.float32()),
+                "seed_id": pa.array([-1] * n, pa.int64()),
+                "admitted": pa.array([False] * n, pa.bool_()),
+                "host": pa.array(hosts, pa.string()),
+                "url_hash": pa.array(hh, pa.uint64()),
+                "host_hash": pa.array(hh, pa.uint64()),
+                "rules_json": pa.array(rjs, pa.string()),
+            })
+
+        robots_dim_ds = (
+            rd.from_arrow(robots_table)
+            .map_batches(_rules_rows, batch_format="pyarrow")
+            .materialize()
+        )
 
     shards = [
         SeenShardActor.remote(i, cfg.seen_shard_capacity, cfg.seen_spill_dir)
@@ -621,6 +667,17 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
         # 1. canonicalize + hash (stateless map)
         canon = frontier.map_batches(CanonicalizeAndHash(), batch_format="pyarrow")
+        dimension_mode = cfg.robots_mode == "dimension"
+        if dimension_mode:
+            # rules rows join the stream BEFORE the one politeness
+            # shuffle: a null rules_json column marks URL rows, and the
+            # union makes every host's rules land in the same partition
+            # as its URLs (same host_hash key). Zero extra exchanges.
+            canon = canon.map_batches(
+                lambda b: b.append_column(
+                    "rules_json", pa.nulls(b.num_rows, pa.string())),
+                batch_format="pyarrow",
+            ).union(robots_dim_ds)
 
         # 2-4. ONE shuffle per round for the cold path: partition by
         # host_hash % P, then inside each partition (vectorized):
@@ -642,6 +699,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # partition share host_hash % num_blocks by construction).
         robots_handle = robots_ref
         slice_handles = robots_slice_refs
+        dim_mode = dimension_mode
         n_blocks_cfg = cfg.num_blocks
         budget, rnd = cfg.round_budget_ms, r
         push_order = order_push
@@ -709,17 +767,35 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             tab = seen_probe(tab, shard_handles, n_shards)
             return tab.to_pandas()
 
-        def schedule_hosts(df: pd.DataFrame) -> pd.DataFrame:
+        def rules_from_rows(rules_df: pd.DataFrame) -> dict:
+            # (host, rules_json) rows → {host: HostRules}; the dimension
+            # mode's partition-local counterpart of build_robots_map
+            from ..state.politeness import HostRules
+
+            out = {}
+            for h, rj in zip(rules_df["host"], rules_df["rules_json"]):
+                delay, prefixes = json.loads(rj)
+                out[h] = HostRules(int(delay), tuple(prefixes))
+            return out
+
+        def schedule_hosts(df: pd.DataFrame, robots_map: dict | None = None) -> pd.DataFrame:
+            if dim_mode and robots_map is None and len(df):
+                # hot-host home task: forwarded rules rows ride along —
+                # split them out and build the local map from them
+                rm = df["rules_json"].notna()
+                robots_map = rules_from_rows(df[rm])
+                df = df[~rm]
             if df.empty:
                 out = df.copy()
                 out["disposition"] = pd.Series([], dtype=object)
                 out["fetch_ts_ms"] = pd.Series([], dtype="int64")
                 return out
-            if slice_handles is not None:
-                idx = int(hash64(df["host"].iloc[0])) % n_blocks_cfg
-                robots_map = ray.get(slice_handles[idx])
-            else:
-                robots_map = ray.get(robots_handle)  # object-store read, cached per worker
+            if robots_map is None:
+                if slice_handles is not None:
+                    idx = int(hash64(df["host"].iloc[0])) % n_blocks_cfg
+                    robots_map = ray.get(slice_handles[idx])
+                else:
+                    robots_map = ray.get(robots_handle)  # object-store read, cached per worker
             groups = [
                 schedule_host_batch(g, robots_map, budget, rnd)
                 for _, g in df.groupby("host", sort=True)
@@ -749,13 +825,34 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         def process_partition(df: pd.DataFrame) -> pd.DataFrame:
             is_hot = bool(df["part"].iloc[0] >= n_parts) if len(df) else False
             df = df.drop(columns=["part"])
+            local_rules = None
+            fwd = None
+            if dim_mode:
+                # split rules rows before dedup/probe (they are not
+                # URLs); rules of HOT hosts forward to the home task as
+                # hot_pending rows, the rest resolve right here
+                rm = df["rules_json"].notna()
+                rules_df = df[rm]
+                df = df[~rm]
+                if hot_hosts and len(rules_df):
+                    is_fwd = rules_df["host"].isin(hot_hosts).to_numpy()
+                    fwd = rules_df[is_fwd]
+                    rules_df = rules_df[~is_fwd]
+                local_rules = rules_from_rows(rules_df)
             df = dedup_probe(df)
             if is_hot:
                 # politeness decided at the host's home task (2nd pass)
                 df["disposition"] = "hot_pending"
                 df["fetch_ts_ms"] = np.int64(-1)
-                return df
-            return schedule_hosts(df)
+                out = df
+            else:
+                out = schedule_hosts(df, local_rules)
+            if fwd is not None and len(fwd):
+                fwd = fwd.copy()
+                fwd["disposition"] = "hot_pending"
+                fwd["fetch_ts_ms"] = np.int64(-1)
+                out = pd.concat([out, fwd], ignore_index=True)
+            return out
 
         parted = canon.map_batches(add_part, batch_format="pyarrow")
         scheduled = parted.groupby("part").map_groups(
