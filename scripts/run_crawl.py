@@ -37,6 +37,8 @@ def main() -> int:
     p.add_argument("--num-blocks", type=int, default=None)
     p.add_argument("--no-images", action="store_true")
     p.add_argument("--image-px", type=int, default=32)
+    p.add_argument("--robots-mode", choices=["broadcast", "sliced", "dimension"],
+                   default="broadcast")
     args = p.parse_args()
 
     import ray
@@ -69,6 +71,7 @@ def main() -> int:
             write_images=not args.no_images,
             image_px=args.image_px,
             num_blocks=args.num_blocks or max(16, args.num_cpus * 2),
+            robots_mode=args.robots_mode,
         )
         result = run_crawl(
             cfg,

@@ -56,7 +56,7 @@ from ..codecs import decode_image, phash64, psnr
 from ..hashing import fingerprint_bytes, hash64, hash64_batch
 from ..io import lancelike
 from ..state.cuckoo import SeenShardState
-from ..state.politeness import DEFAULT_DELAY_MS, build_robots_map, schedule_host_batch
+from ..state.politeness import DEFAULT_DELAY_MS, HostRules, build_robots_map, schedule_host_batch
 from ..synth import gen_robots, image_for_page, image_for_page_full, page_meta, page_pixels
 from ..urls import CanonicalizeAndHash
 
@@ -767,15 +767,15 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
             tab = seen_probe(tab, shard_handles, n_shards)
             return tab.to_pandas()
 
+        _host_rules_cls = HostRules  # captured: no runtime package import in workers
+
         def rules_from_rows(rules_df: pd.DataFrame) -> dict:
             # (host, rules_json) rows → {host: HostRules}; the dimension
             # mode's partition-local counterpart of build_robots_map
-            from ..state.politeness import HostRules
-
             out = {}
             for h, rj in zip(rules_df["host"], rules_df["rules_json"]):
                 delay, prefixes = json.loads(rj)
-                out[h] = HostRules(int(delay), tuple(prefixes))
+                out[h] = _host_rules_cls(int(delay), tuple(prefixes))
             return out
 
         def schedule_hosts(df: pd.DataFrame, robots_map: dict | None = None) -> pd.DataFrame:
