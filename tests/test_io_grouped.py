@@ -1549,3 +1549,20 @@ def test_cdc_chunk_stats_reference_and_edit_stability(ray_session):
     edited_cuts = naive_cuts(edited)
     # the suffix t[3:] contributes identical cut positions in both
     assert abs(edited_cuts - base_cuts) <= k + 3
+
+
+def test_spec_cdc_and_bigram_ops(ray_session):
+    sf = "/root/testdata/sf0.001"
+    cdc = build_pipeline(
+        f"{sf}/documents.parquet",
+        [{"op": "cdc_chunks", "mask": 63}],
+    ).to_pandas()
+    assert {"doc_id", "n_chars", "n_cuts", "n_chunks"} <= set(cdc.columns)
+    assert (cdc["n_chunks"] >= 1).all()
+
+    lm = build_pipeline(
+        f"{sf}/documents.parquet",
+        [{"op": "bigram_lm"}, {"op": "limit", "n": 5}],
+    ).to_pandas()
+    assert {"doc_id", "n_bigrams", "lm_score"} <= set(lm.columns)
+    assert (lm["lm_score"] <= 0).all()

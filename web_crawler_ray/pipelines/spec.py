@@ -82,6 +82,9 @@ Spec format (list of op dicts, applied in order):
                   "terms": [...], "k": 20}
     {"op": "token_budget", "id": col, "quality": col, "tokens": col,
                   "budget": N}
+    {"op": "cdc_chunks",  "text_col": "text", "id": col, "k": 4,
+                  "mask": 63}
+    {"op": "bigram_lm",   "text_col": "text", "id": col, "lam": 0.7}
 """
 
 from __future__ import annotations
@@ -363,6 +366,18 @@ def _apply_op(ds, op: dict):
 
         return token_budget_select(ds, op["id"], op["quality"],
                                    op["tokens"], op["budget"])
+    if kind == "cdc_chunks":
+        from ..stages.text_quality import cdc_chunk_stats
+
+        return cdc_chunk_stats(ds, op.get("text_col", "text"),
+                               op.get("id", "doc_id"), k=op.get("k", 4),
+                               mask=op.get("mask", 63))
+    if kind == "bigram_lm":
+        from ..stages.text_rank import bigram_lm_score
+
+        return bigram_lm_score(ds, op.get("text_col", "text"),
+                               op.get("id", "doc_id"),
+                               lam=op.get("lam", 0.7))
     raise ValueError(f"unknown op: {kind}")
 
 
@@ -539,6 +554,12 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             created |= {"term", "label", "n_docs", "chi2"}
         elif kind == "token_budget":
             need([op["id"], op["quality"], op["tokens"]])
+        elif kind == "cdc_chunks":
+            need([op.get("text_col", "text"), op.get("id", "doc_id")])
+            created |= {"n_chars", "n_cuts", "n_chunks"}
+        elif kind == "bigram_lm":
+            need([op.get("text_col", "text"), op.get("id", "doc_id")])
+            created |= {"n_bigrams", "lm_score"}
     cols = sorted(needed & set(_pq.read_schema(source_path).names))
     return cols or None
 
