@@ -527,7 +527,8 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     """
     if robots_table is None:
         robots_table = gen_robots(cfg.n_hosts, cfg.seed)
-    robots_map_full = build_robots_map(robots_table)
+    robots_map_full = (build_robots_map(robots_table)
+                       if cfg.robots_mode != "dimension" else {})
     robots_ref = None
     robots_slice_refs: list | None = None
     if cfg.robots_mode == "sliced":
@@ -550,10 +551,9 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # 10^9-host path): one frontier-schema row per host carrying
         # its serialized rules; unioned into the canon stream each
         # round so the ONE politeness shuffle co-locates every host's
-        # rules with its URLs. No driver-held map ships to tasks.
-        # (robots_map_full above is still used for the driver-side
-        # order-push BOUND only — at true dimension scale that bound
-        # would be computed with one distributed pass instead.)
+        # rules with its URLs. No driver-held map exists in this mode:
+        # even the order-push BOUND is one distributed map+sum over
+        # this Dataset (below).
         def _rules_rows(tab: pa.Table) -> pa.Table:
             hosts = tab["host"].to_pylist()
             delays = tab["crawl_delay_ms"].to_pylist()
@@ -595,11 +595,29 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     # schedule tasks piggyback order rows on their stats RPC.
     order_push = cfg.order_push
     if order_push is None:
-        granted_bound = sum(
-            max(1, cfg.round_budget_ms // max(rules.delay_ms, 1))
-            for rules in robots_map_full.values()
-        )
-        granted_bound += max(0, cfg.n_hosts - len(robots_map_full)) * max(
+        if robots_dim_ds is not None:
+            # dimension mode: the bound is one distributed map+sum over
+            # the rules Dataset — the driver never folds the host map
+            budget_ms = cfg.round_budget_ms
+
+            def per_host_bound(b: pa.Table) -> pa.Table:
+                delays = np.array([json.loads(rj)[0]
+                                   for rj in b["rules_json"].to_pylist()],
+                                  dtype=np.int64)
+                g = np.maximum(1, budget_ms // np.maximum(delays, 1))
+                return pa.table({"g": pa.array([int(g.sum())], pa.int64())})
+
+            granted_bound = int(
+                robots_dim_ds.map_batches(
+                    per_host_bound, batch_format="pyarrow").sum("g") or 0)
+            n_ruled_hosts = robots_dim_ds.count()
+        else:
+            granted_bound = sum(
+                max(1, cfg.round_budget_ms // max(rules.delay_ms, 1))
+                for rules in robots_map_full.values()
+            )
+            n_ruled_hosts = len(robots_map_full)
+        granted_bound += max(0, cfg.n_hosts - n_ruled_hosts) * max(
             1, cfg.round_budget_ms // DEFAULT_DELAY_MS
         )
         order_push = granted_bound <= cfg.order_push_bound_rows
