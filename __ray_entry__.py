@@ -4423,6 +4423,70 @@ def q_incremental_agg(sf_dir: str):
     return incremental_agg_merge(base, changes, "source", "doc_id", "n_chars")
 
 
+def q_cluster_purity(sf_dir: str):
+    """Clustering-quality evaluation: assign every embedding to its
+    nearest seed centroid (the q_kmeans_step assignment), then per
+    cluster the size, majority label and purity = majority share —
+    the unsupervised-vs-label agreement check of an embedding
+    pipeline. Broadcast centroids (zero data shuffle) + one
+    (k × labels)-cell combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.similarity import kmeans_assign_step
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding", "label"])
+    assigned = kmeans_assign_step(ds, k=8, keep_cols=["label"])
+    cells = partial_grouped_agg(
+        assigned.select_columns(["cluster", "label"]),
+        ["cluster", "label"], {"n": ("count", None)},
+    ).to_pandas()
+    tot = cells.groupby("cluster")["n"].sum()
+    top = (cells.sort_values(["cluster", "n", "label"],
+                             ascending=[True, False, True], kind="mergesort")
+           .drop_duplicates("cluster"))
+    out = pd.DataFrame({
+        "cluster": top["cluster"].astype("int64").to_numpy(),
+        "n_vecs": tot.loc[top["cluster"]].astype("int64").to_numpy(),
+        "top_label": top["label"].astype("int64").to_numpy(),
+        "purity": sql_round(pd.Series(
+            top["n"].to_numpy(np.float64)
+            / tot.loc[top["cluster"]].to_numpy(np.float64)), 6),
+    })
+    return out.sort_values("cluster", kind="mergesort").reset_index(drop=True)
+
+
+def q_session_stats(sf_dir: str):
+    """Session-level product analytics over the gap-sessionized event
+    log: total sessions, bounce sessions (single event), mean events
+    per session — one constant-size partial per batch on top of the
+    sessionize exchange."""
+    from web_crawler_ray.stages.windows import sessionize
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+    sess = sessionize(ds, "user_id", "ts", "event_id",
+                      gap_ms=30 * 60 * 1000,
+                      n_rows_hint=_nrows(sf_dir, "events"))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_events"].to_numpy(np.int64)
+        return pd.DataFrame({"n_sessions": [np.int64(len(n))],
+                             "n_bounce": [np.int64((n == 1).sum())],
+                             "sum_events": [np.int64(n.sum())]})
+
+    tot = None
+    for b in sess.map_batches(partial, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        s = b.sum()
+        tot = s if tot is None else tot + s
+    return pd.DataFrame({
+        "n_sessions": [int(tot["n_sessions"])],
+        "n_bounce": [int(tot["n_bounce"])],
+        "avg_events": [float(sql_round(pd.Series(
+            [tot["sum_events"] / tot["n_sessions"]]), 6).iloc[0])],
+    })
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4650,6 +4714,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_temperature_mix": q_temperature_mix,
         "q_hash_walks": q_hash_walks,
         "q_incremental_agg": q_incremental_agg,
+        "q_cluster_purity": q_cluster_purity,
+        "q_session_stats": q_session_stats,
     }
 
 
@@ -6739,5 +6805,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(sum(n_chars) AS BIGINT) AS v_sum
             FROM snap GROUP BY source ORDER BY source
+        """,
+        "q_cluster_purity": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), dist AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS d2
+                FROM embeddings e, c
+            ), a AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                    FROM dist
+                ) WHERE rn = 1
+            ), j AS (
+                SELECT a.cluster, e.label FROM a
+                JOIN embeddings e ON a.vec_id = e.vec_id
+            ), cellc AS (
+                SELECT cluster, label, count(*) AS n FROM j GROUP BY 1, 2
+            ), tot AS (
+                SELECT cluster, sum(n) AS nt FROM cellc GROUP BY cluster
+            ), top AS (
+                SELECT cluster, label, n FROM cellc
+                QUALIFY row_number() OVER (
+                    PARTITION BY cluster ORDER BY n DESC, label) = 1
+            )
+            SELECT CAST(t.cluster AS BIGINT) AS cluster,
+                   CAST(tot.nt AS BIGINT) AS n_vecs,
+                   CAST(t.label AS BIGINT) AS top_label,
+                   round(CAST(t.n AS DOUBLE) / tot.nt, 6) AS purity
+            FROM top t JOIN tot ON t.cluster = tot.cluster
+            ORDER BY t.cluster
+        """,
+        "q_session_stats": """
+            WITH sess AS (
+                SELECT user_id, session_id, count(*) AS n_events FROM (
+                    SELECT user_id, ts,
+                           CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS session_id
+                    FROM (
+                        SELECT user_id, ts, event_id,
+                               CASE WHEN lag(ts) OVER w IS NULL
+                                      OR ts - lag(ts) OVER w
+                                         > INTERVAL 30 MINUTE
+                                    THEN 1 ELSE 0 END AS new_sess
+                        FROM events
+                        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                    )
+                ) GROUP BY user_id, session_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounce,
+                   round(CAST(sum(n_events) AS DOUBLE) / count(*), 6)
+                     AS avg_events
+            FROM sess
         """,
     }

@@ -346,7 +346,8 @@ def ivf_query_index(path: str, query_ids, query_vecs, dim: int, k: int = 10,
 
 
 def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id",
-                       vec_col: str = "embedding", ndigits: int = 6):
+                       vec_col: str = "embedding", ndigits: int = 6,
+                       keep_cols: list[str] | None = None):
     """One Lloyd-iteration ASSIGNMENT over the embedding corpus with
     fixed seed centroids (the first ``k`` vectors by id, the
     deterministic k-means++ stand-in): broadcast the (k, d) centroid
@@ -373,11 +374,14 @@ def kmeans_assign_step(ds, k: int = 8, id_col: str = "vec_id",
         d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         cluster = np.argmin(d2, axis=1).astype(np.int64)
         best = d2[np.arange(len(m)), cluster]
-        return pa.table({
+        cols = {
             id_col: batch[id_col],
             "cluster": pa.array(cluster),
             "d2": pa.array(sql_round(best, ndigits)),
-        })
+        }
+        for c in (keep_cols or []):
+            cols[c] = batch[c]
+        return pa.table(cols)
 
     return ds.map_batches(assign, batch_format="pyarrow")
 
