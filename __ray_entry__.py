@@ -4487,6 +4487,62 @@ def q_session_stats(sf_dir: str):
     })
 
 
+def q_dataset_card(sf_dir: str):
+    """Dataset-card profile (the data-quality capstone): one row per
+    orders column with row count, null count, exact distinct count,
+    and min/max rendered as text — the summary a corpus release ships.
+    One map pass emits fixed-size per-column partials (distincts via
+    per-batch set collapse, combined per column in one coarse
+    exchange); nothing row-sized reaches the driver."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    cols = ["o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=cols)
+
+    # pass 1: fixed-size per-batch totals (rows, nulls) per column
+    def totals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "col": cols,
+            "n_rows": [np.int64(len(batch))] * len(cols),
+            "n_null": [np.int64(batch[c].isna().sum()) for c in cols],
+        })
+
+    tot = None
+    for b in ds.map_batches(totals, batch_format="pandas").iter_batches(
+            batch_format="pandas"):
+        g = b.groupby("col").sum()
+        tot = g if tot is None else tot.add(g, fill_value=0)
+
+    def uniq_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            vals = batch[c].dropna().unique()
+            rows.append(pd.DataFrame({"col": c,
+                                      "val": pd.Series(vals).astype(str)}))
+        return pd.concat(rows, ignore_index=True)
+
+    def uniq_combine(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.drop_duplicates().groupby("col")
+        return pd.DataFrame({
+            "col": g.size().index,
+            "n_distinct": g.size().to_numpy().astype("int64"),
+            "v_min": g["val"].min().to_numpy(),
+            "v_max": g["val"].max().to_numpy(),
+        })
+
+    uniq = partitioned_apply(
+        ds.map_batches(uniq_partial, batch_format="pandas"), ["col"],
+        uniq_combine, pre_combine=lambda b: b.drop_duplicates(),
+    ).to_pandas()
+
+    out = uniq.merge(
+        tot.reset_index()[["col", "n_rows", "n_null"]], on="col")
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_null"] = out["n_null"].astype("int64")
+    return (out[["col", "n_rows", "n_null", "n_distinct", "v_min", "v_max"]]
+            .sort_values("col", kind="mergesort").reset_index(drop=True))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4716,6 +4772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_agg": q_incremental_agg,
         "q_cluster_purity": q_cluster_purity,
         "q_session_stats": q_session_stats,
+        "q_dataset_card": q_dataset_card,
     }
 
 
@@ -6864,5 +6921,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(n_events) AS DOUBLE) / count(*), 6)
                      AS avg_events
             FROM sess
+        """,
+        "q_dataset_card": """
+            WITH u AS (
+              SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS val
+              FROM orders
+              UNION ALL
+              SELECT 'o_orderpriority', o_orderpriority FROM orders
+              UNION ALL
+              SELECT 'o_orderstatus', o_orderstatus FROM orders
+              UNION ALL
+              SELECT 'o_totalprice', CAST(o_totalprice AS VARCHAR) FROM orders
+            ), d AS (
+              SELECT col,
+                     CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                     min(val) AS v_min, max(val) AS v_max,
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null
+              FROM u GROUP BY col
+            )
+            SELECT col, n_rows, n_null, n_distinct, v_min, v_max
+            FROM d ORDER BY col
         """,
     }
