@@ -4543,6 +4543,54 @@ def q_dataset_card(sf_dir: str):
             .sort_values("col", kind="mergesort").reset_index(drop=True))
 
 
+def q_changepoint(sf_dir: str):
+    """Single change-point detection per event type (binary
+    segmentation, the CUSUM/PELT building block): the split of the
+    ts-ordered value series minimizing SSE_left + SSE_right — 'where
+    did this metric's level shift?'. Prefix sums make every candidate
+    split O(1), the whole series one vectorized pass inside its
+    partition; ties break at the earliest split. Both engines sum the
+    prefixes in the same ts order, so the float costs compare
+    bit-identically."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "event_id", "value"])
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in p.groupby("event_type", sort=True):
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            v = g["value"].to_numpy(np.float64)
+            n = len(v)
+            if n < 2:
+                continue
+            s = np.cumsum(v)
+            q = np.cumsum(v * v)
+            k = np.arange(1, n)
+            sl, ql = s[:-1], q[:-1]
+            sr, qr = s[-1] - sl, q[-1] - ql
+            cost = (ql - sl * sl / k) + (qr - sr * sr / (n - k))
+            best = int(np.argmin(cost))  # first minimum = earliest split
+            rows.append({
+                "event_type": et,
+                "n_events": np.int64(n),
+                "split_k": np.int64(best + 1),
+                "mean_left": float(sl[best] / (best + 1)),
+                "mean_right": float(sr[best] / (n - best - 1)),
+            })
+        out = pd.DataFrame(rows, columns=["event_type", "n_events",
+                                          "split_k", "mean_left",
+                                          "mean_right"])
+        if len(out):
+            out["mean_left"] = sql_round(out["mean_left"], 6)
+            out["mean_right"] = sql_round(out["mean_right"], 6)
+        return out
+
+    return partitioned_apply(ds, ["event_type"], per_part,
+                             n_rows_hint=_nrows(sf_dir, "events"))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4773,6 +4821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cluster_purity": q_cluster_purity,
         "q_session_stats": q_session_stats,
         "q_dataset_card": q_dataset_card,
+        "q_changepoint": q_changepoint,
     }
 
 
@@ -6943,5 +6992,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT col, n_rows, n_null, n_distinct, v_min, v_max
             FROM d ORDER BY col
+        """,
+        "q_changepoint": """
+            WITH o AS (
+              SELECT event_type,
+                     CAST(row_number() OVER w AS BIGINT) AS k,
+                     sum(value) OVER (w ROWS UNBOUNDED PRECEDING) AS s,
+                     sum(value * value)
+                       OVER (w ROWS UNBOUNDED PRECEDING) AS q,
+                     CAST(count(*) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS n
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ), t AS (
+              SELECT *,
+                     last_value(s) OVER (PARTITION BY event_type ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS st,
+                     last_value(q) OVER (PARTITION BY event_type ORDER BY k
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING) AS qt
+              FROM o
+            ), c AS (
+              SELECT event_type, n AS n_events, k AS split_k,
+                     (q - s * s / k)
+                       + ((qt - q) - (st - s) * (st - s) / (n - k)) AS cost,
+                     round(s / k, 6) AS mean_left,
+                     round((st - s) / (n - k), 6) AS mean_right
+              FROM t WHERE k < n
+            )
+            SELECT event_type, n_events, split_k, mean_left, mean_right
+            FROM c
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type ORDER BY cost, split_k) = 1
+            ORDER BY event_type
         """,
     }

@@ -266,3 +266,33 @@ def test_incremental_agg_matches_full_recompute(ray_session):
     full["n_rows"] = full["n_rows"].astype("int64")
     full["v_sum"] = full["v_sum"].astype("int64")
     assert inc.reset_index(drop=True).equals(full)
+
+
+def test_changepoint_finds_known_level_shift(ray_session):
+    """A clean level shift at index 60 of 100 must be found exactly,
+    with the two segment means recovered."""
+    import importlib
+    import os
+    import sys
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+
+    ts = pd.date_range("2024-01-01", periods=100, freq="min")
+    v = np.concatenate([np.full(60, 10.0), np.full(40, 25.0)])
+    # small deterministic jitter so SSE is not degenerate
+    v = v + np.sin(np.arange(100)) * 0.1
+    df = pd.DataFrame({"event_type": "m", "ts": ts,
+                       "event_id": np.arange(100), "value": v})
+
+    q = importlib.import_module("__ray_entry__").q_changepoint
+    # a tiny sf dir holding just this events table
+    root = tempfile.mkdtemp(prefix="wcr_cp_")
+    df.to_parquet(os.path.join(root, "events.parquet"))
+    out = q(root).to_pandas().sort_values("event_type").reset_index(drop=True)
+    assert out["split_k"].tolist() == [60]
+    assert abs(out["mean_left"].iloc[0] - v[:60].mean()) < 1e-4
+    assert abs(out["mean_right"].iloc[0] - v[60:].mean()) < 1e-4
