@@ -23,6 +23,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -4591,6 +4592,174 @@ def q_changepoint(sf_dir: str):
                              n_rows_hint=_nrows(sf_dir, "events"))
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embeddings (seed-centroid assignment, broadcast
+    centroids, zero data shuffle), then within each cluster keep only
+    rows with no smaller-id neighbour at cosine ≥ 0.4
+    (these synthetic embeddings are near-orthogonal, so the threshold
+    sits where near-dup structure actually exists) — exact dedup
+    generalized to semantic space. Cluster prune runs vectorized per
+    hash partition; similarities rounded at 6 digits on both engines
+    before the threshold compare."""
+    from web_crawler_ray.stages.similarity import semdedup
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    out = semdedup(ds, k=8, tau=0.4).to_pandas()
+    return out.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weighting for data selection (Xie et al. 2023):
+    per-document mean token log-likelihood ratio between the
+    lang='en' target unigram model and the raw-corpus model — the
+    'which documents look like my target domain?' scorer. One counting
+    pass carries both models' counts, one vocab-bounded combine,
+    map-only scoring."""
+    from web_crawler_ray.stages.text_rank import dsir_weights
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text", "lang"])
+    out = dsir_weights(ds, "text", "doc_id", "lang", "en",
+                       vocab_size=100).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_edit_join(sf_dir: str):
+    """Edit-distance similarity self-join (typo-tolerant matching):
+    all customer-name pairs within Levenshtein distance 1, via the
+    FastSS deletion neighbourhood — variant hashes shuffle, candidate
+    groups pair up per partition, an exact vectorized DP verify
+    removes hash false-positives. Never all-pairs."""
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    out = edit_distance_join(ds, "c_custkey", "c_name", k=1).to_pandas()
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_corpus_kl(sf_dir: str):
+    """Corpus-drift report: cross-entropy, self-entropy and KL(en‖de)
+    between the English and German sub-corpora over a shared top-100
+    unigram vocabulary (add-1 smoothed) — 'how far apart are these two
+    sources' token distributions?'. One counting pass, vocab-bounded
+    combine, driver fold over ≤100 rows."""
+    from web_crawler_ray.stages.stats import unigram_kl
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "lang"])
+    return unigram_kl(ds, "text", "lang", "en", "de", vocab_size=100)
+
+
+def q_label_prop(sf_dir: str):
+    """Community detection by synchronous label propagation (2
+    deterministic iterations, ties → highest count then smallest
+    label) over the undirected part↔supplier graph — the
+    mode-of-neighbours sibling of connected components. Labels stay a
+    Dataset; per iteration one hash join + pre-combined (node, label)
+    counts + a vectorized winner pick."""
+    from web_crawler_ray.stages.graph import label_propagation
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+    edges = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "a": b["l_partkey"].to_numpy(),
+            "b": b["l_suppkey"].to_numpy() + 1000000,
+        }).drop_duplicates(), batch_format="pandas")
+    from web_crawler_ray.stages.grouped import partitioned_drop_duplicates
+    edges = partitioned_drop_duplicates(edges, ["a", "b"], pre_dedup=True)
+    return label_propagation(edges, "a", "b", iterations=2)
+
+
+def q_group_trend(sf_dir: str):
+    """Per-event-type OLS trend: slope / intercept / r² of value
+    against time (days) — 'is this metric drifting, per segment?'.
+    Moments pattern: per-batch (n, Σx, Σy, Σxx, Σxy, Σyy) partials,
+    one key-sized combine, closed forms shared with the SQL replay."""
+    from web_crawler_ray.stages.stats import group_regression
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    return group_regression(ds, "event_type", "ts", "value")
+
+
+def q_join_size(sf_dir: str):
+    """Exact join-cardinality estimation WITHOUT executing the join
+    (the query-planner primitive): per-key counts of lineitem and
+    orders on orderkey, a key-sized count-table join, Σ n_l·n_r plus
+    matched keys and the hottest key's contribution."""
+    from web_crawler_ray.stages.joins import join_size_estimate
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"), columns=["l_orderkey"])
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    return join_size_estimate(li, orders, "l_orderkey", "o_orderkey")
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity-resolution composite (the record-linkage flagship):
+    nation-blocked typo-tolerant matching via the FastSS
+    edit-distance join (block key mixed into the variant hash) →
+    connected components over the match pairs → one golden record per
+    entity (canonical = min-id member's name, member count, summed
+    balance). Everything after the components table is ONE
+    entity-co-locating exchange: the canonical row necessarily lives
+    in its own group (the component label IS the min member id)."""
+    from web_crawler_ray.stages.graph import connected_components
+    from web_crawler_ray.stages.grouped import partitioned_apply
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name", "c_acctbal",
+                                    "c_nationkey"])
+    pairs = edit_distance_join(cust, "c_custkey", "c_name", k=1,
+                               block_col="c_nationkey").materialize()
+    comps = connected_components(pairs, "id_a", "id_b")
+    cmap_ref = ray.put(dict(zip(comps["node"].tolist(),
+                                comps["component"].tolist())))
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        keys = batch["c_custkey"].to_numpy()
+        ent = np.array([cmap.get(int(x), int(x)) for x in keys],
+                       dtype=np.int64)
+        return pd.DataFrame({"entity": ent, "c_custkey": keys,
+                             "c_name": batch["c_name"].to_numpy(),
+                             "c_acctbal": batch["c_acctbal"].to_numpy()})
+
+    def golden(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["entity", "c_custkey"], kind="mergesort")
+        g = part.groupby("entity", sort=True)
+        first = g.head(1)  # min-id member == the entity id itself
+        return pd.DataFrame({
+            "entity": first["entity"].to_numpy().astype("int64"),
+            "canonical_name": first["c_name"].to_numpy(),
+            "n_members": g.size().to_numpy().astype("int64"),
+            "total_acctbal": sql_round(
+                g["c_acctbal"].sum().reset_index(drop=True), 2),
+        })
+
+    out = partitioned_apply(cust.map_batches(tag, batch_format="pandas"),
+                            ["entity"], golden).to_pandas()
+    return out.sort_values("entity", kind="mergesort").reset_index(drop=True)
+
+
+def q_kcenter(sf_dir: str):
+    """Greedy k-center diversity selection (farthest-first traversal,
+    Gonzalez 1985) of 4 embeddings: each round broadcasts the chosen
+    centers and takes ONE map-only pass emitting per-batch
+    (max-min-distance, argmax id) partials. Distances rounded before
+    the argmax so the SQL unroll picks identically."""
+    from web_crawler_ray.stages.similarity import kcenter_select
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return kcenter_select(ds, k=4)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -4822,6 +4991,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_stats": q_session_stats,
         "q_dataset_card": q_dataset_card,
         "q_changepoint": q_changepoint,
+        "q_semdedup": q_semdedup,
+        "q_dsir_weights": q_dsir_weights,
+        "q_edit_join": q_edit_join,
+        "q_corpus_kl": q_corpus_kl,
+        "q_label_prop": q_label_prop,
+        "q_group_trend": q_group_trend,
+        "q_join_size": q_join_size,
+        "q_entity_resolution": q_entity_resolution,
+        "q_kcenter": q_kcenter,
     }
 
 
@@ -7026,5 +7204,251 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY event_type ORDER BY cost, split_k) = 1
             ORDER BY event_type
+        """,
+        "q_semdedup": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ),
+            dist AS (
+                SELECT e.vec_id, c.cid,
+                       list_sum(list_transform(range(1, 65),
+                           i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ** 2)) AS d2
+                FROM embeddings e, c
+            ),
+            a AS (
+                SELECT vec_id, cid AS cluster FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cid) AS rn
+                    FROM dist
+                ) WHERE rn = 1
+            ),
+            nv AS (
+                SELECT e.vec_id, a.cluster,
+                       list_transform(CAST(e.embedding AS DOUBLE[]),
+                           x -> x / sqrt(list_sum(list_transform(
+                                CAST(e.embedding AS DOUBLE[]),
+                                y -> y * y)))) AS u
+                FROM embeddings e JOIN a ON e.vec_id = a.vec_id
+            ),
+            dominated AS (
+                SELECT DISTINCT x.vec_id
+                FROM nv x JOIN nv y
+                  ON x.cluster = y.cluster AND y.vec_id < x.vec_id
+                WHERE round(list_sum(list_transform(range(1, 65),
+                        i -> x.u[i] * y.u[i])), 6) >= 0.4
+            )
+            SELECT vec_id, cluster FROM a
+            WHERE vec_id NOT IN (SELECT vec_id FROM dominated)
+        """,
+        "q_dsir_weights": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), cnt AS (
+              SELECT token, count(*) AS n_raw,
+                     count(*) FILTER (WHERE lang = 'en') AS n_tgt
+              FROM toks GROUP BY token
+            ), tr AS (
+              SELECT sum(n_raw) * 1.0 AS nr, sum(n_tgt) * 1.0 AS nt
+              FROM cnt
+            ), v AS (
+              SELECT token, n_raw, n_tgt FROM cnt
+              ORDER BY n_raw DESC, token ASC LIMIT 100
+            )
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(avg(
+                       ln(greatest(coalesce(v.n_tgt, 0), 1) * 1.0 / tr.nt)
+                     - ln(coalesce(v.n_raw, 1) * 1.0 / tr.nr)), 6)
+                     AS dsir_weight
+            FROM toks t LEFT JOIN v ON t.token = v.token, tr
+            GROUP BY t.doc_id
+        """,
+        "q_edit_join": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "q_corpus_kl": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents WHERE lang IN ('en', 'de')
+            ), cnt AS (
+              SELECT token,
+                     count(*) FILTER (WHERE lang = 'en') AS n_a,
+                     count(*) FILTER (WHERE lang = 'de') AS n_b
+              FROM toks GROUP BY token
+            ), v AS (
+              SELECT token, n_a, n_b FROM cnt
+              ORDER BY n_a + n_b DESC, token ASC LIMIT 100
+            ), t AS (
+              SELECT count(*) * 1.0 AS nv, sum(n_a) * 1.0 AS sa,
+                     sum(n_b) * 1.0 AS sb
+              FROM v
+            ), p AS (
+              SELECT (n_a + 1) / (t.sa + t.nv) AS pa,
+                     (n_b + 1) / (t.sb + t.nv) AS pb
+              FROM v, t
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS vocab,
+                   round(-sum(pa * ln(pb)), 6) AS h_cross,
+                   round(-sum(pa * ln(pa)), 6) AS h_self,
+                   round(-sum(pa * ln(pb)) + sum(pa * ln(pa)), 6) AS kl
+            FROM p
+        """,
+        "q_label_prop": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS a,
+                     l_suppkey + 1000000 AS b
+              FROM lineitem
+            ), und AS (
+              SELECT a AS node, b AS nbr FROM e
+              UNION ALL
+              SELECT b AS node, a AS nbr FROM e
+            ), c1 AS (
+              SELECT node, nbr AS lab, count(*) AS n
+              FROM und GROUP BY node, nbr
+            ), w1 AS (
+              SELECT node, lab FROM c1
+              QUALIFY row_number() OVER (
+                  PARTITION BY node ORDER BY n DESC, lab) = 1
+            ), c2 AS (
+              SELECT u.node, w1.lab, count(*) AS n
+              FROM und u JOIN w1 ON u.nbr = w1.node
+              GROUP BY u.node, w1.lab
+            ), w2 AS (
+              SELECT node, lab FROM c2
+              QUALIFY row_number() OVER (
+                  PARTITION BY node ORDER BY n DESC, lab) = 1
+            )
+            SELECT CAST(node AS BIGINT) AS node,
+                   CAST(lab AS BIGINT) AS label
+            FROM w2 ORDER BY node
+        """,
+        "q_group_trend": """
+            WITH pts AS (
+              SELECT event_type,
+                     epoch_us(ts) / 1000000.0 / 86400.0 - 19723.0 AS x,
+                     value AS y
+              FROM events
+            ), m AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                     sum(x * y) AS sxy, sum(y * y) AS syy
+              FROM pts GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                     AS slope,
+                   round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 6) AS intercept,
+                   round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS r2
+            FROM m ORDER BY event_type
+        """,
+        "q_join_size": """
+            WITH cl AS (
+              SELECT l_orderkey, count(*) AS nl
+              FROM lineitem GROUP BY l_orderkey
+            ), cr AS (
+              SELECT o_orderkey, count(*) AS nr
+              FROM orders GROUP BY o_orderkey
+            )
+            SELECT CAST(sum(nl * nr) AS BIGINT) AS join_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(nl * nr) AS BIGINT) AS max_key_rows
+            FROM cl JOIN cr ON cl.l_orderkey = cr.o_orderkey
+        """,
+        "q_entity_resolution": """
+            WITH RECURSIVE p AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+              FROM customer a JOIN customer b
+                ON a.c_custkey < b.c_custkey
+               AND a.c_nationkey = b.c_nationkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+            ), e AS (
+              SELECT id_a AS s, id_b AS d FROM p
+              UNION ALL
+              SELECT id_b, id_a FROM p
+            ), r(node, lab) AS (
+              SELECT s, s FROM e
+              UNION
+              SELECT e.s, r.lab FROM e JOIN r ON r.node = e.d
+            ), comp AS (
+              SELECT node, min(lab) AS entity FROM r GROUP BY node
+            ), m AS (
+              SELECT c.c_custkey,
+                     coalesce(comp.entity, c.c_custkey) AS entity,
+                     c.c_acctbal
+              FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node
+            )
+            SELECT m.entity, n.c_name AS canonical_name,
+                   CAST(count(*) AS BIGINT) AS n_members,
+                   round(sum(m.c_acctbal), 2) AS total_acctbal
+            FROM m JOIN customer n ON n.c_custkey = m.entity
+            GROUP BY m.entity, n.c_name
+            ORDER BY m.entity
+        """,
+        "q_kcenter": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+              FROM embeddings
+            ), c1 AS (SELECT vec_id, ev FROM v WHERE vec_id = 0),
+            d1 AS (
+              SELECT v.vec_id,
+                     round(list_sum(list_transform(range(1, 65),
+                         i -> (v.ev[i] - c.ev[i]) ** 2)), 6) AS d
+              FROM v, c1 c WHERE v.vec_id <> 0
+            ), w1 AS (
+              SELECT vec_id, d FROM d1
+              QUALIFY row_number() OVER (ORDER BY d DESC, vec_id) = 1
+            ), c2 AS (SELECT v.vec_id, v.ev FROM v JOIN w1 USING (vec_id)),
+            d2 AS (
+              SELECT v.vec_id,
+                     least(
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.ev[i] - a.ev[i]) ** 2)), 6),
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.ev[i] - b.ev[i]) ** 2)), 6)) AS d
+              FROM v, c1 a, c2 b
+              WHERE v.vec_id <> 0 AND v.vec_id <> b.vec_id
+            ), w2 AS (
+              SELECT vec_id, d FROM d2
+              QUALIFY row_number() OVER (ORDER BY d DESC, vec_id) = 1
+            ), c3 AS (SELECT v.vec_id, v.ev FROM v JOIN w2 USING (vec_id)),
+            d3 AS (
+              SELECT v.vec_id,
+                     least(
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.ev[i] - a.ev[i]) ** 2)), 6),
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.ev[i] - b.ev[i]) ** 2)), 6),
+                       round(list_sum(list_transform(range(1, 65),
+                           i -> (v.ev[i] - c.ev[i]) ** 2)), 6)) AS d
+              FROM v, c1 a, c2 b, c3 c
+              WHERE v.vec_id <> 0 AND v.vec_id <> b.vec_id
+                AND v.vec_id <> c.vec_id
+            ), w3 AS (
+              SELECT vec_id, d FROM d3
+              QUALIFY row_number() OVER (ORDER BY d DESC, vec_id) = 1
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS sel_order, CAST(0 AS BIGINT)
+                       AS vec_id, 0.0 AS d2_at_selection
+              UNION ALL
+              SELECT 2, vec_id, d FROM w1
+              UNION ALL
+              SELECT 3, vec_id, d FROM w2
+              UNION ALL
+              SELECT 4, vec_id, d FROM w3
+            ) ORDER BY sel_order
         """,
     }

@@ -102,6 +102,13 @@ BENCH_QUERIES = [
     "q_pmi_bigrams",
     "q_token_budget",
     "q_bigram_lm",
+    "q_semdedup",
+    "q_edit_join",
+    "q_dsir_weights",
+    "q_join_size",
+    "q_label_prop",
+    "q_entity_resolution",
+    "q_kcenter",
 ]
 
 

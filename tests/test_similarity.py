@@ -2,6 +2,7 @@
 fused IVF path vs the materialized hive-partitioned index path."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -512,3 +513,36 @@ def test_clip_gate_separation(ray_session):
     for kind in ("permuted", "freetext"):
         assert out.loc[kind, "n_pass"] <= 0.2 * out.loc[kind, "n"]
         assert abs(out.loc[kind, "mean_score"]) < 0.3
+
+
+def test_semdedup_exact_duplicates_pruned(ray_session):
+    from web_crawler_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    # ids 20..29 duplicate ids 0..9 exactly -> must be pruned at any tau
+    vecs = np.vstack([base, base[:10]])
+    df = pd.DataFrame({"vec_id": np.arange(30, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = (semdedup(rd.from_pandas(df).repartition(4), k=4, tau=0.99)
+           .to_pandas())
+    kept = set(out["vec_id"])
+    assert not kept & set(range(20, 30))     # every duplicate dropped
+    assert set(range(20)) <= kept            # originals all survive
+    # kept set is invariant to partitioning
+    out2 = semdedup(rd.from_pandas(df).repartition(9), k=4,
+                    tau=0.99).to_pandas()
+    assert set(out2["vec_id"]) == kept
+
+
+def test_semdedup_min_id_wins_within_cluster(ray_session):
+    from web_crawler_ray.stages.similarity import semdedup
+
+    # a near-identical trio (ids 0, 2, 3) + one orthogonal (id 1):
+    # the trio clusters on seed 0, the orthogonal on seed 1 — the
+    # min-id trio member and the odd one survive
+    vecs = [[1.0, 0.0], [0.0, 1.0], [1.0, 0.001], [0.999, 0.0]]
+    df = pd.DataFrame({"vec_id": np.arange(4, dtype=np.int64),
+                       "embedding": vecs})
+    out = semdedup(rd.from_pandas(df), k=2, tau=0.9).to_pandas()
+    assert set(out["vec_id"]) == {0, 1}

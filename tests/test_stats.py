@@ -356,3 +356,160 @@ def test_hash_walks_edges_valid_and_deterministic(ray_session):
                        n_steps=2).to_pandas()
             .sort_values("walk_id").reset_index(drop=True))
     assert out.equals(out2)
+
+
+def test_edit_distance_join_vs_bruteforce(ray_session):
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    # substitutions, insertions, deletions, exact dups, unicode, and
+    # far-apart strings — candidate generation must miss nothing
+    names = ["alpha", "alphb", "alpa", "alphas", "beta", "betta", "beta",
+             "gamma", "gamme", "x", "", "y", "café", "cafe", "caffé"]
+    df = pd.DataFrame({"sid": range(len(names)), "s": names})
+    out = (edit_distance_join(rd.from_pandas(df).repartition(4),
+                              "sid", "s", k=1).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    want = sorted((i, j, lev(names[i], names[j]))
+                  for i in range(len(names)) for j in range(i + 1, len(names))
+                  if lev(names[i], names[j]) <= 1)
+    got = list(map(tuple, out[["id_a", "id_b", "dist"]].values))
+    assert got == want
+    assert (0, 1, 1) in got and (12, 13, 1) in got  # sub + unicode
+    assert (0, 2, 1) in got and (0, 3, 1) in got    # deletion + insertion
+
+
+def test_unigram_kl_properties(ray_session):
+    from web_crawler_ray.stages.stats import unigram_kl
+
+    df = pd.DataFrame({
+        "text": ["the cat sat on the mat"] * 20
+        + ["der hund lief durch den wald"] * 20,
+        "lang": ["en"] * 20 + ["de"] * 20,
+    })
+    ds = rd.from_pandas(df)
+    out = unigram_kl(ds, "text", "lang", "en", "de", vocab_size=50)
+    assert out.loc[0, "kl"] > 0  # disjoint vocabularies: positive KL
+    assert out.loc[0, "kl"] == round(
+        float(out["h_cross"] - out["h_self"]), 6) or abs(
+        out.loc[0, "kl"] - (out.loc[0, "h_cross"] - out.loc[0, "h_self"])
+    ) <= 2e-6
+    # self-drift is zero: A vs A has identical models
+    same = unigram_kl(ds, "text", "lang", "en", "en", vocab_size=50)
+    assert same.loc[0, "kl"] == 0.0
+
+
+def test_dsir_weights_separate_target_domain(ray_session):
+    from web_crawler_ray.stages.text_rank import dsir_weights
+
+    df = pd.DataFrame({
+        "doc_id": range(40),
+        "text": ["stock market price trading"] * 20
+        + ["recipe flour butter sugar"] * 20,
+        "lang": ["en"] * 20 + ["zh"] * 20,
+    })
+    out = (dsir_weights(rd.from_pandas(df).repartition(3), "text",
+                        "doc_id", "lang", "en", vocab_size=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 40
+    w_en = out.loc[out["doc_id"] < 20, "dsir_weight"]
+    w_zh = out.loc[out["doc_id"] >= 20, "dsir_weight"]
+    # target-domain docs must score strictly higher
+    assert w_en.min() > w_zh.max()
+
+
+def test_group_regression_recovers_line(ray_session):
+    from web_crawler_ray.stages.stats import group_regression
+
+    # exact line y = 2x + 5 over 10 days -> slope 2, r2 = 1
+    ts = pd.date_range("2024-01-01", periods=50, freq="5h")
+    us = ts.values.astype("datetime64[us]").astype(np.int64)
+    x = us / 1e6 / 86400.0 - 19723.0
+    df = pd.DataFrame({"k": ["g"] * 50, "ts": ts, "v": 2.0 * x + 5.0})
+    out = group_regression(rd.from_pandas(df).repartition(4), "k", "ts",
+                           "v")
+    assert out.loc[0, "slope"] == 2.0
+    assert out.loc[0, "intercept"] == 5.0
+    assert out.loc[0, "r2"] == 1.0
+
+
+def test_join_size_estimate_exact(ray_session):
+    from web_crawler_ray.stages.joins import join_size_estimate
+
+    left = pd.DataFrame({"k": [1, 1, 1, 2, 3, 3, 9]})
+    right = pd.DataFrame({"j": [1, 2, 2, 3, 4]})
+    out = join_size_estimate(rd.from_pandas(left).repartition(3),
+                             rd.from_pandas(right).repartition(2),
+                             "k", "j")
+    # key 1: 3*1, key 2: 1*2, key 3: 2*1 -> 7 rows over 3 matched keys
+    assert out.loc[0, "join_rows"] == 7
+    assert out.loc[0, "n_keys"] == 3
+    assert out.loc[0, "max_key_rows"] == 3
+
+
+def test_label_propagation_two_cliques(ray_session):
+    from web_crawler_ray.stages.graph import label_propagation
+
+    # two triangles bridged by edge 1–10; hand-simulated synchronous
+    # rounds (mode of neighbour labels, ties -> smallest label):
+    # r1: {0:1, 1:0, 2:0, 10:1, 11:10, 12:10}
+    # r2: {0:0, 1:1, 2:0, 10:10, 11:1, 12:1}
+    edges = pd.DataFrame({
+        "a": [0, 0, 1, 10, 10, 11, 1],
+        "b": [1, 2, 2, 11, 12, 12, 10],
+    })
+    out = label_propagation(rd.from_pandas(edges), "a", "b", iterations=2)
+    lab = dict(zip(out["node"], out["label"]))
+    assert lab == {0: 0, 1: 1, 2: 0, 10: 10, 11: 1, 12: 1}
+    # deterministic under a different partitioning
+    out2 = label_propagation(rd.from_pandas(edges).repartition(5),
+                             "a", "b", iterations=2)
+    assert dict(zip(out2["node"], out2["label"])) == lab
+
+
+def test_edit_distance_join_blocking_key(ray_session):
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    # same names in different blocks must NOT match
+    df = pd.DataFrame({
+        "sid": [0, 1, 2, 3],
+        "s": ["alpha", "alphb", "alpha", "alphz"],
+        "grp": [1, 1, 2, 2],
+    })
+    out = edit_distance_join(rd.from_pandas(df), "sid", "s", k=1,
+                             block_col="grp").to_pandas()
+    got = set(map(tuple, out[["id_a", "id_b"]].values))
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_kcenter_matches_numpy_reference(ray_session):
+    from web_crawler_ray.stages.similarity import kcenter_select
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 6))
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    out = kcenter_select(rd.from_pandas(df).repartition(5), k=5,
+                         vec_col="embedding")
+
+    # greedy farthest-first reference (same rounding, same tie-break)
+    chosen = [0]
+    for _ in range(4):
+        d2 = np.min(((vecs[:, None, :] - vecs[chosen][None, :, :]) ** 2)
+                    .sum(axis=2), axis=1)
+        d2 = np.round(d2, 6)  # ties at 6 digits: numpy round ok for test
+        d2[chosen] = -1.0
+        chosen.append(int(np.lexsort((np.arange(40), -d2))[0]))
+    assert out["vec_id"].tolist() == chosen
+    # selection distances are non-increasing (greedy invariant)
+    d = out["d2_at_selection"].to_numpy()[1:]
+    assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))

@@ -735,3 +735,77 @@ def hash_walks(edges, a_col: str, b_col: str, n_steps: int = 2,
         return b.drop(columns=["cur"])
 
     return frontier.map_batches(finish, batch_format="pandas")
+
+
+def label_propagation(edges_ds, id_a: str, id_b: str, iterations: int = 2,
+                      num_partitions: int = 32):
+    """Synchronous label propagation (Raghavan et al. 2007) for
+    community detection over an undirected edge list: labels start as
+    node ids; each iteration every node adopts the most frequent label
+    among its NEIGHBOURS (ties → highest count, then smallest label —
+    the deterministic variant, so the result is a pure function of the
+    data). ``iterations`` is fixed (the SQL oracle unrolls the same
+    number), not run-to-convergence.
+
+    Scale shape: the label table stays a Dataset; each iteration is a
+    reduce-side merge — edge rows keyed by neighbour UNION label rows
+    keyed by node co-locate in one hash exchange, the partition task
+    attaches labels and pre-counts (node, label) pairs, and a second
+    key-sized exchange picks the winner per node. No join actor pool:
+    for a key-row × key-row merge the union+exchange is both the
+    cheaper and the deterministic shape (cf. ``_join_components``,
+    which needs the real hash join because edges carry payload)."""
+    from .grouped import partitioned_apply
+
+    e = edges_ds.select_columns([id_a, id_b]).materialize()
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": np.concatenate([b[id_b].to_numpy(), b[id_a].to_numpy()]),
+            "node": np.concatenate([b[id_a].to_numpy(), b[id_b].to_numpy()]),
+            "lab": np.int64(0),
+            "is_lab": np.int8(0),
+        })
+
+    und = e.map_batches(undirect, batch_format="pandas").materialize()
+
+    def seed_labels(b: pd.DataFrame) -> pd.DataFrame:
+        n = pd.unique(b["node"].to_numpy())
+        return pd.DataFrame({"key": n, "node": np.int64(0), "lab": n,
+                             "is_lab": np.int8(1)})
+
+    # distinct node set with label = node id (map-side pre-dedup; the
+    # attach step dedups again after the co-locating exchange)
+    labels = und.map_batches(seed_labels, batch_format="pandas")
+
+    def attach_and_count(part: pd.DataFrame) -> pd.DataFrame:
+        is_lab = part["is_lab"].to_numpy() == 1
+        lm = part.loc[is_lab, ["key", "lab"]].drop_duplicates("key")
+        ed = part.loc[~is_lab, ["key", "node"]]
+        m = ed.merge(lm, on="key")
+        g = m.groupby(["node", "lab"], sort=False).size()
+        out = g.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def pick(part: pd.DataFrame) -> pd.DataFrame:
+        g = (part.groupby(["node", "lab"], sort=False)["n"].sum()
+             .reset_index())
+        g = g.sort_values(["node", "n", "lab"],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.drop_duplicates(subset=["node"], keep="first")
+        return pd.DataFrame({"key": out["node"].to_numpy(),
+                             "node": np.int64(0),
+                             "lab": out["lab"].to_numpy(),
+                             "is_lab": np.int8(1)})
+
+    for _ in range(iterations):
+        counted = partitioned_apply(und.union(labels), ["key"],
+                                    attach_and_count, num_partitions)
+        labels = partitioned_apply(counted, ["node"], pick,
+                                   num_partitions,
+                                   pre_combine=None).materialize()
+
+    out = labels.to_pandas().sort_values("key", kind="mergesort")
+    return pd.DataFrame({"node": out["key"].to_numpy().astype("int64"),
+                         "label": out["lab"].to_numpy().astype("int64")})

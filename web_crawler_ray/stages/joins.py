@@ -373,3 +373,230 @@ def bucketed_join(left_path: str, right_path: str, on: str,
     buckets = rd.from_items([{"bkt": b} for b in range(num_buckets)],
                             override_num_blocks=num_buckets)
     return buckets.map_batches(join_bucket, batch_format="pandas")
+
+
+def _codepoint_matrix(strs) -> tuple[np.ndarray, np.ndarray]:
+    """list[str] → (padded (n, L) uint32 codepoint matrix, lengths)."""
+    lens = np.array([len(s) for s in strs], dtype=np.int64)
+    L = int(lens.max()) if len(lens) else 0
+    m = np.zeros((len(strs), L), dtype=np.uint32)
+    for i, s in enumerate(strs):  # one pass to fill; rows are short
+        if s:
+            m[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32)
+    return m, lens
+
+
+def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
+                       num_partitions: int = 32,
+                       block_col: str | None = None):
+    """Self-join on Levenshtein distance ≤ ``k`` (k=1 today) via the
+    FastSS deletion neighbourhood (Bocek et al. 2007, "Fast Similarity
+    Search in Big Data"): two strings within edit distance 1 always
+    share an element of {s} ∪ {s with one char deleted}, so hashing
+    every variant and grouping by the hash yields a candidate set with
+    NO false negatives; an exact vectorized Levenshtein verify removes
+    the false positives. Hash collisions only ever ADD candidates, so
+    variants are never materialized — each deletion's hash comes from
+    precomputed prefix/suffix polynomial hashes in O(len) per row,
+    fully vectorized over the batch.
+
+    Scale shape: the shuffle carries (variant_hash, id, s) rows —
+    (len+1) per input row — grouped by hash with
+    :func:`..stages.grouped.partitioned_apply`; within-group pair
+    blow-up is bounded by neighbourhood density, and the final
+    (id_a, id_b) dedup + verify is a second pair-keyed exchange whose
+    volume is proportional to candidates, never the corpus.
+    ``block_col`` is the classic record-linkage blocking key: its value
+    mixes into the variant hash so candidates only form within a block
+    (collisions across blocks are removed by an explicit equality check
+    in the pair stage), and pairs must agree on it to match.
+    Reference capability analogue: fuzzy name standardization
+    `pacong/data/processor.py:142-171` (exact alias map), generalized
+    to typo-tolerant matching."""
+    from .grouped import partitioned_apply
+
+    if k != 1:
+        raise NotImplementedError("edit_distance_join: k=1 neighbourhood "
+                                  "implemented; larger k needs multi-"
+                                  "deletion variants")
+    B = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+    def keys_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        strs = batch[str_col].astype(str).tolist()
+        ids = batch[id_col].to_numpy()
+        m, lens = _codepoint_matrix(strs)
+        n, L = m.shape
+        if n == 0 or L == 0:
+            empty = {"key": pd.Series([], dtype="uint64"),
+                     id_col: pd.Series([], dtype=ids.dtype),
+                     str_col: pd.Series([], dtype="object")}
+            if block_col:
+                empty["blk"] = batch[block_col] if block_col in batch else \
+                    pd.Series([], dtype="object")
+            return pd.DataFrame(empty)
+        c = m.astype(np.uint64)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            powB = np.ones(L + 1, dtype=np.uint64)
+            for p in range(1, L + 1):
+                powB[p] = powB[p - 1] * B
+        # prefix[i, p] = hash of s[:p];  wsuf[i, j] = Σ_{t≥j} c_t·B^(len-1-t)
+        pref = np.zeros((n, L + 1), dtype=np.uint64)
+        for p in range(L):
+            pref[:, p + 1] = pref[:, p] * B + c[:, p]
+        w = c * powB[np.maximum(lens[:, None] - 1 - np.arange(L), 0)]
+        w[np.arange(L) >= lens[:, None]] = 0
+        wsuf = np.zeros((n, L + 1), dtype=np.uint64)
+        wsuf[:, :L] = w[:, ::-1].cumsum(axis=1, dtype=np.uint64)[:, ::-1]
+        out_k, out_i = [], []
+        rows = np.arange(n)
+        # 0-deletion key: full-string hash mixed with its length
+        out_k.append(pref[rows, lens] * np.uint64(31) + lens.astype(np.uint64))
+        out_i.append(rows)
+        for p in range(L):  # deletion at position p (rows with len > p)
+            ok = lens > p
+            if not ok.any():
+                break
+            # hash(s[:p] + s[p+1:]) = pref[:,p]·B^(len-1-p) + wsuf[:,p+1]
+            # (wsuf terms already carry weight B^(len-1-t) = the variant's
+            # positional weight, because deleting BEFORE t shifts t left
+            # by exactly one)
+            h = (pref[ok, p] * powB[lens[ok] - 1 - p] + wsuf[ok, p + 1])
+            out_k.append(h * np.uint64(31) + (lens[ok] - 1).astype(np.uint64))
+            out_i.append(rows[ok])
+        key = np.concatenate(out_k)
+        idx = np.concatenate(out_i)
+        cols = {
+            "key": key,
+            id_col: ids[idx],
+            str_col: pd.Series([strs[i] for i in idx], dtype="object"),
+        }
+        if block_col:
+            # mix the blocking key into the hash (candidates only form
+            # within a block) and carry it for the exact equality check
+            bh = pd.util.hash_pandas_object(batch[block_col],
+                                            index=False).to_numpy(np.uint64)
+            with np.errstate(over="ignore"):
+                cols["key"] = key * np.uint64(1000003) + bh[idx]
+            cols["blk"] = batch[block_col].to_numpy()[idx]
+        return pd.DataFrame(cols).drop_duplicates()
+
+    def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        outs = []
+        for _, g in part.groupby("key", sort=False):
+            g = g.drop_duplicates(subset=[id_col]).sort_values(
+                id_col, kind="mergesort")
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            ss = g[str_col].to_numpy()
+            ia, ib = np.triu_indices(len(g), 1)
+            if block_col:
+                bb = g["blk"].to_numpy()
+                same = bb[ia] == bb[ib]  # drop cross-block hash collisions
+                ia, ib = ia[same], ib[same]
+            outs.append(pd.DataFrame({
+                "id_a": ids[ia], "id_b": ids[ib],
+                "s_a": ss[ia], "s_b": ss[ib]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "s_a": pd.Series([], dtype="object"),
+                                 "s_b": pd.Series([], dtype="object")})
+        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            subset=["id_a", "id_b"])
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(subset=["id_a", "id_b"])
+        if not len(part):
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        A, la = _codepoint_matrix(part["s_a"].tolist())
+        Bm, lb = _codepoint_matrix(part["s_b"].tolist())
+        P = len(part)
+        Lb = Bm.shape[1]
+        prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (P, 1))
+        final = np.where(la == 0, lb, -1)
+        for i in range(1, A.shape[1] + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            for j in range(1, Lb + 1):
+                sub = prev[:, j - 1] + (A[:, i - 1] != Bm[:, j - 1])
+                cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                                  cur[:, j - 1] + 1), sub)
+            hit = la == i
+            if hit.any():
+                final[hit] = cur[hit, lb[hit]]
+            prev = cur
+        keep = (final >= 0) & (final <= k)
+        return pd.DataFrame({
+            "id_a": part["id_a"].to_numpy()[keep],
+            "id_b": part["id_b"].to_numpy()[keep],
+            "dist": final[keep].astype("int64"),
+        })
+
+    in_cols = [id_col, str_col] + ([block_col] if block_col else [])
+    keyed = ds.select_columns(in_cols).map_batches(
+        keys_batch, batch_format="pandas")
+    cands = partitioned_apply(keyed, ["key"], pairs_in_partition,
+                              num_partitions=num_partitions)
+    return partitioned_apply(cands, ["id_a", "id_b"], verify,
+                             num_partitions=num_partitions,
+                             pre_combine=lambda b: b.drop_duplicates(
+                                 subset=["id_a", "id_b"]))
+
+
+def join_size_estimate(left, right, on: str, right_on: str | None = None,
+                       num_partitions: int = 16) -> pd.DataFrame:
+    """Exact equi-join cardinality WITHOUT executing the join — the
+    planner primitive behind "will this join explode?". Each batch of
+    either side collapses to per-key partial counts tagged with its
+    side, both streams union into ONE co-locating hash exchange
+    (reduce-side merge — no join actor pool, no native groupby, which
+    is sort-based and slow at high key cardinality), and the partition
+    task folds Σ n_left·n_right plus matched-key count and the hottest
+    key's contribution — constant-size output, integer-exact.
+
+    Scale shape: the only exchange carries one row per (batch, key).
+    The max-key row doubles as the salt-planner input
+    (cf. ``shuffle_skew_report``)."""
+    from .grouped import partitioned_apply
+
+    right_on = right_on or on
+
+    def counter(col: str, out_l: bool):
+        def count(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b[col].value_counts(sort=False)
+            n = vc.to_numpy().astype("int64")
+            z = np.zeros(len(vc), dtype=np.int64)
+            return pd.DataFrame({"k": vc.index.to_numpy(),
+                                 "nl": n if out_l else z,
+                                 "nr": z if out_l else n})
+        return count
+
+    tagged = left.select_columns([on]).map_batches(
+        counter(on, True), batch_format="pandas").union(
+        right.select_columns([right_on]).map_batches(
+            counter(right_on, False), batch_format="pandas"))
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("k", sort=False)[["nl", "nr"]].sum()
+        prod = g["nl"].to_numpy(np.int64) * g["nr"].to_numpy(np.int64)
+        hit = prod > 0
+        if not hit.any():
+            return pd.DataFrame({"join_rows": [np.int64(0)],
+                                 "n_keys": [np.int64(0)],
+                                 "max_key_rows": [np.int64(0)]})
+        return pd.DataFrame({"join_rows": [np.int64(prod[hit].sum())],
+                             "n_keys": [np.int64(hit.sum())],
+                             "max_key_rows": [np.int64(prod[hit].max())]})
+
+    parts = partitioned_apply(tagged, ["k"], merge,
+                              num_partitions).to_pandas()
+    return pd.DataFrame({
+        "join_rows": [np.int64(parts["join_rows"].sum())],
+        "n_keys": [np.int64(parts["n_keys"].sum())],
+        "max_key_rows": [np.int64(parts["max_key_rows"].max())],
+    })

@@ -797,3 +797,122 @@ def rrf_fusion(ds, query_ids, query_vecs, k: int = 10, list_k: int = 50,
     return (f.sort_values(["rrf", id_col], ascending=[False, True],
                           kind="mergesort")
             .head(k).reset_index(drop=True))
+
+
+def semdedup(ds, k: int = 8, tau: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding", ndigits: int = 6):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    the embedding corpus with the deterministic seed-centroid k-means
+    assignment, then WITHIN each cluster drop every row that has a
+    smaller-id neighbour with cosine similarity ≥ ``tau`` — the
+    min-id representative of each semantic near-dup set survives.
+
+    Scale shape: the assignment is the zero-shuffle broadcast-centroid
+    pass of :func:`kmeans_assign_step`; the prune shuffles (cluster,
+    id, vec) once and runs one vectorized Gram matrix per cluster
+    inside its hash partition. The within-cluster work is O((n/k)²) —
+    SemDeDup's own contract is that ``k`` grows with the corpus so the
+    per-cluster population stays bounded (the paper uses ~11k clusters
+    for LAION-440M). Similarities are rounded at ``ndigits`` before the
+    threshold compare so the engine and the SQL replay make identical
+    keep/drop decisions.
+
+    Reference capability analogue: exact dedup groups
+    `pacong/data/processor.py:349-361`, generalized to semantic space.
+    """
+    from .grouped import partitioned_apply
+
+    if ds.filter(expr=f"{id_col} < {k}").count() < k:
+        raise ValueError(f"semdedup: seed centroids need ids 0..{k - 1} "
+                         f"present (kmeans_assign_step convention)")
+    assigned = kmeans_assign_step(ds, k=k, id_col=id_col, vec_col=vec_col,
+                                  keep_cols=[vec_col])
+
+    def prune(part: pd.DataFrame) -> pd.DataFrame:
+        keep_ids, keep_cl = [], []
+        for cl, g in part.groupby("cluster", sort=True):
+            g = g.sort_values(id_col, kind="mergesort")
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in g[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            sim = np.asarray(sql_round(pd.Series((m @ m.T).ravel()),
+                                       ndigits)).reshape(len(m), len(m))
+            # dominated(x) := ∃ y earlier in id order with sim ≥ tau
+            dom = np.triu(sim >= tau, 1).any(axis=0)
+            ids = g[id_col].to_numpy()
+            keep_ids.append(ids[~dom])
+            keep_cl.append(np.full(int((~dom).sum()), cl, dtype=np.int64))
+        if not keep_ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            id_col: np.concatenate(keep_ids).astype("int64"),
+            "cluster": np.concatenate(keep_cl),
+        })
+
+    return partitioned_apply(
+        assigned.select_columns([id_col, "cluster", vec_col]),
+        ["cluster"], prune)
+
+
+def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding", ndigits: int = 6):
+    """Greedy k-center / farthest-first diversity selection (Gonzalez
+    1985; the coreset seeding rule of k-means++ without the
+    randomness): start from the min-id vector, then repeatedly pick
+    the point FARTHEST from the chosen set (max over corpus of min
+    squared L2 to any chosen center; ties → smallest id). The selected
+    rows are the classic diversity sample / coverage skeleton of an
+    embedding corpus.
+
+    Distributed shape: chosen centers broadcast via the object store;
+    each of the k−1 selection rounds is ONE map-only pass emitting a
+    per-batch (best_d2, best_id) partial — the exchange is
+    batch-count-sized, never row-sized. Distances are rounded at
+    ``ndigits`` BEFORE the argmax so the engine and the SQL unroll
+    make identical picks."""
+    import ray as _ray
+
+    first = ds.filter(expr=f"{id_col} == 0").take_all()
+    if not first:
+        raise ValueError("kcenter_select: seed row id 0 must exist")
+    centers = [np.asarray(list(first[0][vec_col]), dtype=np.float64)]
+    sel_ids = [int(first[0][id_col])]
+    sel_d2 = [0.0]
+
+    for _ in range(k - 1):
+        cref = _ray.put(np.vstack(centers))
+        chosen = set(sel_ids)
+
+        def partial(batch: pa.Table, _cref=cref, _chosen=chosen) -> pa.Table:
+            cents = _ray.get(_cref)
+            m = _as_matrix(batch[vec_col]).astype(np.float64)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            mind = np.asarray(sql_round(pd.Series(d2.min(axis=1)), ndigits))
+            mind[np.isin(ids, list(_chosen))] = -1.0
+            # per-batch best: max distance, then min id
+            order = np.lexsort((ids, -mind))
+            b = order[0]
+            return pa.table({"best_id": pa.array([int(ids[b])], pa.int64()),
+                             "best_d2": pa.array([float(mind[b])],
+                                                 pa.float64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["best_d2", "best_id"],
+                                  ascending=[False, True], kind="mergesort")
+        win_id = int(parts.iloc[0]["best_id"])
+        win_d2 = float(parts.iloc[0]["best_d2"])
+        win_vec = ds.filter(expr=f"{id_col} == {win_id}").take_all()
+        centers.append(np.asarray(list(win_vec[0][vec_col]),
+                                  dtype=np.float64))
+        sel_ids.append(win_id)
+        sel_d2.append(win_d2)
+
+    return pd.DataFrame({
+        "sel_order": np.arange(1, k + 1, dtype=np.int64),
+        id_col: np.array(sel_ids, dtype=np.int64),
+        "d2_at_selection": np.array(sel_d2, dtype=np.float64),
+    })

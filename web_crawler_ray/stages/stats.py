@@ -230,3 +230,114 @@ def benford_profile(ds, col: str, scale: int = 100) -> pd.DataFrame:
         "expected": sql_round(pd.Series(np.log(1.0 + 1.0 / dig) / np.log(10.0)), 6),
     })
     return out
+
+
+def unigram_kl(ds, text_col: str, split_col: str, value_a: str,
+               value_b: str, vocab_size: int = 100,
+               ndigits: int = 6) -> pd.DataFrame:
+    """Corpus-drift report between two sub-corpora (A = rows with
+    ``split_col == value_a``, B = ``value_b``): cross-entropy H(A, B),
+    self-entropy H(A, A) and KL(A‖B) = H(A,B) − H(A,A) over a shared
+    top-``vocab_size`` unigram vocabulary (by combined count), add-1
+    smoothed — "how far did the token distribution move between these
+    two sources/snapshots?", the language-model analogue of
+    :func:`group_ks_drift`.
+
+    One counting pass emits (token, n_a, n_b) partials; the combine is
+    vocab-bounded; everything after it is a driver-side fold over ≤V
+    rows. Exactly SQL-replayable: probabilities are add-1 count ratios
+    over the same vocab on both sides."""
+    import re
+
+    TOK_RE = re.compile(r"[a-z0-9]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        side = batch[split_col].to_numpy()
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n_a": pd.Series([], dtype="int64"),
+                                 "n_b": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({
+            "token": pd.Series([t for doc in toks_per_doc for t in doc],
+                               dtype="object"),
+            "a": np.repeat(side == value_a, lens),
+            "b": np.repeat(side == value_b, lens),
+        })
+        g = f.groupby("token", sort=False)[["a", "b"]].sum()
+        g = g[(g["a"] > 0) | (g["b"] > 0)]
+        return pd.DataFrame({"token": g.index.to_numpy(),
+                             "n_a": g["a"].to_numpy().astype("int64"),
+                             "n_b": g["b"].to_numpy().astype("int64")})
+
+    counts = partial_grouped_agg(
+        ds.select_columns([text_col, split_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["token"], {"n_a": ("sum", "n_a"), "n_b": ("sum", "n_b")},
+    ).to_pandas()
+    counts["n_tot"] = counts["n_a"] + counts["n_b"]
+    vocab = counts.sort_values(["n_tot", "token"],
+                               ascending=[False, True],
+                               kind="mergesort").head(vocab_size)
+    vocab = vocab.sort_values("token", kind="mergesort")  # fixed fold order
+    v = float(len(vocab))
+    na = vocab["n_a"].to_numpy(np.float64)
+    nb = vocab["n_b"].to_numpy(np.float64)
+    pa_ = (na + 1.0) / (na.sum() + v)
+    pb_ = (nb + 1.0) / (nb.sum() + v)
+    h_ab = float(-(pa_ * np.log(pb_)).sum())
+    h_aa = float(-(pa_ * np.log(pa_)).sum())
+    return pd.DataFrame({
+        "vocab": [np.int64(len(vocab))],
+        "h_cross": sql_round(pd.Series([h_ab]), ndigits),
+        "h_self": sql_round(pd.Series([h_aa]), ndigits),
+        "kl": sql_round(pd.Series([h_ab - h_aa]), ndigits),
+    })
+
+
+def group_regression(ds, key: str, ts_col: str, y_col: str,
+                     day_offset: float = 19723.0,
+                     ndigits: int = 6) -> pd.DataFrame:
+    """Per-group OLS trend line y = slope·x + intercept with r², where
+    x = days since ``day_offset`` (epoch days) — "is this metric
+    drifting over time, per segment?". The distributed shape is the
+    moments pattern: each batch emits per-key (n, Σx, Σy, Σxx, Σxy,
+    Σyy) partials, one key-cardinality combine, closed-form fold.
+    The closed forms share the exact expression tree with the SQL
+    replay ((nΣxy − ΣxΣy)/(nΣxx − Σx²) etc.), and x is derived from
+    exact integer microseconds on both sides, so only sum order can
+    differ — rounded away at ``ndigits``."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        x = us.astype(np.float64) / 1000000.0 / 86400.0 - day_offset
+        y = batch[y_col].to_numpy(np.float64)
+        f = pd.DataFrame({key: batch[key].to_numpy(), "x": x, "y": y,
+                          "xx": x * x, "xy": x * y, "yy": y * y})
+        g = f.groupby(key, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+        return g.reset_index()
+
+    m = partial_grouped_agg(
+        ds.select_columns([key, ts_col, y_col]).map_batches(
+            partial, batch_format="pandas"),
+        [key], {"n": ("sum", "n"), "sx": ("sum", "sx"),
+                "sy": ("sum", "sy"), "sxx": ("sum", "sxx"),
+                "sxy": ("sum", "sxy"), "syy": ("sum", "syy")},
+    ).to_pandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    sx, sy = m["sx"].to_numpy(), m["sy"].to_numpy()
+    sxx, sxy, syy = m["sxx"].to_numpy(), m["sxy"].to_numpy(), m["syy"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({
+        key: m[key],
+        "n": m["n"].astype("int64"),
+        "slope": sql_round(pd.Series(slope), ndigits),
+        "intercept": sql_round(pd.Series((sy - slope * sx) / n), ndigits),
+        "r2": sql_round(pd.Series(
+            (n * sxy - sx * sy) ** 2
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))), ndigits),
+    })

@@ -546,3 +546,83 @@ def bigram_lm_score(ds, text_col: str, id_col: str, lam: float = 0.7,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pandas")
+
+
+def dsir_weights(ds, text_col: str, id_col: str, target_col: str,
+                 target_value: str, vocab_size: int = 100,
+                 ndigits: int = 6):
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the mean per-token
+    log-likelihood ratio ln p_target(w) − ln p_raw(w), where
+    ``p_target`` is the unigram model of the rows with
+    ``target_col == target_value`` and ``p_raw`` the model of the whole
+    corpus. High scores = documents that look like the target domain —
+    the cheap hashed-n-gram stand-in for the paper's feature space.
+
+    Shape mirrors :func:`unigram_logprob`: ONE counting pass emits
+    (token, n_raw, n_tgt) partials (the target counts ride the same
+    rows, no second scan), one coarse combine builds both models, the
+    top-``vocab_size``-by-raw-count vocab is broadcast once, and the
+    scoring pass is map-only. Out-of-vocab (and vocab tokens absent
+    from the target) floor at count 1 — the same convention as
+    ``unigram_logprob``, so the replay is pure count ratios + ln."""
+    import ray
+
+    from .aggregate import partial_grouped_agg
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        is_tgt = (batch[target_col] == target_value).to_numpy()
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n_raw": pd.Series([], dtype="int64"),
+                                 "n_tgt": pd.Series([], dtype="int64")})
+        f = pd.DataFrame({
+            "token": pd.Series([t for doc in toks_per_doc for t in doc],
+                               dtype="object"),
+            "t": np.repeat(is_tgt, lens),
+        })
+        g = f.groupby("token", sort=False)["t"].agg(["size", "sum"])
+        return pd.DataFrame({"token": g.index.to_numpy(),
+                             "n_raw": g["size"].to_numpy().astype("int64"),
+                             "n_tgt": g["sum"].to_numpy().astype("int64")})
+
+    counts = partial_grouped_agg(
+        ds.select_columns([text_col, target_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["token"], {"n_raw": ("sum", "n_raw"), "n_tgt": ("sum", "n_tgt")},
+    ).to_pandas()
+    n_raw_tot = float(counts["n_raw"].sum())
+    n_tgt_tot = float(counts["n_tgt"].sum())
+    vocab = counts.sort_values(["n_raw", "token"], ascending=[False, True],
+                               kind="mergesort").head(vocab_size)
+    ref = ray.put((dict(zip(vocab["token"], vocab["n_raw"].astype(float))),
+                   dict(zip(vocab["token"], vocab["n_tgt"].astype(float))),
+                   n_raw_tot, n_tgt_tot))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        vr, vt, nr, nt = ray.get(ref)
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        n = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        keep = n > 0
+        flat = pd.Series([t for doc in toks_per_doc for t in doc],
+                         dtype="object")
+        c_raw = flat.map(vr).fillna(1.0).to_numpy(np.float64)
+        c_tgt = flat.map(vt).to_numpy(np.float64)
+        c_tgt = np.where(np.isnan(c_tgt) | (c_tgt == 0.0), 1.0, c_tgt)
+        llr = np.log(c_tgt / nt) - np.log(c_raw / nr)
+        starts = np.zeros(int(keep.sum()), dtype=np.int64)
+        np.cumsum(n[keep][:-1], out=starts[1:])
+        sums = np.add.reduceat(llr, starts) if len(llr) else np.array([])
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy()[keep],
+            "n_tokens": n[keep],
+            "dsir_weight": sql_round(pd.Series(sums / n[keep]), ndigits),
+        })
+
+    return ds.select_columns([id_col, text_col, target_col]).map_batches(
+        score, batch_format="pandas")
