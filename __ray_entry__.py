@@ -4760,6 +4760,72 @@ def q_kcenter(sf_dir: str):
     return kcenter_select(ds, k=4)
 
 
+def q_containment(sf_dir: str):
+    """Asymmetric containment near-dup (Broder's containment,
+    |A∩B| / |A|): detects documents SUBSUMED by others (quotes,
+    excerpts, supersets) that symmetric Jaccard under-scores. Same
+    bounded-subset exact path as q_jaccard_allpairs (the corpus-scale
+    candidates come from MinHash LSH); emits both directions'
+    containments for pairs where either ≥ 0.5."""
+    import ray
+
+    k = 5
+
+    def shingle_sets(batch: pd.DataFrame) -> pd.DataFrame:
+        sets = [
+            frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+            for t in batch["text"].str.lower()
+        ]
+        return pd.DataFrame({"doc_id": batch["doc_id"], "sh": sets})
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).map_batches(
+        lambda b: b[(b["doc_id"] % 3 == 0) & (b["text"].str.len() >= k)],
+        batch_format="pandas",
+    )
+    subset = ds.map_batches(shingle_sets, batch_format="pandas").to_pandas()
+    ref = ray.put(list(zip(subset["doc_id"].tolist(), subset["sh"].tolist())))
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        others = ray.get(ref)
+        a_out, b_out, ca_out, cb_out = [], [], [], []
+        for my_id, my_sh in zip(batch["doc_id"], batch["sh"]):
+            for other_id, other_sh in others:
+                if other_id <= my_id:
+                    continue
+                inter = len(my_sh & other_sh)
+                ca = inter / len(my_sh)
+                cb = inter / len(other_sh)
+                if max(ca, cb) >= 0.5:
+                    a_out.append(my_id); b_out.append(other_id)
+                    ca_out.append(ca); cb_out.append(cb)
+        return pd.DataFrame({
+            "id_a": pd.Series(a_out, dtype="int64"),
+            "id_b": pd.Series(b_out, dtype="int64"),
+            "cont_a": sql_round(pd.Series(ca_out, dtype="float64"), 6),
+            "cont_b": sql_round(pd.Series(cb_out, dtype="float64"), 6),
+        })
+
+    return (
+        rd.from_pandas(subset)
+        .repartition(auto_blocks())
+        .map_batches(pairs, batch_format="pandas")
+    )
+
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary-growth profile: total tokens N and
+    distinct vocabulary V at corpus-prefix checkpoints — 'is this
+    corpus still contributing new vocabulary?'. One pass, one
+    token-cardinality min-combine, integer-exact."""
+    from web_crawler_ray.stages.text_rank import vocab_growth
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return vocab_growth(ds, "text", "doc_id",
+                        checkpoints=(100, 200, 300, 400, 500))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5000,6 +5066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_join_size": q_join_size,
         "q_entity_resolution": q_entity_resolution,
         "q_kcenter": q_kcenter,
+        "q_containment": q_containment,
+        "q_vocab_growth": q_vocab_growth,
     }
 
 
@@ -7450,5 +7518,47 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 4, vec_id, d FROM w3
             ) ORDER BY sel_order
+        """,
+        "q_containment": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct([substr(lower(text), i, 5)
+                                      FOR i IN range(1, length(text) - 3)])
+                         AS sh
+                FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 5
+            )
+            SELECT id_a, id_b, round(ca, 6) AS cont_a,
+                   round(cb, 6) AS cont_b
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh)
+                         AS ca,
+                       len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh)
+                         AS cb
+                FROM s a JOIN s b ON a.doc_id < b.doc_id
+            ) WHERE greatest(ca, cb) >= 0.5
+        """,
+        "q_vocab_growth": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), f AS (
+              SELECT token, min(doc_id) AS fd, count(*) AS n
+              FROM toks GROUP BY token
+            ), nt AS (
+              SELECT c.c, CAST(count(*) AS BIGINT) AS n_tokens
+              FROM toks, (VALUES (100), (200), (300), (400), (500)) c(c)
+              WHERE toks.doc_id < c.c GROUP BY c.c
+            ), vt AS (
+              SELECT c.c, CAST(count(*) AS BIGINT) AS n_distinct_tokens
+              FROM f, (VALUES (100), (200), (300), (400), (500)) c(c)
+              WHERE f.fd < c.c GROUP BY c.c
+            )
+            SELECT CAST(nt.c AS BIGINT) AS n_docs, nt.n_tokens,
+                   vt.n_distinct_tokens
+            FROM nt JOIN vt ON nt.c = vt.c
+            ORDER BY n_docs
         """,
     }

@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "q_label_prop",
     "q_entity_resolution",
     "q_kcenter",
+    "q_vocab_growth",
 ]
 
 

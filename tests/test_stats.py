@@ -513,3 +513,17 @@ def test_kcenter_matches_numpy_reference(ray_session):
     # selection distances are non-increasing (greedy invariant)
     d = out["d2_at_selection"].to_numpy()[1:]
     assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
+
+
+def test_vocab_growth_hand_case(ray_session):
+    from web_crawler_ray.stages.text_rank import vocab_growth
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c", "a b", "d d d", "a e"],
+    })
+    out = vocab_growth(rd.from_pandas(df).repartition(3), "text",
+                       "doc_id", checkpoints=(1, 2, 3, 4))
+    assert out["n_docs"].tolist() == [1, 2, 3, 4]
+    assert out["n_tokens"].tolist() == [3, 5, 8, 10]
+    assert out["n_distinct_tokens"].tolist() == [3, 3, 4, 5]

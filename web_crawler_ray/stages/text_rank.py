@@ -626,3 +626,67 @@ def dsir_weights(ds, text_col: str, id_col: str, target_col: str,
 
     return ds.select_columns([id_col, text_col, target_col]).map_batches(
         score, batch_format="pandas")
+
+
+def vocab_growth(ds, text_col: str, id_col: str,
+                 checkpoints: tuple = (100, 200, 300, 400, 500)):
+    """Heaps'-law vocabulary-growth profile: at each corpus-prefix
+    checkpoint (docs with id < c), the total token count N and the
+    distinct vocabulary size V — the V ∝ N^β diagnostic that tells a
+    tokenizer/dedup pipeline whether a corpus is still contributing
+    new vocabulary or has gone repetitive.
+
+    Shape: ONE pass emits per-batch (token, min doc id) partials plus
+    fixed-size per-checkpoint token-count partials; the only exchange
+    is token-cardinality sized (the first-seen min combine); V per
+    checkpoint is a ≤len(checkpoints)-row fold. Integer-exact, so the
+    SQL replay matches bit-for-bit."""
+    from .grouped import partitioned_apply
+
+    cps = np.asarray(sorted(checkpoints), dtype=np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        toks_per_doc = [TOK_RE.findall((t or "").lower())
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        f = pd.DataFrame({
+            "token": pd.Series([t for doc in toks_per_doc for t in doc],
+                               dtype="object"),
+            "fd": np.repeat(ids, lens),
+        })
+        g = f.groupby("token", sort=False)["fd"].min()
+        out = pd.DataFrame({"token": g.index.to_numpy(),
+                            "fd": g.to_numpy().astype("int64"),
+                            "ntok": np.int64(0)})
+        # fixed-size token-total partial rows ride along (token = None)
+        buckets = (ids[:, None] < cps[None, :])  # (docs, cps)
+        tot = (lens[:, None] * buckets).sum(axis=0)
+        ride = pd.DataFrame({"token": pd.Series([None] * len(cps),
+                                                dtype="object"),
+                             "fd": cps, "ntok": tot.astype("int64")})
+        return pd.concat([out, ride], ignore_index=True)
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        real = part[part["token"].notna()]
+        g = real.groupby("token", sort=False)["fd"].min()
+        fd = g.to_numpy()
+        v = (fd[:, None] < cps[None, :]).sum(axis=0)
+        ride = part[part["token"].isna()].groupby("fd")["ntok"].sum()
+        n = np.zeros(len(cps), dtype=np.int64)
+        for i, c in enumerate(cps):
+            if c in ride.index:
+                n[i] = ride.loc[c]
+        return pd.DataFrame({"n_docs": cps, "v_partial": v.astype("int64"),
+                             "n_partial": n})
+
+    parts = partitioned_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["token"], combine).to_pandas()
+    agg = parts.groupby("n_docs")[["v_partial", "n_partial"]].sum()
+    return pd.DataFrame({
+        "n_docs": agg.index.to_numpy().astype("int64"),
+        "n_tokens": agg["n_partial"].to_numpy().astype("int64"),
+        "n_distinct_tokens": agg["v_partial"].to_numpy().astype("int64"),
+    })
