@@ -4826,6 +4826,19 @@ def q_vocab_growth(sf_dir: str):
                         checkpoints=(100, 200, 300, 400, 500))
 
 
+def q_source_overlap(sf_dir: str):
+    """Cross-source vocabulary-overlap matrix: distinct-token Jaccard
+    between source pairs sharing a lang-derived partition (here: the
+    5 language sub-corpora as 'sources') — the composition diagnostic
+    behind mixture planning. One pass, one token-cardinality
+    exchange, S² integer cells to the driver."""
+    from web_crawler_ray.stages.text_rank import source_overlap
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["text", "lang"])
+    return source_overlap(ds, "text", "lang")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5068,6 +5081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcenter": q_kcenter,
         "q_containment": q_containment,
         "q_vocab_growth": q_vocab_growth,
+        "q_source_overlap": q_source_overlap,
     }
 
 
@@ -7560,5 +7574,28 @@ def oracle_sql() -> dict[str, str]:
                    vt.n_distinct_tokens
             FROM nt JOIN vt ON nt.c = vt.c
             ORDER BY n_docs
+        """,
+        "q_source_overlap": """
+            WITH tv AS (
+              SELECT DISTINCT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS token
+              FROM documents
+            ), solo AS (
+              SELECT lang, count(*) AS nv FROM tv GROUP BY lang
+            ), common AS (
+              SELECT a.lang AS src_a, b.lang AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM tv a JOIN tv b
+                ON a.token = b.token AND a.lang < b.lang
+              GROUP BY a.lang, b.lang
+            )
+            SELECT c.src_a, c.src_b, c.n_common,
+                   round(c.n_common * 1.0
+                         / (sa.nv + sb.nv - c.n_common), 6) AS jaccard
+            FROM common c
+            JOIN solo sa ON sa.lang = c.src_a
+            JOIN solo sb ON sb.lang = c.src_b
+            ORDER BY c.src_a, c.src_b
         """,
     }

@@ -527,3 +527,19 @@ def test_vocab_growth_hand_case(ray_session):
     assert out["n_docs"].tolist() == [1, 2, 3, 4]
     assert out["n_tokens"].tolist() == [3, 5, 8, 10]
     assert out["n_distinct_tokens"].tolist() == [3, 3, 4, 5]
+
+
+def test_source_overlap_hand_case(ray_session):
+    from web_crawler_ray.stages.text_rank import source_overlap
+
+    df = pd.DataFrame({
+        "text": ["a b c", "c d", "a b", "x y"],
+        "src": ["p", "p", "q", "r"],
+    })
+    out = source_overlap(rd.from_pandas(df).repartition(3), "text", "src")
+    out = out.set_index(["src_a", "src_b"])
+    # p vocab {a,b,c,d}, q vocab {a,b}, r vocab {x,y}
+    assert out.loc[("p", "q"), "n_common"] == 2
+    assert out.loc[("p", "q"), "jaccard"] == 0.5
+    # zero-overlap pairs are omitted (matches the SQL inner join)
+    assert ("p", "r") not in out.index and ("q", "r") not in out.index

@@ -690,3 +690,70 @@ def vocab_growth(ds, text_col: str, id_col: str,
         "n_tokens": agg["n_partial"].to_numpy().astype("int64"),
         "n_distinct_tokens": agg["v_partial"].to_numpy().astype("int64"),
     })
+
+
+def source_overlap(ds, text_col: str, group_col: str,
+                   ndigits: int = 6) -> pd.DataFrame:
+    """Cross-source vocabulary-overlap matrix: distinct-token Jaccard
+    between every pair of sources — the corpus-composition diagnostic
+    ('are these two sources near-copies of each other?') behind
+    mixture planning and cross-source contamination checks.
+
+    ONE pass emits (token, source) presence partials (per-batch
+    dedup); one token-cardinality exchange collapses them to exact
+    per-token source sets; each partition then contributes a
+    (sources × sources) integer co-presence partial — the driver folds
+    S² cells, never tokens. Jaccard from |A∩B| / (|A| + |B| − |A∩B|),
+    integer counts shared with the SQL replay."""
+    from .grouped import partitioned_apply
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [sorted(set(TOK_RE.findall((t or "").lower())))
+                        for t in batch[text_col]]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        return pd.DataFrame({
+            "token": pd.Series([t for doc in toks_per_doc for t in doc],
+                               dtype="object"),
+            "src": np.repeat(batch[group_col].to_numpy(), lens),
+        }).drop_duplicates()
+
+    def co_presence(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates()
+        # per-token source list -> S×S co-presence counts, vectorized
+        # via a pivoted 0/1 matrix (tokens × sources)
+        m = (part.assign(one=1)
+             .pivot_table(index="token", columns="src", values="one",
+                          fill_value=0, aggfunc="max"))
+        srcs = list(m.columns)
+        mat = m.to_numpy(np.int64)
+        co = mat.T @ mat  # (S, S): co[i, j] = tokens present in both
+        ii, jj = np.meshgrid(np.arange(len(srcs)), np.arange(len(srcs)),
+                             indexing="ij")
+        return pd.DataFrame({
+            "src_a": np.array(srcs, dtype=object)[ii.ravel()],
+            "src_b": np.array(srcs, dtype=object)[jj.ravel()],
+            "n_common": co.ravel(),
+        })
+
+    cells = partitioned_apply(
+        ds.select_columns([text_col, group_col]).map_batches(
+            partial, batch_format="pandas"),
+        ["token"], co_presence).to_pandas()
+    g = (cells.groupby(["src_a", "src_b"], sort=True)["n_common"].sum()
+         .reset_index())
+    solo = g[g["src_a"] == g["src_b"]].set_index("src_a")["n_common"]
+    # zero-common pairs are dropped EXPLICITLY: whether such a pair ever
+    # shares a partition pivot is partitioning-dependent, and the SQL
+    # replay's inner join omits them anyway
+    pairs = g[(g["src_a"] < g["src_b"])
+              & (g["n_common"] > 0)].reset_index(drop=True)
+    na = solo.loc[pairs["src_a"]].to_numpy(np.int64)
+    nb = solo.loc[pairs["src_b"]].to_numpy(np.int64)
+    inter = pairs["n_common"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "src_a": pairs["src_a"],
+        "src_b": pairs["src_b"],
+        "n_common": inter,
+        "jaccard": sql_round(pd.Series(
+            inter / (na + nb - inter).astype(np.float64)), ndigits),
+    })
