@@ -695,14 +695,19 @@ def q_sink_roundtrip(sf_dir: str):
 
     import pyarrow as pa
 
+    import os
+
     ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey", "p_brand", "p_retailprice"])
     out = {}
     for fmt in ("parquet", "csv", "json"):
-        path = f"/tmp/wcr_sink_{fmt}"
+        # pid-scoped scratch: a concurrently running harness (pytest +
+        # driver_sim share this box) must not race this dir
+        path = f"/tmp/wcr_sink_{os.getpid()}_{fmt}"
         shutil.rmtree(path, ignore_errors=True)
         getattr(ds, f"write_{fmt}")(path)
         reader = getattr(rd, f"read_{fmt}")
         out[fmt] = reader(path).count()
+        shutil.rmtree(path, ignore_errors=True)
     return pa.table(
         {
             "format": pa.array(list(out.keys()), pa.string()),
