@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "q_entity_resolution",
     "q_kcenter",
     "q_vocab_growth",
+    "q_source_overlap",
+    "q_containment",
 ]
 
 
