@@ -4646,6 +4646,22 @@ def q_edit_join(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_edit_join_k2(sf_dir: str):
+    """Edit-distance self-join at radius 2: the FastSS DOUBLE-deletion
+    neighbourhood (O(len²/2) variant hashes per row from the same
+    prefix/suffix polynomial scheme, middle segment re-weighted via
+    the modular inverse of the base) — candidates verified in the key
+    partition, one id-pair dedup exchange. ASCII oracle contract
+    (DuckDB levenshtein is byte-based); TPC-H names are ASCII."""
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"),
+                         columns=["c_custkey", "c_name"])
+    out = edit_distance_join(ds, "c_custkey", "c_name", k=2).to_pandas()
+    return (out.sort_values(["id_a", "id_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_corpus_kl(sf_dir: str):
     """Corpus-drift report: cross-entropy, self-entropy and KL(en‖de)
     between the English and German sub-corpora over a shared top-100
@@ -5078,6 +5094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup": q_semdedup,
         "q_dsir_weights": q_dsir_weights,
         "q_edit_join": q_edit_join,
+        "q_edit_join_k2": q_edit_join_k2,
         "q_corpus_kl": q_corpus_kl,
         "q_label_prop": q_label_prop,
         "q_group_trend": q_group_trend,
@@ -7361,6 +7378,13 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
+        "q_edit_join_k2": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
         "q_corpus_kl": """
             WITH toks AS (
               SELECT lang,
@@ -7449,9 +7473,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT o_orderkey, count(*) AS nr
               FROM orders GROUP BY o_orderkey
             )
-            SELECT CAST(sum(nl * nr) AS BIGINT) AS join_rows,
+            SELECT COALESCE(CAST(sum(nl * nr) AS BIGINT), 0) AS join_rows,
                    CAST(count(*) AS BIGINT) AS n_keys,
-                   CAST(max(nl * nr) AS BIGINT) AS max_key_rows
+                   COALESCE(CAST(max(nl * nr) AS BIGINT), 0) AS max_key_rows
             FROM cl JOIN cr ON cl.l_orderkey = cr.o_orderkey
         """,
         "q_entity_resolution": """

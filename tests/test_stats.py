@@ -388,6 +388,73 @@ def test_edit_distance_join_vs_bruteforce(ray_session):
     assert (0, 2, 1) in got and (0, 3, 1) in got    # deletion + insertion
 
 
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                     prev + (ca != cb))
+    return dp[len(b)]
+
+
+def test_edit_distance_join_k2_vs_bruteforce(ray_session):
+    # k=2 double-deletion neighbourhood: every ≤2-edit pair (double
+    # sub, sub+del, ins+ins, transposition-as-2-subs, short strings)
+    # must surface; verify removes all hash false-positives.
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    names = ["kettle", "kettl", "kettlee", "kezzle", "keltte", "ketle",
+             "bottle", "botle", "botl", "bottles", "throttle",
+             "ab", "ba", "a", "b", "", "xy", "alpha", "alpza", "alqza"]
+    df = pd.DataFrame({"sid": range(len(names)), "s": names})
+    out = (edit_distance_join(rd.from_pandas(df).repartition(5),
+                              "sid", "s", k=2).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = sorted((i, j, _lev(names[i], names[j]))
+                  for i in range(len(names)) for j in range(i + 1, len(names))
+                  if _lev(names[i], names[j]) <= 2)
+    got = list(map(tuple, out[["id_a", "id_b", "dist"]].values))
+    assert got == want
+    assert (0, 3, 2) in got            # double substitution
+    assert (11, 12, 2) in got          # transposition = 2 subs
+    assert (13, 15, 1) in got          # 'a' vs '' (1 deletion)
+    assert (13, 14, 1) in got          # 'a' vs 'b'
+
+
+def test_edit_distance_join_all_empty_batches(ray_session):
+    # A batch consisting ENTIRELY of empty strings must still emit its
+    # 0-deletion keys: empty-empty pairs are distance 0 and
+    # empty-vs-1-char pairs distance 1 (the ADVICE r04 regression).
+    from web_crawler_ray.stages.joins import edit_distance_join
+
+    names = ["", "", "", "x", ""]
+    df = pd.DataFrame({"sid": range(len(names)), "s": names})
+    # one row per block so some blocks are all-empty
+    out = (edit_distance_join(rd.from_pandas(df).repartition(5),
+                              "sid", "s", k=1).to_pandas()
+           .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    want = sorted((i, j, _lev(names[i], names[j]))
+                  for i in range(len(names)) for j in range(i + 1, len(names))
+                  if _lev(names[i], names[j]) <= 1)
+    got = list(map(tuple, out[["id_a", "id_b", "dist"]].values))
+    assert got == want
+    assert (0, 1, 0) in got and (0, 3, 1) in got
+
+
+def test_kcenter_k_exceeds_rows_raises(ray_session):
+    # with every point already selected the masked sentinel would win
+    # the argmax — must raise, not silently duplicate a center
+    import pytest as _pytest
+
+    from web_crawler_ray.stages.similarity import kcenter_select
+
+    df = pd.DataFrame({"vec_id": [0, 1, 2],
+                       "embedding": [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]})
+    with _pytest.raises(ValueError, match="exceeds"):
+        kcenter_select(rd.from_pandas(df), k=5)
+
+
 def test_unigram_kl_properties(ray_session):
     from web_crawler_ray.stages.stats import unigram_kl
 

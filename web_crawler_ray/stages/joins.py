@@ -387,47 +387,102 @@ def _codepoint_matrix(strs) -> tuple[np.ndarray, np.ndarray]:
     return m, lens
 
 
+_B = np.uint64(1099511628211)       # FNV prime as the polynomial base
+_BINV = np.uint64(pow(1099511628211, -1, 2 ** 64))  # B is odd ⇒ invertible
+
+
+def _levenshtein_verify(ids_a, ids_b, s_a, s_b, k: int) -> pd.DataFrame:
+    """Exact batched Levenshtein over candidate pairs: one (P, Lb+1)
+    DP row rolled down La, fully vectorized across the P pairs.
+    Operates on UNICODE CODEPOINTS (utf-32 matrix); callers whose
+    oracle is byte-based (DuckDB's ``levenshtein``) must feed ASCII —
+    see ``edit_distance_join``'s contract note."""
+    if not len(ids_a):
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "dist": pd.Series([], dtype="int64")})
+    A, la = _codepoint_matrix(list(s_a))
+    Bm, lb = _codepoint_matrix(list(s_b))
+    P = len(ids_a)
+    Lb = Bm.shape[1]
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (P, 1))
+    final = np.where(la == 0, lb, -1)
+    for i in range(1, A.shape[1] + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        for j in range(1, Lb + 1):
+            sub = prev[:, j - 1] + (A[:, i - 1] != Bm[:, j - 1])
+            cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
+                                              cur[:, j - 1] + 1), sub)
+        hit = la == i
+        if hit.any():
+            final[hit] = cur[hit, lb[hit]]
+        prev = cur
+    keep = (final >= 0) & (final <= k)
+    return pd.DataFrame({
+        "id_a": np.asarray(ids_a)[keep],
+        "id_b": np.asarray(ids_b)[keep],
+        "dist": final[keep].astype("int64"),
+    })
+
+
 def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
                        num_partitions: int = 32,
                        block_col: str | None = None):
-    """Self-join on Levenshtein distance ≤ ``k`` (k=1 today) via the
+    """Self-join on Levenshtein distance ≤ ``k`` (k ∈ {1, 2}) via the
     FastSS deletion neighbourhood (Bocek et al. 2007, "Fast Similarity
-    Search in Big Data"): two strings within edit distance 1 always
-    share an element of {s} ∪ {s with one char deleted}, so hashing
-    every variant and grouping by the hash yields a candidate set with
-    NO false negatives; an exact vectorized Levenshtein verify removes
-    the false positives. Hash collisions only ever ADD candidates, so
-    variants are never materialized — each deletion's hash comes from
-    precomputed prefix/suffix polynomial hashes in O(len) per row,
-    fully vectorized over the batch.
+    Search in Big Data"): if ed(u, v) ≤ k then deleting the ≤k
+    positions touched by the optimal alignment from each side yields a
+    COMMON string, so hashing every ≤k-deletion variant and grouping
+    by the hash gives a candidate set with NO false negatives; an
+    exact vectorized Levenshtein verify removes the false positives.
+    Hash collisions only ever ADD candidates, so variants are never
+    materialized — every deletion's hash comes from precomputed
+    prefix/suffix polynomial hashes: single deletions in O(len) per
+    row, double deletions (k=2) in O(len²/2) per row via the modular
+    inverse of the base (suffix weights divide by B once for the
+    middle segment), all vectorized over the batch.
 
-    Scale shape: the shuffle carries (variant_hash, id, s) rows —
-    (len+1) per input row — grouped by hash with
-    :func:`..stages.grouped.partitioned_apply`; within-group pair
-    blow-up is bounded by neighbourhood density, and the final
-    (id_a, id_b) dedup + verify is a second pair-keyed exchange whose
-    volume is proportional to candidates, never the corpus.
+    Scale shape (ONE heavy exchange + one id-pair dedup): the shuffle
+    carries (variant_hash, id, s) rows — (len+1) per input row for
+    k=1, O(len²/2) for k=2 — grouped by hash with
+    :func:`..stages.grouped.partitioned_apply`; candidate pairs are
+    verified IN the key partition (both sides' strings are co-located
+    there), so the second exchange carries only verified
+    (id_a, id_b, dist) triples into a partitioned drop-duplicates —
+    no strings, no DP work. A pair sharing variants that hash into
+    multiple partitions is re-verified once per partition (bounded by
+    its variant count); the duplicate triples agree exactly, so the
+    dedup winner is well-defined.
+
     ``block_col`` is the classic record-linkage blocking key: its value
     mixes into the variant hash so candidates only form within a block
     (collisions across blocks are removed by an explicit equality check
     in the pair stage), and pairs must agree on it to match.
+
+    ORACLE CONTRACT: distances here are over Unicode CODEPOINTS while
+    DuckDB's ``levenshtein`` is byte-based (``levenshtein('café',
+    'cafe')`` = 2 in DuckDB, 1 here); SQL-replay parity therefore
+    assumes ASCII input (TPC-H names are ASCII). Non-ASCII corpora
+    still get correct codepoint distances — only the DuckDB replay
+    diverges.
+
     Reference capability analogue: fuzzy name standardization
     `pacong/data/processor.py:142-171` (exact alias map), generalized
     to typo-tolerant matching."""
-    from .grouped import partitioned_apply
+    from .grouped import partitioned_apply, partitioned_drop_duplicates
 
-    if k != 1:
-        raise NotImplementedError("edit_distance_join: k=1 neighbourhood "
-                                  "implemented; larger k needs multi-"
-                                  "deletion variants")
-    B = np.uint64(1099511628211)  # FNV prime as the polynomial base
+    if k not in (1, 2):
+        raise NotImplementedError("edit_distance_join: k ∈ {1, 2} "
+                                  "(deeper deletion neighbourhoods grow "
+                                  "O(len^k) keys per row)")
 
     def keys_batch(batch: pd.DataFrame) -> pd.DataFrame:
         strs = batch[str_col].astype(str).tolist()
         ids = batch[id_col].to_numpy()
         m, lens = _codepoint_matrix(strs)
         n, L = m.shape
-        if n == 0 or L == 0:
+        if n == 0:
             empty = {"key": pd.Series([], dtype="uint64"),
                      id_col: pd.Series([], dtype=ids.dtype),
                      str_col: pd.Series([], dtype="object")}
@@ -439,11 +494,11 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
         with np.errstate(over="ignore"):  # uint64 wraparound is the hash
             powB = np.ones(L + 1, dtype=np.uint64)
             for p in range(1, L + 1):
-                powB[p] = powB[p - 1] * B
+                powB[p] = powB[p - 1] * _B
         # prefix[i, p] = hash of s[:p];  wsuf[i, j] = Σ_{t≥j} c_t·B^(len-1-t)
         pref = np.zeros((n, L + 1), dtype=np.uint64)
         for p in range(L):
-            pref[:, p + 1] = pref[:, p] * B + c[:, p]
+            pref[:, p + 1] = pref[:, p] * _B + c[:, p]
         w = c * powB[np.maximum(lens[:, None] - 1 - np.arange(L), 0)]
         w[np.arange(L) >= lens[:, None]] = 0
         wsuf = np.zeros((n, L + 1), dtype=np.uint64)
@@ -451,6 +506,8 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
         out_k, out_i = [], []
         rows = np.arange(n)
         # 0-deletion key: full-string hash mixed with its length
+        # (emitted even when every string is empty — empty-empty pairs
+        # are distance 0 and must still collide on key 0·31+0)
         out_k.append(pref[rows, lens] * np.uint64(31) + lens.astype(np.uint64))
         out_i.append(rows)
         for p in range(L):  # deletion at position p (rows with len > p)
@@ -464,6 +521,26 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
             h = (pref[ok, p] * powB[lens[ok] - 1 - p] + wsuf[ok, p + 1])
             out_k.append(h * np.uint64(31) + (lens[ok] - 1).astype(np.uint64))
             out_i.append(rows[ok])
+        if k >= 2:
+            # deletion at positions p < q (rows with len > q):
+            #   prefix  t<p     → pref[:,p]·B^(len-2-p)   (two shifts right
+            #                     of it, so its weight drops by B²·B^p…)
+            #   middle  p<t<q   → one deletion before t: wsuf weight / B
+            #   suffix  t>q     → two deletions before t: wsuf weight as-is
+            # hash = pref[:,p]·B^(len-2-p) + (wsuf[:,p+1]−wsuf[:,q])·B⁻¹
+            #        + wsuf[:,q+1]
+            with np.errstate(over="ignore"):
+                for q in range(1, L):
+                    okq = lens > q
+                    if not okq.any():
+                        break
+                    for p in range(q):
+                        h2 = (pref[okq, p] * powB[lens[okq] - 2 - p]
+                              + (wsuf[okq, p + 1] - wsuf[okq, q]) * _BINV
+                              + wsuf[okq, q + 1])
+                        out_k.append(h2 * np.uint64(31)
+                                     + (lens[okq] - 2).astype(np.uint64))
+                        out_i.append(rows[okq])
         key = np.concatenate(out_k)
         idx = np.concatenate(out_i)
         cols = {
@@ -482,6 +559,9 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
         return pd.DataFrame(cols).drop_duplicates()
 
     def pairs_in_partition(part: pd.DataFrame) -> pd.DataFrame:
+        """Candidate pairs of this key partition, verified IN PLACE
+        (strings are already co-located here) — emits only confirmed
+        (id_a, id_b, dist) triples."""
         part = part.drop_duplicates()
         outs = []
         for _, g in part.groupby("key", sort=False):
@@ -500,52 +580,25 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
                 "id_a": ids[ia], "id_b": ids[ib],
                 "s_a": ss[ia], "s_b": ss[ib]}))
         if not outs:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "s_a": pd.Series([], dtype="object"),
-                                 "s_b": pd.Series([], dtype="object")})
-        return pd.concat(outs, ignore_index=True).drop_duplicates(
+            return _levenshtein_verify([], [], [], [], k)
+        cand = pd.concat(outs, ignore_index=True).drop_duplicates(
             subset=["id_a", "id_b"])
-
-    def verify(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.drop_duplicates(subset=["id_a", "id_b"])
-        if not len(part):
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        A, la = _codepoint_matrix(part["s_a"].tolist())
-        Bm, lb = _codepoint_matrix(part["s_b"].tolist())
-        P = len(part)
-        Lb = Bm.shape[1]
-        prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (P, 1))
-        final = np.where(la == 0, lb, -1)
-        for i in range(1, A.shape[1] + 1):
-            cur = np.empty_like(prev)
-            cur[:, 0] = i
-            for j in range(1, Lb + 1):
-                sub = prev[:, j - 1] + (A[:, i - 1] != Bm[:, j - 1])
-                cur[:, j] = np.minimum(np.minimum(prev[:, j] + 1,
-                                                  cur[:, j - 1] + 1), sub)
-            hit = la == i
-            if hit.any():
-                final[hit] = cur[hit, lb[hit]]
-            prev = cur
-        keep = (final >= 0) & (final <= k)
-        return pd.DataFrame({
-            "id_a": part["id_a"].to_numpy()[keep],
-            "id_b": part["id_b"].to_numpy()[keep],
-            "dist": final[keep].astype("int64"),
-        })
+        return _levenshtein_verify(cand["id_a"].to_numpy(),
+                                   cand["id_b"].to_numpy(),
+                                   cand["s_a"].to_numpy(),
+                                   cand["s_b"].to_numpy(), k)
 
     in_cols = [id_col, str_col] + ([block_col] if block_col else [])
     keyed = ds.select_columns(in_cols).map_batches(
         keys_batch, batch_format="pandas")
-    cands = partitioned_apply(keyed, ["key"], pairs_in_partition,
-                              num_partitions=num_partitions)
-    return partitioned_apply(cands, ["id_a", "id_b"], verify,
-                             num_partitions=num_partitions,
-                             pre_combine=lambda b: b.drop_duplicates(
-                                 subset=["id_a", "id_b"]))
+    verified = partitioned_apply(keyed, ["key"], pairs_in_partition,
+                                 num_partitions=num_partitions)
+    # cross-partition duplicates (a pair whose shared variants hash to
+    # several partitions) agree on every column; one light exchange of
+    # (id_a, id_b, dist) triples removes them.
+    return partitioned_drop_duplicates(verified, ["id_a", "id_b"],
+                                       num_partitions=num_partitions,
+                                       pre_dedup=True)
 
 
 def join_size_estimate(left, right, on: str, right_on: str | None = None,
@@ -595,6 +648,12 @@ def join_size_estimate(left, right, on: str, right_on: str | None = None,
 
     parts = partitioned_apply(tagged, ["k"], merge,
                               num_partitions).to_pandas()
+    if not len(parts):  # both inputs empty — pin the 0 convention
+        return pd.DataFrame({"join_rows": [np.int64(0)],
+                             "n_keys": [np.int64(0)],
+                             "max_key_rows": [np.int64(0)]})
+    # 0 (not NULL) when no key matches: the SQL replay pins the same
+    # convention with coalesce(sum(...), 0) / coalesce(max(...), 0).
     return pd.DataFrame({
         "join_rows": [np.int64(parts["join_rows"].sum())],
         "n_keys": [np.int64(parts["n_keys"].sum())],

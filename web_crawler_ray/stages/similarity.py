@@ -905,6 +905,13 @@ def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
                                   ascending=[False, True], kind="mergesort")
         win_id = int(parts.iloc[0]["best_id"])
         win_d2 = float(parts.iloc[0]["best_d2"])
+        if win_d2 == -1.0:
+            # every remaining point is already chosen (the masked
+            # sentinel won) — k exceeds the number of distinct rows;
+            # silently re-selecting a center would duplicate it.
+            raise ValueError(
+                f"kcenter_select: k={k} exceeds the number of rows "
+                f"({len(sel_ids)} available)")
         win_vec = ds.filter(expr=f"{id_col} == {win_id}").take_all()
         centers.append(np.asarray(list(win_vec[0][vec_col]),
                                   dtype=np.float64))
