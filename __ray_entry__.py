@@ -1590,21 +1590,18 @@ def q_fuzzy_dedup(sf_dir: str):
         lambda b: b[(b["doc_id"] % 3 == 0) & (b["text"].str.len() >= 5)],
         batch_format="pandas",
     )
-    ref = ray.put((comp["node"].to_numpy(), comp["component"].to_numpy()))
-
-    def attach(batch: pd.DataFrame) -> pd.DataFrame:
-        ns, cs = ray.get(ref)
-        ids = batch["doc_id"].to_numpy()
-        canon = ids.copy()
-        if len(ns):
-            idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
-            hit = ns[idx] == ids
-            canon[hit] = cs[idx[hit]]
-        return pd.DataFrame({"doc_id": ids,
-                             "canon_id": canon.astype("int64"),
-                             "kept": canon == ids})
-
-    return eligible.map_batches(attach, batch_format="pandas")
+    # dual-path label attach (broadcast under the node gate, hash join
+    # past it) — the component table never becomes a driver dict; only
+    # the id column enters the attach so no text rides a join exchange
+    from web_crawler_ray.stages.graph import attach_components
+    tagged = attach_components(eligible.select_columns(["doc_id"]),
+                               comp, "doc_id", out_col="canon_id")
+    return tagged.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "canon_id": b["canon_id"].to_numpy().astype("int64"),
+            "kept": b["canon_id"].to_numpy() == b["doc_id"].to_numpy(),
+        }), batch_format="pandas")
 
 
 def q_clean_prices_oracle(sf_dir: str):
@@ -2426,7 +2423,9 @@ def q_dup_clusters(sf_dir: str):
         "phash", "image_id", max_hamming=3,
         n_rows_hint=_nrows(sf_dir, "part"),
     )
-    return connected_components(pairs)
+    # stage returns a node-sized Dataset; sort at the query layer
+    return (connected_components(pairs).to_pandas()
+            .sort_values("node", kind="mergesort").reset_index(drop=True))
 
 
 def q_user_entropy(sf_dir: str):
@@ -4693,7 +4692,10 @@ def q_label_prop(sf_dir: str):
         }).drop_duplicates(), batch_format="pandas")
     from web_crawler_ray.stages.grouped import partitioned_drop_duplicates
     edges = partitioned_drop_duplicates(edges, ["a", "b"], pre_dedup=True)
-    return label_propagation(edges, "a", "b", iterations=2)
+    # stage returns a node-sized Dataset; sort at the query layer
+    return (label_propagation(edges, "a", "b", iterations=2)
+            .to_pandas().sort_values("node", kind="mergesort")
+            .reset_index(drop=True))
 
 
 def q_group_trend(sf_dir: str):
@@ -4720,16 +4722,13 @@ def q_join_size(sf_dir: str):
     return join_size_estimate(li, orders, "l_orderkey", "o_orderkey")
 
 
-def q_entity_resolution(sf_dir: str):
-    """Entity-resolution composite (the record-linkage flagship):
-    nation-blocked typo-tolerant matching via the FastSS
-    edit-distance join (block key mixed into the variant hash) →
-    connected components over the match pairs → one golden record per
-    entity (canonical = min-id member's name, member count, summed
-    balance). Everything after the components table is ONE
-    entity-co-locating exchange: the canonical row necessarily lives
-    in its own group (the component label IS the min member id)."""
-    from web_crawler_ray.stages.graph import connected_components
+def _entity_resolution_impl(sf_dir: str, force_join_path: bool = False):
+    """Body of :func:`q_entity_resolution`; ``force_join_path`` pins
+    the distributed label-attach path so a test can prove both paths
+    produce identical golden records (same pattern as the crawl's
+    salting-invariance test)."""
+    from web_crawler_ray.stages.graph import (attach_components,
+                                              connected_components)
     from web_crawler_ray.stages.grouped import partitioned_apply
     from web_crawler_ray.stages.joins import edit_distance_join
 
@@ -4738,18 +4737,16 @@ def q_entity_resolution(sf_dir: str):
                                     "c_nationkey"])
     pairs = edit_distance_join(cust, "c_custkey", "c_name", k=1,
                                block_col="c_nationkey").materialize()
-    comps = connected_components(pairs, "id_a", "id_b")
-    cmap_ref = ray.put(dict(zip(comps["node"].tolist(),
-                                comps["component"].tolist())))
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        cmap = ray.get(cmap_ref)
-        keys = batch["c_custkey"].to_numpy()
-        ent = np.array([cmap.get(int(x), int(x)) for x in keys],
-                       dtype=np.int64)
-        return pd.DataFrame({"entity": ent, "c_custkey": keys,
-                             "c_name": batch["c_name"].to_numpy(),
-                             "c_acctbal": batch["c_acctbal"].to_numpy()})
+    comps = connected_components(pairs, "id_a", "id_b",
+                                 force_join_path=force_join_path)
+    # dual-path attach: broadcast sorted (node, component) arrays under
+    # the 5M-node gate, left-outer hash join past it — the label map is
+    # never a driver-built Python dict (matched-node cardinality is
+    # unbounded on a high-dup corpus)
+    tagged = attach_components(
+        cust.select_columns(["c_custkey", "c_name", "c_acctbal"]),
+        comps, "c_custkey", out_col="entity",
+        force_join_path=force_join_path)
 
     def golden(part: pd.DataFrame) -> pd.DataFrame:
         part = part.sort_values(["entity", "c_custkey"], kind="mergesort")
@@ -4763,9 +4760,23 @@ def q_entity_resolution(sf_dir: str):
                 g["c_acctbal"].sum().reset_index(drop=True), 2),
         })
 
-    out = partitioned_apply(cust.map_batches(tag, batch_format="pandas"),
-                            ["entity"], golden).to_pandas()
+    out = partitioned_apply(tagged, ["entity"], golden).to_pandas()
     return out.sort_values("entity", kind="mergesort").reset_index(drop=True)
+
+
+def q_entity_resolution(sf_dir: str):
+    """Entity-resolution composite (the record-linkage flagship):
+    nation-blocked typo-tolerant matching via the FastSS
+    edit-distance join (block key mixed into the variant hash) →
+    connected components over the match pairs → one golden record per
+    entity (canonical = min-id member's name, member count, summed
+    balance). Everything after the components table is ONE
+    entity-co-locating exchange: the canonical row necessarily lives
+    in its own group (the component label IS the min member id).
+    Component labels attach via the dual-path
+    :func:`~web_crawler_ray.stages.graph.attach_components` (broadcast
+    arrays under the node gate, distributed hash join past it)."""
+    return _entity_resolution_impl(sf_dir)
 
 
 def q_kcenter(sf_dir: str):

@@ -641,6 +641,7 @@ def test_connected_components_chain_and_isolated(ray_session):
               20: 20, 21: 20}
     for parts in (1, 3):
         out = (connected_components(rd.from_pandas(edges).repartition(parts))
+               .to_pandas()  # stage returns a Dataset
                .set_index("node")["component"].to_dict())
         assert out == expect
 
@@ -663,10 +664,44 @@ def test_connected_components_join_path_matches_broadcast(ray_session):
                           "id_b": np.array(b, dtype="int64")})
     edges = edges[edges.id_a != edges.id_b]
     ds = rd.from_pandas(edges).repartition(4)
-    bc = connected_components(ds).set_index("node")["component"].to_dict()
-    jn = (connected_components(ds, force_join_path=True, num_partitions=4)
+    bc = (connected_components(ds).to_pandas()
           .set_index("node")["component"].to_dict())
+    jn = (connected_components(ds, force_join_path=True, num_partitions=4)
+          .to_pandas().set_index("node")["component"].to_dict())
     assert jn == bc
+
+
+def test_attach_components_join_matches_broadcast(ray_session):
+    """attach_components must produce the same labels through the
+    broadcast (searchsorted) and distributed (left-outer hash join)
+    paths, including rows with NO component (keep own id)."""
+    from web_crawler_ray.stages.graph import attach_components
+
+    rows = pd.DataFrame({"rid": [5, 1, 9, 3, 7, 2],
+                         "val": list("abcdef")})
+    comps = pd.DataFrame({"node": [9, 3, 5], "component": [3, 3, 1]})
+    ds = rd.from_pandas(rows).repartition(3)
+    cds = rd.from_pandas(comps)
+    expect = {5: 1, 1: 1, 9: 3, 3: 3, 7: 7, 2: 2}
+    for force in (False, True):
+        out = attach_components(ds, cds, "rid", out_col="ent",
+                                num_partitions=2,
+                                force_join_path=force).to_pandas()
+        assert list(out.columns) == ["rid", "val", "ent"]
+        assert dict(zip(out["rid"], out["ent"])) == expect
+
+
+def test_entity_resolution_both_attach_paths_identical(ray_session):
+    """The record-linkage flagship must return identical golden records
+    through the broadcast-attach path and the forced distributed
+    join path (same invariance pattern as the crawl's salting test)."""
+    import __ray_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    bc = entry_mod._entity_resolution_impl(sf, force_join_path=False)
+    jn = entry_mod._entity_resolution_impl(sf, force_join_path=True)
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
 
 
 def test_connected_components_raises_on_no_convergence(ray_session):

@@ -534,12 +534,13 @@ def test_label_propagation_two_cliques(ray_session):
         "a": [0, 0, 1, 10, 10, 11, 1],
         "b": [1, 2, 2, 11, 12, 12, 10],
     })
-    out = label_propagation(rd.from_pandas(edges), "a", "b", iterations=2)
+    out = label_propagation(rd.from_pandas(edges), "a", "b",
+                            iterations=2).to_pandas()
     lab = dict(zip(out["node"], out["label"]))
     assert lab == {0: 0, 1: 1, 2: 0, 10: 10, 11: 1, 12: 1}
     # deterministic under a different partitioning
     out2 = label_propagation(rd.from_pandas(edges).repartition(5),
-                             "a", "b", iterations=2)
+                             "a", "b", iterations=2).to_pandas()
     assert dict(zip(out2["node"], out2["label"])) == lab
 
 

@@ -174,7 +174,7 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
                          max_iter: int = 50,
                          broadcast_nodes_max: int = 5_000_000,
                          num_partitions: int = 16,
-                         force_join_path: bool = False) -> pd.DataFrame:
+                         force_join_path: bool = False):
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the minimum node id in
     its component (the canonical-representative rule dedup clustering
@@ -198,6 +198,10 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
     Converges in O(component diameter) passes; raises if ``max_iter``
     passes exhaust without convergence (an unconverged label map is
     silently WRONG clusters, not an approximation).
+
+    Returns a DATASET of (node:int64, component:int64) — node-sized,
+    so a 10^9-node caller is never forced through the driver; small
+    callers add ``.to_pandas()`` at the query layer.
     """
     if force_join_path or edges_ds.count() > broadcast_nodes_max:
         return _join_components(edges_ds, id_a, id_b, max_iter,
@@ -242,12 +246,14 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
             f"connected_components: no convergence after {max_iter} "
             f"iterations — a component's diameter exceeds max_iter; "
             f"raise max_iter (labels would be silently wrong)")
-    return pd.DataFrame({"node": nodes.astype("int64"),
-                         "component": labels.astype("int64")})
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes.astype("int64"),
+        "component": labels.astype("int64")}))
 
 
 def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
-                     num_partitions: int) -> pd.DataFrame:
+                     num_partitions: int):
     """Distributed min-label propagation: labels live as a Dataset the
     whole time; per iteration two hash joins attach labels to the edge
     endpoints, a map pass emits (node, candidate=min(la, lb), old)
@@ -267,11 +273,18 @@ def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
         return pd.DataFrame(
             {"n": pd.unique(pd.concat([b[id_a], b[id_b]]).to_numpy())})
 
+    # repartition() after every partitioned_apply-derived table that
+    # feeds a join: map_groups emits ZERO-COLUMN blocks for empty sort
+    # partitions, map_batches skips empty blocks (so a map can't repair
+    # the schema), and a hash-join partition composed only of such
+    # blocks loses the key column ("No match for FieldRef" in Acero).
+    # repartition merges them into typed blocks; labels are node-sized.
     labels = partitioned_drop_duplicates(
         e.map_batches(endpoints, batch_format="pandas"), ["n"],
         num_partitions, pre_dedup=True,
     ).map_batches(lambda b: b.assign(lab=b["n"]),
-                  batch_format="pandas").materialize()
+                  batch_format="pandas").repartition(
+        num_partitions).materialize()
 
     def reduce_part(p: pd.DataFrame) -> pd.DataFrame:
         g = (p.groupby("n", sort=True)
@@ -312,7 +325,8 @@ def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
             batch_format="pandas").sum("c") or 0)
         labels = reduced.map_batches(
             lambda b: pd.DataFrame({"n": b["n"], "lab": b["cand"]}),
-            batch_format="pandas").materialize()
+            batch_format="pandas").repartition(  # see zero-column note
+            num_partitions).materialize()
         if changed == 0:
             converged = True
             break
@@ -321,9 +335,74 @@ def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
         raise RuntimeError(
             f"connected_components(join path): no convergence after "
             f"{max_iter} iterations — raise max_iter")
-    out = labels.to_pandas().sort_values("n", kind="mergesort")
-    return pd.DataFrame({"node": out["n"].to_numpy().astype("int64"),
-                         "component": out["lab"].to_numpy().astype("int64")})
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["n"].to_numpy().astype("int64"),
+             "component": b["lab"].to_numpy().astype("int64")}),
+        batch_format="pandas")
+
+
+def attach_components(ds, comps_ds, id_col: str, out_col: str = "component",
+                      broadcast_nodes_max: int = 5_000_000,
+                      num_partitions: int = 16,
+                      force_join_path: bool = False):
+    """Attach component labels onto a row Dataset: rows whose id is
+    absent from the component table keep their OWN id as the label
+    (singleton components). Dual path on the component-table size —
+    the same gate as :func:`connected_components`:
+
+    * **broadcast** (≤ ``broadcast_nodes_max`` labelled nodes): the
+      (node, component) table ships ONCE via the object store as two
+      sorted numpy arrays; the attach is a vectorized ``searchsorted``
+      inside one streaming map pass. No dict, no Python loop.
+    * **join** (past the gate, or ``force_join_path=True``): labels
+      stay a distributed Dataset and attach via ONE left-outer hash
+      join; missing labels fill with the row's own id in a map pass.
+
+    The output column order is the input's columns with ``out_col``
+    appended, both paths — callers can rely on one schema."""
+    import ray
+    import ray.data as rd  # noqa: F401  (symmetry with connected_components)
+
+    if not force_join_path and comps_ds.count() <= broadcast_nodes_max:
+        comp = comps_ds.to_pandas()
+        order = np.argsort(comp["node"].to_numpy(), kind="mergesort")
+        ref = ray.put((comp["node"].to_numpy()[order],
+                       comp["component"].to_numpy()[order]))
+
+        def tag(batch: pd.DataFrame) -> pd.DataFrame:
+            ns, cs = ray.get(ref)
+            ids = batch[id_col].to_numpy()
+            lab = ids.astype("int64", copy=True)
+            if len(ns):
+                idx = np.clip(np.searchsorted(ns, ids), 0, len(ns) - 1)
+                hit = ns[idx] == ids
+                lab[hit] = cs[idx[hit]]
+            batch = batch.copy()
+            batch[out_col] = lab
+            return batch
+
+        return ds.map_batches(tag, batch_format="pandas")
+
+    cols = [c for c in ds.schema().names]
+    lab = comps_ds.map_batches(
+        lambda b: pd.DataFrame({id_col: b["node"], "_lab": b["component"]}),
+        batch_format="pandas")
+    j = ds.join(lab, join_type="left_outer", num_partitions=num_partitions,
+                on=(id_col,))
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        lv = batch["_lab"].to_numpy()
+        own = batch[id_col].to_numpy().astype("int64")
+        miss = pd.isna(lv)
+        out = np.where(miss, own, np.where(miss, 0, lv)).astype("int64")
+        # (inner where zeroes the NaN slots before the cast so object /
+        # float nulls from the outer join never reach astype)
+        batch = batch[cols].copy()
+        batch[out_col] = out
+        return batch
+
+    return j.map_batches(fill, batch_format="pandas")
 
 
 def pagerank(edges_ds, src: str = "src", dst: str = "dst",
@@ -806,6 +885,12 @@ def label_propagation(edges_ds, id_a: str, id_b: str, iterations: int = 2,
                                    num_partitions,
                                    pre_combine=None).materialize()
 
-    out = labels.to_pandas().sort_values("key", kind="mergesort")
-    return pd.DataFrame({"node": out["key"].to_numpy().astype("int64"),
-                         "label": out["lab"].to_numpy().astype("int64")})
+    # node-sized result stays a Dataset — a 10^9-node caller is never
+    # forced through the driver; query layers .to_pandas()+sort as needed
+    # repartition merges the zero-column empty-partition blocks
+    # map_groups can emit (they break downstream hash joins)
+    return labels.map_batches(
+        lambda b: pd.DataFrame(
+            {"node": b["key"].to_numpy().astype("int64"),
+             "label": b["lab"].to_numpy().astype("int64")}),
+        batch_format="pandas").repartition(num_partitions)
