@@ -44,6 +44,67 @@ def test_lancelike_fragment_commit_and_resume_skip(tmp_path):
     assert os.path.exists(os.path.join(root, name + ".lineage.json"))
 
 
+def _image_hint_table(n=6) -> pa.Table:
+    """The north rule's input_hint schema: image + caption rows."""
+    return pa.table({
+        "image_id": pa.array([f"img-{i:04d}" for i in range(n)], pa.string()),
+        "bytes": pa.array([bytes([i % 251] * (16 + i)) for i in range(n)],
+                          pa.binary()),
+        "w": pa.array([32 + i for i in range(n)], pa.int32()),
+        "h": pa.array([24 + i for i in range(n)], pa.int32()),
+        "fmt": pa.array(["png" if i % 2 else "jpeg" for i in range(n)],
+                        pa.string()),
+        "caption": pa.array([f"caption {i}" for i in range(n)], pa.string()),
+        "phash": pa.array([(i * 2654435761) % (1 << 62) for i in range(n)],
+                          pa.int64()),
+    })
+
+
+def test_lance_seam_fail_fast_and_parquet_roundtrip(tmp_path):
+    """The format seam (SURVEY §2.1 K4): data_format='lance' must fail
+    fast when the lib is absent (never silently write parquet), and the
+    parquet lookalike must round-trip the input_hint image schema
+    byte-exactly through write_fragment → read_dataset."""
+    root = str(tmp_path / "seam")
+    tab = _image_hint_table()
+    if not lancelike.HAVE_LANCE:
+        with pytest.raises(ImportError, match="lance"):
+            lancelike.write_fragment(root, tab, 0, 0, "fp",
+                                     data_format="lance")
+    with pytest.raises(ValueError, match="unknown data_format"):
+        lancelike.write_fragment(root, tab, 0, 0, "fp", data_format="orc")
+    lancelike.write_fragment(root, tab, 0, 0, "fp", data_format="parquet")
+    back = lancelike.read_dataset(root)
+    assert back.equals(tab)  # schema + values, bytes included
+
+
+@pytest.mark.skipif(not lancelike.HAVE_LANCE,
+                    reason="pylance not installed in this sandbox")
+def test_lancelike_lance_roundtrip_parity(tmp_path):
+    """Conformance when REAL lance is importable: the same commits
+    through data_format='lance' and 'parquet' read back identically
+    (input_hint schema), resume-skip works in both, and 'auto'
+    resolves to lance — swapping libs touches zero call sites."""
+    tab = _image_hint_table()
+    roots = {}
+    for fmt in ("lance", "parquet"):
+        root = str(tmp_path / fmt)
+        lancelike.write_fragment(root, tab, 0, 0, "fp-a", data_format=fmt)
+        lancelike.write_fragment(root, _image_hint_table(3), 1, 0, "fp-b",
+                                 data_format=fmt)
+        # resume skip: same fingerprint → no version bump
+        v = lancelike.read_manifest(root)["version"]
+        lancelike.write_fragment(root, tab, 0, 0, "fp-a", data_format=fmt)
+        assert lancelike.read_manifest(root)["version"] == v
+        roots[fmt] = lancelike.read_dataset(root)
+    assert roots["lance"].equals(roots["parquet"])
+    assert lancelike._resolve_format("auto") == "lance"
+    auto_root = str(tmp_path / "auto")
+    lancelike.write_fragment(auto_root, tab, 0, 0, "fp", data_format="auto")
+    frag = lancelike.read_manifest(auto_root)["fragments"]["part-00000-r000"]
+    assert frag["file"].endswith(".lance")
+
+
 def test_lancelike_dir_fragment(tmp_path):
     import pyarrow.parquet as pq
 

@@ -74,6 +74,53 @@ def completed_fragment(root: str, partition_id: int, round_index: int, input_fin
     return manifest.get("compacted", {}).get(name) == input_fingerprint
 
 
+def _resolve_format(data_format: str) -> str:
+    """The library seam: ``auto`` = real Lance when importable, parquet
+    lookalike otherwise — so installing ``pylance`` flips every sink in
+    the repo with ZERO call-site changes. Explicit ``lance`` fails fast
+    when the lib is absent (silently writing parquet instead of the
+    requested format would be a lie)."""
+    if data_format == "auto":
+        return "lance" if HAVE_LANCE else "parquet"
+    if data_format == "lance" and not HAVE_LANCE:
+        raise ImportError(
+            "data_format='lance' requires the 'lance' package "
+            "(pip install pylance); use 'auto' to fall back to the "
+            "parquet lookalike when it is absent")
+    if data_format not in ("lance", "parquet"):
+        raise ValueError(f"unknown data_format {data_format!r}")
+    return data_format
+
+
+def _write_fragment_data(root: str, name: str, table: pa.Table,
+                         fmt: str) -> str:
+    """Write one fragment's rows in ``fmt``; returns the file/dir name
+    recorded in the manifest. Parquet commits via tmp→rename; Lance
+    datasets commit via their OWN manifest (lance.write_dataset is
+    atomic per version), so the directory name is recorded as-is."""
+    if fmt == "lance":
+        import lance
+
+        path = os.path.join(root, name + ".lance")
+        lance.write_dataset(table, path, mode="create")
+        return name + ".lance"
+    data_path = os.path.join(root, name + ".parquet")
+    tmp_path = data_path + ".tmp"
+    pq.write_table(table, tmp_path, compression="zstd")
+    os.replace(tmp_path, data_path)
+    return name + ".parquet"
+
+
+def _read_fragment_data(path: str) -> pa.Table:
+    """Read one committed fragment regardless of format — the read side
+    of the seam (manifest records the extension)."""
+    if path.endswith(".lance"):
+        import lance
+
+        return lance.dataset(path).to_table()
+    return pq.read_table(path)
+
+
 def write_fragment(
     root: str,
     table: pa.Table,
@@ -81,18 +128,19 @@ def write_fragment(
     round_index: int,
     input_fingerprint: str,
     extra_lineage: dict | None = None,
+    data_format: str = "auto",
 ) -> str:
     """Atomically commit one fragment + lineage; idempotent per
-    (partition, round, fingerprint)."""
+    (partition, round, fingerprint). ``data_format``: ``auto`` (real
+    Lance when importable, parquet lookalike otherwise), ``lance``,
+    or ``parquet`` — see :func:`_resolve_format`."""
     os.makedirs(root, exist_ok=True)
+    fmt = _resolve_format(data_format)
     name = fragment_name(partition_id, round_index)
     if completed_fragment(root, partition_id, round_index, input_fingerprint):
         return name
     t0 = time.monotonic()
-    data_path = os.path.join(root, name + ".parquet")
-    tmp_path = data_path + ".tmp"
-    pq.write_table(table, tmp_path, compression="zstd")
-    os.replace(tmp_path, data_path)
+    file_name = _write_fragment_data(root, name, table, fmt)
     lineage = {
         "partition_id": partition_id,
         "round": round_index,
@@ -108,7 +156,7 @@ def write_fragment(
     manifest["fragments"][name] = {
         "rows": table.num_rows,
         "input_fingerprint": input_fingerprint,
-        "file": name + ".parquet",
+        "file": file_name,
     }
     _write_manifest(root, manifest)
     return name
@@ -166,9 +214,9 @@ def read_dataset(root: str) -> pa.Table:
             names = frag.get("files") or sorted(
                 f for f in os.listdir(d) if f.endswith(".parquet"))
             for fname in names:
-                tables.append(pq.read_table(os.path.join(d, fname)))
+                tables.append(_read_fragment_data(os.path.join(d, fname)))
         else:
-            tables.append(pq.read_table(os.path.join(root, frag["file"])))
+            tables.append(_read_fragment_data(os.path.join(root, frag["file"])))
     if not tables:
         raise FileNotFoundError(f"no committed fragments under {root}")
     return pa.concat_tables(tables)
@@ -293,6 +341,12 @@ def compact(root: str, target_rows: int = 1_000_000) -> dict:
             if frag.get("files") and len(frag["files"]) > 1:
                 frag = _compact_dir_fragment(root, frag, target_rows,
                                              to_delete)
+            new_fragments[name] = frag
+            continue
+        if frag["file"].endswith(".lance"):
+            # real-Lance fragments version themselves; their compaction
+            # story is lance.optimize, not the parquet merge
+            flush_pending()
             new_fragments[name] = frag
             continue
         if frag["rows"] >= target_rows:

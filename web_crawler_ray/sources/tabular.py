@@ -23,7 +23,7 @@ import io
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.cleaning import clean_price_string
+from ..functions.cleaning import clean_price_batch
 from ..io.xlsx_lite import grid_to_frame, read_xlsx
 
 try:
@@ -74,25 +74,39 @@ def sniff_header(data: bytes, max_header: int = 6) -> tuple[pd.DataFrame | None,
 def unpivot_last_value(df: pd.DataFrame) -> pd.DataFrame:
     """Wide→long (worldbank.py:121-172): per row, the LAST non-null
     parseable value across the value columns + that column's label;
-    negative prices dropped."""
-    names, values, labels = [], [], []
+    negative prices dropped. Vectorized: one ``clean_price_batch``
+    pass per COLUMN (columns are few, rows many), then an argmax over
+    the parsed matrix picks each row's last valid column — no
+    ``iterrows``."""
+    import numpy as np
+
     value_cols = list(df.columns[1:])
-    for _, row in df.iterrows():
-        name = str(row.iloc[0]).strip()
-        if not name or name.lower() == "nan":
-            continue
-        picked = None
-        for col in reversed(value_cols):
-            v = clean_price_string(row[col])
-            if v is not None:
-                picked = (v, str(col))
-                break
-        if picked is None or picked[0] < 0:
-            continue
-        names.append(name)
-        values.append(picked[0])
-        labels.append(picked[1])
-    return pd.DataFrame({"name": names, "price": values, "period": labels})
+    if not value_cols or df.empty:
+        return pd.DataFrame({"name": pd.Series([], dtype=object),
+                             "price": pd.Series([], dtype="float64"),
+                             "period": pd.Series([], dtype=object)})
+    names = df.iloc[:, 0].astype(str).str.strip()
+    name_ok = (names.str.len() > 0) & (names.str.lower() != "nan")
+
+    # parsed values matrix: n_rows × n_value_cols, NaN = unparseable
+    parsed = np.column_stack([
+        clean_price_batch(df[c]).to_numpy(dtype="float64")
+        for c in value_cols
+    ])
+    valid = ~np.isnan(parsed)
+    # index of the LAST valid column per row (max of col-index masked
+    # to valid cells; rows with none get -1 and are filtered below)
+    col_idx = np.where(valid, np.arange(parsed.shape[1]), -1).max(axis=1)
+    safe_idx = np.clip(col_idx, 0, None)
+    picked = parsed[np.arange(len(df)), safe_idx]
+
+    keep = name_ok.to_numpy() & (col_idx >= 0) & (picked >= 0)
+    labels = np.array([str(c) for c in value_cols], dtype=object)
+    return pd.DataFrame({
+        "name": names.to_numpy()[keep],
+        "price": picked[keep],
+        "period": labels[safe_idx[keep]],
+    })
 
 
 class WorkbookExtract:
