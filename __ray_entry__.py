@@ -4898,15 +4898,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pricing_summary": q_pricing_summary,
         "q_category_stats": q_category_stats,
         "q_top_orders": q_top_orders,
-        "q_top_events": q_top_events,
+        "q_semdedup": q_semdedup,
         "q_join_revenue": q_join_revenue,
-        "q_customer_geo": q_customer_geo,
-        "q_filter_range": q_filter_range,
+        "q_edit_join": q_edit_join,
+        "q_label_prop": q_label_prop,
         "q_dedup_latest": q_dedup_latest,
-        "q_event_type_hist": q_event_type_hist,
-        "q_union_split": q_union_split,
-        "q_project_cast": q_project_cast,
-        "q_regex_extract": q_regex_extract,
+        "q_entity_resolution": q_entity_resolution,
+        "q_winnow_pairs": q_winnow_pairs,
+        "q_token_budget": q_token_budget,
+        "q_cdc_apply": q_cdc_apply,
         "q_token_stats": q_token_stats,
         "q_doc_exact_dedup": q_doc_exact_dedup,
         "q_ann_topk": q_ann_topk,
@@ -4914,7 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_html_parse_oracle": q_html_parse_oracle,
         "q_embed_allpairs": q_embed_allpairs,
         "q_text_metrics_oracle": q_text_metrics_oracle,
-        "q_json_extract": q_json_extract,
+        "q_pagerank": q_pagerank,
         "q_group_topk": q_group_topk,
         "q_window_agg": q_window_agg,
         "q_asof_join": q_asof_join,
@@ -4937,8 +4937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_clusters": q_dup_clusters,
         "q_kmeans_lloyd": q_kmeans_lloyd,
         "q_unpivot_orders": q_unpivot_orders,
-        "q_histogram": q_histogram,
-        "q_monthly_revenue": q_monthly_revenue,
+        "q_quantile_cont": q_quantile_cont,
+        "q_zonemap_scan": q_zonemap_scan,
         "q_image_curate_oracle": q_image_curate_oracle,
         "q_sessionize": q_sessionize,
         "q_bloom_semi_join": q_bloom_semi_join,
@@ -4960,7 +4960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_string_agg": q_string_agg,
         "q_pivot_status": q_pivot_status,
         "q_kmeans_step": q_kmeans_step,
-        "q_quantile_cont": q_quantile_cont,
+        "q_histogram": q_histogram,
         "q_set_intersect": q_set_intersect,
         "q_unnest_embeddings": q_unnest_embeddings,
         "q_train_split": q_train_split,
@@ -5020,7 +5020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rpa_fetch": q_rpa_fetch,
         "q_fuzzy_dedup": q_fuzzy_dedup,
         "q_salted_join": q_salted_join,
-        "q_pagerank": q_pagerank,
+        "q_json_extract": q_json_extract,
         "q_embed_quantize": q_embed_quantize,
         "q_vocab_coverage": q_vocab_coverage,
         "q_wds_roundtrip": q_wds_roundtrip,
@@ -5071,7 +5071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bpe_merges": q_bpe_merges,
         "q_pq_error": q_pq_error,
         "q_ann_pq": q_ann_pq,
-        "q_winnow_pairs": q_winnow_pairs,
+        "q_union_split": q_union_split,
         "q_zorder_layout": q_zorder_layout,
         "q_corpus_diff": q_corpus_diff,
         "q_clip_gate": q_clip_gate,
@@ -5080,13 +5080,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skew_report": q_skew_report,
         "q_triangles": q_triangles,
         "q_window_dedup": q_window_dedup,
-        "q_cdc_apply": q_cdc_apply,
+        "q_regex_extract": q_regex_extract,
         "q_benford": q_benford,
         "q_pmi_bigrams": q_pmi_bigrams,
         "q_chi2_terms": q_chi2_terms,
         "q_bucketed_join": q_bucketed_join,
-        "q_zonemap_scan": q_zonemap_scan,
-        "q_token_budget": q_token_budget,
+        "q_monthly_revenue": q_monthly_revenue,
+        "q_project_cast": q_project_cast,
         "q_rrf_fusion": q_rrf_fusion,
         "q_bigram_lm": q_bigram_lm,
         "q_event_paths": q_event_paths,
@@ -5102,15 +5102,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_stats": q_session_stats,
         "q_dataset_card": q_dataset_card,
         "q_changepoint": q_changepoint,
-        "q_semdedup": q_semdedup,
+        "q_top_events": q_top_events,
         "q_dsir_weights": q_dsir_weights,
-        "q_edit_join": q_edit_join,
+        "q_customer_geo": q_customer_geo,
         "q_edit_join_k2": q_edit_join_k2,
         "q_corpus_kl": q_corpus_kl,
-        "q_label_prop": q_label_prop,
+        "q_filter_range": q_filter_range,
         "q_group_trend": q_group_trend,
         "q_join_size": q_join_size,
-        "q_entity_resolution": q_entity_resolution,
+        "q_event_type_hist": q_event_type_hist,
         "q_kcenter": q_kcenter,
         "q_containment": q_containment,
         "q_vocab_growth": q_vocab_growth,
