@@ -131,6 +131,9 @@ def run_crawl_bench(ckpt_tag: str) -> dict:
         fetch_mode="synth",
         checkpoint_dir=f"/tmp/wcr_bench_crawl_{ckpt_tag}",
         num_blocks=max(16, NUM_CPUS * 2),
+        # "rounds" (default) or "streaming" (fused one-execution-per-
+        # window prototype); digests are identical across modes
+        mode=os.environ.get("BENCH_CRAWL_MODE", "rounds"),
         # the pipeline's real payload: fetched pages land as encoded
         # image+caption rows (north rule) — the sink is part of the
         # headline, written distributed by the workers

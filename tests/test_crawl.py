@@ -86,6 +86,57 @@ def test_salting_invariance(fixtures, ray_run):
     )
 
 
+def test_streaming_mode_equals_rounds(fixtures, ray_run):
+    """mode='streaming' (the fused one-execution-per-window prototype:
+    schedule → fetch/sink/explode → frontier write in a single
+    streaming DAG) produces the identical crawl order, seen set, and
+    committed image fragments as the round model — the round barrier
+    disappears from the execution, not from the semantics."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth",
+        checkpoint_dir=os.path.join(fixtures["root"], "streaming"),
+        num_blocks=4, mode="streaming",
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+    # image sink parity with the round model's committed fragments
+    rows_stream = lancelike.read_dataset(
+        os.path.join(cfg.checkpoint_dir, "images"))
+    rows_rounds = lancelike.read_dataset(
+        os.path.join(ray_run["cfg"].checkpoint_dir, "images"))
+    key = lambda t: sorted(t["image_id"].to_pylist())  # noqa: E731
+    assert key(rows_stream) == key(rows_rounds)
+    # per-round metrics recorded the pipelining latency probe
+    assert all("fused_pipeline" in m["stage_s"] for m in res["metrics"])
+
+
+def test_streaming_mode_constraints(fixtures):
+    """The prototype fails fast outside its envelope: join fetch (needs
+    the granted-hash broadcast barrier) and order-push off."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=1,
+        fetch_mode="join",
+        checkpoint_dir=os.path.join(fixtures["root"], "stream_bad"),
+        num_blocks=4, mode="streaming",
+    )
+    with pytest.raises(NotImplementedError, match="synth"):
+        run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                  page_store_path=fixtures["ps_path"])
+    cfg2 = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=1,
+        fetch_mode="synth",
+        checkpoint_dir=os.path.join(fixtures["root"], "stream_bad2"),
+        num_blocks=4, mode="streaming", order_push=False,
+    )
+    with pytest.raises(NotImplementedError, match="order-push"):
+        run_crawl(cfg2, fixtures["seeds"], robots_table=fixtures["robots"])
+
+
 def test_order_push_equals_pull(fixtures, ray_run):
     """order_push=False (driver pulls granted rows from the scheduled
     dataset) produces the identical order file and seen set as the

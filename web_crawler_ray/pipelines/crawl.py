@@ -127,6 +127,22 @@ class CrawlConfig:
     # order_push_bound_rows (~100 B/row worst case through one actor).
     order_push: bool | None = None
     order_push_bound_rows: int = 1 << 19
+    # execution mode. "rounds" (default): one Dataset execution per
+    # BFS stage for schedule, plus separate traversals for order and
+    # fetch — the materialize barrier between schedule and fetch is
+    # the checkpoint story. "streaming": the round-5 prototype — ONE
+    # fused Dataset execution per budget window (schedule →
+    # fetch/sink/explode → next-frontier write in a single streaming
+    # DAG), so granted batches flow into the fetch stage as soon as
+    # their politeness partition finishes instead of waiting for every
+    # partition; order rows ride the existing order-push RPC.
+    # Constraints (prototype): fetch_mode="synth" (the join fetch
+    # needs the granted-hash broadcast, which is a barrier), order
+    # push must fit its bound, and hot-host salting is disabled (its
+    # second exchange would re-shuffle the full stream mid-DAG);
+    # salting is result-invariant so order/seen digests still match
+    # the round model exactly (test-pinned).
+    mode: str = "rounds"
     # join-mode page-store cache gate: at or below this many rows the
     # pruned store is materialized ONCE in the object store and reused
     # across rounds; above it every round re-scans the parquet through
@@ -278,12 +294,22 @@ class CrawlStatsActor:
         # so a Ray task retry / speculative re-execution of the same
         # block lands on the same tag instead of double-counting.
         self.tagged: dict[tuple[int, str], dict[int, int]] = {}
+        # (round, key) -> first time.monotonic() an event of that key
+        # arrived — CLOCK_MONOTONIC is system-wide on Linux, so the
+        # driver can subtract its own round-start stamp to measure
+        # pipeline latency (e.g. first fetch completion vs the round
+        # barrier) on this single-node sandbox.
+        self.first_ts: dict[tuple[int, str], float] = {}
 
     def add(self, round_index: int, key: str, n: int) -> None:
         self.counts[(round_index, key)] = self.counts.get((round_index, key), 0) + n
 
     def set_tagged(self, round_index: int, key: str, tag: int, n: int) -> None:
+        self.first_ts.setdefault((round_index, key), time.monotonic())
         self.tagged.setdefault((round_index, key), {})[tag] = n
+
+    def first_time(self, round_index: int, key: str) -> float | None:
+        return self.first_ts.get((round_index, key))
 
     def set_disp(self, round_index: int, tag: int, counts: dict) -> None:
         """Per-task disposition histogram, folded into the schedule pass
@@ -622,6 +648,20 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         )
         order_push = granted_bound <= cfg.order_push_bound_rows
 
+    streaming = cfg.mode == "streaming"
+    if streaming:
+        if cfg.fetch_mode != "synth":
+            raise NotImplementedError(
+                "streaming mode prototype supports fetch_mode='synth' "
+                "only: the join fetch broadcasts the granted-hash set, "
+                "which is a barrier the fused DAG removes")
+        if not order_push:
+            raise NotImplementedError(
+                "streaming mode needs order-push (the per-round granted "
+                "bound exceeds order_push_bound_rows, or order_push was "
+                "forced off): without it the order write would "
+                "re-traverse the fused pipeline")
+
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     start_round = 0
     if resume:
@@ -726,7 +766,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         n_shards = cfg.n_seen_shards
 
         hot_hosts: dict[str, int] = {}
-        if cfg.salt_hot_hosts:
+        if cfg.salt_hot_hosts and not streaming:
             # Hot-host DETECTION is a placement heuristic only (salting
             # is result-invariant, test-pinned), so it counts hosts on
             # the RAW frontier — no canon.materialize() copy of the
@@ -876,6 +916,135 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         scheduled = parted.groupby("part").map_groups(
             process_partition, batch_format="pandas"
         )
+
+        if streaming:
+            # ===== fused streaming window: ONE Dataset execution =====
+            # schedule → route (granted ⇒ fetch+sink+explode inline,
+            # deferred ⇒ next-frontier rows) → frontier write. Granted
+            # batches reach the fetch stage the moment their politeness
+            # partition finishes — no materialize barrier, no second
+            # traversal; order rows already ride the set_sched push.
+            t_stage = time.monotonic()
+            frontier_dir = os.path.join(rdir, "frontier_out")
+            os.makedirs(frontier_dir, exist_ok=True)
+            frag_dir = None
+            images_root = os.path.join(cfg.checkpoint_dir, "images")
+            frag_name = f"round-{r:03d}"
+            if cfg.write_images:
+                frag_dir = os.path.join(images_root, frag_name)
+                if os.path.exists(frag_dir):
+                    shutil.rmtree(frag_dir)  # crashed-attempt leftovers
+                os.makedirs(frag_dir)
+
+            fk = dict(
+                fetch_mode="synth", n_pages=cfg.n_pages,
+                n_hosts=cfg.n_hosts, seed=cfg.seed,
+                decay=cfg.priority_decay, max_depth=cfg.max_depth,
+                frag_dir=frag_dir, image_px=cfg.image_px,
+                round_index=r, stats=stats_actor,
+            )
+
+            def route_fused(batch: pa.Table) -> pa.Table:
+                disp = batch["disposition"]
+                granted = batch.filter(pc.equal(disp, "granted"))
+                deferred = batch.filter(pc.equal(disp, "deferred"))
+                out = []
+                if granted.num_rows:
+                    out.append(fetch_sink_explode(granted, **fk))
+                if deferred.num_rows:
+                    d = deferred.select(["url", "depth", "priority",
+                                         "seed_id"])
+                    d = d.append_column("admitted", pa.array(
+                        np.ones(d.num_rows, dtype=bool)))
+                    out.append(d.cast(FRONTIER_SCHEMA))
+                if not out:
+                    return pa.Table.from_pylist([], schema=FRONTIER_SCHEMA)
+                return pa.concat_tables(
+                    [t.cast(FRONTIER_SCHEMA) for t in out])
+
+            # batch_size=None: whole-block batches (one per politeness
+            # partition) — the default 1024-row batches would put ~2k
+            # blocking stats-actor RPCs per round on the fetch path
+            (scheduled.map_batches(route_fused, batch_format="pyarrow",
+                                   batch_size=None)
+             .write_parquet(frontier_dir))
+            stage_s = {"fused_pipeline": round(time.monotonic() - t_stage, 2)}
+
+            counts = ray.get(stats_actor.disp_counts.remote(r))
+            n_frontier = int(sum(counts.values()))
+            n_deferred = int(counts.get("deferred", 0))
+            denied_n = int(counts.get("robots_denied", 0))
+            n_granted = int(counts.get("granted", 0))
+            if n_frontier == 0:
+                break
+
+            # order (push chunks were delivered during the execution)
+            order_dir = os.path.join(rdir, "order")
+            os.makedirs(order_dir, exist_ok=True)
+            fp = None
+            if n_granted:
+                chunks = ray.get(stats_actor.order_chunks.remote(r))
+                stats_actor.drop_order.remote(r)
+                order_tab = pa.concat_tables(chunks, promote_options="default")
+                assert order_tab.num_rows == n_granted, (
+                    f"order-push rows {order_tab.num_rows} != granted "
+                    f"{n_granted}")
+                order_tab = order_tab.append_column(
+                    "round",
+                    pa.array(np.full(order_tab.num_rows, r, dtype=np.int32)))
+                pq.write_table(
+                    order_tab.sort_by(
+                        [("fetch_ts_ms", "ascending"), ("host", "ascending"),
+                         ("url_hash", "ascending")]),
+                    os.path.join(order_dir, "part-all.parquet"))
+                fp = hashlib.md5(np.sort(
+                    order_tab["url_hash"].to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)).tobytes()).hexdigest()
+
+            n_frontier_out = _parquet_rows(frontier_dir) if os.path.isdir(
+                frontier_dir) else 0
+            n_outlinks = n_frontier_out - n_deferred
+            n_fetched_ok = ray.get(stats_actor.get.remote(r, "fetched_ok"))
+            n_invalid_images = ray.get(
+                stats_actor.get.remote(r, "invalid_images"))
+            first_fetch = ray.get(
+                stats_actor.first_time.remote(r, "fetched_ok"))
+            if first_fetch is not None:
+                stage_s["first_fetch_s"] = round(first_fetch - t_stage, 2)
+            if frag_dir is not None and n_granted:
+                n_imgs = _parquet_rows(frag_dir)
+                lancelike.commit_dir_fragment(
+                    images_root, frag_name, frag_name, n_imgs, fp,
+                    extra_lineage={"round": r, "rows_in": n_granted})
+
+            seen_dir = os.path.join(rdir, "seen")
+            os.makedirs(seen_dir, exist_ok=True)
+            ray.get([
+                s.checkpoint_to.remote(
+                    os.path.join(seen_dir, f"shard-{i:03d}.npz"))
+                for i, s in enumerate(shards)
+            ])
+            m = {
+                "round": r,
+                "n_frontier": n_frontier,
+                "n_granted": n_granted,
+                "n_deferred": n_deferred,
+                "n_robots_denied": denied_n,
+                "n_fetched_ok": n_fetched_ok,
+                "n_invalid_images": n_invalid_images,
+                "n_outlinks": n_outlinks,
+                "wall_s": round(time.monotonic() - t_start, 3),
+                "stage_s": stage_s,
+            }
+            metrics_rows.append(m)
+            with open(os.path.join(rdir, "meta.json"), "w") as f:
+                json.dump({**m, "done": True, "config": cfg.to_json()}, f,
+                          indent=1)
+            if n_frontier_out == 0:
+                break
+            continue
+            # ===== end streaming window =====
+
         if hot_hosts:
             scheduled = scheduled.materialize()
             cold = scheduled.filter(expr="disposition != 'hot_pending'")
@@ -891,7 +1060,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         # metrics) — never concatenate the full frontier on the driver:
         # only the politeness-capped granted set (≤ hosts × budget
         # rows) is small enough to pull down.
-        t_stage = time.monotonic()
+        t_stage = t_round_pipeline = time.monotonic()
         scheduled = scheduled.materialize()
         stage_s = {"schedule_pipeline": round(time.monotonic() - t_stage, 2)}
         t_stage = time.monotonic()
@@ -1135,6 +1304,13 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         n_outlinks = n_frontier_out - n_deferred
         n_fetched_ok = ray.get(stats_actor.get.remote(r, "fetched_ok"))
         n_invalid_images = ray.get(stats_actor.get.remote(r, "invalid_images"))
+        first_fetch = ray.get(stats_actor.first_time.remote(r, "fetched_ok"))
+        if first_fetch is not None:
+            # latency from the schedule pipeline's start to the FIRST
+            # fetch completion — the round model pays the full
+            # materialize barrier here; the streaming mode's fused DAG
+            # starts fetching as soon as one partition is scheduled
+            stage_s["first_fetch_s"] = round(first_fetch - t_round_pipeline, 2)
         if frag_dir is not None:
             # row count derived from the WRITTEN files (parquet footer
             # metadata only), not task-side counters — immune to retries
