@@ -1222,6 +1222,41 @@ def q_crawl_seen_metrics(sf_dir: str):
     )
 
 
+def q_crawl_stream_parity(sf_dir: str):
+    """Round model vs mode='streaming' (fused one-execution-per-window
+    DAG): same seeds + politeness budget must yield IDENTICAL crawl
+    order and URL-seen set. Returns the per-mode digests plus the
+    match verdicts — a driver-visible pin of the streaming prototype's
+    equivalence (the pytest suite pins the same thing at module scale)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from web_crawler_ray.pipelines.crawl import read_crawl_order, run_crawl
+    from web_crawler_ray.synth import gen_robots, gen_seeds
+
+    rows = []
+    for mode in ("rounds", "streaming"):
+        cfg, n_seeds = _crawl_cfg(sf_dir, f"parity_{mode}")
+        cfg.mode = mode
+        seeds = gen_seeds(n_seeds, cfg.n_hosts, cfg.seed)
+        res = run_crawl(cfg, seeds,
+                        robots_table=gen_robots(cfg.n_hosts, cfg.seed))
+        order = read_crawl_order(cfg.checkpoint_dir)
+        od = hashlib.md5(",".join(
+            map(str, order["url_hash"].to_pylist())).encode()).hexdigest()
+        rows.append({"mode": mode, "order_digest": od,
+                     "seen_digest": res["seen_digest"],
+                     "order_rows": order.num_rows,
+                     "n_seen": res["n_seen"]})
+    match = (rows[0]["order_digest"] == rows[1]["order_digest"]
+             and rows[0]["seen_digest"] == rows[1]["seen_digest"])
+    assert match, f"streaming/rounds digests diverged: {rows}"
+    for r in rows:
+        r["modes_match"] = match
+    return pa.Table.from_pylist(rows)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -5007,6 +5042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_crawl_order": q_crawl_order,
         "q_crawl_seen_metrics": q_crawl_seen_metrics,
         "q_crawl_resume": q_crawl_resume,
+        "q_crawl_stream_parity": q_crawl_stream_parity,
         "q_forex_derive": q_forex_derive,
         "q_css_extract": q_css_extract,
         "q_workbook_extract": q_workbook_extract,

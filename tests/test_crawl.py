@@ -269,6 +269,29 @@ def test_resume_byte_identical(fixtures, ray_run):
         assert round_digest(ray_run["cfg"].checkpoint_dir, r) == round_digest(ckpt, r)
 
 
+def test_streaming_resume_cross_mode(fixtures, ray_run):
+    """The checkpoint story is MODE-PORTABLE: a run checkpointed under
+    the round model resumes under mode='streaming' (and vice versa is
+    implied — both write the same round-boundary meta/seen/fragment
+    layout) and the final order table is identical to the
+    uninterrupted round-model run."""
+    ckpt = os.path.join(fixtures["root"], "resume_xmode")
+    cfg_short = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS - 1,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+    )
+    run_crawl(cfg_short, fixtures["seeds"], robots_table=fixtures["robots"])
+    cfg_stream = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth", checkpoint_dir=ckpt, num_blocks=4,
+        mode="streaming",
+    )
+    res = run_crawl(cfg_stream, fixtures["seeds"],
+                    robots_table=fixtures["robots"], resume=True)
+    assert res["rounds"] == 1  # only the missing round executed
+    assert read_crawl_order(ckpt).equals(ray_run["order"])
+
+
 def test_resume_after_midround_crash(fixtures, ray_run):
     """Crash BETWEEN the schedule materialize and the sink commit: the
     crashed attempt leaves uniquely-named part files in the round's
