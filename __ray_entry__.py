@@ -4906,6 +4906,29 @@ def q_source_overlap(sf_dir: str):
     return source_overlap(ds, "text", "lang")
 
 
+def q_trigram_search(sf_dir: str):
+    """Substring (LIKE '%…%') search through a MATERIALIZED trigram
+    posting index — the lexical analog of the hive-partitioned IVF
+    index: build once (idempotent by fingerprint), then each query
+    reads ONLY its pattern's grams' bucket partitions, counts
+    grams-per-doc with a coarse-partitioned combine, and verifies the
+    (small) candidate set with one vectorized contains pass. Exact vs
+    the SQL full-scan LIKE."""
+    from web_crawler_ray.stages.text_rank import (build_trigram_index,
+                                                  trigram_search)
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(_t(sf_dir, "documents"))
+    fp = f"{st.st_size}:{st.st_mtime_ns}"
+    idx = build_trigram_index(ds, "text", "doc_id",
+                              f"/tmp/wcr_trigram_idx_{sf_tag}",
+                              n_buckets=64, input_fingerprint=fp)
+    return trigram_search(ds, idx, "merge part", "text", "doc_id",
+                          n_buckets=64)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5151,6 +5174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_containment": q_containment,
         "q_vocab_growth": q_vocab_growth,
         "q_source_overlap": q_source_overlap,
+        "q_trigram_search": q_trigram_search,
     }
 
 
@@ -7673,5 +7697,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN solo sa ON sa.lang = c.src_a
             JOIN solo sb ON sb.lang = c.src_b
             ORDER BY c.src_a, c.src_b
+        """,
+        # the engine answers through the trigram posting index
+        # (partition-pruned read + gram-count candidates + contains
+        # verify); the oracle is the full-scan LIKE it must equal
+        "q_trigram_search": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(text), 'merge part')
+            ORDER BY doc_id
         """,
     }

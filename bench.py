@@ -134,6 +134,8 @@ def run_crawl_bench(ckpt_tag: str) -> dict:
         # "rounds" (default) or "streaming" (fused one-execution-per-
         # window prototype); digests are identical across modes
         mode=os.environ.get("BENCH_CRAWL_MODE", "rounds"),
+        # salting A/B knob (digests are salt-invariant, test-pinned)
+        salt_hot_hosts=os.environ.get("BENCH_CRAWL_SALT", "1") == "1",
         # the pipeline's real payload: fetched pages land as encoded
         # image+caption rows (north rule) — the sink is part of the
         # headline, written distributed by the workers

@@ -486,3 +486,26 @@ def test_dimension_robots_with_forced_hot_host(fixtures, tmp_path):
                       set(int(x) for x in res["seen_hashes"]))
     assert outs["broadcast"][0].equals(outs["dimension"][0])
     assert outs["broadcast"][1] == outs["dimension"][1]
+
+
+@pytest.mark.parametrize("robots_mode", ["broadcast", "dimension"])
+def test_streaming_with_forced_hot_hosts(fixtures, ray_run, tmp_path,
+                                         robots_mode):
+    """Hot-host salting INSIDE the fused streaming DAG (factor 0 =>
+    every host hot, so every URL takes the salted dedup+probe path and
+    the second host-keyed exchange to its home task — and in dimension
+    mode every rules row forwards): order and seen set must equal the
+    round model's exactly."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="synth",
+        checkpoint_dir=str(tmp_path / f"stream_hot_{robots_mode}"),
+        num_blocks=4, write_images=False, mode="streaming",
+        robots_mode=robots_mode, hot_host_factor=0.0,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
+                    collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )

@@ -3,6 +3,7 @@ hand-computed small cases independent of the SQL-oracle parity suite."""
 
 import numpy as np
 import pandas as pd
+import pytest
 import ray.data as rd
 
 from web_crawler_ray.stages.sampling import KNUTH, _FOLD, sample_exact_k
@@ -611,3 +612,47 @@ def test_source_overlap_hand_case(ray_session):
     assert out.loc[("p", "q"), "jaccard"] == 0.5
     # zero-overlap pairs are omitted (matches the SQL inner join)
     assert ("p", "r") not in out.index and ("q", "r") not in out.index
+
+
+def test_trigram_index_search_exact(ray_session, tmp_path):
+    """Trigram-index substring search equals the brute-force scan:
+    candidates come only from the pattern's grams' bucket partitions
+    (partition-pruned read), the contains verify removes trigram
+    coincidences, and patterns < 3 chars fail fast."""
+    import ray.data as rd
+
+    from web_crawler_ray.stages.text_rank import (build_trigram_index,
+                                                  trigram_search)
+
+    docs = pd.DataFrame({
+        "doc_id": range(8),
+        "text": [
+            "the merge part of the plan",      # hit
+            "merge partition tables",          # hit ("merge part" prefix)
+            "a MERGE PART in caps",            # hit (case-insensitive)
+            "part merge reversed words",       # miss (order matters)
+            "mergepart fused",                 # miss (no space)
+            "unrelated text entirely",         # miss
+            "",                                # miss (empty)
+            "ends with merge part",            # hit
+        ],
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    idx = build_trigram_index(ds, "text", "doc_id", str(tmp_path / "tri"),
+                              n_buckets=8, input_fingerprint="fp-1")
+    out = trigram_search(ds, idx, "merge part", "text", "doc_id",
+                         n_buckets=8, num_partitions=4)
+    brute = sorted(
+        i for i, t in zip(docs["doc_id"], docs["text"])
+        if "merge part" in t.lower()
+    )
+    assert out["doc_id"].tolist() == brute == [0, 1, 2, 7]
+    # idempotent rebuild: same fingerprint skips (marker preserved)
+    assert build_trigram_index(ds, "text", "doc_id",
+                               str(tmp_path / "tri"), n_buckets=8,
+                               input_fingerprint="fp-1") == str(tmp_path / "tri")
+    # no-hit pattern returns an empty typed frame
+    none = trigram_search(ds, idx, "zzzqqq", "text", "doc_id", n_buckets=8)
+    assert none.empty and list(none.columns) == ["doc_id"]
+    with pytest.raises(ValueError, match="3 chars"):
+        trigram_search(ds, idx, "ab", "text", "doc_id", n_buckets=8)

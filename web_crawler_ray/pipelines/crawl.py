@@ -137,11 +137,12 @@ class CrawlConfig:
     # their politeness partition finishes instead of waiting for every
     # partition; order rows ride the existing order-push RPC.
     # Constraints (prototype): fetch_mode="synth" (the join fetch
-    # needs the granted-hash broadcast, which is a barrier), order
-    # push must fit its bound, and hot-host salting is disabled (its
-    # second exchange would re-shuffle the full stream mid-DAG);
-    # salting is result-invariant so order/seen digests still match
-    # the round model exactly (test-pinned).
+    # needs the granted-hash broadcast, which is a barrier) and order
+    # push must fit its bound. Hot-host salting works in-DAG: a second
+    # host-keyed exchange co-locates each hot host's survivors at a
+    # home task (the politeness decision needs all of them, so exactly
+    # those rows barrier); order/seen digests match the round model
+    # exactly with salting on or off (test-pinned).
     mode: str = "rounds"
     # join-mode page-store cache gate: at or below this many rows the
     # pruned store is materialized ONCE in the object store and reused
@@ -211,6 +212,13 @@ class SeenShardActor:
                 "cuckoo_count": self.state.cuckoo.count,
                 "bloom_spilled": self.state.bloom is not None}
 
+
+
+def _stats_call(ref):
+    """EXPERIMENT KNOB: block on stats RPCs (default, retry-safe) or
+    fire-and-forget when WCR_STATS_NOWAIT=1 (contention measurement)."""
+    if os.environ.get("WCR_STATS_NOWAIT") != "1":
+        ray.get(ref)
 
 def round_dedup_partition(df: pd.DataFrame) -> pd.DataFrame:
     """Collapse same-url_hash rows within one hash partition: keep max
@@ -374,7 +382,7 @@ def fetch_sink_explode(
         batch = synthetic_fetch(batch, n_pages, n_hosts, seed)
     ok = batch.filter(pc.equal(batch["status"], 200))
     if stats is not None:
-        ray.get(stats.set_tagged.remote(round_index, "fetched_ok", btag, ok.num_rows))
+        _stats_call(stats.set_tagged.remote(round_index, "fetched_ok", btag, ok.num_rows))
     if frag_dir is not None and ok.num_rows:
         # image generation + inline invariant enforcement (north rule:
         # every stored row decodes; PSNR≥40 dB for lossy; phash of the
@@ -416,12 +424,12 @@ def fetch_sink_explode(
             }
         )
         if stats is not None:
-            ray.get(stats.set_tagged.remote(
+            _stats_call(stats.set_tagged.remote(
                 round_index, "invalid_images", btag, n_invalid))
         tag = int(pc.min(ok["url_hash"]).as_py())
         pq.write_table(img, os.path.join(frag_dir, f"part-{tag:016x}.parquet"))
         if stats is not None:
-            ray.get(stats.set_tagged.remote(round_index, "images", btag, img.num_rows))
+            _stats_call(stats.set_tagged.remote(round_index, "images", btag, img.num_rows))
     return explode_outlinks(ok, decay, max_depth)
 
 
@@ -766,7 +774,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
         n_shards = cfg.n_seen_shards
 
         hot_hosts: dict[str, int] = {}
-        if cfg.salt_hot_hosts and not streaming:
+        if cfg.salt_hot_hosts:
             # Hot-host DETECTION is a placement heuristic only (salting
             # is result-invariant, test-pinned), so it counts hosts on
             # the RAW frontier — no canon.materialize() copy of the
@@ -875,7 +883,7 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                     ]
                     if len(g):
                         order_tab = pa.Table.from_pandas(g, preserve_index=False)
-                ray.get(stats_actor.set_sched.remote(
+                _stats_call(stats_actor.set_sched.remote(
                     rnd, int(out["url_hash"].min()),
                     {str(k): int(v) for k, v in vc.items()}, order_tab))
             return out
@@ -962,11 +970,58 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 return pa.concat_tables(
                     [t.cast(FRONTIER_SCHEMA) for t in out])
 
+            routed_src = scheduled
+            if hot_hosts:
+                # hot-host salting INSIDE the fused DAG: the salted
+                # partitions above decided dedup+probe only and emitted
+                # hot_pending survivors; a SECOND host-keyed exchange
+                # co-locates each hot host's survivors (plus, in
+                # dimension mode, its forwarded rules rows) at one home
+                # task where the politeness clock decides, while the
+                # already-decided rows ride the same exchange unchanged
+                # (their key stays host-derived so it balances). This is
+                # the one part of the window that cannot pipeline —
+                # politeness per hot host needs ALL its survivors — so
+                # the exchange is a barrier for exactly those rows;
+                # results are salting-invariant (test-pinned, same
+                # argument as the round model).
+                hot_map = hot_hosts
+
+                def add_part2(df: pd.DataFrame) -> pd.DataFrame:
+                    part2 = (df["host_hash"].to_numpy().astype(np.uint64)
+                             % np.uint64(n_parts)).astype(np.int64)
+                    hot_m = (df["disposition"] == "hot_pending").to_numpy()
+                    if hot_m.any():
+                        idx = df.loc[hot_m, "host"].map(hot_map).to_numpy(
+                            dtype=np.float64)
+                        part2[hot_m] = n_parts + idx.astype(np.int64)
+                    df = df.copy()
+                    df["part2"] = part2
+                    return df
+
+                def second_pass(df: pd.DataFrame) -> pd.DataFrame:
+                    df = df.drop(columns=["part2"])
+                    hot_m = df["disposition"] == "hot_pending"
+                    if hot_m.any():
+                        # a hot home task (part2 unique per hot host):
+                        # every row here is this host's pending work
+                        assert bool(hot_m.all())
+                        df = schedule_hosts(
+                            df.drop(columns=["disposition", "fetch_ts_ms"]))
+                    # deterministic column order: hot and cold groups
+                    # must emit schema-identical blocks
+                    return df[sorted(df.columns)]
+
+                routed_src = (scheduled
+                              .map_batches(add_part2, batch_format="pandas")
+                              .groupby("part2")
+                              .map_groups(second_pass, batch_format="pandas"))
+
             # batch_size=None: whole-block batches (one per politeness
             # partition) — the default 1024-row batches would put ~2k
             # blocking stats-actor RPCs per round on the fetch path
-            (scheduled.map_batches(route_fused, batch_format="pyarrow",
-                                   batch_size=None)
+            (routed_src.map_batches(route_fused, batch_format="pyarrow",
+                                    batch_size=None)
              .write_parquet(frontier_dir))
             stage_s = {"fused_pipeline": round(time.monotonic() - t_stage, 2)}
 

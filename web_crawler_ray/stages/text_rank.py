@@ -757,3 +757,121 @@ def source_overlap(ds, text_col: str, group_col: str,
         "jaccard": sql_round(pd.Series(
             inter / (na + nb - inter).astype(np.float64)), ndigits),
     })
+
+
+def build_trigram_index(ds, text_col: str, id_col: str, index_dir: str,
+                        n_buckets: int = 64,
+                        input_fingerprint: str | None = None) -> str:
+    """Materialize a TRIGRAM POSTING index as hive-partitioned parquet
+    (one directory per ``bucket = hash64(gram) % n_buckets``) — the
+    lexical LIKE-pushdown counterpart of :func:`ivf_build_index`: build
+    once, and every substring query reads ONLY its pattern's grams'
+    bucket partitions (partition pruning at the read) instead of
+    scanning the corpus.
+
+    Postings are (bucket, gram, doc_id) with per-doc distinct grams
+    (map-side dedup), so index size ∝ distinct (gram, doc) pairs — the
+    classic inverted-index shape; the build is ONE map pass plus the
+    hive-partitioned write's shuffle-free layout. Idempotent via the
+    same ``_BUILT.json`` fingerprint rule as the IVF index / lancelike
+    sink."""
+    import json
+    import os
+    import shutil
+
+    from ..hashing import hash64
+
+    marker = os.path.join(index_dir, "_BUILT.json")
+    if input_fingerprint and os.path.exists(marker):
+        meta = json.load(open(marker))
+        if (meta.get("input_fingerprint") == input_fingerprint
+                and meta.get("n_buckets") == n_buckets):
+            return index_dir
+    if os.path.exists(index_dir):
+        shutil.rmtree(index_dir)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, grams = [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            t = (text or "").lower()
+            gs = {t[i:i + 3] for i in range(len(t) - 2)}
+            ids.extend([did] * len(gs))
+            grams.extend(gs)
+        g = pd.Series(grams, dtype=object)
+        bucket = np.array([int(hash64(x)) % n_buckets for x in grams],
+                          dtype=np.int64)
+        return pd.DataFrame({"bucket": bucket, "gram": g,
+                             id_col: np.asarray(ids, dtype=np.int64)})
+
+    ds.map_batches(postings, batch_format="pandas").write_parquet(
+        index_dir, partition_cols=["bucket"])
+    if input_fingerprint:
+        with open(marker, "w") as f:
+            json.dump({"input_fingerprint": input_fingerprint,
+                       "n_buckets": n_buckets}, f)
+    return index_dir
+
+
+def trigram_search(docs_ds, index_dir: str, pattern: str, text_col: str,
+                   id_col: str, n_buckets: int = 64,
+                   num_partitions: int = 16) -> pd.DataFrame:
+    """Substring (SQL ``LIKE '%pattern%'``, case-insensitive) search
+    through the trigram index: candidates = docs containing ALL of the
+    pattern's distinct trigrams (read only those grams' bucket
+    partitions, count distinct grams per doc with a coarse-partitioned
+    combine), then one verification pass over the candidate docs
+    (broadcast sorted id array + vectorized ``str.contains``) removes
+    trigram-coincidence false positives. Exact — the trigram filter
+    has no false negatives for patterns ≥ 3 chars."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    from ..hashing import hash64
+    from .grouped import partitioned_apply
+
+    p = pattern.lower()
+    if len(p) < 3:
+        raise ValueError("trigram search needs a pattern of ≥ 3 chars")
+    want = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    n_want = len(want)
+    buckets = sorted({int(hash64(g)) % n_buckets for g in want})
+    paths = [
+        os.path.join(index_dir, f"bucket={b}", f)
+        for b in buckets
+        if os.path.isdir(os.path.join(index_dir, f"bucket={b}"))
+        for f in sorted(os.listdir(os.path.join(index_dir, f"bucket={b}")))
+        if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+    want_set = set(want)
+    hits = rd.read_parquet(paths, columns=["gram", id_col]).map_batches(
+        lambda b: b[b["gram"].isin(want_set)][[id_col, "gram"]],
+        batch_format="pandas",
+    )
+
+    def count_grams(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(id_col, sort=True)["gram"].nunique()
+        full = g[g == n_want]
+        return pd.DataFrame({id_col: full.index.to_numpy(np.int64)})
+
+    cand = partitioned_apply(hits, [id_col], count_grams,
+                             num_partitions).to_pandas()
+    if cand.empty:
+        return pd.DataFrame({id_col: pd.Series(dtype="int64")})
+    cref = ray.put(np.sort(cand[id_col].to_numpy(np.int64)))
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        wanted = ray.get(cref)
+        pos = np.clip(np.searchsorted(wanted, ids), 0, len(wanted) - 1)
+        m = wanted[pos] == ids
+        sub = batch[m]
+        ok = sub[text_col].str.lower().str.contains(p, regex=False)
+        return pd.DataFrame({id_col: sub[id_col][ok].to_numpy(np.int64)})
+
+    out = (docs_ds.select_columns([id_col, text_col])
+           .map_batches(verify, batch_format="pandas").to_pandas())
+    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
