@@ -316,6 +316,14 @@ class CrawlStatsActor:
         self.first_ts.setdefault((round_index, key), time.monotonic())
         self.tagged.setdefault((round_index, key), {})[tag] = n
 
+    def set_tagged_many(self, round_index: int, tag: int,
+                        counts: dict[str, int]) -> None:
+        """All of one task's tagged counters in ONE roundtrip (the fetch
+        path used to pay three blocking RPCs per task — measured ~7% of
+        32-CPU streaming-window wall). Same overwrite-on-retry rule."""
+        for key, n in counts.items():
+            self.set_tagged(round_index, key, tag, n)
+
     def first_time(self, round_index: int, key: str) -> float | None:
         return self.first_ts.get((round_index, key))
 
@@ -381,8 +389,7 @@ def fetch_sink_explode(
     if fetch_mode == "synth":
         batch = synthetic_fetch(batch, n_pages, n_hosts, seed)
     ok = batch.filter(pc.equal(batch["status"], 200))
-    if stats is not None:
-        _stats_call(stats.set_tagged.remote(round_index, "fetched_ok", btag, ok.num_rows))
+    pend = {"fetched_ok": ok.num_rows}
     if frag_dir is not None and ok.num_rows:
         # image generation + inline invariant enforcement (north rule:
         # every stored row decodes; PSNR≥40 dB for lossy; phash of the
@@ -423,13 +430,14 @@ def fetch_sink_explode(
                 "phash": pa.array(phs, pa.int64()),
             }
         )
-        if stats is not None:
-            _stats_call(stats.set_tagged.remote(
-                round_index, "invalid_images", btag, n_invalid))
+        pend["invalid_images"] = n_invalid
         tag = int(pc.min(ok["url_hash"]).as_py())
         pq.write_table(img, os.path.join(frag_dir, f"part-{tag:016x}.parquet"))
-        if stats is not None:
-            _stats_call(stats.set_tagged.remote(round_index, "images", btag, img.num_rows))
+        pend["images"] = img.num_rows
+    if stats is not None:
+        # ONE blocking roundtrip per task (after the fragment write, so
+        # the counters still land before the round barrier sees them)
+        _stats_call(stats.set_tagged_many.remote(round_index, btag, pend))
     return explode_outlinks(ok, decay, max_depth)
 
 

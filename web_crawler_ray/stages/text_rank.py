@@ -759,6 +759,38 @@ def source_overlap(ds, text_col: str, group_col: str,
     })
 
 
+def _pack_trigram(c0: int, c1: int, c2: int) -> int:
+    """Injective trigram → int63 key: 3 codepoints, 21 bits each
+    (max codepoint 0x10FFFF < 2^21)."""
+    return (c0 << 42) | (c1 << 21) | c2
+
+
+def _trigram_keys_batch(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """All trigram keys of a batch of (already-lowercased) texts, fully
+    vectorized: one utf-32 decode of the concatenated batch, a sliding
+    window over the codepoint array, and offset arithmetic to drop the
+    windows that cross document boundaries. Returns (keys int64,
+    doc_ordinal int64) — one row per trigram OCCURRENCE (dedup is the
+    caller's job)."""
+    lens = texts.str.len().to_numpy(np.int64)
+    joined = "\x00\x00".join(texts.tolist())
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32) \
+           .astype(np.int64)
+    if len(cp) < 3:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    # doc i spans [starts[i], starts[i] + lens[i]); 2 separator slots
+    # between docs. A window starting at s is inside doc i iff
+    # starts[i] <= s <= starts[i] + lens[i] - 3 (exact — no reliance
+    # on texts being NUL-free).
+    starts = np.concatenate(([0], np.cumsum(lens[:-1] + 2)))
+    w0 = cp[:-2]
+    keys = (w0 << 42) | (cp[1:-1] << 21) | cp[2:]
+    s = np.arange(len(keys), dtype=np.int64)
+    di = np.searchsorted(starts, s, side="right") - 1
+    valid = s <= starts[di] + lens[di] - 3
+    return keys[valid], di[valid]
+
+
 def build_trigram_index(ds, text_col: str, id_col: str, index_dir: str,
                         n_buckets: int = 64,
                         input_fingerprint: str | None = None) -> str:
@@ -769,46 +801,54 @@ def build_trigram_index(ds, text_col: str, id_col: str, index_dir: str,
     bucket partitions (partition pruning at the read) instead of
     scanning the corpus.
 
-    Postings are (bucket, gram, doc_id) with per-doc distinct grams
-    (map-side dedup), so index size ∝ distinct (gram, doc) pairs — the
-    classic inverted-index shape; the build is ONE map pass plus the
-    hive-partitioned write's shuffle-free layout. Idempotent via the
+    Postings are (bucket, gram_key, doc_id) with per-doc distinct
+    grams (map-side dedup), so index size ∝ distinct (gram, doc)
+    pairs — the classic inverted-index shape; the build is ONE map
+    pass plus the hive-partitioned write's shuffle-free layout.
+    ``gram_key`` packs the trigram's 3 codepoints (each < 2^21) into
+    one int63 — an INJECTIVE encoding, so keys never collide and the
+    whole shingle pass is numpy (utf-32 sliding window over the
+    batch's concatenated text; no per-row Python). Idempotent via the
     same ``_BUILT.json`` fingerprint rule as the IVF index / lancelike
     sink."""
     import json
     import os
     import shutil
 
-    from ..hashing import hash64
-
     marker = os.path.join(index_dir, "_BUILT.json")
     if input_fingerprint and os.path.exists(marker):
         meta = json.load(open(marker))
         if (meta.get("input_fingerprint") == input_fingerprint
-                and meta.get("n_buckets") == n_buckets):
+                and meta.get("n_buckets") == n_buckets
+                and meta.get("fmt") == 2):
             return index_dir
     if os.path.exists(index_dir):
         shutil.rmtree(index_dir)
 
     def postings(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, grams = [], []
-        for did, text in zip(batch[id_col], batch[text_col]):
-            t = (text or "").lower()
-            gs = {t[i:i + 3] for i in range(len(t) - 2)}
-            ids.extend([did] * len(gs))
-            grams.extend(gs)
-        g = pd.Series(grams, dtype=object)
-        bucket = np.array([int(hash64(x)) % n_buckets for x in grams],
-                          dtype=np.int64)
-        return pd.DataFrame({"bucket": bucket, "gram": g,
-                             id_col: np.asarray(ids, dtype=np.int64)})
+        ids_in = batch[id_col].to_numpy(np.int64)
+        keys, doc_idx = _trigram_keys_batch(
+            batch[text_col].fillna("").str.lower())
+        if not len(keys):
+            return pd.DataFrame({
+                "bucket": pd.Series(dtype="int64"),
+                "gram_key": pd.Series(dtype="int64"),
+                id_col: pd.Series(dtype="int64")})
+        # per-doc distinct (map-side dedup): lexsort + first-occurrence
+        order = np.lexsort((keys, doc_idx))
+        d, k = doc_idx[order], keys[order]
+        first = np.ones(len(k), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (k[1:] != k[:-1])
+        d, k = d[first], k[first]
+        return pd.DataFrame({"bucket": k % n_buckets, "gram_key": k,
+                             id_col: ids_in[d]})
 
     ds.map_batches(postings, batch_format="pandas").write_parquet(
         index_dir, partition_cols=["bucket"])
     if input_fingerprint:
         with open(marker, "w") as f:
             json.dump({"input_fingerprint": input_fingerprint,
-                       "n_buckets": n_buckets}, f)
+                       "n_buckets": n_buckets, "fmt": 2}, f)
     return index_dir
 
 
@@ -828,15 +868,18 @@ def trigram_search(docs_ds, index_dir: str, pattern: str, text_col: str,
     import ray
     import ray.data as rd
 
-    from ..hashing import hash64
     from .grouped import partitioned_apply
 
     p = pattern.lower()
     if len(p) < 3:
         raise ValueError("trigram search needs a pattern of ≥ 3 chars")
-    want = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    want = sorted({
+        _pack_trigram(ord(p[i]), ord(p[i + 1]), ord(p[i + 2]))
+        for i in range(len(p) - 2)
+    })
     n_want = len(want)
-    buckets = sorted({int(hash64(g)) % n_buckets for g in want})
+    want_arr = np.asarray(want, dtype=np.int64)
+    buckets = sorted({int(k) % n_buckets for k in want})
     paths = [
         os.path.join(index_dir, f"bucket={b}", f)
         for b in buckets
@@ -846,14 +889,14 @@ def trigram_search(docs_ds, index_dir: str, pattern: str, text_col: str,
     ]
     if not paths:
         return pd.DataFrame({id_col: pd.Series(dtype="int64")})
-    want_set = set(want)
-    hits = rd.read_parquet(paths, columns=["gram", id_col]).map_batches(
-        lambda b: b[b["gram"].isin(want_set)][[id_col, "gram"]],
+    hits = rd.read_parquet(paths, columns=["gram_key", id_col]).map_batches(
+        lambda b: b[np.isin(b["gram_key"].to_numpy(np.int64), want_arr)]
+        [[id_col, "gram_key"]],
         batch_format="pandas",
     )
 
     def count_grams(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby(id_col, sort=True)["gram"].nunique()
+        g = part.groupby(id_col, sort=True)["gram_key"].nunique()
         full = g[g == n_want]
         return pd.DataFrame({id_col: full.index.to_numpy(np.int64)})
 
