@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "q_vocab_growth",
     "q_source_overlap",
     "q_containment",
+    "q_trigram_search",
 ]
 
 
@@ -324,6 +325,12 @@ def scaling(repeats: int = 2) -> None:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        scaling()
+        # --repeats N: best-of-N per leg (default 2). The sandbox host
+        # shows up to ±30% run-to-run swing on the 32-CPU leg with
+        # identical code; more repeats tighten the uncontended estimate.
+        rep = 2
+        if "--repeats" in sys.argv:
+            rep = int(sys.argv[sys.argv.index("--repeats") + 1])
+        scaling(repeats=rep)
     else:
         main()

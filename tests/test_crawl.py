@@ -116,15 +116,16 @@ def test_streaming_mode_equals_rounds(fixtures, ray_run):
 
 
 def test_streaming_mode_constraints(fixtures):
-    """The prototype fails fast outside its envelope: join fetch (needs
-    the granted-hash broadcast barrier) and order-push off."""
+    """The fused window fails fast outside its envelope: hashjoin fetch
+    (a full-store repartition per round is exactly the barrier the DAG
+    removes) and order-push off."""
     cfg = CrawlConfig(
         n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=1,
-        fetch_mode="join",
+        fetch_mode="hashjoin",
         checkpoint_dir=os.path.join(fixtures["root"], "stream_bad"),
         num_blocks=4, mode="streaming",
     )
-    with pytest.raises(NotImplementedError, match="synth"):
+    with pytest.raises(NotImplementedError, match="hashjoin"):
         run_crawl(cfg, fixtures["seeds"], robots_table=fixtures["robots"],
                   page_store_path=fixtures["ps_path"])
     cfg2 = CrawlConfig(
@@ -189,6 +190,64 @@ def test_join_mode_equals_synth(fixtures, ray_run):
     assert set(int(x) for x in res["seen_hashes"]) == set(
         int(x) for x in ray_run["res"]["seen_hashes"]
     )
+
+
+def test_streaming_join_equals_rounds(fixtures, ray_run):
+    """mode='streaming' + fetch_mode='join' (page-store shard actors
+    probed per granted batch — the barrier-free inversion of the
+    rounds-mode broadcast semi-join) produces the identical crawl
+    order and seen set as the synth rounds oracle."""
+    cfg = CrawlConfig(
+        n_pages=N_PAGES, n_hosts=N_HOSTS, seed=SEED, max_rounds=ROUNDS,
+        fetch_mode="join",
+        checkpoint_dir=os.path.join(fixtures["root"], "stream_join"),
+        num_blocks=4, write_images=False, mode="streaming", page_shards=5,
+    )
+    res = run_crawl(cfg, fixtures["seeds"], page_store_path=fixtures["ps_path"],
+                    robots_table=fixtures["robots"], collect_seen=True)
+    assert read_crawl_order(cfg.checkpoint_dir).equals(ray_run["order"])
+    assert set(int(x) for x in res["seen_hashes"]) == set(
+        int(x) for x in ray_run["res"]["seen_hashes"]
+    )
+
+
+def test_page_shard_actor_probe_semantics(fixtures):
+    """Unit contract of the probe path: misses drop (inner join), an
+    actor on a never-written shard dir is a valid empty shard, and
+    attach preserves granted row order."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_crawler_ray.pipelines.crawl import (PageStoreShardActor,
+                                                 probe_fetch_attach)
+
+    import ray as _ray
+    empty = PageStoreShardActor.remote(
+        os.path.join(fixtures["root"], "no_such_shard_dir"))
+    out = _ray.get(empty.probe.remote(np.array([1, 2], dtype=np.uint64)))
+    assert out.num_rows == 0
+
+    # one real shard covering every hash (n_shards=1) + a granted table
+    # holding one store hit and one miss
+    store = pq.read_table(fixtures["ps_path"],
+                          columns=["url_hash", "status", "outlinks",
+                                   "fetch_ms"])
+    shard_dir = os.path.join(fixtures["root"], "unit_shard")
+    os.makedirs(shard_dir, exist_ok=True)
+    pq.write_table(store, os.path.join(shard_dir, "part-0.parquet"))
+    actor = PageStoreShardActor.remote(shard_dir)
+    hit = int(store["url_hash"][0].as_py())
+    granted = pa.table({
+        "url_hash": pa.array([12345, hit], pa.uint64()),  # miss first
+        "url": pa.array(["http://miss/", "http://hit/"]),
+        "disposition": pa.array(["granted", "granted"]),
+    })
+    out = probe_fetch_attach(granted, [actor], 1)
+    assert out.num_rows == 1
+    assert int(out["url_hash"][0].as_py()) == hit
+    assert out["url"][0].as_py() == "http://hit/"
+    assert "disposition" not in out.column_names
+    assert {"status", "outlinks", "fetch_ms"} <= set(out.column_names)
 
 
 def test_join_mode_rescan_gate_equals_cached(fixtures, ray_run):

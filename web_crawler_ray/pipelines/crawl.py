@@ -150,6 +150,15 @@ class CrawlConfig:
     # the streaming semi-filter (a 100-TB page store must never be
     # pinned whole in the object store)
     page_store_cache_rows: int = 10_000_000
+    # streaming-mode join fetch: number of page-store shard actors.
+    # The fused DAG can't broadcast the granted-hash set (knowing ALL
+    # granted rows is exactly the barrier streaming removes), so the
+    # lookup is INVERTED: the store is hash-partitioned by
+    # url_hash % page_shards once (hive parquet, a layout a 100-TB
+    # store would already live in), one actor per shard, and granted
+    # batches PROBE the actors as they arrive — RPC volume is bounded
+    # by the politeness budget, never by store size.
+    page_shards: int = 8
 
     def to_json(self) -> dict:
         return {k: getattr(self, k) for k in self.__dataclass_fields__}
@@ -460,6 +469,105 @@ def pack_outlinks(batch: pa.Table) -> pa.Table:
     return batch.set_column(idx, "outlinks", pa.array(packed, pa.string()))
 
 
+_PAGE_COLS = ["url_hash", "status", "outlinks", "fetch_ms"]
+
+
+def _ensure_page_shards(page_store_path: str, n_shards: int,
+                        scratch_dir: str) -> str:
+    """Hash-partition the page store by ``url_hash % n_shards`` into
+    hive parquet (``shard=K/``) — ONE streaming pass, NO shuffle
+    (``write_parquet(partition_cols=...)`` splits each block locally),
+    column-pruned to the 4 fetch columns. Idempotent per
+    (store, n_shards): a ``_SUCCESS`` marker skips the rebuild on
+    resume. At 100 TB the store would already be STORED in this
+    layout, so the pass amortizes to zero; here it's built under the
+    crawl's checkpoint dir (pid/run-scoped, no cross-harness sharing)."""
+    root = os.path.join(scratch_dir, f"page_shards-{n_shards}")
+    done = os.path.join(root, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    if os.path.exists(root):
+        shutil.rmtree(root)  # crashed-attempt leftovers
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        uh = batch["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sh = (uh % np.uint64(n_shards)).astype(np.int32)
+        return batch.append_column("shard", pa.array(sh))
+
+    (rd.read_parquet(page_store_path, columns=_PAGE_COLS)
+     .map_batches(add_shard, batch_format="pyarrow")
+     .write_parquet(root, partition_cols=["shard"]))
+    open(done, "w").close()
+    return root
+
+
+@ray.remote
+class PageStoreShardActor:
+    """One url_hash shard of the page store for streaming-mode join
+    fetch (SURVEY §2.10; the probe-side inversion of the rounds-mode
+    broadcast semi-join at crawl.py::run_crawl). Mirrors
+    ``SeenShardActor``: batch RPCs only, state built once in
+    ``__init__``. The shard slice here is held as a sorted Arrow table
+    (bench store ≈ MBs/shard); a 100-TB deployment keeps only the
+    sorted url_hash array (8 B/row) in memory and ``take``s attribute
+    rows from its parquet partition on demand — same probe contract."""
+
+    def __init__(self, shard_dir: str):
+        if os.path.isdir(shard_dir):
+            t = pack_outlinks(pq.read_table(shard_dir, columns=_PAGE_COLS))
+        else:  # a shard value no store row hashed to: empty shard
+            t = pa.table({"url_hash": pa.array([], pa.uint64()),
+                          "status": pa.array([], pa.int32()),
+                          "outlinks": pa.array([], pa.string()),
+                          "fetch_ms": pa.array([], pa.int32())})
+        uh = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(uh)
+        self._uh = uh[order]
+        self._tab = t.take(pa.array(order))
+
+    def probe(self, hashes: np.ndarray) -> pa.Table:
+        """Rows for the url_hashes present in this shard. Misses return
+        nothing — the caller's attach step drops them, preserving the
+        rounds-mode INNER-join semantics exactly."""
+        if len(self._uh) == 0 or len(hashes) == 0:
+            return self._tab.slice(0, 0)
+        pos = np.searchsorted(self._uh, hashes)
+        pos = np.minimum(pos, len(self._uh) - 1)
+        mask = self._uh[pos] == hashes
+        return self._tab.take(pa.array(pos[mask]))
+
+
+def probe_fetch_attach(granted: pa.Table, actors: list,
+                       n_shards: int) -> pa.Table:
+    """Attach (status, outlinks, fetch_ms) to granted rows by probing
+    the page-store shard actors — the streaming-window replacement for
+    the rounds-mode ``granted ⋈ page_store`` join. One RPC per touched
+    shard per batch (granted batches are politeness-partition-sized, so
+    RPC count ≤ n_shards and payload is budget-bounded). Vectorized
+    throughout; granted url_hashes missing from the store are DROPPED
+    (inner-join semantics, identical to the rounds path)."""
+    uh = granted["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sh = (uh % np.uint64(n_shards)).astype(np.int64)
+    futs = [actors[int(k)].probe.remote(uh[sh == k]) for k in np.unique(sh)]
+    hits = pa.concat_tables(ray.get(futs))
+    if hits.num_rows == 0:
+        return granted.slice(0, 0).drop_columns(["disposition"]).append_column(
+            "status", pa.array([], pa.int32())).append_column(
+            "outlinks", pa.array([], pa.string())).append_column(
+            "fetch_ms", pa.array([], pa.int32()))
+    huh = hits["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(huh)
+    huh = huh[order]
+    pos = np.searchsorted(huh, uh)
+    pos = np.minimum(pos, len(huh) - 1)
+    found = huh[pos] == uh
+    out = granted.filter(pa.array(found)).drop_columns(["disposition"])
+    take = pa.array(order[pos[found]])
+    for col in ("status", "outlinks", "fetch_ms"):
+        out = out.append_column(col, hits[col].take(take))
+    return out
+
+
 def explode_outlinks(batch: pa.Table, decay: float, max_depth: int) -> pa.Table:
     """Fetched pages → child frontier rows (priority decays, depth+1).
     Accepts list<string> or packed-string outlinks. Fully vectorized
@@ -666,11 +774,11 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
 
     streaming = cfg.mode == "streaming"
     if streaming:
-        if cfg.fetch_mode != "synth":
+        if cfg.fetch_mode not in ("synth", "join"):
             raise NotImplementedError(
-                "streaming mode prototype supports fetch_mode='synth' "
-                "only: the join fetch broadcasts the granted-hash set, "
-                "which is a barrier the fused DAG removes")
+                "streaming mode supports fetch_mode='synth' and 'join' "
+                "(shard-actor probe); 'hashjoin' repartitions the full "
+                "store per round — a barrier the fused DAG removes")
         if not order_push:
             raise NotImplementedError(
                 "streaming mode needs order-push (the per-round granted "
@@ -702,6 +810,18 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
     page_store_ds = None
     if cfg.fetch_mode == "join":
         assert page_store_path, "join fetch mode needs a page_store parquet"
+
+    page_shard_actors = None
+    if streaming and cfg.fetch_mode == "join":
+        # probe-side join: partition the store once (or find it already
+        # partitioned), one shard actor per partition. Actor init reads
+        # ONLY its shard=K/ dir (partition-pruned).
+        shard_root = _ensure_page_shards(
+            page_store_path, cfg.page_shards, cfg.checkpoint_dir)
+        page_shard_actors = [
+            PageStoreShardActor.remote(os.path.join(shard_root, f"shard={k}"))
+            for k in range(cfg.page_shards)
+        ]
 
     metrics_rows: list[dict] = []
     t_start = time.monotonic()
@@ -953,12 +1073,16 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 os.makedirs(frag_dir)
 
             fk = dict(
-                fetch_mode="synth", n_pages=cfg.n_pages,
+                fetch_mode="synth" if page_shard_actors is None
+                else "pre_fetched",
+                n_pages=cfg.n_pages,
                 n_hosts=cfg.n_hosts, seed=cfg.seed,
                 decay=cfg.priority_decay, max_depth=cfg.max_depth,
                 frag_dir=frag_dir, image_px=cfg.image_px,
                 round_index=r, stats=stats_actor,
             )
+            probe_actors = page_shard_actors
+            probe_shards = cfg.page_shards
 
             def route_fused(batch: pa.Table) -> pa.Table:
                 disp = batch["disposition"]
@@ -966,6 +1090,12 @@ def run_crawl(cfg: CrawlConfig, seeds_table: pa.Table, page_store_path: str | No
                 deferred = batch.filter(pc.equal(disp, "deferred"))
                 out = []
                 if granted.num_rows:
+                    if probe_actors is not None:
+                        # join fetch without the barrier: probe the
+                        # store shards for THIS batch's hashes as it
+                        # arrives — no granted-set broadcast needed
+                        granted = probe_fetch_attach(
+                            granted, probe_actors, probe_shards)
                     out.append(fetch_sink_explode(granted, **fk))
                 if deferred.num_rows:
                     d = deferred.select(["url", "depth", "priority",
