@@ -701,10 +701,13 @@ def test_connected_components_chain_and_isolated(ray_session):
     expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
               20: 20, 21: 20}
     for parts in (1, 3):
-        out = (connected_components(rd.from_pandas(edges).repartition(parts))
-               .to_pandas()  # stage returns a Dataset
-               .set_index("node")["component"].to_dict())
-        assert out == expect
+        for dmax in (2_000_000, 0):  # driver fast path AND broadcast
+            out = (connected_components(
+                rd.from_pandas(edges).repartition(parts),
+                driver_edges_max=dmax)
+                .to_pandas()  # stage returns a Dataset
+                .set_index("node")["component"].to_dict())
+            assert out == expect
 
 
 def test_connected_components_join_path_matches_broadcast(ray_session):
@@ -725,11 +728,14 @@ def test_connected_components_join_path_matches_broadcast(ray_session):
                           "id_b": np.array(b, dtype="int64")})
     edges = edges[edges.id_a != edges.id_b]
     ds = rd.from_pandas(edges).repartition(4)
-    bc = (connected_components(ds).to_pandas()
+    drv = (connected_components(ds).to_pandas()  # driver fast path
+           .set_index("node")["component"].to_dict())
+    bc = (connected_components(ds, driver_edges_max=0).to_pandas()
           .set_index("node")["component"].to_dict())
     jn = (connected_components(ds, force_join_path=True, num_partitions=4)
           .to_pandas().set_index("node")["component"].to_dict())
     assert jn == bc
+    assert drv == bc
 
 
 def test_attach_components_join_matches_broadcast(ray_session):
@@ -775,7 +781,10 @@ def test_connected_components_raises_on_no_convergence(ray_session):
     edges = pd.DataFrame({"id_a": list(range(0, 30)),
                           "id_b": list(range(1, 31))})
     with pytest.raises(RuntimeError, match="convergence"):
-        connected_components(rd.from_pandas(edges), max_iter=3)
+        # driver_edges_max=0 pins the iterative broadcast path (the
+        # driver fast path is exact and cannot fail to converge)
+        connected_components(rd.from_pandas(edges), max_iter=3,
+                             driver_edges_max=0)
 
 
 def test_interval_overlap_join_exact(ray_session):

@@ -543,6 +543,12 @@ def test_label_propagation_two_cliques(ray_session):
     out2 = label_propagation(rd.from_pandas(edges).repartition(5),
                              "a", "b", iterations=2).to_pandas()
     assert dict(zip(out2["node"], out2["label"])) == lab
+    # the distributed path (pinned past the edge gate) agrees with the
+    # driver fast path exactly
+    out3 = label_propagation(rd.from_pandas(edges).repartition(5),
+                             "a", "b", iterations=2,
+                             driver_edges_max=0).to_pandas()
+    assert dict(zip(out3["node"], out3["label"])) == lab
 
 
 def test_edit_distance_join_blocking_key(ray_session):

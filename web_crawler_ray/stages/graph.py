@@ -174,15 +174,24 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
                          max_iter: int = 50,
                          broadcast_nodes_max: int = 5_000_000,
                          num_partitions: int = 16,
-                         force_join_path: bool = False):
+                         force_join_path: bool = False,
+                         driver_edges_max: int = 2_000_000):
     """Connected components over an undirected edge list by min-label
     propagation: every node's label converges to the minimum node id in
     its component (the canonical-representative rule dedup clustering
     needs: near-dup PAIRS → dup CLUSTERS).
 
-    Dual path, auto-selected by edge count (the same zero-cost gate as
-    :func:`bipartite_power_scores` — edges bound nodes):
+    Triple path, auto-selected by edge count (the same zero-cost gate
+    as :func:`bipartite_power_scores` — edges bound nodes):
 
+    * **driver** (≤ ``driver_edges_max`` edges): the 2-column int64
+      edge table is pulled once (≤ 32 MB at the 2M default — the same
+      driver-state class as the node-label arrays the broadcast path
+      already holds) and resolved exactly by numpy hook + pointer-
+      jumping compression in O(log n) vectorized rounds, ZERO
+      per-iteration Dataset executions. Near-dup pair lists are almost
+      always this small; per-pass scheduling overhead (not compute)
+      dominated them before.
     * **broadcast** (≤ ``broadcast_nodes_max``): labels are NODE-sized
       state broadcast via the object store; each iteration is ONE
       streaming map pass over the edges emitting batch-local
@@ -195,17 +204,21 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
       state, the 10^9-node scale shape (min instead of the power
       iteration's sum).
 
-    Converges in O(component diameter) passes; raises if ``max_iter``
-    passes exhaust without convergence (an unconverged label map is
-    silently WRONG clusters, not an approximation).
+    The distributed paths converge in O(component diameter) passes and
+    raise if ``max_iter`` passes exhaust without convergence (an
+    unconverged label map is silently WRONG clusters, not an
+    approximation); the driver path is exact by construction.
 
     Returns a DATASET of (node:int64, component:int64) — node-sized,
     so a 10^9-node caller is never forced through the driver; small
     callers add ``.to_pandas()`` at the query layer.
     """
-    if force_join_path or edges_ds.count() > broadcast_nodes_max:
+    n_edges = edges_ds.count()
+    if force_join_path or n_edges > broadcast_nodes_max:
         return _join_components(edges_ds, id_a, id_b, max_iter,
                                 num_partitions)
+    if n_edges <= driver_edges_max:
+        return _driver_components(edges_ds, id_a, id_b)
     import ray
 
     # node set: batch-local uniques → node-sized driver union
@@ -250,6 +263,52 @@ def connected_components(edges_ds, id_a: str = "id_a", id_b: str = "id_b",
     return rd.from_pandas(pd.DataFrame({
         "node": nodes.astype("int64"),
         "component": labels.astype("int64")}))
+
+
+def _driver_components(edges_ds, id_a: str, id_b: str):
+    """Exact driver-side components for small edge lists (gated by
+    ``driver_edges_max``): Shiloach–Vishkin-style hook + full pointer-
+    jumping compression over numpy index arrays. Each outer round is
+    two O(E) scatters plus an O(N log d) compression, and rounds are
+    O(log n) because compression at least halves every chain — a
+    2M-edge list resolves in milliseconds where the per-pass Dataset
+    scheduling of the broadcast path cost ~1 s × diameter."""
+    import ray.data as rd
+
+    pdf = edges_ds.select_columns([id_a, id_b]).to_pandas()
+    if not len(pdf):
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "component": pd.Series([], dtype="int64")}))
+    a = pdf[id_a].to_numpy(np.int64)
+    b = pdf[id_b].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lab = np.arange(len(nodes), dtype=np.int64)
+    # every non-converged round advances the component min ≥1 graph
+    # hop, so rounds ≤ max component diameter ≤ n — compression makes
+    # real inputs converge in a handful; the bound only guards against
+    # returning silently-wrong labels
+    for _ in range(len(nodes) + 2):
+        m = np.minimum(lab[ia], lab[ib])
+        new = lab.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        while True:  # pointer jumping to fixpoint (labels are indices)
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    else:  # unreachable by the diameter bound; fail loudly, not wrong
+        raise RuntimeError("connected_components(driver path): no "
+                           "convergence within the diameter bound")
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes.astype("int64"),
+        "component": nodes[lab].astype("int64")}))
 
 
 def _join_components(edges_ds, id_a: str, id_b: str, max_iter: int,
@@ -816,8 +875,54 @@ def hash_walks(edges, a_col: str, b_col: str, n_steps: int = 2,
     return frontier.map_batches(finish, batch_format="pandas")
 
 
+def _driver_label_propagation(e, id_a: str, id_b: str, iterations: int):
+    """Driver-side label propagation for gated-small edge lists:
+    identical synchronous semantics (mode of neighbour labels, ties →
+    highest count then smallest label, multi-edges counted per row —
+    the same convention as the distributed path), one numpy lexsort +
+    run-length count per iteration, zero per-iteration Dataset
+    executions."""
+    import ray.data as rd
+
+    pdf = e.to_pandas()
+    if not len(pdf):
+        return rd.from_pandas(pd.DataFrame({
+            "node": pd.Series([], dtype="int64"),
+            "label": pd.Series([], dtype="int64")}))
+    a = pdf[id_a].to_numpy(np.int64)
+    b = pdf[id_b].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    recv = np.concatenate([ia, ib])  # receiver node (index)
+    nbr = np.concatenate([ib, ia])   # its neighbour on this edge
+    lab = nodes.copy()               # label VALUES per node index
+    for _ in range(iterations):
+        nl = lab[nbr]
+        order = np.lexsort((nl, recv))
+        r_s, l_s = recv[order], nl[order]
+        head = np.empty(len(r_s), dtype=bool)
+        head[0] = True
+        head[1:] = (r_s[1:] != r_s[:-1]) | (l_s[1:] != l_s[:-1])
+        gidx = np.flatnonzero(head)
+        counts = np.diff(np.append(gidx, len(r_s)))
+        gr, gl = r_s[gidx], l_s[gidx]
+        o2 = np.lexsort((gl, -counts, gr))  # count desc, label asc
+        first = np.empty(len(o2), dtype=bool)
+        first[0] = True
+        first[1:] = gr[o2][1:] != gr[o2][:-1]
+        sel = o2[first]
+        new = lab.copy()
+        new[gr[sel]] = gl[sel]
+        lab = new
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes.astype("int64"),
+        "label": lab.astype("int64")}))
+
+
 def label_propagation(edges_ds, id_a: str, id_b: str, iterations: int = 2,
-                      num_partitions: int = 32):
+                      num_partitions: int = 32,
+                      driver_edges_max: int = 2_000_000):
     """Synchronous label propagation (Raghavan et al. 2007) for
     community detection over an undirected edge list: labels start as
     node ids; each iteration every node adopts the most frequent label
@@ -826,17 +931,27 @@ def label_propagation(edges_ds, id_a: str, id_b: str, iterations: int = 2,
     data). ``iterations`` is fixed (the SQL oracle unrolls the same
     number), not run-to-convergence.
 
-    Scale shape: the label table stays a Dataset; each iteration is a
-    reduce-side merge — edge rows keyed by neighbour UNION label rows
-    keyed by node co-locate in one hash exchange, the partition task
-    attaches labels and pre-counts (node, label) pairs, and a second
-    key-sized exchange picks the winner per node. No join actor pool:
-    for a key-row × key-row merge the union+exchange is both the
-    cheaper and the deterministic shape (cf. ``_join_components``,
-    which needs the real hash join because edges carry payload)."""
+    Dual path on the same edge-count gate as
+    :func:`connected_components`: at ≤ ``driver_edges_max`` edges the
+    2-column int64 table is pulled once and each iteration is a numpy
+    lexsort + run-length count (the two per-iteration hash exchanges
+    below cost ~1 s of scheduling each at small scale — pure fixed
+    overhead, not compute).
+
+    Scale shape past the gate: the label table stays a Dataset; each
+    iteration is a reduce-side merge — edge rows keyed by neighbour
+    UNION label rows keyed by node co-locate in one hash exchange, the
+    partition task attaches labels and pre-counts (node, label) pairs,
+    and a second key-sized exchange picks the winner per node. No join
+    actor pool: for a key-row × key-row merge the union+exchange is
+    both the cheaper and the deterministic shape (cf.
+    ``_join_components``, which needs the real hash join because edges
+    carry payload)."""
     from .grouped import partitioned_apply
 
     e = edges_ds.select_columns([id_a, id_b]).materialize()
+    if e.count() <= driver_edges_max:
+        return _driver_label_propagation(e, id_a, id_b, iterations)
 
     def undirect(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
