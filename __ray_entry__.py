@@ -4929,6 +4929,147 @@ def q_trigram_search(sf_dir: str):
                           n_buckets=64)
 
 
+def q_image_dedup_collapse(sf_dir: str):
+    """Image near-dup COLLAPSE — the keep-best composite over the pair
+    finder: phash band LSH pairs (hamming ≤ 3, exact by pigeonhole) →
+    connected components → one golden row per cluster keeping the
+    highest-RESOLUTION member (tie → smallest id), singletons kept as
+    their own cluster. The images-shaped table (id, phash, w, h) is
+    derived deterministically from part so the SQL replay computes the
+    identical corpus; the oracle replays the clustering with a
+    recursive-CTE transitive closure over the brute-force pair list.
+    Reference capability analogue: duplicate-group collapse
+    `pacong/data/processor.py:349-361`, lifted to perceptual near-dups
+    with a quality-keeper rule instead of latest-wins."""
+    from web_crawler_ray.stages.dedup import hash_near_dup_pairs
+    from web_crawler_ray.stages.graph import (attach_components,
+                                              connected_components)
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    def to_images(batch: pd.DataFrame) -> pd.DataFrame:
+        pk = batch["p_partkey"].astype("int64").to_numpy()
+        base, var = pk // 4, pk % 4
+        h = ((base * 2654435761) % 65536
+             + ((base * 40503) % 65536) * 65536
+             + ((base * 2246822519) % 65536) * 4294967296
+             + ((base * 3266489917) % 32768) * 281474976710656)
+        mask = np.select([var == 1, var == 2, var == 3], [1, 3, 7], default=0)
+        return pd.DataFrame({
+            "image_id": pk,
+            "phash": (h ^ mask).astype("int64"),
+            "area": ((64 + (pk % 8) * 16)
+                     * (64 + ((pk // 3) % 8) * 16)).astype("int64"),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    imgs = ds.map_batches(to_images, batch_format="pandas")
+    pairs = hash_near_dup_pairs(
+        imgs.select_columns(["image_id", "phash"]), "phash", "image_id",
+        max_hamming=3, n_rows_hint=_nrows(sf_dir, "part")).materialize()
+    comps = connected_components(pairs, "id_a", "id_b")
+    tagged = attach_components(imgs.select_columns(["image_id", "area"]),
+                               comps, "image_id", out_col="entity")
+
+    def golden(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["entity", "area", "image_id"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+        g = part.groupby("entity", sort=True)
+        first = g.head(1)  # groups appear in entity order (pre-sorted)
+        return pd.DataFrame({
+            "entity": first["entity"].to_numpy().astype("int64"),
+            "keep_id": first["image_id"].to_numpy().astype("int64"),
+            "n_members": g.size().to_numpy().astype("int64"),
+            "max_area": g["area"].max().to_numpy().astype("int64"),
+        })
+
+    out = partitioned_apply(tagged, ["entity"], golden).to_pandas()
+    return out.sort_values("entity", kind="mergesort").reset_index(drop=True)
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Freshness-driven recrawl scheduling (the uniform-change-rate
+    estimator of Cho & Garcia-Molina 2000, 'Synchronizing a database
+    to improve freshness'): treat each user_id as a tracked page and
+    its events as observed changes. ONE counting pass emits
+    per-(batch, page) partials (n, min_us, max_us); a key-sized
+    combine closes the form — changes/day and the next due fetch time
+    (last change + mean inter-change interval, integer-exact floor
+    division on both engine and SQL sides). Pages with <3 observations
+    or zero span carry no rate estimate and are dropped."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        g = pd.DataFrame({"user_id": b["user_id"].to_numpy(), "us": us}) \
+            .groupby("user_id", sort=False)["us"]
+        return g.agg(n="count", mn="min", mx="max").reset_index()
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("user_id", sort=True).agg(
+            n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max")).reset_index()
+        g = g[(g["n"] >= 3) & (g["mx"] > g["mn"])]
+        n = g["n"].to_numpy(np.int64)
+        mn = g["mn"].to_numpy(np.int64)
+        mx = g["mx"].to_numpy(np.int64)
+        span = mx - mn
+        rate = (n - 1) / (span / 86400000000.0)
+        return pd.DataFrame({
+            "page_id": g["user_id"].to_numpy(np.int64),
+            "n_changes": n,
+            "rate_per_day": sql_round(pd.Series(rate), 6).to_numpy(),
+            "next_due_us": (mx + span // (n - 1)).astype("int64"),
+        })
+
+    out = partitioned_apply(ds.map_batches(partial, batch_format="pandas"),
+                            ["user_id"], combine).to_pandas()
+    return out.sort_values("page_id", kind="mergesort").reset_index(drop=True)
+
+
+def q_crawl_budget(sf_dir: str):
+    """Per-host crawl-budget allocation by the largest-remainder
+    (Hamilton) method: hosts (user_id % 500) weighted by observed
+    event volume split a fixed per-round fetch budget of 100,000 —
+    quotas floor(B·w/Σw), then the leftover goes to the largest
+    fractional remainders (tie → smallest host id). One count
+    exchange (key-sized), then a 500-row driver computation — the
+    allocation table is broadcast back to the politeness stage in a
+    real crawl. Integer-exact, so the SQL replay matches bit-for-bit."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    budget = 100_000
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = (b["user_id"].to_numpy() % 500)
+        return (pd.DataFrame({"host": g}).groupby("host", sort=False)
+                .size().rename("w").reset_index())
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby("host", sort=True)["w"].sum()
+                .reset_index())
+
+    hosts = partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["host"], combine).to_pandas().sort_values("host")
+    w = hosts["w"].to_numpy(np.int64)
+    h = hosts["host"].to_numpy(np.int64)
+    total = int(w.sum())
+    base = (budget * w) // total            # integer quota floor
+    rem = budget * w - base * total         # fractional remainder ∝ this
+    leftover = budget - int(base.sum())
+    order = np.lexsort((h, -rem))           # remainder desc, host asc
+    extra = np.zeros(len(h), dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pd.DataFrame({
+        "host": h,
+        "weight": w,
+        "alloc": (base + extra).astype("int64"),
+    }).sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5175,6 +5316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_growth": q_vocab_growth,
         "q_source_overlap": q_source_overlap,
         "q_trigram_search": q_trigram_search,
+        "q_image_dedup_collapse": q_image_dedup_collapse,
+        "q_recrawl_schedule": q_recrawl_schedule,
+        "q_crawl_budget": q_crawl_budget,
     }
 
 
@@ -7705,5 +7849,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE contains(lower(text), 'merge part')
             ORDER BY doc_id
+        """,
+        # the engine clusters via banded LSH + distributed connected
+        # components; the oracle replays it as a brute-force hamming
+        # self-join closed transitively by a recursive CTE
+        "q_image_dedup_collapse": """
+            WITH RECURSIVE img AS (
+              SELECT p_partkey AS image_id,
+                     xor(
+                       ((p_partkey // 4) * 2654435761) % 65536
+                       + (((p_partkey // 4) * 40503) % 65536) * 65536
+                       + (((p_partkey // 4) * 2246822519) % 65536) * 4294967296
+                       + (((p_partkey // 4) * 3266489917) % 32768) * 281474976710656,
+                       CASE p_partkey % 4 WHEN 1 THEN 1 WHEN 2 THEN 3
+                                          WHEN 3 THEN 7 ELSE 0 END
+                     ) AS phash,
+                     (64 + (p_partkey % 8) * 16)
+                       * (64 + ((p_partkey // 3) % 8) * 16) AS area
+              FROM part
+            ),
+            p2 AS (
+              SELECT a.image_id AS id_a, b.image_id AS id_b
+              FROM img a JOIN img b ON a.image_id < b.image_id
+              WHERE bit_count(xor(a.phash, b.phash)) <= 3
+            ),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM p2
+              UNION SELECT id_b, id_a FROM p2
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM e
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ),
+            comp AS (
+              SELECT i.image_id AS node,
+                     least(i.image_id,
+                           coalesce(min(r.b), i.image_id)) AS entity
+              FROM img i LEFT JOIN reach r ON r.a = i.image_id
+              GROUP BY i.image_id
+            ),
+            tagged AS (
+              SELECT c.entity, i.image_id, i.area
+              FROM img i JOIN comp c ON i.image_id = c.node
+            )
+            SELECT entity, keep_id, n_members, max_area FROM (
+              SELECT entity, image_id AS keep_id,
+                     CAST(count(*) OVER (PARTITION BY entity)
+                          AS BIGINT) AS n_members,
+                     CAST(max(area) OVER (PARTITION BY entity)
+                          AS BIGINT) AS max_area,
+                     row_number() OVER (PARTITION BY entity
+                                        ORDER BY area DESC, image_id) AS rn
+              FROM tagged
+            ) WHERE rn = 1
+            ORDER BY entity
+        """,
+        "q_recrawl_schedule": """
+            SELECT user_id AS page_id,
+                   CAST(count(*) AS BIGINT) AS n_changes,
+                   round(CAST(count(*) - 1 AS DOUBLE)
+                         / ((epoch_us(max(ts)) - epoch_us(min(ts)))
+                            / 86400000000.0), 6) AS rate_per_day,
+                   CAST(epoch_us(max(ts))
+                        + (epoch_us(max(ts)) - epoch_us(min(ts)))
+                          // (count(*) - 1) AS BIGINT) AS next_due_us
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= 3 AND max(ts) > min(ts)
+            ORDER BY page_id
+        """,
+        # largest-remainder (Hamilton) quota allocation, integer-exact
+        "q_crawl_budget": """
+            WITH hosts AS (
+              SELECT user_id % 500 AS host, CAST(count(*) AS BIGINT) AS w
+              FROM events GROUP BY user_id % 500
+            ),
+            tot AS (SELECT sum(w) AS t, CAST(100000 AS BIGINT) AS b
+                    FROM hosts),
+            q AS (
+              SELECT host, w,
+                     (b * w) // t AS base,
+                     b * w - ((b * w) // t) * t AS rem
+              FROM hosts, tot
+            ),
+            lo AS (SELECT 100000 - sum(base) AS leftover FROM q)
+            SELECT host, CAST(w AS BIGINT) AS weight,
+                   CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM (
+              SELECT host, w, base,
+                     row_number() OVER (ORDER BY rem DESC, host) AS rn
+              FROM q
+            ), lo
+            ORDER BY host
         """,
     }

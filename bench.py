@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "q_source_overlap",
     "q_containment",
     "q_trigram_search",
+    "q_image_dedup_collapse",
+    "q_recrawl_schedule",
 ]
 
 

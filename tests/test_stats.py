@@ -454,6 +454,8 @@ def test_kcenter_k_exceeds_rows_raises(ray_session):
                        "embedding": [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]})
     with _pytest.raises(ValueError, match="exceeds"):
         kcenter_select(rd.from_pandas(df), k=5)
+    with _pytest.raises(ValueError, match="exceeds"):  # distributed path
+        kcenter_select(rd.from_pandas(df), k=5, driver_rows_max=0)
 
 
 def test_unigram_kl_properties(ray_session):
@@ -575,6 +577,11 @@ def test_kcenter_matches_numpy_reference(ray_session):
                        "embedding": [v.tolist() for v in vecs]})
     out = kcenter_select(rd.from_pandas(df).repartition(5), k=5,
                          vec_col="embedding")
+    # the distributed rounds (pinned past the row gate) must pick
+    # identically to the driver fast path
+    out_dist = kcenter_select(rd.from_pandas(df).repartition(5), k=5,
+                              vec_col="embedding", driver_rows_max=0)
+    pd.testing.assert_frame_equal(out, out_dist)
 
     # greedy farthest-first reference (same rounding, same tie-break)
     chosen = [0]

@@ -25,7 +25,8 @@ import pyarrow as pa
 
 from ..functions import text as T
 from ..config import auto_concurrency
-from .grouped import partitioned_apply, partitioned_drop_duplicates
+from .grouped import (grouped_triu, partitioned_apply,
+                      partitioned_drop_duplicates)
 
 
 def latest_wins_reducer(group: pd.DataFrame, ts_col: str, tie_col: str, source_col: str | None) -> pd.DataFrame:
@@ -183,30 +184,21 @@ def _verify_lsh_partition(part: pd.DataFrame, id_col: str, threshold: float,
     sigs = np.frombuffer(b"".join(part["sig"]), dtype=np.uint64).reshape(-1, num_perm)
     keys = part["band_key"].to_numpy()
     ids = part[id_col].to_numpy()
-    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
-    a_out, b_out, est = [], [], []
-    for s, e in zip(starts[:-1], starts[1:]):
-        g = e - s
-        if g < 2:
-            continue
-        m = sigs[s:e]
-        eq = (m[:, None, :] == m[None, :, :]).mean(axis=2)
-        iu, ju = np.triu_indices(g, 1)
-        jac = eq[iu, ju]
-        hit = jac >= threshold
-        if hit.any():
-            a_out.append(ids[s + iu[hit]])
-            b_out.append(ids[s + ju[hit]])
-            est.append(jac[hit])
-    if not a_out:
+    # size-class triu pair enumeration, then ONE row-wise signature
+    # comparison over all candidate pairs — O(P·num_perm) instead of
+    # Σ g²·num_perm per-bucket broadcasting, and no per-bucket loop
+    ia, ib = grouped_triu(keys)
+    if not len(ia):
         return pd.DataFrame(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "est_jaccard": pd.Series(dtype="float64")}
         )
+    jac = (sigs[ia] == sigs[ib]).mean(axis=1)
+    hit = jac >= threshold
     return pd.DataFrame(
-        {"id_a": np.concatenate(a_out).astype("int64"),
-         "id_b": np.concatenate(b_out).astype("int64"),
-         "est_jaccard": np.concatenate(est).astype("float64")}
+        {"id_a": ids[ia[hit]].astype("int64"),
+         "id_b": ids[ib[hit]].astype("int64"),
+         "est_jaccard": jac[hit].astype("float64")}
     )
 
 
@@ -291,19 +283,15 @@ def _verify_simhash_partition(part: pd.DataFrame, id_col: str,
     ids = part[id_col].to_numpy()
     keys = part["band_key"].to_numpy()
     hs = part["simhash"].to_numpy().view(np.uint64)  # same bits, unsigned view
-    starts = np.concatenate([[0], np.nonzero(np.diff(keys))[0] + 1, [len(keys)]])
+    # size-class triu pair enumeration + one vectorized popcount pass
+    ia, ib = grouped_triu(keys)
     a_out, b_out, d_out = [], [], []
-    for s, e in zip(starts[:-1], starts[1:]):
-        g = e - s
-        if g < 2:
-            continue
-        m = hs[s:e]
-        iu, ju = np.triu_indices(g, 1)
-        d = _popcount64(m[iu] ^ m[ju])
+    if len(ia):
+        d = _popcount64(hs[ia] ^ hs[ib])
         hit = d <= max_hamming
         if hit.any():
-            a_out.append(ids[s + iu[hit]])
-            b_out.append(ids[s + ju[hit]])
+            a_out.append(ids[ia[hit]])
+            b_out.append(ids[ib[hit]])
             d_out.append(d[hit])
     if not a_out:
         return empty

@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from .grouped import partitioned_apply, partitioned_drop_duplicates
+from .grouped import (grouped_triu as _grouped_triu, partitioned_apply,
+                      partitioned_drop_duplicates)
 from ..functions.rounding import sql_round
 
 
@@ -631,25 +632,15 @@ def cooccurrence_edges(ds, group_col: str, item_col: str,
                 .sort_values([group_col, item_col], kind="mergesort"))
         keys = part[group_col].to_numpy()
         items = part[item_col].to_numpy()
-        bounds = np.concatenate(
-            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
-        a_out, b_out = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = e - s
-            if g < 2:
-                continue
-            if g > max_group:
-                raise ValueError(
-                    f"group of size {g} exceeds max_group={max_group}")
-            iu, ju = np.triu_indices(g, 1)
-            a_out.append(items[s + iu])
-            b_out.append(items[s + ju])
-        if not a_out:
+        # size-class triu broadcasting; oversized groups abort loudly
+        ia, ib = _grouped_triu(keys, max_size=max_group,
+                               raise_on_exceed=True)
+        if not len(ia):
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         return pd.DataFrame({
-            "id_a": np.concatenate(a_out).astype("int64"),
-            "id_b": np.concatenate(b_out).astype("int64"),
+            "id_a": items[ia].astype("int64"),
+            "id_b": items[ib].astype("int64"),
         }).drop_duplicates()
 
     pairs = partitioned_apply(
@@ -709,22 +700,18 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
                         .sort_values([a_col, b_col], kind="mergesort"))
                 keys = part[a_col].to_numpy()
                 nbrs = part[b_col].to_numpy(np.int64)
-                bounds = np.concatenate(
-                    [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1,
-                     [len(keys)]])
-                n_w = 0
-                n_t = 0
-                for s, e in zip(bounds[:-1], bounds[1:]):
-                    g = e - s
-                    if g < 2:
-                        continue
-                    iu, ju = np.triu_indices(g, 1)
-                    wk = (nbrs[s + iu] << 32) | nbrs[s + ju]
-                    n_w += len(wk)
-                    pos = np.searchsorted(ek, wk)
-                    ok = pos < len(ek)
-                    n_t += int((ek[pos[ok]] == wk[ok]).sum())
-                return pd.DataFrame({"n_wedges": [np.int64(n_w)],
+                # size-class triu broadcasting (the edit-join trick):
+                # loop over distinct group SIZES, never over groups,
+                # and probe all wedges with one searchsorted
+                ia, ib = _grouped_triu(keys)
+                if not len(ia):
+                    return pd.DataFrame({"n_wedges": [np.int64(0)],
+                                         "n_triangles": [np.int64(0)]})
+                wk = (nbrs[ia] << 32) | nbrs[ib]
+                pos = np.searchsorted(ek, wk)
+                ok = pos < len(ek)
+                n_t = int((ek[pos[ok]] == wk[ok]).sum())
+                return pd.DataFrame({"n_wedges": [np.int64(len(wk))],
                                      "n_triangles": [np.int64(n_t)]})
 
             partials = partitioned_apply(edges_ds, [a_col], close_map,
@@ -745,23 +732,14 @@ def triangle_count(edges_ds, a_col: str = "id_a", b_col: str = "id_b",
                 .sort_values([a_col, b_col], kind="mergesort"))
         keys = part[a_col].to_numpy()
         nbrs = part[b_col].to_numpy()
-        bounds = np.concatenate(
-            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
-        b_out, c_out = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = e - s
-            if g < 2:
-                continue
-            iu, ju = np.triu_indices(g, 1)
-            b_out.append(nbrs[s + iu])
-            c_out.append(nbrs[s + ju])
-        if not b_out:
+        ia, ib = _grouped_triu(keys)  # size-class triu broadcasting
+        if not len(ia):
             return pd.DataFrame({"x": pd.Series([], dtype="int64"),
                                  "y": pd.Series([], dtype="int64"),
                                  "n_wedge": pd.Series([], dtype="int64"),
                                  "is_edge": pd.Series([], dtype="int64")})
-        out = (pd.DataFrame({"x": np.concatenate(b_out).astype("int64"),
-                             "y": np.concatenate(c_out).astype("int64")})
+        out = (pd.DataFrame({"x": nbrs[ia].astype("int64"),
+                             "y": nbrs[ib].astype("int64")})
                .groupby(["x", "y"], sort=False).size()
                .rename("n_wedge").reset_index())
         out["is_edge"] = np.int64(0)

@@ -108,3 +108,39 @@ def partitioned_drop_duplicates(ds, keys: list[str], num_partitions: int = 32,
 
     return partitioned_apply(ds, keys, dedup, num_partitions, n_rows_hint,
                              pre_combine=dedup if pre_dedup else None)
+
+
+def grouped_triu(sorted_keys, max_size=None, raise_on_exceed: bool = False):
+    """All within-group (i < j) index pairs of a SORTED key array,
+    vectorized by group-size class: one np.unique for the boundaries,
+    then one triu broadcast per DISTINCT group size (a handful), never
+    a Python loop over the groups themselves. Returns (ia, ib) global
+    index arrays into the sorted layout.
+
+    ``max_size`` bounds the quadratic fan-out per group: groups past it
+    are skipped (LSH-bucket style) or, with ``raise_on_exceed``, abort
+    loudly (co-occurrence style — a silent g² explosion is a bug)."""
+    import numpy as np
+
+    empty = np.array([], dtype=np.int64)
+    if not len(sorted_keys):
+        return empty, empty
+    _, starts, counts = np.unique(sorted_keys, return_index=True,
+                                  return_counts=True)
+    keep = counts >= 2
+    if max_size is not None:
+        over = counts > max_size
+        if raise_on_exceed and bool(over.any()):
+            raise ValueError(f"group of size {int(counts[over].max())} "
+                             f"exceeds max_group={max_size}")
+        keep &= ~over
+    starts, counts = starts[keep], counts[keep]
+    ia_all, ib_all = [], []
+    for s in np.unique(counts):
+        gs = starts[counts == s]
+        la, lb = np.triu_indices(int(s), 1)
+        ia_all.append((gs[:, None] + la[None, :]).ravel())
+        ib_all.append((gs[:, None] + lb[None, :]).ravel())
+    if not ia_all:
+        return empty, empty
+    return np.concatenate(ia_all), np.concatenate(ib_all)

@@ -16,7 +16,7 @@ import numpy as np
 import pandas as pd
 import ray
 
-from .grouped import partitioned_drop_duplicates
+from .grouped import grouped_triu, partitioned_drop_duplicates
 
 
 def broadcast_lookup(ds, mapping: dict, on: str, out_col: str,
@@ -573,20 +573,9 @@ def edit_distance_join(ds, id_col: str, str_col: str, k: int = 1,
         kv, ids = kv[order], ids[order]
         ss = part[str_col].to_numpy()[order]
         bb = part["blk"].to_numpy()[order] if block_col else None
-        _, starts, counts = np.unique(kv, return_index=True,
-                                      return_counts=True)
-        keep = counts >= 2
-        starts, counts = starts[keep], counts[keep]
-        ia_all, ib_all = [], []
-        for s in np.unique(counts):
-            gs = starts[counts == s]
-            la, lb = np.triu_indices(int(s), 1)
-            ia_all.append((gs[:, None] + la[None, :]).ravel())
-            ib_all.append((gs[:, None] + lb[None, :]).ravel())
-        if not ia_all:
+        ia, ib = grouped_triu(kv)
+        if not len(ia):
             return _levenshtein_verify([], [], [], [], k)
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
         if block_col is not None:
             same = bb[ia] == bb[ib]  # drop cross-block hash collisions
             ia, ib = ia[same], ib[same]

@@ -858,7 +858,8 @@ def semdedup(ds, k: int = 8, tau: float = 0.95, id_col: str = "vec_id",
 
 
 def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
-                   vec_col: str = "embedding", ndigits: int = 6):
+                   vec_col: str = "embedding", ndigits: int = 6,
+                   driver_rows_max: int = 100_000):
     """Greedy k-center / farthest-first diversity selection (Gonzalez
     1985; the coreset seeding rule of k-means++ without the
     randomness): start from the min-id vector, then repeatedly pick
@@ -867,13 +868,23 @@ def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
     rows are the classic diversity sample / coverage skeleton of an
     embedding corpus.
 
-    Distributed shape: chosen centers broadcast via the object store;
-    each of the k−1 selection rounds is ONE map-only pass emitting a
-    per-batch (best_d2, best_id) partial — the exchange is
-    batch-count-sized, never row-sized. Distances are rounded at
-    ``ndigits`` BEFORE the argmax so the engine and the SQL unroll
-    make identical picks."""
+    The pick rule (global max of ROUNDED min-d2, tie → smallest id) is
+    batch-structure-invariant, so a corpus at ≤ ``driver_rows_max``
+    rows is resolved on the driver in one pull + k−1 numpy rounds with
+    identical results (the distributed rounds each cost a full Dataset
+    execution of pure scheduling at this size).
+
+    Distributed shape past the gate: chosen centers broadcast via the
+    object store; each of the k−1 selection rounds is ONE map-only
+    pass emitting a per-batch (best_d2, best_id, best_vec) partial —
+    the exchange is batch-count-sized, never row-sized, and carrying
+    the winning VECTOR in the partial means no second scan to re-fetch
+    it. Distances are rounded at ``ndigits`` BEFORE the argmax so the
+    engine and the SQL unroll make identical picks."""
     import ray as _ray
+
+    if ds.count() <= driver_rows_max:
+        return _driver_kcenter(ds, k, id_col, vec_col, ndigits)
 
     first = ds.filter(expr=f"{id_col} == 0").take_all()
     if not first:
@@ -898,7 +909,9 @@ def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
             b = order[0]
             return pa.table({"best_id": pa.array([int(ids[b])], pa.int64()),
                              "best_d2": pa.array([float(mind[b])],
-                                                 pa.float64())})
+                                                 pa.float64()),
+                             "best_vec": pa.array([m[b].tolist()],
+                                                  pa.list_(pa.float64()))})
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
         parts = parts.sort_values(["best_d2", "best_id"],
@@ -912,12 +925,48 @@ def kcenter_select(ds, k: int = 4, id_col: str = "vec_id",
             raise ValueError(
                 f"kcenter_select: k={k} exceeds the number of rows "
                 f"({len(sel_ids)} available)")
-        win_vec = ds.filter(expr=f"{id_col} == {win_id}").take_all()
-        centers.append(np.asarray(list(win_vec[0][vec_col]),
+        centers.append(np.asarray(list(parts.iloc[0]["best_vec"]),
                                   dtype=np.float64))
         sel_ids.append(win_id)
         sel_d2.append(win_d2)
 
+    return pd.DataFrame({
+        "sel_order": np.arange(1, k + 1, dtype=np.int64),
+        id_col: np.array(sel_ids, dtype=np.int64),
+        "d2_at_selection": np.array(sel_d2, dtype=np.float64),
+    })
+
+
+def _driver_kcenter(ds, k: int, id_col: str, vec_col: str, ndigits: int):
+    """Driver path for gated-small corpora: one pull, then k−1 numpy
+    rounds maintaining the running min-d2 incrementally. Pick rule and
+    rounding are identical to the distributed rounds (both compute the
+    global max of rounded min-d2 with smallest-id ties)."""
+    pdf = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = pdf[id_col].to_numpy(np.int64)
+    if 0 not in ids:
+        raise ValueError("kcenter_select: seed row id 0 must exist")
+    m = np.vstack([np.asarray(v, dtype=np.float64)
+                   for v in pdf[vec_col].to_numpy()])
+    order = np.argsort(ids, kind="mergesort")
+    ids, m = ids[order], m[order]
+    chosen_mask = np.zeros(len(ids), dtype=bool)
+    seed = int(np.searchsorted(ids, 0))
+    chosen_mask[seed] = True
+    sel_ids, sel_d2 = [0], [0.0]
+    mind = ((m - m[seed][None, :]) ** 2).sum(axis=1)  # running raw min
+    for _ in range(k - 1):
+        r = np.asarray(sql_round(pd.Series(mind), ndigits))
+        r[chosen_mask] = -1.0
+        b = np.lexsort((ids, -r))[0]
+        if r[b] == -1.0:
+            raise ValueError(
+                f"kcenter_select: k={k} exceeds the number of rows "
+                f"({len(sel_ids)} available)")
+        chosen_mask[b] = True
+        sel_ids.append(int(ids[b]))
+        sel_d2.append(float(r[b]))
+        mind = np.minimum(mind, ((m - m[b][None, :]) ** 2).sum(axis=1))
     return pd.DataFrame({
         "sel_order": np.arange(1, k + 1, dtype=np.int64),
         id_col: np.array(sel_ids, dtype=np.int64),

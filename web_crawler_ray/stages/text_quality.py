@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.rounding import sql_round
+from .grouped import grouped_triu
 from ..functions.text import TOKEN_RE
 
 
@@ -296,24 +297,15 @@ def winnow_dup_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         part = part.sort_values(["fp", id_col], kind="mergesort")
         ids = part[id_col].to_numpy()
         keys = part["fp"].to_numpy()
-        bounds = np.concatenate(
-            [[0], np.nonzero(keys[1:] != keys[:-1])[0] + 1, [len(keys)]])
-        a_out, b_out = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            g = e - s
-            if g < 2 or (max_bucket is not None and g > max_bucket):
-                continue
-            iu, ju = np.triu_indices(g, 1)
-            a_out.append(ids[s + iu])
-            b_out.append(ids[s + ju])
-        if not a_out:
+        # size-class triu broadcasting; oversized buckets are dropped
+        # (boilerplate fingerprints — see docstring)
+        ia, ib = grouped_triu(keys, max_size=max_bucket)
+        if not len(ia):
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "n": pd.Series([], dtype="int64")})
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        return (pd.DataFrame({"id_a": a.astype("int64"),
-                              "id_b": b.astype("int64")})
+        return (pd.DataFrame({"id_a": ids[ia].astype("int64"),
+                              "id_b": ids[ib].astype("int64")})
                 .groupby(["id_a", "id_b"], sort=False).size()
                 .rename("n").reset_index())
 
