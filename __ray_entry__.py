@@ -5070,6 +5070,142 @@ def q_crawl_budget(sf_dir: str):
     }).sort_values("host", kind="mergesort").reset_index(drop=True)
 
 
+def q_mirror_hosts(sf_dir: str):
+    """Mirror-host detection (Bharat et al. 2000): host pairs whose
+    distinct CONTENT sets overlap with Jaccard ≥ 0.5 are candidate
+    mirrors the frontier should collapse to one fetch stream. The
+    (host, content) table is derived deterministically from lineitem:
+    hosts pair up into mirrored sites (host//2 for hosts < 40) sharing
+    a 97-value content space, each host also carries ≤ 23 host-unique
+    contents (what keeps mirrors below Jaccard 1), and every 13th
+    order emits a BOILERPLATE content shared by all hosts — which the
+    max_hosts_per_content=8 cap excludes on both engine and oracle
+    sides (404-page/template suppression, and the bound on quadratic
+    fan-out per content). Engine: distinct → content-keyed triu pairs
+    → pair-keyed reduce → broadcast set sizes; nothing all-pairs."""
+    from web_crawler_ray.stages.dedup import mirror_hosts
+
+    def to_hc(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        host = b["l_suppkey"].to_numpy(np.int64) % 60
+        site = np.where(host < 40, host // 2, host)
+        content = np.select(
+            [ok % 13 == 0, ok % 11 == 0],
+            [999999000 + pk % 3, 100000000 + host * 1000000 + pk % 23],
+            default=site * 100000 + pk % 97)
+        return pd.DataFrame({"host": host, "content": content})
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey"])
+    out = mirror_hosts(ds.map_batches(to_hc, batch_format="pandas"),
+                       min_jaccard=0.5, max_hosts_per_content=8).to_pandas()
+    return (out.sort_values(["host_a", "host_b"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_url_trap(sf_dir: str):
+    """Spider-trap detection: per host, URL count vs DISTINCT content
+    count — a host serving many URLs over few contents (calendar
+    pages, session-id explosions) gets dup_ratio → 1 and is flagged
+    so the frontier can cap it. URLs derive from lineitem rows: every
+    10th host is a trap (contents collapse to an 8-value space, deep
+    paths), the rest serve unique content. One counting pass for
+    (n_urls, max_depth) partials plus one distinct exchange on
+    (host, content) with a map-side combiner; both fold in a single
+    host-keyed combine. Reference capability analogue: the per-host
+    politeness bookkeeping of `pacong` lifted to frontier hygiene."""
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.grouped import (partitioned_apply,
+                                                partitioned_drop_duplicates)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        ln = b["l_linenumber"].to_numpy(np.int64)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        host = ok % 100
+        trap = host % 10 == 0
+        return pd.DataFrame({
+            "host": host,
+            "content": np.where(trap, host * 1000 + pk % 8,
+                                1_000_000 + ok * 10 + ln),
+            "depth": np.where(trap, 1 + ok % 12, 1 + ok % 4),
+        })
+
+    urls = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    ).map_batches(derive, batch_format="pandas").materialize()
+
+    def count_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("host", sort=False)["depth"].agg(["count", "max"])
+        return pd.DataFrame({"host": g.index.to_numpy(np.int64),
+                             "n": g["count"].to_numpy(np.int64),
+                             "mx": g["max"].to_numpy(np.int64),
+                             "nc": np.zeros(len(g), dtype=np.int64)})
+
+    def content_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["host"].value_counts(sort=False)
+        return pd.DataFrame({"host": vc.index.to_numpy(np.int64),
+                             "n": np.zeros(len(vc), dtype=np.int64),
+                             "mx": np.zeros(len(vc), dtype=np.int64),
+                             "nc": vc.to_numpy().astype(np.int64)})
+
+    tagged = urls.map_batches(count_partial, batch_format="pandas").union(
+        partitioned_drop_duplicates(
+            urls.select_columns(["host", "content"]), ["host", "content"],
+            pre_dedup=True,
+        ).map_batches(content_partial, batch_format="pandas"))
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("host", sort=True).agg(
+            n=("n", "sum"), mx=("mx", "max"), nc=("nc", "sum")).reset_index()
+        ratio = sql_round(pd.Series(1.0 - g["nc"] / g["n"]), 6).to_numpy()
+        return pd.DataFrame({
+            "host": g["host"].to_numpy(np.int64),
+            "n_urls": g["n"].to_numpy(np.int64),
+            "n_content": g["nc"].to_numpy(np.int64),
+            "dup_ratio": ratio,
+            "max_depth": g["mx"].to_numpy(np.int64),
+            "is_trap": (ratio > 0.5).astype(np.int64),
+        })
+
+    out = partitioned_apply(tagged, ["host"], combine).to_pandas()
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+def q_crawl_depth(sf_dir: str):
+    """Crawl-depth audit: shortest hop count from the seed set over
+    the harvested link graph (what a depth-≤-k crawl budget or a
+    seed-set coverage review consumes). The graph derives from orders:
+    node u = o_orderkey % 4096, a chain edge u → next-in-64-block
+    (depth structure: 0..63 within a block from its head) plus a
+    shortcut u → (5u+1) % 4096 for every 3rd order; seeds are the
+    observed block heads. Engine: `graph.bfs_depth` — driver-gated
+    vectorized min-relaxation, broadcast rounds past the gate; the
+    oracle replays with a depth-capped recursive CTE (cap 80 > the
+    ≤ 64 structural bound, so min(depth) is exact)."""
+    from web_crawler_ray.stages.graph import bfs_depth
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        u = ok % 4096
+        chain_dst = u // 64 * 64 + (u + 1) % 64
+        cut = ok % 3 == 0  # the ORDERKEY gates the shortcut, not u
+        return pd.DataFrame({
+            "src": np.concatenate([u, u[cut]]),
+            "dst": np.concatenate([chain_dst, (u[cut] * 5 + 1) % 4096]),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    e = ds.map_batches(edges, batch_format="pandas").materialize()
+    heads = e.map_batches(
+        lambda b: pd.DataFrame({"h": pd.unique(b["src"].to_numpy() // 64 * 64)}),
+        batch_format="pandas").to_pandas()  # ≤ 64 block heads
+    out = bfs_depth(e, pd.unique(heads["h"]).tolist()).to_pandas()
+    return out.sort_values("node", kind="mergesort").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5319,6 +5455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_dedup_collapse": q_image_dedup_collapse,
         "q_recrawl_schedule": q_recrawl_schedule,
         "q_crawl_budget": q_crawl_budget,
+        "q_mirror_hosts": q_mirror_hosts,
+        "q_url_trap": q_url_trap,
+        "q_crawl_depth": q_crawl_depth,
     }
 
 
@@ -7943,5 +8082,103 @@ def oracle_sql() -> dict[str, str]:
               FROM q
             ), lo
             ORDER BY host
+        """,
+        # eligibility (content shared by ≤ 8 hosts) applies to BOTH the
+        # pair counts and the per-host set sizes — boilerplate contents
+        # are excluded from the jaccard universe on both sides
+        "q_mirror_hosts": """
+            WITH hc AS (
+              SELECT DISTINCT
+                     l_suppkey % 60 AS host,
+                     CASE
+                       WHEN l_orderkey % 13 = 0
+                         THEN 999999000 + l_partkey % 3
+                       WHEN l_orderkey % 11 = 0
+                         THEN 100000000 + (l_suppkey % 60) * 1000000
+                              + l_partkey % 23
+                       ELSE (CASE WHEN l_suppkey % 60 < 40
+                                  THEN (l_suppkey % 60) // 2
+                                  ELSE l_suppkey % 60 END) * 100000
+                            + l_partkey % 97
+                     END AS content
+              FROM lineitem
+            ),
+            ok AS (
+              SELECT content FROM hc
+              GROUP BY content HAVING count(*) <= 8
+            ),
+            el AS (SELECT hc.* FROM hc JOIN ok USING (content)),
+            sz AS (SELECT host, CAST(count(*) AS BIGINT) AS n
+                   FROM el GROUP BY host),
+            p AS (
+              SELECT a.host AS host_a, b.host AS host_b,
+                     CAST(count(*) AS BIGINT) AS shared
+              FROM el a JOIN el b
+                ON a.content = b.content AND a.host < b.host
+              GROUP BY a.host, b.host
+            )
+            SELECT host_a, host_b, shared,
+                   na.n AS n_a, nb.n AS n_b, jaccard
+            FROM (
+              SELECT p.*,
+                     round(CAST(shared AS DOUBLE)
+                           / (na2.n + nb2.n - shared), 6) AS jaccard
+              FROM p JOIN sz na2 ON na2.host = p.host_a
+                     JOIN sz nb2 ON nb2.host = p.host_b
+            ) p2
+            JOIN sz na ON na.host = p2.host_a
+            JOIN sz nb ON nb.host = p2.host_b
+            WHERE jaccard >= 0.5
+            ORDER BY host_a, host_b
+        """,
+        "q_url_trap": """
+            WITH urls AS (
+              SELECT l_orderkey % 100 AS host,
+                     CASE WHEN (l_orderkey % 100) % 10 = 0
+                          THEN (l_orderkey % 100) * 1000 + l_partkey % 8
+                          ELSE 1000000 + l_orderkey * 10 + l_linenumber
+                     END AS content,
+                     CASE WHEN (l_orderkey % 100) % 10 = 0
+                          THEN 1 + l_orderkey % 12
+                          ELSE 1 + l_orderkey % 4 END AS depth
+              FROM lineitem
+            )
+            SELECT host,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT content) AS BIGINT) AS n_content,
+                   round(1.0 - CAST(count(DISTINCT content) AS DOUBLE)
+                         / count(*), 6) AS dup_ratio,
+                   CAST(max(depth) AS BIGINT) AS max_depth,
+                   CAST(round(1.0 - CAST(count(DISTINCT content) AS DOUBLE)
+                              / count(*), 6) > 0.5 AS BIGINT) AS is_trap
+            FROM urls
+            GROUP BY host
+            ORDER BY host
+        """,
+        # depth-capped recursive CTE; the cap (80) exceeds the graph's
+        # structural depth bound (≤ 64), so min(depth) is exact
+        "q_crawl_depth": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT o_orderkey % 4096 AS src,
+                       (o_orderkey % 4096) // 64 * 64
+                         + ((o_orderkey % 4096) + 1) % 64 AS dst
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 4096,
+                       ((o_orderkey % 4096) * 5 + 1) % 4096
+                FROM orders WHERE o_orderkey % 3 = 0
+              )
+            ),
+            s AS (SELECT DISTINCT (o_orderkey % 4096) // 64 * 64 AS node
+                  FROM orders),
+            d(node, depth) AS (
+              SELECT node, 0 FROM s
+              UNION
+              SELECT e.dst, d.depth + 1
+              FROM d JOIN e ON e.src = d.node WHERE d.depth < 80
+            )
+            SELECT node, CAST(min(depth) AS BIGINT) AS depth
+            FROM d GROUP BY node ORDER BY node
         """,
     }

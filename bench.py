@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "q_trigram_search",
     "q_image_dedup_collapse",
     "q_recrawl_schedule",
+    "q_mirror_hosts",
+    "q_crawl_depth",
 ]
 
 

@@ -1671,3 +1671,69 @@ def test_spec_cdc_and_bigram_ops(ray_session):
     ).to_pandas()
     assert {"doc_id", "n_bigrams", "lm_score"} <= set(lm.columns)
     assert (lm["lm_score"] <= 0).all()
+
+
+def test_bfs_depth_paths_agree_and_semantics(ray_session):
+    """bfs_depth: driver and broadcast paths return identical depths;
+    depths are true shortest-hop counts (a shortcut beats the chain);
+    unreachable nodes are omitted; edge-only seeds still appear at 0."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import bfs_depth
+
+    # chain 0→1→…→6 plus shortcut 0→5; island 50→51 (unreachable);
+    # seed 99 touches no edge (still depth 0 in the output)
+    edges = pd.DataFrame({
+        "src": np.array([0, 1, 2, 3, 4, 5, 0, 50], dtype="int64"),
+        "dst": np.array([1, 2, 3, 4, 5, 6, 5, 51], dtype="int64")})
+    expect = {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 1, 6: 2, 99: 0}
+    for parts in (1, 3):
+        ds = rd.from_pandas(edges).repartition(parts)
+        drv = (bfs_depth(ds, [0, 99]).to_pandas()
+               .set_index("node")["depth"].to_dict())
+        bc = (bfs_depth(ds, [0, 99], driver_edges_max=0).to_pandas()
+              .set_index("node")["depth"].to_dict())
+        assert drv == expect
+        assert bc == expect
+
+
+def test_bfs_depth_guards(ray_session):
+    """Empty seed set raises; max_iter exhaustion on the broadcast
+    path raises instead of returning silently-wrong depths."""
+    import pytest as _pytest
+
+    from web_crawler_ray.stages.graph import bfs_depth
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [0, 1, 2, 3], "dst": [1, 2, 3, 4]}))
+    with _pytest.raises(ValueError, match="empty seed"):
+        bfs_depth(edges, [])
+    with _pytest.raises(RuntimeError, match="no convergence"):
+        bfs_depth(edges, [0], driver_edges_max=0, max_iter=2)
+
+
+def test_mirror_hosts_exact_sets(ray_session):
+    """mirror_hosts on hand-built sets: jaccard values exact, the
+    boilerplate cap excludes over-shared contents from pairs AND set
+    sizes, sub-threshold pairs are dropped."""
+    import numpy as np
+
+    from web_crawler_ray.stages.dedup import mirror_hosts
+
+    rows = []
+    # hosts 1 & 2: contents {10,11,12,13} vs {10,11,12,14} → J = 3/5
+    rows += [(1, c) for c in (10, 11, 12, 13)]
+    rows += [(2, c) for c in (10, 11, 12, 14)]
+    # host 3 shares one content with host 1 → J = 1/7 (dropped at 0.5)
+    rows += [(3, c) for c in (13, 30, 31, 32)]
+    # boilerplate content 999 on every host incl. 4 & 5 (cap = 3 hosts)
+    rows += [(h, 999) for h in (1, 2, 3, 4, 5)]
+    df = pd.DataFrame(rows, columns=["host", "content"]).astype("int64")
+    out = (mirror_hosts(rd.from_pandas(df).repartition(3),
+                        min_jaccard=0.5, max_hosts_per_content=3)
+           .to_pandas().sort_values(["host_a", "host_b"])
+           .reset_index(drop=True))
+    assert out[["host_a", "host_b"]].values.tolist() == [[1, 2]]
+    assert out.loc[0, "shared"] == 3
+    assert out.loc[0, "n_a"] == 4 and out.loc[0, "n_b"] == 4  # no 999
+    assert out.loc[0, "jaccard"] == 0.6

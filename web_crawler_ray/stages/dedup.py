@@ -532,3 +532,103 @@ def apply_changes(base_ds, changes_ds, id_col: str = "doc_id",
 
     return partitioned_apply(both, [id_col], resolve,
                              num_partitions=num_partitions)
+
+
+def mirror_hosts(ds, host_col: str = "host", content_col: str = "content",
+                 min_jaccard: float = 0.5, max_hosts_per_content: int = 32,
+                 num_partitions: int = 32, ndigits: int = 6):
+    """Mirror-host detection (Bharat et al. 2000, "Mirror, mirror on
+    the Web: a study of host pairs with replicated content"): host
+    pairs whose DISTINCT content sets overlap with Jaccard ≥
+    ``min_jaccard`` are candidate mirrors a crawl frontier should
+    collapse to one fetch stream. Reference capability analogue: the
+    source-union dedup of `pacong/data/processor.py:349-361`, lifted
+    from row identity to host-level set similarity.
+
+    Scale shape: one exchange produces distinct (host, content) with a
+    map-side combiner; a content-keyed partition pass enumerates host
+    pairs per content via size-class triu — contents shared by more
+    than ``max_hosts_per_content`` hosts are boilerplate (404 pages,
+    parked-domain templates) and are EXCLUDED from both the pair
+    counts and the per-host set sizes, which also bounds the quadratic
+    fan-out per content; pair partials reduce in a second exchange
+    keyed (host_a, host_b) — bounded by the CANDIDATE pair count
+    (hosts actually sharing content), never hosts². Per-host set
+    sizes are a host-count-sized side table broadcast into the final
+    jaccard map. Nothing all-pairs, nothing corpus-sized on the
+    driver.
+
+    Returns a Dataset of (host_a, host_b, shared, n_a, n_b, jaccard)
+    with host_a < host_b; jaccard rounded at ``ndigits`` (SQL-replay
+    precision contract)."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.rounding import sql_round
+
+    distinct = partitioned_drop_duplicates(
+        ds.select_columns([host_col, content_col]),
+        [host_col, content_col], num_partitions, pre_dedup=True)
+
+    def per_content(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values([content_col, host_col], kind="mergesort")
+        keys = part[content_col].to_numpy()
+        hosts = part[host_col].to_numpy()
+        # row-level eligibility: group sizes per row (sorted layout)
+        _, counts = np.unique(keys, return_counts=True)
+        ok = np.repeat(counts <= max_hosts_per_content, counts)
+        frames = []
+        if ok.any():  # per-host set-size partials over eligible rows
+            vc = pd.Series(hosts[ok]).value_counts(sort=False)
+            frames.append(pd.DataFrame({
+                "host_a": vc.index.to_numpy(),
+                "host_b": np.full(len(vc), -1, dtype="int64"),
+                "n": vc.to_numpy().astype("int64")}))
+        ia, ib = grouped_triu(keys, max_size=max_hosts_per_content)
+        if len(ia):
+            pc = (pd.DataFrame({"host_a": hosts[ia], "host_b": hosts[ib]})
+                  .groupby(["host_a", "host_b"], sort=False).size()
+                  .rename("n").reset_index())
+            frames.append(pc)
+        if not frames:
+            return pd.DataFrame({"host_a": pd.Series([], dtype="int64"),
+                                 "host_b": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    tagged = partitioned_apply(distinct, [content_col], per_content,
+                               num_partitions)
+
+    def sum_part(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby(["host_a", "host_b"], sort=True)["n"].sum()
+                .reset_index())
+
+    summed = partitioned_apply(tagged, ["host_a", "host_b"], sum_part,
+                               num_partitions).materialize()
+
+    sizes = summed.filter(expr="host_b == -1").to_pandas()  # host-sized
+    size_ref = ray.put(dict(zip(sizes["host_a"].astype("int64"),
+                                sizes["n"].astype("int64"))))
+
+    def jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch["host_b"] != -1]
+        if not len(batch):
+            return pd.DataFrame({
+                "host_a": pd.Series([], dtype="int64"),
+                "host_b": pd.Series([], dtype="int64"),
+                "shared": pd.Series([], dtype="int64"),
+                "n_a": pd.Series([], dtype="int64"),
+                "n_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        sz = ray.get(size_ref)
+        na = batch["host_a"].map(sz).to_numpy(np.int64)
+        nb = batch["host_b"].map(sz).to_numpy(np.int64)
+        sh = batch["n"].to_numpy(np.int64)
+        j = sql_round(pd.Series(sh / (na + nb - sh)), ndigits).to_numpy()
+        out = pd.DataFrame({
+            "host_a": batch["host_a"].to_numpy(np.int64),
+            "host_b": batch["host_b"].to_numpy(np.int64),
+            "shared": sh, "n_a": na, "n_b": nb, "jaccard": j})
+        return out[out["jaccard"] >= min_jaccard]
+
+    return summed.map_batches(jaccard, batch_format="pandas")

@@ -987,3 +987,112 @@ def label_propagation(edges_ds, id_a: str, id_b: str, iterations: int = 2,
             {"node": b["key"].to_numpy().astype("int64"),
              "label": b["lab"].to_numpy().astype("int64")}),
         batch_format="pandas").repartition(num_partitions)
+
+
+def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
+              max_iter: int = 100, driver_edges_max: int = 2_000_000):
+    """Unweighted shortest-hop depth from a seed set over a DIRECTED
+    edge list — the crawl-depth computation: seeds are depth 0, every
+    reachable node's depth is the minimum over in-neighbours of
+    depth+1, unreachable nodes are omitted. Reference capability
+    analogue: the BFS frontier rounds of the crawl driver
+    (`pacong/core/engine.py` run loop), recast as a graph measurement
+    over an already-harvested link table (what "crawl depth ≤ k"
+    budget policies and seed-set audits consume).
+
+    Dual path, gated by edge count like :func:`connected_components`:
+
+    * **driver** (≤ ``driver_edges_max`` edges): the 2-column int64
+      edge table is pulled once and relaxed with vectorized
+      ``np.minimum.at`` scatter rounds — exact, ZERO per-round Dataset
+      executions, rounds bounded by the true depth.
+    * **broadcast** (past the gate): the (nodes, depth) arrays are
+      node-sized driver state broadcast via the object store; each
+      round is ONE streaming map pass over the edges emitting
+      batch-local (dst, candidate-depth) minima — the edge list never
+      lands on the driver. Raises if ``max_iter`` rounds exhaust
+      without convergence (an unconverged depth table is silently
+      wrong, not an approximation).
+
+    Returns a Dataset of (node:int64, depth:int64), reachable nodes
+    only; small callers add ``.to_pandas()`` at the query layer."""
+    import ray
+    import ray.data as rd
+
+    seeds = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    if not len(seeds):
+        raise ValueError("bfs_depth: empty seed set")
+    INF = np.iinfo(np.int64).max
+
+    if edges_ds.count() <= driver_edges_max:
+        pdf = edges_ds.select_columns([src, dst]).to_pandas()
+        a = pdf[src].to_numpy(np.int64)
+        b = pdf[dst].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([a, b, seeds]))
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        depth = np.full(len(nodes), INF, dtype=np.int64)
+        depth[np.searchsorted(nodes, seeds)] = 0
+        # min-relaxation to fixpoint: each non-converged round extends
+        # every shortest path by ≥1 hop, so rounds ≤ max finite depth
+        for _ in range(len(nodes) + 2):
+            known = depth[ia] != INF
+            new = depth.copy()
+            np.minimum.at(new, ib[known], depth[ia[known]] + 1)
+            if np.array_equal(new, depth):
+                break
+            depth = new
+        else:  # unreachable by the depth bound; fail loudly, not wrong
+            raise RuntimeError("bfs_depth(driver path): no convergence "
+                               "within the depth bound")
+        keep = depth != INF
+        return rd.from_pandas(pd.DataFrame({
+            "node": nodes[keep].astype("int64"),
+            "depth": depth[keep].astype("int64")}))
+
+    # node set: batch-local uniques → node-sized driver union
+    parts = edges_ds.map_batches(
+        lambda bt: pd.DataFrame(
+            {"n": pd.unique(pd.concat([bt[src], bt[dst]]))}),
+        batch_format="pandas").to_pandas()
+    nodes = np.unique(np.concatenate(
+        [pd.unique(parts["n"]).astype(np.int64), seeds]))
+    depth = np.full(len(nodes), INF, dtype=np.int64)
+    depth[np.searchsorted(nodes, seeds)] = 0
+
+    converged = False
+    for _ in range(max_iter):
+        ref = ray.put((nodes, depth))
+
+        def step(batch: pd.DataFrame) -> pd.DataFrame:
+            ns, dp = ray.get(ref)
+            a = batch[src].to_numpy(np.int64)
+            b = batch[dst].to_numpy(np.int64)
+            da = dp[np.searchsorted(ns, a)]
+            known = da != INF
+            if not known.any():
+                return pd.DataFrame({"n": pd.Series([], dtype="int64"),
+                                     "d": pd.Series([], dtype="int64")})
+            return (pd.DataFrame({"n": b[known], "d": da[known] + 1})
+                    .groupby("n", sort=False)["d"].min().reset_index())
+
+        part = edges_ds.map_batches(step, batch_format="pandas").to_pandas()
+        new = depth.copy()
+        if len(part):
+            mins = part.groupby("n")["d"].min()
+            idx = np.searchsorted(nodes, mins.index.to_numpy())
+            np.minimum.at(new, idx, mins.to_numpy())
+        if np.array_equal(new, depth):
+            converged = True
+            break
+        depth = new
+
+    if not converged:
+        raise RuntimeError(
+            f"bfs_depth: no convergence after {max_iter} rounds — a "
+            f"shortest path exceeds max_iter hops; raise max_iter "
+            f"(depths would be silently wrong)")
+    keep = depth != INF
+    return rd.from_pandas(pd.DataFrame({
+        "node": nodes[keep].astype("int64"),
+        "depth": depth[keep].astype("int64")}))
