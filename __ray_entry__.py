@@ -5174,6 +5174,281 @@ def q_url_trap(sf_dir: str):
     return out.sort_values("host", kind="mergesort").reset_index(drop=True)
 
 
+def q_dust_rules(sf_dir: str):
+    """DUST rule mining (Bar-Yossef et al. 2007, "Do not crawl in the
+    DUST: different URLs with similar text"): per (host, url-param),
+    decide whether the param is REMOVABLE — i.e. content is a pure
+    function of the base URL within that param's URL set, so the
+    canonicalizer may strip it and the frontier stops fetching
+    aliases. URLs derive from lineitem (base = orderkey, param =
+    linenumber % 3, value = partkey % 5); session-id and sort params
+    leave content base-determined, the page param does not. The
+    content id encodes (base, value) injectively, so distinct-pair
+    counting reduces to distinct-content counting on both sides.
+    Engine: one raw counting pass + two distinct exchanges with
+    map-side combiners, all folding in a single (host, param)-keyed
+    combine — the same shape as q_url_trap, never row-wise."""
+    from web_crawler_ray.stages.grouped import (partitioned_apply,
+                                                partitioned_drop_duplicates)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["l_orderkey"].to_numpy(np.int64)
+        ln = b["l_linenumber"].to_numpy(np.int64)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        param = ln % 3
+        return pd.DataFrame({
+            "host": b["l_suppkey"].to_numpy(np.int64) % 20,
+            "param": param,
+            "base": ok,
+            "content": np.where(param == 2, ok * 10 + pk % 5, ok * 10),
+        })
+
+    urls = rd.read_parquet(
+        _t(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+    ).map_batches(derive, batch_format="pandas").materialize()
+
+    def partial(col: str, out: str):
+        def count(b: pd.DataFrame) -> pd.DataFrame:
+            g = b.groupby(["host", "param"], sort=False).size()
+            f = g.reset_index().rename(columns={0: out})
+            for other in ("n_urls", "n_base", "n_pairs"):
+                if other != out:
+                    f[other] = np.int64(0)
+            return f[["host", "param", "n_urls", "n_base", "n_pairs"]]
+        return count
+
+    tagged = (
+        urls.map_batches(partial("", "n_urls"), batch_format="pandas")
+        .union(partitioned_drop_duplicates(
+            urls.select_columns(["host", "param", "base"]),
+            ["host", "param", "base"], pre_dedup=True,
+        ).map_batches(partial("", "n_base"), batch_format="pandas"))
+        .union(partitioned_drop_duplicates(
+            urls.select_columns(["host", "param", "content"]),
+            ["host", "param", "content"], pre_dedup=True,
+        ).map_batches(partial("", "n_pairs"), batch_format="pandas")))
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["host", "param"], sort=True).sum().reset_index()
+        return pd.DataFrame({
+            "host": g["host"].to_numpy(np.int64),
+            "param": g["param"].to_numpy(np.int64),
+            "n_urls": g["n_urls"].to_numpy(np.int64),
+            "n_base": g["n_base"].to_numpy(np.int64),
+            "n_pairs": g["n_pairs"].to_numpy(np.int64),
+            "removable": (g["n_pairs"].to_numpy(np.int64)
+                          == g["n_base"].to_numpy(np.int64)).astype(np.int64),
+        })
+
+    out = partitioned_apply(tagged, ["host", "param"], combine).to_pandas()
+    return (out.sort_values(["host", "param"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_resolve_redirects(sf_dir: str):
+    """Redirect-chain canonicalization: follow each URL's redirect to
+    its terminal target with the hop count — the alias table a frontier
+    consults so a redirected URL is charged to its final location
+    (reference analogue: per-fetch redirect following in pacong's HTTP
+    session, lifted to a set-at-once table). Redirects derive from
+    orders: src = o_orderkey; every 97th key self-redirects, the rest
+    hop to o_orderkey // 8 (strictly decreasing ⇒ acyclic, chains up
+    to ~log8(maxkey) ≈ 6 deep at sf0.01). Engine: pointer doubling in
+    `graph.resolve_redirects` — O(log chain) rounds, driver numpy
+    under a row gate, distributed co-partitioned self-join past it.
+    Oracle: depth-unbounded recursive CTE (safe: self-loops are not
+    followed)."""
+    from web_crawler_ray.stages.graph import resolve_redirects
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "src": ok, "dst": np.where(ok % 97 == 0, ok, ok // 8)})
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    out = resolve_redirects(
+        ds.map_batches(derive, batch_format="pandas")).to_pandas()
+    return out.sort_values("src", kind="mergesort").reset_index(drop=True)
+
+
+def q_link_reciprocity(sf_dir: str):
+    """Link reciprocity audit over the harvested host graph: the share
+    of directed edges whose reverse edge also exists, per source
+    bucket — a standard web-graph health metric (high reciprocity ⇒
+    link farms / mirror rings; genuine webgraph reciprocity is low).
+    Edges derive from lineitem (src = l_partkey % 300, dst =
+    l_suppkey % 300, self-loops dropped, distinct). Engine: one
+    distinct-pair exchange, then ONE canonical-(lo,hi)-keyed exchange
+    where a pair group of size 2 marks both directions reciprocal —
+    never an all-pairs probe; bucket counts fold map-side."""
+    from web_crawler_ray.stages.grouped import (partitioned_apply,
+                                                partitioned_drop_duplicates)
+
+    def derive(b: pd.DataFrame) -> pd.DataFrame:
+        src = b["l_partkey"].to_numpy(np.int64) % 300
+        dst = b["l_suppkey"].to_numpy(np.int64) % 300
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = partitioned_drop_duplicates(
+        rd.read_parquet(_t(sf_dir, "lineitem"),
+                        columns=["l_partkey", "l_suppkey"])
+        .map_batches(derive, batch_format="pandas"),
+        ["src", "dst"], pre_dedup=True)
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["src"].to_numpy(np.int64)
+        d = b["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(s, d), "hi": np.maximum(s, d),
+                             "src": s})
+
+    def per_pair(part: pd.DataFrame) -> pd.DataFrame:
+        # edges are distinct, so a (lo, hi) group holds ≤ 2 rows —
+        # exactly 2 ⟺ both directions exist ⟺ each edge reciprocal
+        sz = part.groupby(["lo", "hi"], sort=False)["src"].transform("size")
+        g = (pd.DataFrame({"bucket": part["src"].to_numpy(np.int64) % 10,
+                           "recip": (sz.to_numpy() == 2).astype(np.int64)})
+             .groupby("bucket", sort=False)
+             .agg(n_edges=("recip", "size"), n_recip=("recip", "sum")))
+        return g.reset_index()
+
+    parts = partitioned_apply(
+        edges.map_batches(canon, batch_format="pandas"), ["lo", "hi"],
+        per_pair).to_pandas()
+    g = parts.groupby("bucket", sort=True).sum().reset_index()
+    return pd.DataFrame({
+        "bucket": g["bucket"].to_numpy(np.int64),
+        "n_edges": g["n_edges"].to_numpy(np.int64),
+        "n_recip": g["n_recip"].to_numpy(np.int64),
+        "reciprocity": (g["n_recip"].to_numpy(np.float64)
+                        / g["n_edges"].to_numpy(np.float64)).round(6),
+    })
+
+
+def q_host_templates(sf_dir: str):
+    """Per-host template (boilerplate) n-gram mining: token bigrams
+    present in ≥ 10 % of a host's documents — the signal a boilerplate
+    stripper or template-aware dedup consumes (nav bars, footers, and
+    injected template text repeat across a host's pages). Host =
+    doc_id % 8. Engine: doc_ids are unique corpus-wide, so per-batch
+    per-doc bigram dedup IS globally distinct — one (host, bigram)
+    counting exchange with map-side combiners plus an 8-row host-total
+    merge; text never shuffles."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+    from web_crawler_ray.stages.text_rank import TOK_RE
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        host = b["doc_id"].to_numpy(np.int64) % 8
+        toks = [TOK_RE.findall((t or "").lower()) for t in b["text"]]
+        lens = np.array([len(t) for t in toks], dtype=np.int64)
+        if lens.sum() == 0:
+            return pd.DataFrame({"host": pd.Series([], dtype="int64"),
+                                 "bigram": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype="int64")})
+        flat = np.concatenate(
+            [np.asarray(t, dtype=object) for t in toks if t])
+        doc_pos = np.repeat(np.arange(len(lens)), lens)
+        same = doc_pos[:-1] == doc_pos[1:]
+        df = pd.DataFrame({"host": host[doc_pos[:-1][same]],
+                           "doc": doc_pos[:-1][same],
+                           "bigram": (flat[:-1] + " " + flat[1:])[same]})
+        per_doc = df.drop_duplicates(["doc", "bigram"])
+        vc = (per_doc.groupby(["host", "bigram"], sort=False)
+              .size().rename("n_docs").reset_index())
+        return vc
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"]).materialize()
+    totals = ds.map_batches(
+        lambda b: (pd.DataFrame(
+            {"host": b["doc_id"].to_numpy(np.int64) % 8})
+            .groupby("host", sort=False).size().rename("n").reset_index()),
+        batch_format="pandas").to_pandas().groupby("host")["n"].sum()
+
+    totals_map = totals.to_dict()  # ≤ 8 hosts, shipped in the closure
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = (part.groupby(["host", "bigram"], sort=True)["n_docs"]
+             .sum().reset_index())
+        n_total = g["host"].map(totals_map).to_numpy(np.int64)
+        ratio = g["n_docs"].to_numpy(np.float64) / n_total
+        keep = ratio >= 0.10  # filter INSIDE the exchange: only
+        return pd.DataFrame({  # template rows ever reach the driver
+            "host": g["host"].to_numpy(np.int64)[keep],
+            "bigram": g["bigram"].to_numpy(object)[keep],
+            "n_docs": g["n_docs"].to_numpy(np.int64)[keep],
+            "n_total": n_total[keep],
+            "ratio": ratio[keep].round(6)})
+
+    out = partitioned_apply(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["host", "bigram"], combine).to_pandas()
+    return (out.sort_values(["host", "bigram"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_robots_audit(sf_dir: str):
+    """Robots longest-prefix-match audit (RFC 9309 rule precedence:
+    the most specific — longest — matching rule wins): per (host,
+    winning rule) URL counts, the report a crawl operator reads to see
+    what each robots rule actually gates. URLs derive from orders
+    (host = o_custkey % 8, path = '/<seg1>/<seg2>' from orderkey
+    residues); the rule table is the deterministic 3-tier set every
+    host carries ('/' allow, '/private' disallow, and on even hosts
+    the override '/private/pub' allow). Engine: the ~20-row rule table
+    is broadcast once via ray.put and matched VECTORIZED per batch
+    (one startswith pass per rule, argmax on match length); per-URL
+    decisions fold into (host, rule) counting partials map-side —
+    zero shuffles beyond the one tiny combine."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    rules = []  # (host, prefix, allow)
+    for h in range(8):
+        rules.append((h, "/", 1))
+        rules.append((h, "/private", 0))
+        if h % 2 == 0:
+            rules.append((h, "/private/pub", 1))
+    rules_ref = ray.put(rules)
+
+    seg1 = np.array(["private", "item", "docs"], dtype=object)
+    seg2 = np.array(["pub", "p1", "p2", "p3", "p4"], dtype=object)
+
+    def match(b: pd.DataFrame) -> pd.DataFrame:
+        rl = ray.get(rules_ref)
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        host = b["o_custkey"].to_numpy(np.int64) % 8
+        path = ("/" + seg1[ok % 3] + "/" + seg2[ok % 5]).astype(object)
+        best_len = np.full(len(b), -1, dtype=np.int64)
+        best_rule = np.empty(len(b), dtype=object)
+        best_allow = np.zeros(len(b), dtype=np.int64)
+        spath = pd.Series(path)
+        for rh, pref, allow in rl:
+            hit = ((host == rh) & spath.str.startswith(pref).to_numpy()
+                   & (len(pref) > best_len))
+            best_len[hit] = len(pref)
+            best_rule[hit] = pref
+            best_allow[hit] = allow
+        return (pd.DataFrame({"host": host, "rule": best_rule,
+                              "allow": best_allow})
+                .groupby(["host", "rule", "allow"], sort=False)
+                .size().rename("n_urls").reset_index())
+
+    parts = rd.read_parquet(
+        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(match, batch_format="pandas")
+
+    def combine(part: pd.DataFrame) -> pd.DataFrame:
+        return (part.groupby(["host", "rule", "allow"], sort=True)["n_urls"]
+                .sum().reset_index())
+
+    out = partitioned_apply(parts, ["host", "rule"], combine).to_pandas()
+    out = out.astype({"host": "int64", "allow": "int64", "n_urls": "int64"})
+    return (out[["host", "rule", "allow", "n_urls"]]
+            .sort_values(["host", "rule"], kind="mergesort")
+            .reset_index(drop=True))
+
+
 def q_crawl_depth(sf_dir: str):
     """Crawl-depth audit: shortest hop count from the seed set over
     the harvested link graph (what a depth-≤-k crawl budget or a
@@ -5458,6 +5733,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mirror_hosts": q_mirror_hosts,
         "q_url_trap": q_url_trap,
         "q_crawl_depth": q_crawl_depth,
+        "q_dust_rules": q_dust_rules,
+        "q_resolve_redirects": q_resolve_redirects,
+        "q_link_reciprocity": q_link_reciprocity,
+        "q_host_templates": q_host_templates,
+        "q_robots_audit": q_robots_audit,
     }
 
 
@@ -8180,5 +8460,127 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(depth) AS BIGINT) AS depth
             FROM d GROUP BY node ORDER BY node
+        """,
+        # content encodes (base, value) injectively, so the distinct
+        # (base, content) pair count IS the distinct content count
+        "q_dust_rules": """
+            WITH u AS (
+              SELECT l_suppkey % 20 AS host,
+                     CAST(l_linenumber % 3 AS BIGINT) AS param,
+                     l_orderkey AS base,
+                     CASE WHEN l_linenumber % 3 = 2
+                          THEN l_orderkey * 10 + l_partkey % 5
+                          ELSE l_orderkey * 10 END AS content
+              FROM lineitem
+            )
+            SELECT host, param,
+                   CAST(count(*) AS BIGINT) AS n_urls,
+                   CAST(count(DISTINCT base) AS BIGINT) AS n_base,
+                   CAST(count(DISTINCT content) AS BIGINT) AS n_pairs,
+                   CAST(count(DISTINCT content) = count(DISTINCT base)
+                        AS BIGINT) AS removable
+            FROM u
+            GROUP BY host, param
+            ORDER BY host, param
+        """,
+        # acyclic by construction (dst < src except self-redirects,
+        # which the recursion never follows), so the CTE terminates
+        "q_resolve_redirects": """
+            WITH RECURSIVE r AS (
+              SELECT o_orderkey AS src,
+                     CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey
+                          ELSE o_orderkey // 8 END AS dst
+              FROM orders
+            ), chase(src, target, n_hops) AS (
+              SELECT src, dst, 1 FROM r
+              UNION ALL
+              SELECT c.src, x.dst, c.n_hops + 1
+              FROM chase c JOIN r x
+                ON c.target = x.src AND x.dst <> x.src
+            )
+            SELECT CAST(c.src AS BIGINT) AS src,
+                   CAST(c.target AS BIGINT) AS target,
+                   CAST(c.n_hops AS BIGINT) AS n_hops
+            FROM chase c
+            WHERE NOT EXISTS (SELECT 1 FROM r x
+                              WHERE x.src = c.target
+                                AND x.dst <> x.src)
+            ORDER BY src
+        """,
+        # edges are DISTINCT, so the reverse-probe left join matches
+        # at most one row per edge
+        "q_link_reciprocity": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey % 300 AS src,
+                              l_suppkey % 300 AS dst
+              FROM lineitem
+              WHERE l_partkey % 300 <> l_suppkey % 300
+            )
+            SELECT CAST(e.src % 10 AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(count(r.src) AS BIGINT) AS n_recip,
+                   round(count(r.src) * 1.0 / count(*), 6) AS reciprocity
+            FROM e LEFT JOIN e r ON r.src = e.dst AND r.dst = e.src
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_host_templates": r"""
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS host,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT DISTINCT doc_id, host,
+                     unnest(CASE WHEN len(toks) >= 2 THEN
+                       [toks[i] || ' ' || toks[i+1]
+                        FOR i IN range(1, len(toks))]
+                       ELSE CAST([] AS VARCHAR[]) END) AS bigram
+              FROM t
+            ), tot AS (
+              SELECT doc_id % 8 AS host, count(*) AS n_total
+              FROM documents GROUP BY 1
+            )
+            SELECT bg.host, bg.bigram,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(any_value(tot.n_total) AS BIGINT) AS n_total,
+                   round(count(*) * 1.0 / any_value(tot.n_total), 6)
+                     AS ratio
+            FROM bg JOIN tot ON tot.host = bg.host
+            GROUP BY bg.host, bg.bigram
+            HAVING count(*) * 1.0 / any_value(tot.n_total) >= 0.10
+            ORDER BY bg.host, bg.bigram
+        """,
+        # longest matching prefix wins (RFC 9309 precedence); prefix
+        # lengths are distinct by construction so the winner is unique
+        "q_robots_audit": """
+            WITH u AS (
+              SELECT o_orderkey AS uid, o_custkey % 8 AS host,
+                     '/' || CASE o_orderkey % 3
+                              WHEN 0 THEN 'private' WHEN 1 THEN 'item'
+                              ELSE 'docs' END
+                         || '/' || CASE o_orderkey % 5
+                              WHEN 0 THEN 'pub' WHEN 1 THEN 'p1'
+                              WHEN 2 THEN 'p2' WHEN 3 THEN 'p3'
+                              ELSE 'p4' END AS path
+              FROM orders
+            ), r AS (
+              SELECT h.host, pr.prefix, pr.allow
+              FROM (SELECT unnest(range(0, 8)) AS host) h,
+                   (VALUES ('/', 1), ('/private', 0),
+                           ('/private/pub', 1)) pr(prefix, allow)
+              WHERE pr.prefix <> '/private/pub' OR h.host % 2 = 0
+            ), m AS (
+              SELECT u.host, u.uid, r.prefix AS rule, r.allow,
+                     row_number() OVER (
+                       PARTITION BY u.host, u.uid
+                       ORDER BY length(r.prefix) DESC) AS rn
+              FROM u JOIN r ON r.host = u.host
+                           AND starts_with(u.path, r.prefix)
+            )
+            SELECT CAST(host AS BIGINT) AS host, rule,
+                   CAST(allow AS BIGINT) AS allow,
+                   CAST(count(*) AS BIGINT) AS n_urls
+            FROM m WHERE rn = 1
+            GROUP BY host, rule, allow
+            ORDER BY host, rule
         """,
     }

@@ -117,6 +117,11 @@ BENCH_QUERIES = [
     "q_recrawl_schedule",
     "q_mirror_hosts",
     "q_crawl_depth",
+    "q_dust_rules",
+    "q_resolve_redirects",
+    "q_link_reciprocity",
+    "q_host_templates",
+    "q_robots_audit",
 ]
 
 

@@ -1737,3 +1737,84 @@ def test_mirror_hosts_exact_sets(ray_session):
     assert out.loc[0, "shared"] == 3
     assert out.loc[0, "n_a"] == 4 and out.loc[0, "n_b"] == 4  # no 999
     assert out.loc[0, "jaccard"] == 0.6
+
+
+def test_resolve_redirects_paths_agree(ray_session):
+    """resolve_redirects: driver and join paths return identical
+    terminal targets and hop counts on chains, branches-into-shared
+    tails, self-redirects, and chain-ends-on-self-redirect."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import resolve_redirects
+
+    # chain 10→11→12→13 (13 terminal, not a source); 20→12 joins the
+    # tail; 30→30 self-redirect; 40→30 ends ON a self-redirect
+    red = pd.DataFrame({
+        "src": np.array([10, 11, 12, 20, 30, 40], dtype="int64"),
+        "dst": np.array([11, 12, 13, 12, 30, 30], dtype="int64")})
+    expect = {10: (13, 3), 11: (13, 2), 12: (13, 1), 20: (13, 2),
+              30: (30, 1), 40: (30, 1)}
+    for parts in (1, 3):
+        ds = rd.from_pandas(red).repartition(parts)
+        for kw in ({}, {"force_join_path": True, "num_partitions": 4}):
+            out = resolve_redirects(ds, **kw).to_pandas()
+            got = {int(r.src): (int(r.target), int(r.n_hops))
+                   for r in out.itertuples()}
+            assert got == expect, kw
+
+
+def test_resolve_redirects_guards(ray_session):
+    """Cycles raise on BOTH paths — including even-length cycles,
+    which pointer doubling collapses to fixpoints rather than failing
+    to converge; duplicate sources raise."""
+    import pytest as _pytest
+
+    from web_crawler_ray.stages.graph import resolve_redirects
+
+    for cyc in ([[1, 2], [2, 1]],                 # 2-cycle: converges fake
+                [[1, 2], [2, 3], [3, 1]],         # 3-cycle: never converges
+                [[0, 1], [1, 2], [2, 1]]):        # tail INTO a 2-cycle
+        ds = rd.from_pandas(pd.DataFrame(
+            {"src": [r[0] for r in cyc], "dst": [r[1] for r in cyc]}))
+        with _pytest.raises(RuntimeError, match="cycle"):
+            resolve_redirects(ds)
+        with _pytest.raises(RuntimeError, match="cycle"):
+            resolve_redirects(ds, force_join_path=True, num_partitions=2,
+                              max_iter=8)
+
+    dup = rd.from_pandas(pd.DataFrame({"src": [1, 1], "dst": [2, 3]}))
+    with _pytest.raises(ValueError, match="duplicate source"):
+        resolve_redirects(dup)
+    with _pytest.raises(Exception, match="duplicate source"):
+        resolve_redirects(dup, force_join_path=True,
+                          num_partitions=2).to_pandas()
+
+
+def test_resolve_redirects_random_vs_brute(ray_session):
+    """Pointer doubling equals brute-force chain following on seeded
+    random acyclic tables (dst < src ⇒ acyclic; a sprinkle of
+    self-redirects), including hop counts."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import resolve_redirects
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(1, 120))
+        srcs = rng.choice(np.arange(1, 500), size=n, replace=False)
+        dsts = np.array([s if s % 11 == 0 else int(rng.integers(0, s))
+                         for s in srcs], dtype=np.int64)
+        red = pd.DataFrame({"src": srcs.astype("int64"), "dst": dsts})
+        table = dict(zip(red["src"].tolist(), red["dst"].tolist()))
+        expect = {}
+        for s, d in table.items():
+            cur, hops = d, 1
+            while cur in table and table[cur] != cur:
+                cur, hops = table[cur], hops + 1
+            expect[s] = (cur, hops)
+        kw = ({"force_join_path": True, "num_partitions": 3}
+              if trial % 4 == 0 else {})
+        out = resolve_redirects(rd.from_pandas(red), **kw).to_pandas()
+        got = {int(r.src): (int(r.target), int(r.n_hops))
+               for r in out.itertuples()}
+        assert got == expect, (trial, kw)

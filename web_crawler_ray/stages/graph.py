@@ -1096,3 +1096,152 @@ def bfs_depth(edges_ds, seeds, src: str = "src", dst: str = "dst",
     return rd.from_pandas(pd.DataFrame({
         "node": nodes[keep].astype("int64"),
         "depth": depth[keep].astype("int64")}))
+
+
+def resolve_redirects(redirects_ds, src: str = "src", dst: str = "dst",
+                      max_iter: int = 64, num_partitions: int = 16,
+                      driver_edges_max: int = 2_000_000,
+                      force_join_path: bool = False):
+    """Redirect-chain resolution: follow src → dst hops to each
+    source's TERMINAL target (a node with no outgoing redirect),
+    counting hops — the canonicalizer table a frontier consults so an
+    alias URL is charged to its final location. Sources are unique by
+    contract (one redirect per URL; duplicated sources raise). A
+    self-redirect resolves to itself in one hop; longer cycles never
+    converge and raise loudly instead of returning wrong targets.
+    Reference capability analogue: per-fetch redirect following in
+    `pacong`'s HTTP session, lifted to a set-at-once table the
+    politeness/seen stages can consume.
+
+    Both paths run POINTER DOUBLING — round r resolves chains of
+    length ≤ 2^r, so rounds are O(log max-chain), not O(chain):
+
+    * **driver** (≤ ``driver_edges_max`` rows): two sorted numpy
+      arrays, each round one searchsorted + gather; hop counts double
+      by adding the jumped-through row's count.
+    * **join** (past the gate, or ``force_join_path=True``): the
+      resolve table stays a distributed Dataset; each round unions it
+      with itself as a lookup side and one coarse hash exchange
+      re-points every non-terminal row — no node-sized driver state.
+
+    Returns a Dataset of (src:int64, target:int64, n_hops:int64)."""
+    import ray.data as rd
+
+    n_rows = redirects_ds.count()
+    if not force_join_path and n_rows <= driver_edges_max:
+        pdf = redirects_ds.select_columns([src, dst]).to_pandas()
+        if not len(pdf):
+            return rd.from_pandas(pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"),
+                 "target": pd.Series([], dtype="int64"),
+                 "n_hops": pd.Series([], dtype="int64")}))
+        s = pdf[src].to_numpy(np.int64)
+        order = np.argsort(s, kind="mergesort")
+        s = s[order]
+        if len(s) > 1 and (s[1:] == s[:-1]).any():
+            raise ValueError("resolve_redirects: duplicate source URLs")
+        t = pdf[dst].to_numpy(np.int64)[order]
+        orig_t = t.copy()
+        hops = np.ones(len(s), dtype=np.int64)
+        bound = int(np.ceil(np.log2(max(len(s), 2)))) + 2
+        for _ in range(bound):
+            idx = np.searchsorted(s, t)
+            j = np.minimum(idx, len(s) - 1)
+            # jump through t when t is itself a source whose target
+            # moves; a current self-loop (t[j] == t) is a fixpoint
+            hit = (idx < len(s)) & (s[j] == t) & (t[j] != t)
+            if not hit.any():
+                break
+            t = np.where(hit, t[j], t)
+            hops = np.where(hit, hops + hops[j], hops)
+        else:
+            raise RuntimeError(
+                "resolve_redirects: no convergence within the doubling "
+                "bound — the redirect table contains a cycle")
+        # Even-length cycles collapse to fixpoints instead of failing
+        # to converge: every such node now points at itself without
+        # being an ORIGINAL self-redirect. Refuse to return them.
+        if ((t == s) & (orig_t != s)).any():
+            raise RuntimeError(
+                "resolve_redirects: the redirect table contains a cycle")
+        return rd.from_pandas(pd.DataFrame({
+            "src": s.astype("int64"), "target": t.astype("int64"),
+            "n_hops": hops.astype("int64")}))
+
+    from .grouped import partitioned_apply
+
+    resolve = redirects_ds.map_batches(
+        lambda b: pd.DataFrame({"s": b[src].to_numpy(np.int64),
+                                "t": b[dst].to_numpy(np.int64),
+                                "o": b[dst].to_numpy(np.int64),
+                                "h": np.ones(len(b), dtype=np.int64)}),
+        batch_format="pandas").repartition(num_partitions).materialize()
+
+    def jump(part: pd.DataFrame) -> pd.DataFrame:
+        look = part[part["side"] == 1]
+        ls = look["k"].to_numpy(np.int64)
+        o = np.argsort(ls, kind="mergesort")
+        ls, lt, lh = (ls[o], look["t"].to_numpy(np.int64)[o],
+                      look["h"].to_numpy(np.int64)[o])
+        if len(ls) > 1 and (ls[1:] == ls[:-1]).any():
+            raise ValueError("resolve_redirects: duplicate source URLs")
+        car = part[part["side"] == 0]
+        k = car["k"].to_numpy(np.int64)
+        h = car["h"].to_numpy(np.int64)
+        if len(ls):
+            idx = np.minimum(np.searchsorted(ls, k), len(ls) - 1)
+            hit = (ls[idx] == k) & (lt[idx] != k)  # self-loop = fixpoint
+            nt = np.where(hit, lt[idx], k)
+            nh = np.where(hit, h + lh[idx], h)
+            ch = hit
+        else:
+            nt, nh, ch = k, h, np.zeros(len(k), dtype=bool)
+        return pd.DataFrame({"s": car["s"].to_numpy(np.int64), "t": nt,
+                             "o": car["o"].to_numpy(np.int64),
+                             "h": nh, "ch": ch.astype(np.int64)})
+
+    converged = False
+    for _ in range(max_iter):
+        tagged = resolve.map_batches(
+            lambda b: pd.DataFrame({"k": b["t"], "s": b["s"], "t": b["t"],
+                                    "o": b["o"], "h": b["h"],
+                                    "side": np.zeros(len(b), dtype=np.int64)}),
+            batch_format="pandas").union(resolve.map_batches(
+                lambda b: pd.DataFrame(
+                    {"k": b["s"], "s": b["s"], "t": b["t"], "o": b["o"],
+                     "h": b["h"],
+                     "side": np.ones(len(b), dtype=np.int64)}),
+                batch_format="pandas"))
+        nxt = partitioned_apply(tagged, ["k"], jump,
+                                num_partitions).materialize()
+        changed = int(nxt.map_batches(
+            lambda b: pd.DataFrame({"c": [int(b["ch"].sum())]}),
+            batch_format="pandas").sum("c") or 0)
+        resolve = nxt.map_batches(
+            lambda b: b[["s", "t", "o", "h"]],
+            batch_format="pandas").repartition(
+            num_partitions).materialize()  # zero-column-block note above
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"resolve_redirects: no convergence after {max_iter} doubling "
+            f"rounds — the redirect table contains a cycle")
+    # Even-length cycles collapse to fixpoints and converge: nodes now
+    # point at themselves without being ORIGINAL self-redirects.
+    fake = int(resolve.map_batches(
+        lambda b: pd.DataFrame({"c": [int(((b["t"].to_numpy(np.int64)
+                                            == b["s"].to_numpy(np.int64))
+                                           & (b["o"].to_numpy(np.int64)
+                                              != b["s"].to_numpy(np.int64))
+                                           ).sum())]}),
+        batch_format="pandas").sum("c") or 0)
+    if fake:
+        raise RuntimeError(
+            "resolve_redirects: the redirect table contains a cycle")
+    return resolve.map_batches(
+        lambda b: pd.DataFrame({"src": b["s"].to_numpy().astype("int64"),
+                                "target": b["t"].to_numpy().astype("int64"),
+                                "n_hops": b["h"].to_numpy().astype("int64")}),
+        batch_format="pandas")
