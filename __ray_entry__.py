@@ -5185,11 +5185,13 @@ def q_dust_rules(sf_dir: str):
     leave content base-determined, the page param does not. The
     content id encodes (base, value) injectively, so distinct-pair
     counting reduces to distinct-content counting on both sides.
-    Engine: one raw counting pass + two distinct exchanges with
-    map-side combiners, all folding in a single (host, param)-keyed
-    combine — the same shape as q_url_trap, never row-wise."""
-    from web_crawler_ray.stages.grouped import (partitioned_apply,
-                                                partitioned_drop_duplicates)
+    Engine: ONE distinct exchange keyed on (host, param, base) — the
+    content id is a function of (base, value), so a base's whole URL
+    set (and every content it maps to) co-locates in one partition,
+    making per-partition nunique(base) + nunique(content) partials
+    exact — plus a shuffle-free raw counting pass, both folding in a
+    single tiny (host, param)-keyed combine; never row-wise."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
 
     def derive(b: pd.DataFrame) -> pd.DataFrame:
         ok = b["l_orderkey"].to_numpy(np.int64)
@@ -5208,26 +5210,28 @@ def q_dust_rules(sf_dir: str):
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
     ).map_batches(derive, batch_format="pandas").materialize()
 
-    def partial(col: str, out: str):
-        def count(b: pd.DataFrame) -> pd.DataFrame:
-            g = b.groupby(["host", "param"], sort=False).size()
-            f = g.reset_index().rename(columns={0: out})
-            for other in ("n_urls", "n_base", "n_pairs"):
-                if other != out:
-                    f[other] = np.int64(0)
-            return f[["host", "param", "n_urls", "n_base", "n_pairs"]]
-        return count
+    def raw_counts(b: pd.DataFrame) -> pd.DataFrame:
+        f = (b.groupby(["host", "param"], sort=False).size()
+             .rename("n_urls").reset_index())
+        f["n_base"] = np.int64(0)
+        f["n_pairs"] = np.int64(0)
+        return f[["host", "param", "n_urls", "n_base", "n_pairs"]]
 
-    tagged = (
-        urls.map_batches(partial("", "n_urls"), batch_format="pandas")
-        .union(partitioned_drop_duplicates(
-            urls.select_columns(["host", "param", "base"]),
-            ["host", "param", "base"], pre_dedup=True,
-        ).map_batches(partial("", "n_base"), batch_format="pandas"))
-        .union(partitioned_drop_duplicates(
-            urls.select_columns(["host", "param", "content"]),
-            ["host", "param", "content"], pre_dedup=True,
-        ).map_batches(partial("", "n_pairs"), batch_format="pandas")))
+    def pre_dedup(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates(["host", "param", "base", "content"])
+
+    def distinct_counts(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["host", "param", "base", "content"])
+        g = (d.groupby(["host", "param"], sort=False)
+             .agg(n_base=("base", "nunique"),
+                  n_pairs=("content", "nunique")).reset_index())
+        g["n_urls"] = np.int64(0)
+        return g[["host", "param", "n_urls", "n_base", "n_pairs"]]
+
+    tagged = urls.map_batches(raw_counts, batch_format="pandas").union(
+        partitioned_apply(
+            urls.map_batches(pre_dedup, batch_format="pandas"),
+            ["host", "param", "base"], distinct_counts))
 
     def combine(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby(["host", "param"], sort=True).sum().reset_index()
@@ -5327,14 +5331,20 @@ def q_link_reciprocity(sf_dir: str):
 
 
 def q_host_templates(sf_dir: str):
-    """Per-host template (boilerplate) n-gram mining: token bigrams
-    present in ≥ 10 % of a host's documents — the signal a boilerplate
-    stripper or template-aware dedup consumes (nav bars, footers, and
-    injected template text repeat across a host's pages). Host =
-    doc_id % 8. Engine: doc_ids are unique corpus-wide, so per-batch
-    per-doc bigram dedup IS globally distinct — one (host, bigram)
-    counting exchange with map-side combiners plus an 8-row host-total
-    merge; text never shuffles."""
+    """Per-host template (boilerplate) n-gram mining: the top-20 token
+    bigrams per host by DOCUMENT frequency (docs containing the gram,
+    not occurrences) — the candidate list a boilerplate stripper or
+    template-aware dedup consumes (nav bars, footers, and injected
+    template text repeat across a host's pages). Top-k by doc share
+    rather than an absolute share cutoff: doc-frequency ratios
+    concentrate as the corpus grows, so a fixed threshold silently
+    returns nothing at 100× (measured: max ratio 0.21 at sf0.001 →
+    0.096 at sf0.1). Host = doc_id % 8. Engine: doc_ids are unique
+    corpus-wide, so per-batch per-doc bigram dedup IS globally
+    distinct — one host-keyed counting exchange with map-side
+    combiners; the top-k and the ratio computation run inside the
+    exchange, text never shuffles, only k rows per host reach the
+    driver."""
     from web_crawler_ray.stages.grouped import partitioned_apply
     from web_crawler_ray.stages.text_rank import TOK_RE
 
@@ -5369,21 +5379,22 @@ def q_host_templates(sf_dir: str):
     totals_map = totals.to_dict()  # ≤ 8 hosts, shipped in the closure
 
     def combine(part: pd.DataFrame) -> pd.DataFrame:
-        g = (part.groupby(["host", "bigram"], sort=True)["n_docs"]
-             .sum().reset_index())
+        g = (part.groupby(["host", "bigram"], sort=False)["n_docs"]
+             .sum().reset_index()
+             .sort_values(["host", "n_docs", "bigram"],
+                          ascending=[True, False, True], kind="mergesort")
+             .groupby("host", sort=True).head(20))
         n_total = g["host"].map(totals_map).to_numpy(np.int64)
-        ratio = g["n_docs"].to_numpy(np.float64) / n_total
-        keep = ratio >= 0.10  # filter INSIDE the exchange: only
-        return pd.DataFrame({  # template rows ever reach the driver
-            "host": g["host"].to_numpy(np.int64)[keep],
-            "bigram": g["bigram"].to_numpy(object)[keep],
-            "n_docs": g["n_docs"].to_numpy(np.int64)[keep],
-            "n_total": n_total[keep],
-            "ratio": ratio[keep].round(6)})
+        return pd.DataFrame({
+            "host": g["host"].to_numpy(np.int64),
+            "bigram": g["bigram"].to_numpy(object),
+            "n_docs": g["n_docs"].to_numpy(np.int64),
+            "n_total": n_total,
+            "ratio": (g["n_docs"].to_numpy(np.float64) / n_total).round(6)})
 
     out = partitioned_apply(
         ds.map_batches(partial, batch_format="pandas"),
-        ["host", "bigram"], combine).to_pandas()
+        ["host"], combine, num_partitions=8).to_pandas()
     return (out.sort_values(["host", "bigram"], kind="mergesort")
             .reset_index(drop=True))
 
@@ -8538,16 +8549,20 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
               SELECT doc_id % 8 AS host, count(*) AS n_total
               FROM documents GROUP BY 1
+            ), c AS (
+              SELECT bg.host, bg.bigram,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(any_value(tot.n_total) AS BIGINT) AS n_total
+              FROM bg JOIN tot ON tot.host = bg.host
+              GROUP BY bg.host, bg.bigram
             )
-            SELECT bg.host, bg.bigram,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(any_value(tot.n_total) AS BIGINT) AS n_total,
-                   round(count(*) * 1.0 / any_value(tot.n_total), 6)
-                     AS ratio
-            FROM bg JOIN tot ON tot.host = bg.host
-            GROUP BY bg.host, bg.bigram
-            HAVING count(*) * 1.0 / any_value(tot.n_total) >= 0.10
-            ORDER BY bg.host, bg.bigram
+            SELECT host, bigram, n_docs, n_total,
+                   round(n_docs * 1.0 / n_total, 6) AS ratio
+            FROM (SELECT *, row_number() OVER (
+                    PARTITION BY host
+                    ORDER BY n_docs DESC, bigram) AS rn FROM c)
+            WHERE rn <= 20
+            ORDER BY host, bigram
         """,
         # longest matching prefix wins (RFC 9309 precedence); prefix
         # lengths are distinct by construction so the winner is unique
