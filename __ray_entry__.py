@@ -5492,6 +5492,115 @@ def q_crawl_depth(sf_dir: str):
     return out.sort_values("node", kind="mergesort").reset_index(drop=True)
 
 
+def q_late_events(sf_dir: str):
+    """Watermark late-event audit (stream-admission semantics over the
+    replayed events log): within each user, arrival order = event_id,
+    watermark = running max event-time over strictly-earlier arrivals
+    minus 60 s; count late arrivals per event_type. Engine: ONE
+    user-keyed exchange + vectorized cummax/shift
+    (`windows.late_events`), then a tiny event_type-keyed count
+    combine — the flag pass streams, nothing lands on the driver."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.windows import late_events
+
+    ds = rd.read_parquet(
+        _t(sf_dir, "events"),
+        columns=["event_id", "user_id", "ts", "event_type"])
+    flagged = late_events(ds, "user_id", "event_id", "ts",
+                          lateness_us=60_000_000,
+                          n_rows_hint=_nrows(sf_dir, "events"))
+    return partial_grouped_agg(
+        flagged, ["event_type"],
+        {"n_late": ("sum", "late"), "n_total": ("count", "late")})
+
+
+def q_interval_union(sf_dir: str):
+    """Per-user union length of event intervals [ts, ts + value·1s]
+    (gaps-and-islands coverage: user active time / crawl-window
+    coverage). Overlapping-or-touching intervals merge; each user
+    reports merged-interval count and total covered microseconds.
+    Engine: interval endpoints built vectorized in a map pass, then
+    `windows.interval_union` — one user-keyed exchange + a single
+    vectorized sweep per partition."""
+    from web_crawler_ray.stages.windows import interval_union
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def endpoints(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        dur = np.maximum(
+            0, np.floor(b["value"].to_numpy(np.float64) * 1_000_000)
+        ).astype(np.int64)
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                             "s": s, "e": s + dur})
+
+    iv = ds.map_batches(endpoints, batch_format="pandas")
+    return interval_union(iv, "user_id", "s", "e",
+                          n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_kcore(sf_dir: str):
+    """2-core membership + within-core degree over a deterministic
+    undirected link graph derived from orders (per residue class
+    r = o_orderkey % 341: a triangle, a tendril of length r % 4, and —
+    when r % 5 = 0 — a closure edge that turns the tendril into a
+    surviving cycle). Tendrils peel in ≤ 3 simultaneous rounds BY
+    CONSTRUCTION, so the oracle's 6-round unrolled peel CTE is exact
+    at every sf. Engine: `graph.kcore` — distinct-edge canonicalize +
+    simultaneous-peel fixpoint with driver/broadcast dual paths (the
+    link-graph densification filter: spam tendrils peel away, the
+    mutually-reinforced core remains)."""
+    from web_crawler_ray.stages.graph import kcore
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def to_edges(bt: pd.DataFrame) -> pd.DataFrame:
+        r = bt["o_orderkey"].to_numpy(np.int64) % 341
+        t = 3 * r
+        srcs = [t, t + 1, t]
+        dsts = [t + 1, t + 2, t + 2]
+        L = r % 4
+        for j in range(3):
+            m = L >= j + 1
+            srcs.append(t[m] if j == 0 else 1024 * j + t[m])
+            dsts.append(1024 * (j + 1) + t[m])
+        close = (r % 5 == 0) & (L >= 1)
+        srcs.append(1024 * L[close] + t[close])
+        dsts.append(t[close] + 1)
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts)})
+
+    out = kcore(orders.map_batches(to_edges, batch_format="pandas"), k=2)
+    return (out.to_pandas()
+            .sort_values("node", kind="mergesort").reset_index(drop=True))
+
+
+def q_fwf_roundtrip(sf_dir: str):
+    """Fixed-width text sink + source roundtrip (the legacy-mainframe
+    interchange shape): supplier (key, name, nationkey) → one fwf part
+    file per block (vectorized pad, distributed write ownership) →
+    read back via vectorized slice/cast — proven by replaying the
+    projection straight from the view. Extends the source/sink
+    surface beyond csv/json/xlsx/parquet (SURVEY §2.1)."""
+    import os
+    import shutil
+
+    from web_crawler_ray.io.fwf import read_fwf, write_fwf
+
+    widths = {"s_suppkey": 12, "s_name": 28, "s_nationkey": 6}
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=list(widths))
+    path = f"/tmp/wcr_fwf_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_fwf(ds, path, widths)
+    out = read_fwf(path, widths,
+                   {"s_suppkey": "int64", "s_name": "str",
+                    "s_nationkey": "int64"}).to_pandas()
+    shutil.rmtree(path, ignore_errors=True)
+    return (out.sort_values("s_suppkey", kind="mergesort")
+            .reset_index(drop=True))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5749,7 +5858,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_link_reciprocity": q_link_reciprocity,
         "q_host_templates": q_host_templates,
         "q_robots_audit": q_robots_audit,
+        "q_late_events": q_late_events,
+        "q_interval_union": q_interval_union,
+        "q_kcore": q_kcore,
+        "q_fwf_roundtrip": q_fwf_roundtrip,
     }
+
+
+def _kcore_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled simultaneous-peel replay for q_kcore: round i recounts
+    degrees over edges with BOTH endpoints alive and drops nodes below
+    k=2; the graph's ≤3-round structural peel bound (tendril length
+    ≤ 3 by construction) makes 6 unrolled rounds a guaranteed
+    fixpoint at every sf, so the replay is exact, not approximate."""
+    parts = ["""
+        WITH rr AS MATERIALIZED (SELECT DISTINCT (o_orderkey % 341) AS r FROM orders),
+        raw AS MATERIALIZED (
+            SELECT 3*r AS src, 3*r+1 AS dst FROM rr
+            UNION ALL SELECT 3*r+1, 3*r+2 FROM rr
+            UNION ALL SELECT 3*r, 3*r+2 FROM rr
+            UNION ALL SELECT 3*r, 1024 + 3*r FROM rr WHERE r % 4 >= 1
+            UNION ALL SELECT 1024 + 3*r, 2048 + 3*r FROM rr WHERE r % 4 >= 2
+            UNION ALL SELECT 2048 + 3*r, 3072 + 3*r FROM rr WHERE r % 4 >= 3
+            UNION ALL SELECT 1024*(r%4) + 3*r, 3*r+1 FROM rr
+                WHERE r % 5 = 0 AND r % 4 >= 1
+        ),
+        e AS MATERIALIZED (SELECT DISTINCT least(src,dst) AS a, greatest(src,dst) AS b
+              FROM raw WHERE src <> dst),
+        alive0 AS MATERIALIZED (SELECT a AS n FROM e UNION SELECT b AS n FROM e)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        deg{i} AS MATERIALIZED (
+            SELECT n, count(*) AS d FROM (
+                SELECT e.a AS n FROM e
+                    JOIN alive{i} x ON e.a = x.n JOIN alive{i} y ON e.b = y.n
+                UNION ALL
+                SELECT e.b AS n FROM e
+                    JOIN alive{i} x ON e.a = x.n JOIN alive{i} y ON e.b = y.n
+            ) GROUP BY n),
+        alive{i + 1} AS MATERIALIZED (SELECT n FROM deg{i} WHERE d >= 2)""")
+    parts.append(f"""
+        SELECT n AS node, CAST(d AS BIGINT) AS core_deg
+        FROM deg{rounds - 1} WHERE d >= 2 ORDER BY node""")
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8597,5 +8748,51 @@ def oracle_sql() -> dict[str, str]:
             FROM m WHERE rn = 1
             GROUP BY host, rule, allow
             ORDER BY host, rule
+        """,
+        "q_late_events": """
+            WITH w AS (
+              SELECT event_type,
+                     CASE WHEN max(epoch_us(ts)) OVER (
+                              PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING)
+                            - 60000000 > epoch_us(ts)
+                          THEN 1 ELSE 0 END AS late
+              FROM events)
+            SELECT event_type, CAST(sum(late) AS BIGINT) AS n_late,
+                   count(*) AS n_total
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
+        "q_interval_union": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + greatest(
+                       CAST(0 AS BIGINT),
+                       CAST(floor(value * 1000000) AS BIGINT)) AS e
+              FROM events
+            ), o AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING) AS pm
+              FROM iv
+            ), g AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY s, e
+                             ROWS UNBOUNDED PRECEDING) AS island
+              FROM o
+            ), m AS (
+              SELECT user_id, island, max(e) - min(s) AS len
+              FROM g GROUP BY user_id, island
+            )
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(sum(len) AS BIGINT) AS covered
+            FROM m GROUP BY user_id ORDER BY user_id
+        """,
+        "q_kcore": _kcore_oracle_sql(),
+        "q_fwf_roundtrip": """
+            SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
+            FROM supplier ORDER BY s_suppkey
         """,
     }

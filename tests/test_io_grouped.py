@@ -1818,3 +1818,65 @@ def test_resolve_redirects_random_vs_brute(ray_session):
         got = {int(r.src): (int(r.target), int(r.n_hops))
                for r in out.itertuples()}
         assert got == expect, (trial, kw)
+
+
+def test_kcore_paths_agree_vs_bruteforce(ray_session):
+    """kcore: driver and broadcast paths agree with a brute-force
+    simultaneous-peel reference on deterministic pseudo-random graphs,
+    for k=2 and k=3; duplicate/reversed edges and self-loops are
+    canonicalized away before degrees are counted."""
+    import numpy as np
+
+    from web_crawler_ray.stages.graph import kcore
+
+    def brute(edges, k):
+        es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        alive = {n for e in es for n in e}
+        while True:
+            deg = {}
+            for a, b in es:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            new = {n for n in alive if deg.get(n, 0) >= k}
+            if new == alive:
+                return sorted((n, deg.get(n, 0)) for n in alive)
+            alive = new
+
+    rng = np.random.RandomState(7)
+    for trial, k in [(0, 2), (1, 2), (2, 3)]:
+        n = 60
+        m = 140
+        a = rng.randint(0, n, m)
+        b = rng.randint(0, n, m)
+        # inject duplicates, reversals, self-loops
+        edges = pd.DataFrame({
+            "src": np.concatenate([a, b[:20], np.arange(5)]),
+            "dst": np.concatenate([b, a[:20], np.arange(5)]),
+        }).astype("int64")
+        want = brute(list(zip(edges["src"], edges["dst"])), k)
+        ds = rd.from_pandas(edges).repartition(3)
+        drv = kcore(ds, k).to_pandas()
+        bc = kcore(ds, k, driver_edges_max=0).to_pandas()
+        got_drv = sorted(zip(drv["node"], drv["core_deg"]))
+        got_bc = sorted(zip(bc["node"], bc["core_deg"]))
+        assert got_drv == want, f"driver path trial {trial}"
+        assert got_bc == want, f"broadcast path trial {trial}"
+
+
+def test_kcore_semantics(ray_session):
+    """kcore: a tendril hanging off a triangle peels away round by
+    round; closing the tendril into a cycle makes it survive; the
+    within-core degree is the degree AFTER peeling."""
+    from web_crawler_ray.stages.graph import kcore
+
+    # triangle 0-1-2 with tendril 0-10-11-12
+    tri = pd.DataFrame({"src": [0, 1, 0, 0, 10, 11],
+                        "dst": [1, 2, 2, 10, 11, 12]}).astype("int64")
+    out = kcore(rd.from_pandas(tri), 2).to_pandas()
+    assert sorted(zip(out["node"], out["core_deg"])) == [(0, 2), (1, 2), (2, 2)]
+    # close the tendril back to node 1: everything survives
+    closed = pd.concat([tri, pd.DataFrame({"src": [12], "dst": [1]})])
+    out2 = kcore(rd.from_pandas(closed.astype("int64")), 2).to_pandas()
+    got = dict(zip(out2["node"], out2["core_deg"]))
+    assert got == {0: 3, 1: 3, 2: 2, 10: 2, 11: 2, 12: 2}

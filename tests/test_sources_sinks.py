@@ -357,3 +357,29 @@ def test_wds_manifest_missing_is_loud(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_wds_manifest(str(tmp_path / "nope"))
+
+
+def test_fwf_roundtrip_and_guards(ray_session, tmp_path):
+    """Fixed-width sink/source: values round-trip through pad + slice;
+    a value wider than its column raises instead of truncating; one
+    part file per block."""
+    import ray.data as rd
+
+    from web_crawler_ray.io.fwf import read_fwf, write_fwf
+
+    df = pd.DataFrame({"id": [1, 22, 333], "name": ["a", "bb c", "d"],
+                       "grp": [9, 8, 7]})
+    widths = {"id": 5, "name": 8, "grp": 3}
+    path = str(tmp_path / "fwf")
+    files = write_fwf(rd.from_pandas(df).repartition(2), path, widths)
+    assert len(files) == 2
+    back = (read_fwf(path, widths, {"id": "int64", "name": "str",
+                                    "grp": "int64"})
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back, df.sort_values("id")
+                                  .reset_index(drop=True))
+
+    # the ValueError surfaces wrapped in RayTaskError — match the message
+    with pytest.raises(Exception, match="exceeds width"):
+        write_fwf(rd.from_pandas(pd.DataFrame({"id": [123456], "name": ["x"],
+                                               "grp": [1]})), path, widths)

@@ -327,3 +327,48 @@ def test_sequence_islands_bucket_boundary(ray_session):
            .to_pandas().sort_values("start_id").reset_index(drop=True))
     got = list(zip(out["start_id"], out["end_id"], out["n"]))
     assert got == [(2, 5, 4), (9, 9, 1), (12, 13, 2), (100, 100, 1)]
+
+
+def test_late_events_watermark_semantics(ray_session):
+    """late_events: a first arrival is never late; the watermark is the
+    running max over STRICTLY earlier arrivals minus the lateness
+    budget — a row exactly at the watermark is on time, one micro
+    below is late; keys are independent."""
+    import numpy as np
+
+    from web_crawler_ray.stages.windows import late_events
+
+    base = 1_700_000_000_000_000  # epoch us
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2, 2],
+        "order": [1, 2, 3, 4, 1, 2],
+        "ts": pd.to_datetime(np.array([
+            base,                     # first: never late
+            base + 300_000_000,       # advances watermark to +300s
+            base + 300_000_000 - 60_000_000,   # == watermark: on time
+            base + 300_000_000 - 60_000_001,   # 1us below: late
+            base + 500_000_000,       # other key: first, never late
+            base,                     # 500s behind its key's max: late
+        ]), unit="us"),
+    })
+    out = (late_events(rd.from_pandas(df).repartition(3), "u", "order",
+                       "ts", lateness_us=60_000_000)
+           .to_pandas().sort_values(["u", "order"]))
+    assert out["late"].tolist() == [0, 0, 0, 1, 0, 1]
+
+
+def test_interval_union_islands(ray_session):
+    """interval_union: overlap and touching merge, gaps split; count
+    and covered length are per key; zero-length intervals inside a
+    covered span add nothing."""
+    from web_crawler_ray.stages.windows import interval_union
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "s": [0, 5, 10, 25, 0, 1],
+        "e": [6, 8, 20, 25, 1, 2],  # k=1: [0,8]+[10,20]+[25,25]; k=2: [0,2]
+    }).astype("int64")
+    out = (interval_union(rd.from_pandas(df).repartition(2), "k", "s", "e")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["n_intervals"].tolist() == [3, 1]
+    assert out["covered"].tolist() == [8 + 10 + 0, 2]

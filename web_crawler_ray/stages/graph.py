@@ -1245,3 +1245,109 @@ def resolve_redirects(redirects_ds, src: str = "src", dst: str = "dst",
                                 "target": b["t"].to_numpy().astype("int64"),
                                 "n_hops": b["h"].to_numpy().astype("int64")}),
         batch_format="pandas")
+
+
+def kcore(edges_ds, k: int, src: str = "src", dst: str = "dst",
+          max_iter: int = 200, driver_edges_max: int = 2_000_000):
+    """k-core decomposition membership: iteratively peel every node of
+    UNDIRECTED degree < k (all at once per round) until a fixpoint;
+    the surviving subgraph is the k-core (Seidman 1983). The standard
+    link-graph densification filter — spam farms and isolated tendrils
+    peel away, the mutually-reinforced core (what PageRank-style
+    scoring should run over) remains. Target-side addition (the
+    reference harvests links but has no graph analytics).
+
+    Input is an edge list in either orientation, duplicates allowed:
+    edges are canonicalized to distinct (lo, hi) pairs with self-loops
+    dropped, so degree = number of DISTINCT neighbours. Dual path,
+    gated by edge count like :func:`bfs_depth`:
+
+    * **driver** (≤ ``driver_edges_max`` distinct edges): two int64
+      arrays, each peel round one boolean gather + ``np.bincount`` —
+      zero per-round Dataset executions.
+    * **broadcast** (past the gate): the (nodes, alive) arrays are
+      node-sized driver state broadcast via the object store; each
+      round is ONE streaming map pass over the distinct-edge Dataset
+      emitting batch-local degree partials — the edge list never lands
+      on the driver.
+
+    Peel rounds are bounded by the longest tendril, not the node
+    count, for real link graphs; raises on ``max_iter`` exhaustion
+    (an unconverged core is silently wrong). Returns a Dataset of
+    (node:int64, core_deg:int64) — members of the k-core with their
+    within-core degree."""
+    import ray
+    import ray.data as rd
+
+    from .grouped import partitioned_apply
+
+    def canon(b: pd.DataFrame) -> pd.DataFrame:
+        a = b[src].to_numpy(np.int64)
+        c = b[dst].to_numpy(np.int64)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return (pd.DataFrame({"a": np.minimum(a, c), "b": np.maximum(a, c)})
+                .drop_duplicates())
+
+    # canonicalize first (map pass), then one distinct exchange
+    dedup = partitioned_apply(
+        edges_ds.map_batches(canon, batch_format="pandas"), ["a", "b"],
+        lambda p: p.drop_duplicates(ignore_index=True))
+    dedup = dedup.materialize()
+    n_edges = dedup.count()
+
+    def _result(nodes: np.ndarray, alive: np.ndarray, deg: np.ndarray):
+        keep = alive
+        return rd.from_pandas(pd.DataFrame({
+            "node": nodes[keep].astype("int64"),
+            "core_deg": deg[keep].astype("int64")}))
+
+    if n_edges <= driver_edges_max:
+        pdf = dedup.to_pandas()
+        a = pdf["a"].to_numpy(np.int64)
+        b = pdf["b"].to_numpy(np.int64)
+        nodes = np.unique(np.concatenate([a, b]))
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        alive = np.ones(len(nodes), dtype=bool)
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        for _ in range(max_iter):
+            m = alive[ia] & alive[ib]
+            deg = (np.bincount(ia[m], minlength=len(nodes))
+                   + np.bincount(ib[m], minlength=len(nodes)))
+            new_alive = alive & (deg >= k)
+            if np.array_equal(new_alive, alive):
+                return _result(nodes, alive, deg)
+            alive = new_alive
+        raise RuntimeError(f"kcore: no fixpoint after {max_iter} rounds")
+
+    # node set: batch-local uniques → node-sized driver union
+    parts = dedup.map_batches(
+        lambda bt: pd.DataFrame(
+            {"n": pd.unique(pd.concat([bt["a"], bt["b"]]))}),
+        batch_format="pandas").to_pandas()
+    nodes = np.unique(parts["n"].to_numpy(np.int64))
+    alive = np.ones(len(nodes), dtype=bool)
+    for _ in range(max_iter):
+        ref = ray.put((nodes, alive))
+
+        def degrees(batch: pd.DataFrame) -> pd.DataFrame:
+            ns, al = ray.get(ref)
+            a = np.searchsorted(ns, batch["a"].to_numpy(np.int64))
+            b = np.searchsorted(ns, batch["b"].to_numpy(np.int64))
+            m = al[a] & al[b]
+            cnt = np.bincount(a[m], minlength=len(ns))
+            cnt += np.bincount(b[m], minlength=len(ns))
+            nz = np.flatnonzero(cnt)
+            return pd.DataFrame({"n": ns[nz], "d": cnt[nz]})
+
+        part = dedup.map_batches(degrees, batch_format="pandas").to_pandas()
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        if len(part):
+            idx = np.searchsorted(nodes, part["n"].to_numpy(np.int64))
+            np.add.at(deg, idx, part["d"].to_numpy(np.int64))
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            return _result(nodes, alive, deg)
+        alive = new_alive
+    raise RuntimeError(f"kcore: no fixpoint after {max_iter} rounds")

@@ -620,3 +620,65 @@ def window_dedup(ds, key_col: str, ts_col: str, width_us: int,
         ds.map_batches(add_window, batch_format="pandas"),
         [key_col, "w_start"], first_per_window,
         num_partitions=num_partitions)
+
+
+def late_events(ds, key: str, order_col: str, ts_col: str,
+                lateness_us: int, n_rows_hint: int | None = None):
+    """Watermark-based late-event flagging — the stream-processing
+    admission rule (Flink/Beam semantics) applied to a replayed log:
+    within each ``key``, rows arrive in ``order_col`` order and the
+    watermark is the running max event-time seen over STRICTLY EARLIER
+    arrivals minus ``lateness_us``; a row whose event time falls below
+    the watermark is late (a first arrival is never late). Target-side
+    addition (the reference is batch-only, SURVEY.md §2.10); what an
+    out-of-orderness audit or a dead-letter routing policy consumes.
+
+    Shape: one coarse hash shuffle on ``key`` (PARTITION BY), then a
+    vectorized sort + grouped cummax/shift per partition — no per-group
+    Python, no driver materialization. Returns the input rows plus an
+    int64 ``late`` flag; callers aggregate downstream."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, order_col], kind="mergesort")
+        us = p[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = p.assign(__us=us)
+        g = p.groupby(key, sort=False)["__us"]
+        prev_max = g.cummax().groupby(p[key], sort=False).shift(1)
+        late = (prev_max - float(lateness_us) > p["__us"]).fillna(False)
+        return p.assign(late=late.astype("int64")).drop(columns="__us")
+
+    return partitioned_apply(ds, [key], per_partition,
+                             n_rows_hint=n_rows_hint)
+
+
+def interval_union(ds, key: str, start_col: str, end_col: str,
+                   n_rows_hint: int | None = None):
+    """Per-key union length of a set of [start, end] intervals
+    (gaps-and-islands): overlapping or touching intervals merge, and
+    each key reports its merged-interval count and total covered
+    length. The classic coverage reduction (user active time, crawl
+    window coverage, sensor uptime). Target-side addition.
+
+    Shape: one coarse hash shuffle on ``key``, then a single
+    vectorized sweep per partition (sort + grouped cummax + island
+    cumsum + one groupby-agg); output is one row per key."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, start_col, end_col], kind="mergesort")
+        g_end = p.groupby(key, sort=False)[end_col]
+        prev_max = g_end.cummax().groupby(p[key], sort=False).shift(1)
+        new_island = prev_max.isna() | (p[start_col] > prev_max)
+        island = new_island.cumsum()  # globally increasing — per-key safe
+        m = (p.assign(__island=island)
+             .groupby([key, "__island"], sort=True)
+             .agg(__s=(start_col, "min"), __e=(end_col, "max"))
+             .reset_index())
+        m["__len"] = m["__e"] - m["__s"]
+        out = (m.groupby(key, sort=True)
+               .agg(n_intervals=("__island", "size"), covered=("__len", "sum"))
+               .reset_index())
+        out["n_intervals"] = out["n_intervals"].astype("int64")
+        return out
+
+    return partitioned_apply(ds, [key], per_partition,
+                             n_rows_hint=n_rows_hint)
