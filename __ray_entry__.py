@@ -5601,6 +5601,121 @@ def q_fwf_roundtrip(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_group_regression(sf_dir: str):
+    """Per-user OLS trend of event value over time: map-side moment
+    partials (n, Σx, Σy, Σxy, Σx²) → ONE tiny user-keyed combine →
+    closed-form slope/intercept — the distributed-regression staple
+    (raw rows never shuffle; one partial row per (user, batch) does).
+    x is seconds since a fixed instant so the replay's arithmetic
+    matches term for term; degenerate users (n < 2 or zero x-variance)
+    are excluded on both sides."""
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+    x0 = 1_700_000_000.0
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+             / 1e6 - x0)
+        y = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({"user_id": b["user_id"].to_numpy(np.int64),
+                             "n": np.ones(len(b), dtype=np.int64),
+                             "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+
+    g = partial_grouped_agg(
+        ds.map_batches(moments, batch_format="pandas"), ["user_id"],
+        {"n": ("sum", "n"), "sx": ("sum", "sx"), "sy": ("sum", "sy"),
+         "sxy": ("sum", "sxy"), "sxx": ("sum", "sxx")})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["n"].to_numpy(np.float64)
+        sx = b["sx"].to_numpy(np.float64)
+        sy = b["sy"].to_numpy(np.float64)
+        den = n * b["sxx"].to_numpy(np.float64) - sx * sx
+        keep = (n >= 2) & (den != 0)
+        slope = (n * b["sxy"].to_numpy(np.float64) - sx * sy)[keep] / den[keep]
+        n, sx, sy = n[keep], sx[keep], sy[keep]
+        return pd.DataFrame({
+            "user_id": b["user_id"].to_numpy(np.int64)[keep],
+            "n": n.astype(np.int64),
+            "slope": sql_round(slope, 6),
+            "intercept": sql_round((sy - slope * sx) / n, 6)})
+
+    return g.map_batches(fin, batch_format="pandas")
+
+
+def q_closeness(sf_dir: str):
+    """Sampled-source closeness audit (the Eppstein–Wang estimator
+    shape: exact BFS from k fixed probe seeds instead of all-pairs):
+    per node, how many of the 4 probes reach it and the total hop
+    count over reaching probes — the centrality signal a frontier
+    prioritizer consumes without an all-pairs pass. Engine: one
+    `graph.bfs_depth` (dual driver/broadcast paths) per probe over the
+    same harvested link graph as q_crawl_depth (edges materialized
+    once), then a node-keyed combine."""
+    from web_crawler_ray.stages.graph import bfs_depth
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:  # == q_crawl_depth graph
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        u = ok % 4096
+        chain_dst = u // 64 * 64 + (u + 1) % 64
+        cut = ok % 3 == 0
+        return pd.DataFrame({
+            "src": np.concatenate([u, u[cut]]),
+            "dst": np.concatenate([chain_dst, (u[cut] * 5 + 1) % 4096]),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    e = ds.map_batches(edges, batch_format="pandas").materialize()
+    frames = [bfs_depth(e, [s]).to_pandas()
+              for s in (0, 1024, 2048, 3072)]
+    out = (pd.concat(frames)
+           .groupby("node", sort=True)
+           .agg(n_src=("depth", "size"), total_depth=("depth", "sum"))
+           .reset_index())
+    out["n_src"] = out["n_src"].astype("int64")
+    return out
+
+
+def q_dict_planner(sf_dir: str):
+    """Dictionary-encoding planner for the column store (which string
+    columns deserve dict encoding before a 100-TB write): per column,
+    row count, distinct count, raw vs dict byte totals. ONE melt map
+    pass with per-batch (col, val, count) pre-combine, one
+    (col, val)-keyed exchange, then a column-keyed fold — cardinality
+    never reaches the driver. The write-path sibling of
+    q_zonemap_scan / q_zorder_layout on the storage-planning
+    surface."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    cols = ["p_brand", "p_name", "p_type"]
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=cols)
+
+    def melt_counts(b: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"col": c, "val": b[c]}) for c in cols]
+        m = pd.concat(frames, ignore_index=True)
+        return (m.groupby(["col", "val"], sort=False)
+                .size().rename("c").reset_index())
+
+    per_val = partial_grouped_agg(
+        ds.map_batches(melt_counts, batch_format="pandas"),
+        ["col", "val"], {"c": ("sum", "c")})
+
+    def val_stats(b: pd.DataFrame) -> pd.DataFrame:
+        ln = b["val"].str.len().astype("int64")
+        return pd.DataFrame({
+            "col": b["col"], "n_rows": b["c"].astype("int64"),
+            "n_distinct": np.ones(len(b), dtype=np.int64),
+            "raw_len": ln * b["c"].astype("int64"), "dict_len": ln})
+
+    return partial_grouped_agg(
+        per_val.map_batches(val_stats, batch_format="pandas"), ["col"],
+        {"n_rows": ("sum", "n_rows"), "n_distinct": ("sum", "n_distinct"),
+         "raw_len": ("sum", "raw_len"), "dict_len": ("sum", "dict_len")})
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5862,6 +5977,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interval_union": q_interval_union,
         "q_kcore": q_kcore,
         "q_fwf_roundtrip": q_fwf_roundtrip,
+        "q_group_regression": q_group_regression,
+        "q_closeness": q_closeness,
+        "q_dict_planner": q_dict_planner,
     }
 
 
@@ -8794,5 +8912,64 @@ def oracle_sql() -> dict[str, str]:
         "q_fwf_roundtrip": """
             SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey
             FROM supplier ORDER BY s_suppkey
+        """,
+        "q_group_regression": """
+            WITH m AS (
+              SELECT user_id, count(*) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM (SELECT user_id,
+                           epoch_us(ts) / 1000000.0 - 1700000000.0 AS x,
+                           value AS y
+                    FROM events)
+              GROUP BY user_id
+            ), s AS (
+              SELECT user_id, n, sx, sy,
+                     (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+              FROM m WHERE n >= 2 AND (n * sxx - sx * sx) <> 0
+            )
+            SELECT user_id, CAST(n AS BIGINT) AS n, round(slope, 6) AS slope,
+                   round((sy - slope * sx) / n, 6) AS intercept
+            FROM s ORDER BY user_id
+        """,
+        "q_closeness": """
+            WITH RECURSIVE e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT o_orderkey % 4096 AS src,
+                       (o_orderkey % 4096) // 64 * 64
+                         + ((o_orderkey % 4096) + 1) % 64 AS dst
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 4096,
+                       ((o_orderkey % 4096) * 5 + 1) % 4096
+                FROM orders WHERE o_orderkey % 3 = 0
+              )
+            ),
+            probes(seed) AS (SELECT unnest([0, 1024, 2048, 3072])),
+            d(seed, node, depth) AS (
+              SELECT seed, CAST(seed AS BIGINT), 0 FROM probes
+              UNION
+              SELECT d.seed, e.dst, d.depth + 1
+              FROM d JOIN e ON e.src = d.node WHERE d.depth < 80
+            ),
+            md AS (SELECT seed, node, min(depth) AS dep
+                   FROM d GROUP BY seed, node)
+            SELECT node, count(*) AS n_src,
+                   CAST(sum(dep) AS BIGINT) AS total_depth
+            FROM md GROUP BY node ORDER BY node
+        """,
+        "q_dict_planner": """
+            WITH u AS (
+              SELECT col, val, count(*) AS c FROM (
+                SELECT 'p_brand' AS col, p_brand AS val FROM part
+                UNION ALL SELECT 'p_name', p_name FROM part
+                UNION ALL SELECT 'p_type', p_type FROM part)
+              GROUP BY col, val)
+            SELECT col, CAST(sum(c) AS BIGINT) AS n_rows,
+                   count(*) AS n_distinct,
+                   CAST(sum(CAST(length(val) AS BIGINT) * c) AS BIGINT)
+                     AS raw_len,
+                   CAST(sum(length(val)) AS BIGINT) AS dict_len
+            FROM u GROUP BY col ORDER BY col
         """,
     }

@@ -296,3 +296,40 @@ def test_changepoint_finds_known_level_shift(ray_session):
     assert out["split_k"].tolist() == [60]
     assert abs(out["mean_left"].iloc[0] - v[:60].mean()) < 1e-4
     assert abs(out["mean_right"].iloc[0] - v[60:].mean()) < 1e-4
+
+
+def test_group_regression_matches_polyfit(ray_session, tmp_path):
+    """q_group_regression's moment-partial closed form equals
+    numpy.polyfit per key (to rounding precision), and degenerate keys
+    (single row / zero x-variance) are excluded."""
+    import os
+
+    import numpy as np
+
+    from __ray_entry__ import q_group_regression
+
+    rng = np.random.RandomState(3)
+    base_us = 1_700_000_000_000_000
+    rows = []
+    for uid, n in [(1, 40), (2, 7), (3, 1), (4, 5)]:
+        xs = rng.randint(0, 10_000_000, n) * 1_000_000  # us offsets
+        if uid == 4:
+            xs[:] = 123_000_000  # zero variance: excluded
+        for x in xs:
+            rows.append((uid, base_us + int(x),
+                         float(rng.uniform(-50, 50))))
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    root = str(tmp_path)
+    df.to_parquet(os.path.join(root, "events.parquet"))
+
+    out = (q_group_regression(root).to_pandas()
+           .set_index("user_id").sort_index())
+    assert sorted(out.index) == [1, 2]  # n<2 and zero-variance dropped
+    for uid in (1, 2):
+        sub = df[df["user_id"] == uid]
+        x = (sub["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+             / 1e6 - 1_700_000_000.0)
+        slope, intercept = np.polyfit(x, sub["value"].to_numpy(), 1)
+        assert abs(out.loc[uid, "slope"] - slope) < 1e-5
+        assert abs(out.loc[uid, "intercept"] - intercept) < 1e-4
