@@ -5716,6 +5716,19 @@ def q_dict_planner(sf_dir: str):
          "raw_len": ("sum", "raw_len"), "dict_len": ("sum", "dict_len")})
 
 
+def q_jw_join(sf_dir: str):
+    """Jaro–Winkler fuzzy name linkage over the part-name dictionary
+    (record-linkage beyond edit distance: q_edit_join's phonetic-ish
+    sibling): distinct names → first-char blocking exchange →
+    size-class-vectorized pair enumeration → DuckDB-exact batch JW
+    kernel, keep ≥ 0.85. The name dictionary is vocabulary-bounded, so
+    the result is scale-stable; raw part rows never shuffle."""
+    from web_crawler_ray.stages.joins import jaro_winkler_join
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_name"])
+    return jaro_winkler_join(ds, "p_name", threshold=0.85)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5980,6 +5993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_regression": q_group_regression,
         "q_closeness": q_closeness,
         "q_dict_planner": q_dict_planner,
+        "q_jw_join": q_jw_join,
     }
 
 
@@ -8971,5 +8985,15 @@ def oracle_sql() -> dict[str, str]:
                      AS raw_len,
                    CAST(sum(length(val)) AS BIGINT) AS dict_len
             FROM u GROUP BY col ORDER BY col
+        """,
+        "q_jw_join": """
+            WITH p AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+                   round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+            FROM p a JOIN p b
+              ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+             AND a.name < b.name
+            WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
+            ORDER BY name_a, name_b
         """,
     }

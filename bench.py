@@ -122,6 +122,13 @@ BENCH_QUERIES = [
     "q_link_reciprocity",
     "q_host_templates",
     "q_robots_audit",
+    "q_late_events",
+    "q_interval_union",
+    "q_kcore",
+    "q_group_regression",
+    "q_closeness",
+    "q_dict_planner",
+    "q_jw_join",
 ]
 
 

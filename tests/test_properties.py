@@ -310,3 +310,24 @@ def test_winnow_batch_matches_reference(tok_docs, k, w):
         for j in range(len(grams) - w + 1):
             expect.add((i, min(grams[j:j + w])))
     assert got == expect
+
+
+name_text = st.text(
+    alphabet="abcdefghij é☃", min_size=0, max_size=14
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(name_text, name_text), min_size=1, max_size=8))
+def test_jaro_winkler_batch_matches_duckdb(pairs):
+    """The batch JW kernel is VALUE-EXACT vs DuckDB's scalar
+    jaro_winkler_similarity (byte semantics, 0.7 boost threshold,
+    empty-string convention) — the q_jw_join replay depends on it."""
+    from web_crawler_ray.functions.strsim import jaro_winkler_batch
+
+    got = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+    con = duckdb.connect()
+    for (a, b), g in zip(pairs, got):
+        want = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert g == want, (a, b, g, want)

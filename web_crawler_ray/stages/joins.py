@@ -660,3 +660,61 @@ def join_size_estimate(left, right, on: str, right_on: str | None = None,
         "n_keys": [np.int64(parts["n_keys"].sum())],
         "max_key_rows": [np.int64(parts["max_key_rows"].max())],
     })
+
+
+def jaro_winkler_join(ds, name_col: str, threshold: float,
+                      block_chars: int = 1, max_block: int = 10_000,
+                      num_partitions: int = 32):
+    """Blocked Jaro–Winkler similarity self-join over a name dictionary
+    — the record-linkage staple for OCR'd / transliterated names where
+    edit distance is too rigid (Winkler 1990). Reference capability
+    analogue: the dedup grouping of `pacong/data/processor.py:349-361`
+    extended to fuzzy name matching.
+
+    Shape (the at-scale contract):
+
+    * names are DISTINCT'd map-side (pre-combine) and once more inside
+      the single block-keyed exchange — the raw row count never
+      shuffles, the name-dictionary does;
+    * blocking key = first ``block_chars`` characters; a block is
+      co-located by the exchange, so pair enumeration is
+      size-class-vectorized `grouped_triu` per partition (blocks past
+      ``max_block`` raise: a silent b² explosion is a bug, pick a
+      longer blocking key instead);
+    * scoring is the DuckDB-exact batch JW kernel
+      (`functions/strsim.jaro_winkler_batch`) — one numpy pass over
+      all pairs of the partition, no per-pair Python.
+
+    Returns (name_a, name_b, jw) with name_a < name_b and jw rounded
+    to 6 (both the kernel and the rounding replay value-exact in
+    SQL)."""
+    from ..functions.rounding import sql_round
+    from ..functions.strsim import jaro_winkler_batch
+    from .grouped import partitioned_apply
+
+    def pre(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[name_col]].drop_duplicates()
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.drop_duplicates(subset=[name_col])
+        blk = p[name_col].str.slice(0, block_chars)
+        p = (p.assign(__blk=blk)
+             .sort_values(["__blk", name_col], kind="mergesort")
+             .reset_index(drop=True))
+        ia, ib = grouped_triu(p["__blk"].to_numpy(), max_size=max_block,
+                              raise_on_exceed=True)
+        names = p[name_col].to_numpy()
+        a, b = names[ia], names[ib]
+        jw = jaro_winkler_batch(a, b)
+        keep = jw >= threshold
+        return pd.DataFrame({"name_a": a[keep], "name_b": b[keep],
+                             "jw": sql_round(jw[keep], 6)})
+
+    def add_blk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = pre(batch).copy()
+        batch["__blk"] = batch[name_col].str.slice(0, block_chars)
+        return batch
+
+    return partitioned_apply(
+        ds.map_batches(add_blk, batch_format="pandas"), ["__blk"],
+        per_partition, num_partitions=num_partitions)
