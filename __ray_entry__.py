@@ -5729,6 +5729,101 @@ def q_jw_join(sf_dir: str):
     return jaro_winkler_join(ds, "p_name", threshold=0.85)
 
 
+def q_rendezvous(sf_dir: str):
+    """Rendezvous (HRW) shard planner + reshard audit: hosts hash onto
+    16 shards by highest-random-weight; adding a 17th shard must pull
+    hosts ONLY into the new shard — the minimal-movement property that
+    makes HRW the right host→politeness-actor map when the crawl
+    cluster grows (Thaler & Ravishankar 1998). Per shard: host count
+    before/after the reshard and inbound movers (provably 0 for every
+    surviving shard — the oracle replays the property, not just the
+    numbers). One distinct-host exchange; assignment is a pure
+    function of the host id (the shared hash_bucket arithmetic), so
+    partials combine driver-side at ≤17×17 rows."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=["s_suppkey"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"h": pd.unique(b["s_suppkey"].to_numpy(np.int64) % 1000)})
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(p["h"].to_numpy(np.int64))
+        s = np.arange(17, dtype=np.int64)
+        wt = (((h[:, None] * 131 + s[None, :]) % (1 << 31))
+              * 2654435761 % (1 << 32))
+        new = wt.argmax(axis=1)          # ties → first (min s), == SQL
+        old = wt[:, :16].argmax(axis=1)
+        return (pd.DataFrame({"s_old": old, "s_new": new})
+                .groupby(["s_old", "s_new"]).size().rename("c")
+                .reset_index())
+
+    parts = partitioned_apply(ds.map_batches(pre, batch_format="pandas"),
+                              ["h"], per_partition)
+    m = (parts.to_pandas()  # ≤ 17×17 rows per partition
+         .groupby(["s_old", "s_new"], as_index=False)["c"].sum())
+    shards = np.arange(17, dtype=np.int64)
+    n_before = m.groupby("s_old")["c"].sum().reindex(shards, fill_value=0)
+    n_after = m.groupby("s_new")["c"].sum().reindex(shards, fill_value=0)
+    movers = m[m["s_old"] != m["s_new"]]
+    n_inbound = movers.groupby("s_new")["c"].sum().reindex(shards,
+                                                           fill_value=0)
+    return pd.DataFrame({"shard": shards,
+                         "n_before": n_before.to_numpy().astype("int64"),
+                         "n_after": n_after.to_numpy().astype("int64"),
+                         "n_inbound": n_inbound.to_numpy().astype("int64")})
+
+
+def q_range_partitioner(sf_dir: str):
+    """Sample-based equi-depth range-partition planner — the
+    split-point picker behind every distributed sort / range shuffle
+    at 100 TB: a 1% hash-deterministic sample yields 7 quantile cuts
+    (pinned quantile_disc convention), EVERY row is then assigned by
+    binary search against the broadcast cuts, and the plan reports
+    per-range balance. The full table is touched by exactly one
+    streaming pass plus one tiny range-keyed combine; the sample
+    predicate and cut convention replay exactly in SQL."""
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.sampling import hash_bucket
+    from web_crawler_ray.stages.windows import group_quantile_disc
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def sample(b: pd.DataFrame) -> pd.DataFrame:
+        keep = hash_bucket(b["o_orderkey"].to_numpy(np.int64), 100) == 0
+        s = b.loc[keep, ["o_totalprice"]].copy()
+        s["g"] = 0
+        return s
+
+    qcols = {f"q{i}": i / 8 for i in range(1, 8)}
+    cuts_df = group_quantile_disc(
+        ds.map_batches(sample, batch_format="pandas"),
+        "g", "o_totalprice", qcols).to_pandas()
+    cuts = np.sort(
+        cuts_df[[f"q{i}" for i in range(1, 8)]].to_numpy(np.float64)[0])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["o_totalprice"].to_numpy(np.float64)
+        rid = np.searchsorted(cuts, v, side="left")  # == count(cuts < v)
+        return pd.DataFrame({"range_id": rid.astype("int64"),
+                             "n": np.ones(len(b), dtype="int64"),
+                             "price": v})
+
+    g = partial_grouped_agg(
+        ds.map_batches(assign, batch_format="pandas"), ["range_id"],
+        {"n_rows": ("sum", "n"), "sum_price": ("sum", "price")})
+
+    def fin(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["sum_price"] = sql_round(b["sum_price"], 2)
+        return b
+
+    return g.map_batches(fin, batch_format="pandas")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -5997,6 +6092,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_link_reciprocity": q_link_reciprocity,
         "q_host_templates": q_host_templates,
         "q_robots_audit": q_robots_audit,
+        "q_rendezvous": q_rendezvous,
+        "q_range_partitioner": q_range_partitioner,
     }
 
 
@@ -8998,5 +9095,63 @@ def oracle_sql() -> dict[str, str]:
              AND a.name < b.name
             WHERE jaro_winkler_similarity(a.name, b.name) >= 0.85
             ORDER BY name_a, name_b
+        """,
+        "q_rendezvous": """
+            WITH hosts AS MATERIALIZED (
+              SELECT DISTINCT s_suppkey % 1000 AS h FROM supplier),
+            grid AS (SELECT h, s FROM hosts
+                     CROSS JOIN (SELECT unnest(range(0, 17)) AS s)),
+            w AS MATERIALIZED (
+              SELECT h, s,
+                     ((h * 131 + s) % 2147483648) * 2654435761
+                       % 4294967296 AS wt
+              FROM grid),
+            a17 AS (SELECT h, s AS s_new FROM (
+                      SELECT h, s, row_number() OVER (
+                        PARTITION BY h ORDER BY wt DESC, s) AS rn FROM w)
+                    WHERE rn = 1),
+            a16 AS (SELECT h, s AS s_old FROM (
+                      SELECT h, s, row_number() OVER (
+                        PARTITION BY h ORDER BY wt DESC, s) AS rn
+                      FROM w WHERE s < 16)
+                    WHERE rn = 1),
+            m AS MATERIALIZED (
+              SELECT s_old, s_new FROM a16 JOIN a17 USING (h)),
+            sh AS (SELECT unnest(range(0, 17)) AS shard)
+            SELECT CAST(sh.shard AS BIGINT) AS shard,
+                   CAST((SELECT count(*) FROM m WHERE m.s_old = sh.shard)
+                        AS BIGINT) AS n_before,
+                   CAST((SELECT count(*) FROM m WHERE m.s_new = sh.shard)
+                        AS BIGINT) AS n_after,
+                   CAST((SELECT count(*) FROM m
+                         WHERE m.s_new = sh.shard AND m.s_old <> m.s_new)
+                        AS BIGINT) AS n_inbound
+            FROM sh ORDER BY shard
+        """,
+        "q_range_partitioner": """
+            WITH s AS MATERIALIZED (
+              SELECT o_totalprice FROM orders
+              WHERE (o_orderkey % 2147483648) * 2654435761
+                      % 4294967296 % 100 = 0
+            ), c AS MATERIALIZED (
+              SELECT unnest([
+                quantile_disc(o_totalprice, 0.125),
+                quantile_disc(o_totalprice, 0.25),
+                quantile_disc(o_totalprice, 0.375),
+                quantile_disc(o_totalprice, 0.5),
+                quantile_disc(o_totalprice, 0.625),
+                quantile_disc(o_totalprice, 0.75),
+                quantile_disc(o_totalprice, 0.875)]) AS cut
+              FROM s
+            ), a AS (
+              SELECT (SELECT count(*) FROM c WHERE cut < o_totalprice)
+                       AS range_id,
+                     o_totalprice
+              FROM orders
+            )
+            SELECT CAST(range_id AS BIGINT) AS range_id,
+                   count(*) AS n_rows,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM a GROUP BY range_id ORDER BY range_id
         """,
     }

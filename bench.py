@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "q_closeness",
     "q_dict_planner",
     "q_jw_join",
+    "q_rendezvous",
+    "q_range_partitioner",
 ]
 
 
