@@ -5824,6 +5824,47 @@ def q_range_partitioner(sf_dir: str):
     return g.map_batches(fin, batch_format="pandas")
 
 
+def q_ppr(sf_dir: str):
+    """Personalized PageRank (teleport to a probe seed set — Page et
+    al. 1999 §6; the crawl frontier's 'relevance to my seed list'
+    prioritization signal, vs q_pagerank's global authority): same
+    orders-derived graph and CTE-replayable 2-iteration unroll, with
+    the uniform vector replaced by 1[v∈S]/|S| in the restart, init,
+    and dangling-redistribution terms. Seeds = the 3 smallest source
+    nodes (data-derived, so every sf has them). Dual broadcast/join
+    paths share the arithmetic; force-join parity is test-pinned."""
+    from web_crawler_ray.stages.graph import pagerank
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": (b["o_custkey"] % 97).astype("int64"),
+            "dst": (100 + b["o_orderkey"] % 89).astype("int64")})
+
+    e = orders.map_batches(to_edges, batch_format="pandas").materialize()
+    srcs = e.map_batches(
+        lambda b: pd.DataFrame({"s": pd.unique(b["src"].to_numpy())}),
+        batch_format="pandas").to_pandas()
+    seeds = np.unique(srcs["s"].to_numpy(np.int64))[:3].tolist()
+    return pagerank(e, iterations=2, teleport_seeds=seeds)
+
+
+def q_seasonal_index(sf_dir: str):
+    """Day-of-week seasonal index per event type (classical
+    decomposition's seasonal factor: dow mean / overall mean — 'is
+    Tuesday always slow, or is this drift?'): per-batch (type, dow)
+    moment partials, ONE combine exchange, key-sized ratio fold
+    (`timeseries.seasonal_index`); ISO day numbering matches DuckDB's
+    isodow."""
+    from web_crawler_ray.stages.timeseries import seasonal_index
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts", "value"])
+    return seasonal_index(ds, "event_type", "ts", "value")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6094,6 +6135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_robots_audit": q_robots_audit,
         "q_rendezvous": q_rendezvous,
         "q_range_partitioner": q_range_partitioner,
+        "q_ppr": q_ppr,
+        "q_seasonal_index": q_seasonal_index,
     }
 
 
@@ -9153,5 +9196,55 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    round(sum(o_totalprice), 2) AS sum_price
             FROM a GROUP BY range_id ORDER BY range_id
+        """,
+        "q_ppr": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT o_custkey % 97 AS src,
+                     100 + o_orderkey % 89 AS dst FROM orders),
+            n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            deg AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS od
+                    FROM e GROUP BY src),
+            nd AS (SELECT n.node, coalesce(deg.od, 0) AS od
+                   FROM n LEFT JOIN deg ON n.node = deg.node),
+            p AS MATERIALIZED (
+              SELECT src AS v FROM (SELECT DISTINCT src FROM e)
+              ORDER BY src LIMIT 3),
+            pc AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM p),
+            tv AS MATERIALIZED (
+              SELECT nd.node, nd.od,
+                     CASE WHEN nd.node IN (SELECT v FROM p)
+                          THEN 1.0 / pc.k ELSE 0.0 END AS t
+              FROM nd, pc),
+            s0 AS (SELECT node, od, t, t AS s FROM tv),
+            i1 AS (SELECT e.dst AS node, sum(s0.s / s0.od) AS m
+                   FROM e JOIN s0 ON e.src = s0.node GROUP BY e.dst),
+            d1 AS (SELECT coalesce(sum(s), 0) AS dm FROM s0 WHERE od = 0),
+            s1 AS (SELECT tv.node, tv.od, tv.t,
+                          (1 - CAST(0.85 AS DOUBLE)) * tv.t
+                          + CAST(0.85 AS DOUBLE)
+                            * (coalesce(i1.m, 0) + d1.dm * tv.t) AS s
+                   FROM tv LEFT JOIN i1 ON tv.node = i1.node, d1),
+            i2 AS (SELECT e.dst AS node, sum(s1.s / s1.od) AS m
+                   FROM e JOIN s1 ON e.src = s1.node GROUP BY e.dst),
+            d2 AS (SELECT coalesce(sum(s), 0) AS dm FROM s1 WHERE od = 0),
+            s2 AS (SELECT tv.node,
+                          (1 - CAST(0.85 AS DOUBLE)) * tv.t
+                          + CAST(0.85 AS DOUBLE)
+                            * (coalesce(i2.m, 0) + d2.dm * tv.t) AS s
+                   FROM tv LEFT JOIN i2 ON tv.node = i2.node, d2)
+            SELECT CAST(node AS BIGINT) AS node, round(s, 6) AS score
+            FROM s2 ORDER BY node
+        """,
+        "q_seasonal_index": """
+            WITH d AS (SELECT event_type, isodow(ts) AS dow, value
+                       FROM events),
+            g AS (SELECT event_type, dow, count(*) AS n, sum(value) AS s
+                  FROM d GROUP BY event_type, dow),
+            t AS (SELECT event_type, sum(s) / sum(n) AS oavg
+                  FROM g GROUP BY event_type)
+            SELECT g.event_type, CAST(g.dow AS BIGINT) AS dow, g.n,
+                   round((g.s / g.n) / t.oavg, 6) AS seasonal_idx
+            FROM g JOIN t USING (event_type)
+            ORDER BY event_type, dow
         """,
     }

@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "q_jw_join",
     "q_rendezvous",
     "q_range_partitioner",
+    "q_ppr",
+    "q_seasonal_index",
 ]
 
 

@@ -1880,3 +1880,56 @@ def test_kcore_semantics(ray_session):
     out2 = kcore(rd.from_pandas(closed.astype("int64")), 2).to_pandas()
     got = dict(zip(out2["node"], out2["core_deg"]))
     assert got == {0: 3, 1: 3, 2: 2, 10: 2, 11: 2, 12: 2}
+
+
+def test_ppr_paths_agree_and_mass_reenters_seeds(ray_session):
+    """Personalized PageRank: broadcast and force-join paths return
+    identical rounded scores; a node outside the seed set with no
+    in-edges scores 0 (mass only re-enters through seeds); missing
+    seeds raise on both paths."""
+    import numpy as np
+    import pytest as _pytest
+
+    from web_crawler_ray.stages.graph import pagerank
+
+    # 40-cycle plus node 100 → 0 (100 has no in-edges); seeds {0, 5}
+    edges = pd.DataFrame({"src": list(range(40)) + [100],
+                          "dst": [(i + 1) % 40 for i in range(40)] + [0]}
+                         ).astype("int64")
+    ds = rd.from_pandas(edges).repartition(2)
+    bc = pagerank(ds, iterations=2, teleport_seeds=[0, 5]).to_pandas()
+    jn = pagerank(ds, iterations=2, teleport_seeds=[0, 5],
+                  force_join_path=True).to_pandas()
+    b = bc.sort_values("node").reset_index(drop=True)
+    j = jn.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, j)
+    scores = dict(zip(b["node"], b["score"]))
+    assert scores[100] == 0.0  # not a seed, no in-edges
+    assert scores[0] > 0.0 and scores[1] > 0.0
+    assert scores[20] == 0.0  # > 2 hops from both seeds, 2 iterations
+    for kw in ({}, {"force_join_path": True}):
+        with _pytest.raises(Exception, match="seed"):
+            pagerank(ds, teleport_seeds=[99], **kw)
+
+
+def test_seasonal_index_semantics(ray_session):
+    """seasonal_index: a key whose Monday values run 2× its Friday
+    values gets idx>1 on Monday, <1 on Friday; an all-equal key gets
+    1.0 on every observed day; ISO numbering (Mon=1)."""
+    from web_crawler_ray.stages.timeseries import seasonal_index
+
+    # 2024-01-01 is a Monday, 2024-01-05 a Friday
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01",
+                              "2024-01-05", "2024-01-05",
+                              "2024-01-01", "2024-01-05"]),
+        "v": [4.0, 4.0, 2.0, 2.0, 7.0, 7.0],
+    })
+    out = (seasonal_index(rd.from_pandas(df).repartition(2), "k", "ts", "v")
+           .to_pandas().sort_values(["k", "dow"]).reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    assert a["dow"].tolist() == [1, 5]
+    assert a["seasonal_idx"].tolist() == [1.333333, 0.666667]  # round(6)
+    b = out[out["k"] == "b"]
+    assert b["seasonal_idx"].tolist() == [1.0, 1.0]

@@ -469,7 +469,8 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
              damping: float = 0.85, iterations: int = 2,
              ndigits: int = 6, num_partitions: int = 16,
              broadcast_nodes_max: int = 5_000_000,
-             force_join_path: bool = False):
+             force_join_path: bool = False,
+             teleport_seeds=None):
     """PageRank with damping over a directed DISTINCT edge list,
     dangling mass redistributed uniformly (the standard formulation):
 
@@ -478,6 +479,14 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
 
     where D(t) is the total score held by zero-outdegree nodes. Fixed
     ``iterations`` so the result is SQL-replayable by CTE unrolling.
+
+    ``teleport_seeds`` switches to PERSONALIZED PageRank (Page et al.
+    1999 §6; the crawl-frontier 'relevance to my seed list' signal):
+    the uniform vector 1/N is replaced everywhere — initial scores,
+    restart term, dangling redistribution — by the indicator vector
+    1[v ∈ S]/|S|, so score mass always re-enters through the seeds.
+    Seeds are a small list by contract (they ride the closure /
+    object store).
 
     Dual path on the same node gate as :func:`bipartite_power_scores` /
     :func:`connected_components`: broadcast (node-sized arrays via the
@@ -496,7 +505,7 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
 
     if force_join_path or e.count() > broadcast_nodes_max:
         return _join_pagerank(e, src, dst, damping, iterations, ndigits,
-                              num_partitions)
+                              num_partitions, teleport_seeds)
 
     # node set + outdegrees: batch-local partials, node-sized driver state
     parts = e.map_batches(
@@ -512,7 +521,21 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
     outdeg[np.searchsorted(nodes, deg_ser.index.to_numpy())] = (
         deg_ser.to_numpy())
     n = float(len(nodes))
-    s = np.full(len(nodes), 1.0 / n)
+    if teleport_seeds is None:
+        tele = np.full(len(nodes), 1.0 / n)
+    else:
+        seeds = np.asarray(sorted(set(int(x) for x in teleport_seeds)),
+                           dtype=np.int64)
+        if not len(seeds):
+            raise ValueError("pagerank: empty teleport seed set")
+        tele = np.zeros(len(nodes), dtype=np.float64)
+        idx = np.searchsorted(nodes, seeds)
+        hit = (idx < len(nodes)) & (nodes[np.minimum(idx, len(nodes) - 1)]
+                                    == seeds)
+        if not hit.all():
+            raise ValueError("pagerank: teleport seed not in the graph")
+        tele[idx] = 1.0 / len(seeds)
+    s = tele.copy()
 
     for _ in range(iterations):
         contrib = np.divide(s, outdeg, out=np.zeros_like(s),
@@ -533,7 +556,13 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
         in_sum[np.searchsorted(nodes, in_ser.index.to_numpy())] = (
             in_ser.to_numpy())
         dangling = float(s[outdeg == 0].sum())
-        s = (1.0 - damping) / n + damping * (in_sum + dangling / n)
+        if teleport_seeds is None:
+            # keep the uniform path's float op order bit-stable (the
+            # q_pagerank / q_graph_scores replays pin it)
+            s = (1.0 - damping) / n + damping * (in_sum + dangling / n)
+        else:
+            s = ((1.0 - damping) * tele
+                 + damping * (in_sum + dangling * tele))
 
     return rd.from_pandas(pd.DataFrame({
         "node": nodes.astype("int64"),
@@ -541,7 +570,8 @@ def pagerank(edges_ds, src: str = "src", dst: str = "dst",
 
 
 def _join_pagerank(e, src: str, dst: str, damping: float, iterations: int,
-                   ndigits: int, num_partitions: int):
+                   ndigits: int, num_partitions: int,
+                   teleport_seeds=None):
     """Distributed PageRank: scores live as a Dataset; per iteration one
     hash join attaches scores to edge sources, a coarse grouped sum
     reduces per destination, and the dangling mass is one scalar
@@ -565,13 +595,33 @@ def _join_pagerank(e, src: str, dst: str, damping: float, iterations: int,
 
     deg = grouped_sum(e.map_batches(count_src, batch_format="pandas"),
                       "node", "od", "od", num_partitions)
+    if teleport_seeds is None:
+        seed_arr, tshare = None, 0.0
+    else:
+        seed_arr = np.asarray(sorted(set(int(x) for x in teleport_seeds)),
+                              dtype=np.int64)
+        if not len(seed_arr):
+            raise ValueError("pagerank: empty teleport seed set")
+        tshare = 1.0 / len(seed_arr)
+        present = nodes.map_batches(
+            lambda b, _sa=seed_arr: pd.DataFrame({"hits": [int(np.isin(
+                b["node"].to_numpy(np.int64), _sa).sum())]}),
+            batch_format="pandas").to_pandas()["hits"].sum()
+        if int(present) != len(seed_arr):
+            raise ValueError("pagerank: teleport seed not in the graph")
+
+    def init_s(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["od"].fillna(0).astype("float64")
+        if seed_arr is None:
+            return pd.DataFrame({"node": b["node"], "od": od, "s": 1.0 / n})
+        t = np.where(np.isin(b["node"].to_numpy(np.int64), seed_arr),
+                     tshare, 0.0)
+        return pd.DataFrame({"node": b["node"], "od": od, "t": t, "s": t})
+
     scores = nodes.join(deg, join_type="left_outer",
                         num_partitions=num_partitions,
                         on=("node",)).map_batches(
-        lambda b: pd.DataFrame({"node": b["node"],
-                                "od": b["od"].fillna(0).astype("float64"),
-                                "s": 1.0 / n}),
-        batch_format="pandas").materialize()
+        init_s, batch_format="pandas").materialize()
 
     for _ in range(iterations):
         dang = scores.map_batches(
@@ -601,13 +651,23 @@ def _join_pagerank(e, src: str, dst: str, damping: float, iterations: int,
             num_partitions, pre_combine=pre_sorted).materialize()
 
         base = (1.0 - damping) / n + damping * dangling / n
+
+        def update(b: pd.DataFrame, _base=base, _dang=dangling):
+            if seed_arr is None:
+                return pd.DataFrame(
+                    {"node": b["node"], "od": b["od"],
+                     "s": _base + damping * b["m"].fillna(0.0)})
+            t = b["t"].to_numpy(np.float64)
+            return pd.DataFrame(
+                {"node": b["node"], "od": b["od"], "t": t,
+                 "s": (1.0 - damping) * t
+                      + damping * (b["m"].fillna(0.0).to_numpy(np.float64)
+                                   + _dang * t)})
+
         scores = scores.join(
             in_sum, join_type="left_outer", num_partitions=num_partitions,
-            on=("node",)).map_batches(
-            lambda b, _base=base: pd.DataFrame(
-                {"node": b["node"], "od": b["od"],
-                 "s": _base + damping * b["m"].fillna(0.0)}),
-            batch_format="pandas").materialize()
+            on=("node",)).map_batches(update,
+                                      batch_format="pandas").materialize()
 
     return scores.map_batches(
         lambda b: pd.DataFrame({"node": b["node"].astype("int64"),
