@@ -5865,6 +5865,49 @@ def q_seasonal_index(sf_dir: str):
     return seasonal_index(ds, "event_type", "ts", "value")
 
 
+def q_skyline(sf_dir: str):
+    """2-D Pareto skyline of parts (maximize retail price AND size —
+    the 'no strictly better candidate exists' curation gate,
+    Börzsönyi 2001): per-batch distinct+count+batch-skyline pruning,
+    one tiny candidate combine, single-task final skyline — the
+    skyline-of-skylines identity keeps everything but the maximal
+    candidates off the wire."""
+    from web_crawler_ray.stages.pareto import skyline2d
+
+    ds = rd.read_parquet(_t(sf_dir, "part"),
+                         columns=["p_retailprice", "p_size"])
+
+    def widen(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"price": b["p_retailprice"].to_numpy(np.float64),
+                             "sz": b["p_size"].to_numpy(np.int64)})
+
+    return skyline2d(ds.map_batches(widen, batch_format="pandas"),
+                     "price", "sz", count_col="n_parts")
+
+
+def q_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 build from the event log's
+    per-user attribute (props.k): collapse to attribute versions with
+    [valid_from, valid_to) microsecond validity, open (NULL/NaN)
+    valid_to on the current version — the warehouse CDC→dimension
+    staple. One user exchange + a single vectorized pass
+    (`windows.scd2_versions`); the attribute parse is the same regex
+    on both sides."""
+    from web_crawler_ray.stages.windows import scd2_versions
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id", "props"])
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        k = (b["props"].str.extract(r'"k": (-?\d+)', expand=False)
+             .astype("int64"))
+        return pd.DataFrame({"user_id": b["user_id"], "ts": b["ts"],
+                             "event_id": b["event_id"], "k": k})
+
+    return scd2_versions(ds.map_batches(parse, batch_format="pandas"),
+                         "user_id", "ts", "event_id", "k")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6137,6 +6180,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_partitioner": q_range_partitioner,
         "q_ppr": q_ppr,
         "q_seasonal_index": q_seasonal_index,
+        "q_skyline": q_skyline,
+        "q_scd2": q_scd2,
     }
 
 
@@ -9246,5 +9291,46 @@ def oracle_sql() -> dict[str, str]:
                    round((g.s / g.n) / t.oavg, 6) AS seasonal_idx
             FROM g JOIN t USING (event_type)
             ORDER BY event_type, dow
+        """,
+        "q_skyline": """
+            WITH pts AS (
+              SELECT p_retailprice AS price, p_size AS sz,
+                     count(*) AS n_parts
+              FROM part GROUP BY 1, 2),
+            sky AS (
+              SELECT a.* FROM pts a WHERE NOT EXISTS (
+                SELECT 1 FROM pts b
+                WHERE b.price >= a.price AND b.sz >= a.sz
+                  AND (b.price > a.price OR b.sz > a.sz)))
+            SELECT price, CAST(sz AS BIGINT) AS sz, n_parts
+            FROM sky ORDER BY price
+        """,
+        "q_scd2": """
+            WITH r AS (
+              SELECT user_id, epoch_us(ts) AS us, event_id,
+                     CAST(regexp_extract(props, '"k": (-?\\d+)', 1)
+                          AS BIGINT) AS k
+              FROM events),
+            o AS (
+              SELECT user_id, us, event_id, k,
+                     CASE WHEN lag(k) OVER w IS DISTINCT FROM k
+                          THEN 1 ELSE 0 END AS chg
+              FROM r WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY us, event_id)),
+            v AS (
+              SELECT user_id, us, k,
+                     sum(chg) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS ver
+              FROM o),
+            g AS (SELECT user_id, ver, k, min(us) AS valid_from
+                  FROM v GROUP BY user_id, ver, k),
+            f AS (SELECT user_id, CAST(ver AS BIGINT) AS version, k,
+                         valid_from,
+                         lead(valid_from) OVER (
+                           PARTITION BY user_id ORDER BY valid_from)
+                           AS valid_to
+                  FROM g)
+            SELECT * FROM f ORDER BY user_id, version
         """,
     }

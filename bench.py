@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q_range_partitioner",
     "q_ppr",
     "q_seasonal_index",
+    "q_skyline",
+    "q_scd2",
 ]
 
 

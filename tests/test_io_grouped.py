@@ -1933,3 +1933,51 @@ def test_seasonal_index_semantics(ray_session):
     assert a["seasonal_idx"].tolist() == [1.333333, 0.666667]  # round(6)
     b = out[out["k"] == "b"]
     assert b["seasonal_idx"].tolist() == [1.0, 1.0]
+
+
+def test_skyline2d_semantics(ray_session):
+    """skyline2d: duplicate maximal points keep their full multiplicity
+    across batches; a point equal in one coordinate and lower in the
+    other is dominated; incomparable points coexist."""
+    from web_crawler_ray.stages.pareto import skyline2d
+
+    df = pd.DataFrame({
+        "x": [5.0, 5.0, 5.0, 3.0, 3.0, 1.0, 4.0],
+        "y": [2,   2,   1,   9,   9,   9,   2],
+    })
+    # skyline: (5,2) ×2 and (3,9) ×2 — (5,1) dominated by (5,2),
+    # (1,9) by (3,9), (4,2) by (5,2)
+    out = (skyline2d(rd.from_pandas(df).repartition(3), "x", "y")
+           .to_pandas().sort_values("x").reset_index(drop=True))
+    assert list(zip(out["x"], out["y"], out["n"])) == [
+        (3.0, 9, 2), (5.0, 2, 2)]
+
+
+def test_scd2_versions_semantics(ray_session):
+    """scd2_versions: a new version per attribute change (returning to
+    an old value opens a NEW version), contiguous validity, NaN
+    valid_to on the current version."""
+    import numpy as np
+
+    from web_crawler_ray.stages.windows import scd2_versions
+
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime(
+            np.array([base, base + 10, base + 20, base + 30, base]),
+            unit="us"),
+        "tie": [1, 2, 3, 4, 5],
+        "a": [7, 7, 8, 7, 9],  # 7 → 8 → back to 7: three versions
+    })
+    out = (scd2_versions(rd.from_pandas(df).repartition(2),
+                         "u", "ts", "tie", "a")
+           .to_pandas().sort_values(["u", "version"])
+           .reset_index(drop=True))
+    u1 = out[out["u"] == 1]
+    assert u1["version"].tolist() == [1, 2, 3]
+    assert u1["a"].tolist() == [7, 8, 7]
+    assert u1["valid_from"].tolist() == [base, base + 20, base + 30]
+    assert u1["valid_to"].tolist()[:2] == [base + 20, base + 30]
+    assert pd.isna(u1["valid_to"].iloc[2])
+    assert pd.isna(out[out["u"] == 2]["valid_to"]).all()

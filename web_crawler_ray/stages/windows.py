@@ -682,3 +682,39 @@ def interval_union(ds, key: str, start_col: str, end_col: str,
 
     return partitioned_apply(ds, [key], per_partition,
                              n_rows_hint=n_rows_hint)
+
+
+def scd2_versions(ds, key: str, ts_col: str, tie_col: str, attr_col: str):
+    """Slowly-changing-dimension type-2 builder: collapse an event log
+    into per-key attribute VERSIONS — a new version starts whenever the
+    attribute differs from the previous row (ordered by ts, tie), with
+    [valid_from, valid_to) microsecond validity and an open (NaN)
+    valid_to on the current version. The dimension-table shape every
+    warehouse CDC pipeline emits.
+
+    Shape: one key exchange, then a single vectorized pass per
+    partition (grouped shift/cumsum + one groupby-agg + one shift for
+    valid_to). Returns (key, version:int64, attr, valid_from:int64,
+    valid_to:float64-with-NaN — matching a nullable-BIGINT SQL
+    replay)."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort")
+        us = p[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        p = p.assign(__us=us)
+        prev = p.groupby(key, sort=False)[attr_col].shift(1)
+        chg = (prev.isna() | (prev != p[attr_col])).astype("int64")
+        ver = chg.groupby(p[key], sort=False).cumsum()
+        g = (p.assign(__ver=ver)
+             .groupby([key, "__ver"], sort=True)
+             .agg(**{attr_col: (attr_col, "first"),
+                     "valid_from": ("__us", "min")})
+             .reset_index())
+        g = g.sort_values([key, "valid_from"], kind="mergesort")
+        g["valid_to"] = (g.groupby(key, sort=False)["valid_from"]
+                         .shift(-1))  # float64 + NaN on the open version
+        return (g.rename(columns={"__ver": "version"})
+                [[key, "version", attr_col, "valid_from", "valid_to"]]
+                .astype({"version": "int64", "valid_from": "int64"}))
+
+    return partitioned_apply(ds, [key], per_partition)
