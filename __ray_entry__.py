@@ -5908,6 +5908,46 @@ def q_scd2(sf_dir: str):
                          "user_id", "ts", "event_id", "k")
 
 
+def q_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound over the harvested link graph
+    (Magnien 2009's BFS heuristic — the 'how deep does this crawl
+    really go' audit at two BFS passes instead of all-pairs): sweep 1
+    from the smallest node finds the farthest node a (tie → min id);
+    sweep 2 from a reports the eccentricity lower bound and its far
+    endpoint. Engine: two `graph.bfs_depth` runs (dual paths) over the
+    edges materialized once; the replay runs two depth-capped
+    recursive CTEs chained by the same argmax."""
+    from web_crawler_ray.stages.graph import bfs_depth
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:  # == q_crawl_depth graph
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        u = ok % 4096
+        chain_dst = u // 64 * 64 + (u + 1) % 64
+        cut = ok % 3 == 0
+        return pd.DataFrame({
+            "src": np.concatenate([u, u[cut]]),
+            "dst": np.concatenate([chain_dst, (u[cut] * 5 + 1) % 4096]),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    e = ds.map_batches(edges, batch_format="pandas").materialize()
+    start = int(e.map_batches(
+        lambda b: pd.DataFrame({"m": [int(min(b["src"].min(),
+                                              b["dst"].min()))]}),
+        batch_format="pandas").to_pandas()["m"].min())
+
+    def far(depths: pd.DataFrame) -> tuple[int, int]:
+        dmax = int(depths["depth"].max())
+        node = int(depths.loc[depths["depth"] == dmax, "node"].min())
+        return node, dmax
+
+    a, _ = far(bfs_depth(e, [start]).to_pandas())
+    b_node, lb = far(bfs_depth(e, [a]).to_pandas())
+    return pd.DataFrame({"start": [start], "far_a": [a],
+                         "far_b": [b_node], "lb_diameter": [lb]}
+                        ).astype("int64")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6182,6 +6222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_seasonal_index": q_seasonal_index,
         "q_skyline": q_skyline,
         "q_scd2": q_scd2,
+        "q_diameter": q_diameter,
     }
 
 
@@ -9332,5 +9373,41 @@ def oracle_sql() -> dict[str, str]:
                            AS valid_to
                   FROM g)
             SELECT * FROM f ORDER BY user_id, version
+        """,
+        "q_diameter": """
+            WITH RECURSIVE e AS MATERIALIZED (
+              SELECT DISTINCT src, dst FROM (
+                SELECT o_orderkey % 4096 AS src,
+                       (o_orderkey % 4096) // 64 * 64
+                         + ((o_orderkey % 4096) + 1) % 64 AS dst
+                FROM orders
+                UNION ALL
+                SELECT o_orderkey % 4096,
+                       ((o_orderkey % 4096) * 5 + 1) % 4096
+                FROM orders WHERE o_orderkey % 3 = 0
+              )
+            ),
+            st AS (SELECT least(min(src), min(dst)) AS v FROM e),
+            d1(node, depth) AS (
+              SELECT v, 0 FROM st
+              UNION
+              SELECT e.dst, d1.depth + 1
+              FROM d1 JOIN e ON e.src = d1.node WHERE d1.depth < 80
+            ),
+            m1 AS (SELECT node, min(depth) AS d FROM d1 GROUP BY node),
+            a AS (SELECT min(node) AS v FROM m1
+                  WHERE d = (SELECT max(d) FROM m1)),
+            d2(node, depth) AS (
+              SELECT v, 0 FROM a
+              UNION
+              SELECT e.dst, d2.depth + 1
+              FROM d2 JOIN e ON e.src = d2.node WHERE d2.depth < 80
+            ),
+            m2 AS (SELECT node, min(depth) AS d FROM d2 GROUP BY node)
+            SELECT st.v AS start, a.v AS far_a,
+                   (SELECT min(node) FROM m2
+                    WHERE d = (SELECT max(d) FROM m2)) AS far_b,
+                   (SELECT max(d) FROM m2) AS lb_diameter
+            FROM st, a
         """,
     }

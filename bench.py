@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_seasonal_index",
     "q_skyline",
     "q_scd2",
+    "q_diameter",
 ]
 
 
