@@ -5948,6 +5948,68 @@ def q_diameter(sf_dir: str):
                         ).astype("int64")
 
 
+def q_abtest(sf_dir: str):
+    """Two-sample Welch t-test per event type between deterministic
+    hash arms (user_id parity — the A/B experimentation readout over
+    an event log): per-(type, arm) moment partials (n, Σv, Σv²) fold
+    map-side, ONE tiny combine, closed-form Welch statistic in a
+    key-sized finish; the replay computes the identical closed form
+    from the identical sums. Types missing an arm with n ≥ 2 are
+    excluded on both sides."""
+    from web_crawler_ray.functions.rounding import sql_round
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "arm": (b["user_id"] % 2).astype("int64"),
+                             "n": np.ones(len(b), dtype=np.int64),
+                             "s": v, "ss": v * v})
+
+    g = partial_grouped_agg(
+        ds.map_batches(tag, batch_format="pandas"), ["event_type", "arm"],
+        {"n": ("sum", "n"), "s": ("sum", "s"), "ss": ("sum", "ss")})
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        cols = pd.MultiIndex.from_product([["n", "s", "ss"], [0, 1]])
+        w = (p.pivot_table(index="event_type", columns="arm",
+                           values=["n", "s", "ss"], aggfunc="first")
+             .reindex(columns=cols)  # a partition may miss an arm
+             .dropna())
+        if not len(w):
+            return pd.DataFrame({
+                "event_type": pd.Series(dtype=object),
+                "n_a": pd.Series(dtype="int64"),
+                "n_b": pd.Series(dtype="int64"),
+                "mean_a": pd.Series(dtype="float64"),
+                "mean_b": pd.Series(dtype="float64"),
+                "t_welch": pd.Series(dtype="float64")})
+        na = w[("n", 0)].to_numpy(np.float64)
+        nb = w[("n", 1)].to_numpy(np.float64)
+        sa = w[("s", 0)].to_numpy(np.float64)
+        sb = w[("s", 1)].to_numpy(np.float64)
+        ssa = w[("ss", 0)].to_numpy(np.float64)
+        ssb = w[("ss", 1)].to_numpy(np.float64)
+        keep = (na > 1) & (nb > 1)
+        na, nb, sa, sb, ssa, ssb = (x[keep] for x in
+                                    (na, nb, sa, sb, ssa, ssb))
+        ma, mb = sa / na, sb / nb
+        t = (ma - mb) / np.sqrt(((ssa - sa * sa / na) / (na - 1)) / na
+                                + ((ssb - sb * sb / nb) / (nb - 1)) / nb)
+        return pd.DataFrame({"event_type": w.index.to_numpy()[keep],
+                             "n_a": na.astype("int64"),
+                             "n_b": nb.astype("int64"),
+                             "mean_a": sql_round(ma, 6),
+                             "mean_b": sql_round(mb, 6),
+                             "t_welch": sql_round(t, 6)})
+
+    return partitioned_apply(g, ["event_type"], finish)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6223,6 +6285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skyline": q_skyline,
         "q_scd2": q_scd2,
         "q_diameter": q_diameter,
+        "q_abtest": q_abtest,
     }
 
 
@@ -9409,5 +9472,26 @@ def oracle_sql() -> dict[str, str]:
                     WHERE d = (SELECT max(d) FROM m2)) AS far_b,
                    (SELECT max(d) FROM m2) AS lb_diameter
             FROM st, a
+        """,
+        "q_abtest": """
+            WITH d AS (SELECT event_type, user_id % 2 AS arm, value AS v
+                       FROM events),
+            g AS (SELECT event_type, arm, count(*) AS n, sum(v) AS s,
+                         sum(v * v) AS ss
+                  FROM d GROUP BY event_type, arm),
+            p AS (SELECT a.event_type,
+                         a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+                         a.ss AS ss_a, b.ss AS ss_b
+                  FROM g a JOIN g b USING (event_type)
+                  WHERE a.arm = 0 AND b.arm = 1
+                    AND a.n > 1 AND b.n > 1)
+            SELECT event_type, n_a, n_b,
+                   round(s_a / n_a, 6) AS mean_a,
+                   round(s_b / n_b, 6) AS mean_b,
+                   round((s_a / n_a - s_b / n_b)
+                         / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                              + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
+                         6) AS t_welch
+            FROM p ORDER BY event_type
         """,
     }

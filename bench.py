@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "q_skyline",
     "q_scd2",
     "q_diameter",
+    "q_abtest",
 ]
 
 

@@ -333,3 +333,34 @@ def test_group_regression_matches_polyfit(ray_session, tmp_path):
         slope, intercept = np.polyfit(x, sub["value"].to_numpy(), 1)
         assert abs(out.loc[uid, "slope"] - slope) < 1e-5
         assert abs(out.loc[uid, "intercept"] - intercept) < 1e-4
+
+
+def test_abtest_welch_direction_and_null(ray_session, tmp_path):
+    """q_abtest: identical arms give t == 0; a shifted arm gives a
+    large negative t (arm B hotter ⇒ mean_a − mean_b < 0); single-arm
+    types are excluded."""
+    import os
+
+    import numpy as np
+
+    from __ray_entry__ import q_abtest
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(200):
+        v = float(rng.normal(10, 1))
+        rows.append(("same", 0, v))        # identical paired values
+        rows.append(("same", 1, v))
+        rows.append(("shift", 0, v))
+        rows.append(("shift", 1, v + 3.0))
+    rows.append(("solo", 1, 1.0))          # only arm 1 → excluded
+    df = pd.DataFrame(rows, columns=["event_type", "user_id", "value"])
+    df["user_id"] = df["user_id"].astype("int64")
+    df.to_parquet(os.path.join(str(tmp_path), "events.parquet"))
+
+    out = (q_abtest(str(tmp_path)).to_pandas()
+           .set_index("event_type").sort_index())
+    assert sorted(out.index) == ["same", "shift"]
+    assert abs(out.loc["same", "t_welch"]) < 1e-9  # same values both arms
+    assert out.loc["shift", "t_welch"] < -10       # B shifted +3 sigma
+    assert out.loc["same", "n_a"] == out.loc["same", "n_b"] == 200
