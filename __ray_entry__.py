@@ -6010,6 +6010,158 @@ def q_abtest(sf_dir: str):
     return partitioned_apply(g, ["event_type"], finish)
 
 
+def q_acf(sf_dir: str):
+    """Lag-1..7 autocorrelation of the daily event-value series
+    (Box–Jenkins sample ACF, calendar-day pairing so gaps drop pairs
+    instead of misaligning them): raw rows fold to (day, Σv) partials
+    map-side, ONE tiny combine, ACF over the calendar-bounded day
+    series in a driver fold; the replay joins the day series on
+    day + lag with the identical estimator."""
+    from web_crawler_ray.stages.timeseries import autocorrelation
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    return autocorrelation(ds, "ts", "value", max_lag=7)
+
+
+def q_hhi(sf_dir: str):
+    """Herfindahl–Hirschman concentration of per-user value share
+    within each event type — 'is one user eating this event type's
+    whole budget?' (the politeness-audit statistic generalized):
+    (type, user) partial sums, one combine, per-type share² fold."""
+    from web_crawler_ray.stages.stats import group_hhi
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+    return group_hhi(ds, "event_type", "user_id", "value")
+
+
+def q_gap_fill(sf_dir: str):
+    """Densified per-status daily revenue: every status × every day in
+    the global order-date range, missing days as n=0 / 0.0 — the
+    'absence is a data point' prerequisite for rolling models. The
+    only exchange carries (status, day) partials; the dense grid is a
+    keys×calendar-bounded fold; the replay cross-joins
+    generate_series with the distinct statuses."""
+    from web_crawler_ray.stages.timeseries import gap_fill_daily
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderstatus", "o_orderdate",
+                                  "o_totalprice"])
+    return gap_fill_daily(ds, "o_orderstatus", "o_orderdate",
+                          "o_totalprice")
+
+
+def q_moments(sf_dir: str):
+    """Per-event-type sample skewness and excess kurtosis via the
+    two-pass centered-moment scheme (center on the broadcast pass-1
+    mean BEFORE powering, so the third/fourth powers stay O(σ⁴) and
+    the combine is numerically tame): two map-only passes, two
+    key-cardinality exchanges; the replay computes the identical
+    closed form from a mean-join."""
+    from web_crawler_ray.stages.stats import group_moments
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return group_moments(ds, "event_type", "value")
+
+
+def q_mannwhitney(sf_dir: str):
+    """Per-event-type Mann–Whitney U between the deterministic hash
+    arms (user_id parity), average-rank ties, tie-corrected normal
+    z — the non-parametric sibling of q_abtest for heavy-tailed
+    metrics. ONE co-locating exchange on event_type; ranking is
+    vectorized inside the key's partition task; the replay builds
+    average ranks from rank() + (tie_count−1)/2."""
+    from web_crawler_ray.stages.stats import mann_whitney_u
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id", "value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "arm": (b["user_id"] % 2).astype("int64"),
+                             "v": b["value"].to_numpy(np.float64)})
+
+    return mann_whitney_u(ds.map_batches(tag, batch_format="pandas"),
+                          "event_type", "arm", "v")
+
+
+def q_geo_pairs(sf_dir: str):
+    """2-D radius self-join (all customer pairs within Euclidean
+    distance 5 on deterministic derived coordinates) via the
+    fixed-grid ghost-zone join: one exchange carrying 9 rows per point
+    (home + 8 ghost cells), exactly-once pair emission ('the HOME
+    endpoint has the smaller id'), in-partition vectorized verify —
+    nothing quadratic crosses the wire. The replay joins on 3×3 cell
+    adjacency with the identical distance expression tree."""
+    from web_crawler_ray.stages.spatial import grid_distance_join
+
+    ds = rd.read_parquet(_t(sf_dir, "customer"), columns=["c_custkey"])
+
+    def coords(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"id": k,
+                             "x": (k * 7919 % 1000) / 10.0,
+                             "y": (k * 104729 % 1000) / 10.0})
+
+    out = grid_distance_join(
+        ds.map_batches(coords, batch_format="pandas"),
+        "id", "x", "y", radius=5.0).to_pandas()
+    # pin the schema through the empty case (to_pandas drops it)
+    return out.reindex(columns=["id_a", "id_b", "dist"]).astype(
+        {"id_a": "int64", "id_b": "int64", "dist": "float64"})
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase search ('sort merge') through a positional
+    inverted index: map-side tokenize emits ONLY the phrase terms'
+    (doc, adjusted-position, slot) postings (query-time pushdown —
+    volume ∝ term frequency, never corpus size), one co-locating
+    exchange on doc, and the occurrence test is the classic postings
+    intersection 'all m slots agree on the adjusted position'. The
+    replay filters the token array with a positional lambda."""
+    from web_crawler_ray.stages.text_rank import phrase_search
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"),
+                         columns=["doc_id", "text"])
+    return phrase_search(ds, "doc_id", "text", ["sort", "merge"])
+
+
+def q_compaction_plan(sf_dir: str):
+    """Sorted-fill compaction plan over a synthetic small-file ledger
+    (one 'file' per order, size = floor(100·o_totalprice) bytes-ish,
+    walked in key order, bins of 10¹⁰): the lakehouse OPTIMIZE
+    planner. Global exclusive prefix sum via the bucket-bases pattern
+    — per-bucket totals (one tiny combine), driver-built bases
+    broadcast once, in-bucket vectorized cumsum, bin partials through
+    a final bin-cardinality combine; the replay is a window cumsum."""
+    from web_crawler_ray.stages.layout import compaction_plan
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def sizes(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": b["o_orderkey"].to_numpy(np.int64),
+            "sz": np.floor(b["o_totalprice"].to_numpy(np.float64) * 100.0
+                           ).astype(np.int64)})
+
+    return compaction_plan(ds.map_batches(sizes, batch_format="pandas"),
+                           "k", "sz", target=10_000_000_000)
+
+
+def q_partition_checksum(sf_dir: str):
+    """Per-bucket reshard-integrity fingerprint of the orders table
+    (count, XOR of the Knuth-multiplicative 31-bit key fingerprint,
+    key sum — order-independent, so it survives any relayout): the
+    exchange carries ≤ 16 rows per batch; everything is integer-exact
+    so the replay needs no rounding."""
+    from web_crawler_ray.stages.layout import partition_checksum
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    return partition_checksum(ds, "o_orderkey", n_buckets=16)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6286,6 +6438,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": q_scd2,
         "q_diameter": q_diameter,
         "q_abtest": q_abtest,
+        "q_acf": q_acf,
+        "q_hhi": q_hhi,
+        "q_gap_fill": q_gap_fill,
+        "q_moments": q_moments,
+        "q_mannwhitney": q_mannwhitney,
+        "q_geo_pairs": q_geo_pairs,
+        "q_phrase_search": q_phrase_search,
+        "q_compaction_plan": q_compaction_plan,
+        "q_partition_checksum": q_partition_checksum,
     }
 
 
@@ -9493,5 +9654,169 @@ def oracle_sql() -> dict[str, str]:
                               + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b),
                          6) AS t_welch
             FROM p ORDER BY event_type
+        """,
+        "q_acf": """
+            WITH d AS (
+              SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS day,
+                     sum(value) AS x
+              FROM events GROUP BY 1),
+            m AS (SELECT avg(x) AS mu FROM d),
+            den AS (SELECT sum((x - mu) * (x - mu)) AS s2 FROM d, m),
+            lags AS (SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7))
+                     t(lag)),
+            num AS (
+              SELECT l.lag, count(*) AS n_pairs,
+                     sum((a.x - m.mu) * (b.x - m.mu)) AS nm
+              FROM lags l
+              JOIN d a ON true
+              JOIN d b ON b.day = a.day + l.lag
+              CROSS JOIN m
+              GROUP BY l.lag)
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   coalesce(n.n_pairs, 0) AS n_pairs,
+                   round(coalesce(n.nm, 0) / den.s2, 6) AS acf
+            FROM lags l LEFT JOIN num n ON n.lag = l.lag, den
+            ORDER BY lag
+        """,
+        "q_hhi": """
+            WITH g AS (SELECT event_type, user_id, sum(value) AS s
+                       FROM events GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(s) AS tot FROM g GROUP BY 1)
+            SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_members,
+                   round(sum((g.s / t.tot) * (g.s / t.tot)), 6) AS hhi
+            FROM g JOIN t USING (event_type)
+            GROUP BY g.event_type ORDER BY g.event_type
+        """,
+        "q_gap_fill": """
+            WITH b AS (
+              SELECT o_orderstatus,
+                     CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE)) AS BIGINT)
+                       AS day,
+                     o_totalprice AS v
+              FROM orders),
+            g AS (SELECT o_orderstatus, day, count(*) AS n, sum(v) AS s
+                  FROM b GROUP BY 1, 2),
+            r AS (SELECT CAST(unnest(generate_series(
+                           (SELECT min(day) FROM g),
+                           (SELECT max(day) FROM g))) AS BIGINT) AS day),
+            k AS (SELECT DISTINCT o_orderstatus FROM g)
+            SELECT k.o_orderstatus, r.day,
+                   CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+                   round(coalesce(g.s, 0), 2) AS total
+            FROM k CROSS JOIN r
+            LEFT JOIN g ON g.o_orderstatus = k.o_orderstatus
+                       AND g.day = r.day
+            ORDER BY k.o_orderstatus, r.day
+        """,
+        "q_moments": """
+            WITH m AS (SELECT event_type, count(*) AS n, avg(value) AS mu
+                       FROM events GROUP BY 1),
+            c AS (SELECT e.event_type, m.n, m.mu,
+                         sum((value - mu) * (value - mu)) AS m2,
+                         sum((value - mu) * (value - mu)
+                             * (value - mu)) AS m3,
+                         sum((value - mu) * (value - mu)
+                             * (value - mu) * (value - mu)) AS m4
+                  FROM events e JOIN m USING (event_type)
+                  GROUP BY 1, 2, 3)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   round(mu, 6) AS mean,
+                   round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS skewness,
+                   round(n * m4 / (m2 * m2) - 3.0, 6) AS exkurtosis
+            FROM c ORDER BY event_type
+        """,
+        "q_mannwhitney": """
+            WITH d AS (SELECT event_type, user_id % 2 AS arm, value AS v
+                       FROM events),
+            r AS (SELECT event_type, arm, v,
+                         rank() OVER (PARTITION BY event_type
+                                      ORDER BY v) AS rk,
+                         count(*) OVER (PARTITION BY event_type, v)
+                           AS tcnt
+                  FROM d),
+            a AS (SELECT event_type,
+                         sum(CASE WHEN arm = 0
+                                  THEN rk + (tcnt - 1) / 2.0
+                                  ELSE 0 END) AS r0,
+                         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+                         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1
+                  FROM r GROUP BY 1),
+            t AS (SELECT event_type,
+                         sum(CAST(c AS DOUBLE) * c * c - c) AS tie
+                  FROM (SELECT event_type, v, count(*) AS c
+                        FROM d GROUP BY 1, 2)
+                  GROUP BY 1),
+            f AS (SELECT a.event_type, a.n0, a.n1,
+                         a.r0 - a.n0 * (a.n0 + 1) / 2.0 AS u,
+                         a.n0 * a.n1 / 12.0
+                           * ((a.n0 + a.n1 + 1.0)
+                              - t.tie / ((a.n0 + a.n1)
+                                         * (a.n0 + a.n1 - 1.0))) AS var
+                  FROM a JOIN t USING (event_type)
+                  WHERE a.n0 > 0 AND a.n1 > 0)
+            SELECT event_type, CAST(n0 AS BIGINT) AS n_a,
+                   CAST(n1 AS BIGINT) AS n_b,
+                   round(u, 6) AS u_stat,
+                   round((u - n0 * n1 / 2.0) / sqrt(var), 6) AS z
+            FROM f WHERE var > 0 ORDER BY event_type
+        """,
+        "q_geo_pairs": """
+            WITH p AS (SELECT c_custkey AS id,
+                              ((c_custkey * 7919) % 1000) / 10.0 AS x,
+                              ((c_custkey * 104729) % 1000) / 10.0 AS y
+                       FROM customer),
+            g AS (SELECT id, x, y,
+                         CAST(floor(x / 5.0) AS BIGINT) AS cx,
+                         CAST(floor(y / 5.0) AS BIGINT) AS cy
+                  FROM p)
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(sqrt((a.x - b.x) * (a.x - b.x)
+                            + (a.y - b.y) * (a.y - b.y)), 6) AS dist
+            FROM g a JOIN g b
+              ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+             AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+             AND a.id < b.id
+            WHERE (a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y) <= 25.0
+            ORDER BY id_a, id_b
+        """,
+        "q_phrase_search": """
+            WITH tk AS (SELECT doc_id,
+                               regexp_extract_all(lower(text), '[a-z]+')
+                                 AS tok
+                        FROM documents),
+            c AS (SELECT doc_id,
+                         len(list_filter(range(1, len(tok)),
+                                         i -> tok[i] = 'sort'
+                                          AND tok[i + 1] = 'merge'))
+                           AS n_occ
+                  FROM tk)
+            SELECT doc_id, CAST(n_occ AS BIGINT) AS n_occ
+            FROM c WHERE n_occ > 0 ORDER BY doc_id
+        """,
+        "q_compaction_plan": """
+            WITH f AS (SELECT o_orderkey AS k,
+                              CAST(floor(o_totalprice * 100) AS BIGINT)
+                                AS sz
+                       FROM orders),
+            w AS (SELECT k, sz,
+                         sum(sz) OVER (ORDER BY k
+                                       ROWS UNBOUNDED PRECEDING) - sz
+                           AS off
+                  FROM f)
+            SELECT CAST(off // 10000000000 AS BIGINT) AS bin,
+                   count(*) AS n_files,
+                   CAST(sum(sz) AS BIGINT) AS bytes
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "q_partition_checksum": """
+            SELECT CAST(o_orderkey % 16 AS BIGINT) AS bucket,
+                   count(*) AS n_rows,
+                   CAST(bit_xor((o_orderkey * 2654435761) % 2147483647)
+                        AS BIGINT) AS xor_fp,
+                   CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
     }

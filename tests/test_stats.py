@@ -669,3 +669,212 @@ def test_trigram_index_search_exact(ray_session, tmp_path):
     assert none.empty and list(none.columns) == ["doc_id"]
     with pytest.raises(ValueError, match="3 chars"):
         trigram_search(ds, idx, "ab", "text", "doc_id", n_buckets=8)
+
+
+def test_group_hhi_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import group_hhi
+
+    # key "a": shares 0.5/0.25/0.25 -> hhi = 0.375; key "b": one member
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"],
+        "m": [1, 1, 2, 3, 9],
+        "v": [1.0, 1.0, 1.0, 1.0, 7.0],
+    })
+    out = (group_hhi(rd.from_pandas(df).repartition(3), "k", "m", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["n_members"].tolist() == [3, 1]
+    assert out["hhi"].tolist() == [0.375, 1.0]
+
+
+def test_group_moments_vs_numpy(ray_session):
+    from web_crawler_ray.stages.stats import group_moments
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([rng.exponential(2.0, 400),  # right-skewed
+                           rng.normal(5.0, 1.0, 300)])
+    keys = np.array(["exp"] * 400 + ["norm"] * 300)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    out = (group_moments(rd.from_pandas(df).repartition(5), "k", "v")
+           .sort_values("k").reset_index(drop=True))
+    for kv in ["exp", "norm"]:
+        x = vals[keys == kv]
+        c = x - x.mean()
+        m2, m3, m4 = (c ** 2).sum(), (c ** 3).sum(), (c ** 4).sum()
+        n = len(x)
+        row = out[out["k"] == kv].iloc[0]
+        assert row["n"] == n
+        assert abs(row["skewness"] - np.sqrt(n) * m3 / m2 ** 1.5) < 1e-5
+        assert abs(row["exkurtosis"] - (n * m4 / m2 ** 2 - 3)) < 1e-5
+    assert out.loc[out["k"] == "exp", "skewness"].iloc[0] > 1.0
+    assert abs(out.loc[out["k"] == "norm", "skewness"].iloc[0]) < 0.3
+
+
+def test_mann_whitney_vs_reference(ray_session):
+    from web_crawler_ray.stages.stats import mann_whitney_u
+
+    # includes ties ACROSS arms (the tie-correction path)
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 5.0, 8.0]
+    b = [2.0, 4.0, 5.0, 6.0, 6.0, 9.0]
+    df = pd.DataFrame({"k": ["g"] * (len(a) + len(b)),
+                       "arm": [0] * len(a) + [1] * len(b),
+                       "v": a + b})
+    out = (mann_whitney_u(rd.from_pandas(df).repartition(4),
+                          "k", "arm", "v").to_pandas())
+    assert len(out) == 1
+    row = out.iloc[0]
+
+    # reference: average ranks by hand
+    allv = np.array(a + b)
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    sv = allv[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j - 1) / 2.0 + 1.0
+        i = j
+    r0 = ranks[: len(a)].sum()
+    n0, n1 = len(a), len(b)
+    u = r0 - n0 * (n0 + 1) / 2.0
+    nn = n0 + n1
+    _, counts = np.unique(allv, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    var = n0 * n1 / 12.0 * ((nn + 1.0) - tie / (nn * (nn - 1.0)))
+    z = (u - n0 * n1 / 2.0) / np.sqrt(var)
+    assert row["n_a"] == n0 and row["n_b"] == n1
+    assert abs(row["u_stat"] - u) < 1e-9
+    assert abs(row["z"] - z) < 1e-6
+
+
+def test_mann_whitney_missing_arm_excluded(ray_session):
+    from web_crawler_ray.stages.stats import mann_whitney_u
+
+    df = pd.DataFrame({"k": ["solo"] * 3 + ["both"] * 4,
+                       "arm": [0, 0, 0, 0, 1, 0, 1],
+                       "v": [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 4.0]})
+    out = (mann_whitney_u(rd.from_pandas(df), "k", "arm", "v")
+           .to_pandas())
+    assert out["k"].tolist() == ["both"]
+
+
+def test_autocorrelation_gapped_series(ray_session):
+    from web_crawler_ray.stages.timeseries import autocorrelation
+
+    # days 0,1,2,4,5 (gap at 3): lag-1 pairs = (0,1),(1,2),(4,5)
+    days = ["2024-01-01", "2024-01-02", "2024-01-03",
+            "2024-01-05", "2024-01-06"]
+    vals = [1.0, 3.0, 2.0, 5.0, 4.0]
+    df = pd.DataFrame({"ts": pd.to_datetime(days), "v": vals})
+    out = autocorrelation(rd.from_pandas(df).repartition(2), "ts", "v",
+                          max_lag=3)
+    x = np.array(vals)
+    c = x - x.mean()
+    den = (c * c).sum()
+    # calendar pairing: idx pairs per lag over day indices [0,1,2,4,5]
+    pairs = {1: [(0, 1), (1, 2), (3, 4)],
+             2: [(0, 2), (2, 3)],
+             3: [(1, 3), (2, 4)]}
+    for lag, pp in pairs.items():
+        want = sum(c[i] * c[j] for i, j in pp) / den
+        row = out[out["lag"] == lag].iloc[0]
+        assert row["n_pairs"] == len(pp)
+        assert abs(row["acf"] - want) < 1e-6
+
+
+def test_gap_fill_daily_hand_case(ray_session):
+    from web_crawler_ray.stages.timeseries import gap_fill_daily
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-02"]),
+        "v": [10.0, 20.0, 5.0]})
+    out = gap_fill_daily(rd.from_pandas(df), "k", "ts", "v")
+    # global range = 4 days x 2 keys = 8 rows
+    assert len(out) == 8
+    a = out[out["k"] == "a"].sort_values("day")
+    assert a["n"].tolist() == [1, 0, 0, 1]
+    assert a["total"].tolist() == [10.0, 0.0, 0.0, 20.0]
+    b = out[out["k"] == "b"].sort_values("day")
+    assert b["n"].tolist() == [0, 1, 0, 0]
+    assert b["total"].tolist() == [0.0, 5.0, 0.0, 0.0]
+
+
+def test_grid_distance_join_vs_bruteforce(ray_session):
+    from web_crawler_ray.stages.spatial import grid_distance_join
+
+    rng = np.random.default_rng(11)
+    n = 300
+    # cluster points so cross-cell and boundary pairs both occur
+    x = np.concatenate([rng.uniform(0, 30, n // 2),
+                        rng.uniform(9.9, 10.1, n // 2)])
+    y = np.concatenate([rng.uniform(0, 30, n // 2),
+                        rng.uniform(4.9, 5.1, n // 2)])
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "x": x, "y": y})
+    r = 2.5
+    out = (grid_distance_join(rd.from_pandas(df).repartition(4),
+                              "id", "x", "y", radius=r)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    d2 = dx * dx + dy * dy
+    ia, ib = np.where((d2 <= r * r) & (np.arange(n)[:, None] < np.arange(n)))
+    want = sorted(zip(ia.tolist(), ib.tolist()))
+    assert list(map(tuple, out[["id_a", "id_b"]].values)) == want
+    assert len(out) > 100  # the dense cluster guarantees real pairs
+    np.testing.assert_allclose(
+        out["dist"].to_numpy(),
+        np.sqrt(d2[tuple(np.array(want).T)]), atol=1e-6)
+
+
+def test_grid_distance_join_hot_cell_raises(ray_session):
+    from web_crawler_ray.stages.spatial import grid_distance_join
+
+    df = pd.DataFrame({"id": np.arange(50, dtype=np.int64),
+                       "x": np.zeros(50) + 0.5, "y": np.zeros(50) + 0.5})
+    with pytest.raises(Exception, match="exceeds max_group"):
+        grid_distance_join(rd.from_pandas(df), "id", "x", "y",
+                           radius=1.0, max_cell_rows=10).to_pandas()
+
+
+def test_phrase_search_vs_reference(ray_session):
+    import re
+
+    from web_crawler_ray.stages.text_rank import phrase_search
+
+    docs = [
+        "the sort merge join",                  # 1 occurrence
+        "sort merge sort merge sort",           # 2 (non-overlapping slots)
+        "merge sort",                           # 0 (wrong order)
+        "sort, merge!",                         # punctuation-split: 1
+        "sort  merge",                          # multi-space: 1
+        "no match here",                        # 0
+        "sort",                                 # too short
+        "",                                     # empty
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    out = phrase_search(rd.from_pandas(df).repartition(3),
+                        "doc_id", "text", ["sort", "merge"])
+
+    def ref(t):
+        tok = re.findall(r"[a-z]+", t.lower())
+        return sum(1 for i in range(len(tok) - 1)
+                   if tok[i] == "sort" and tok[i + 1] == "merge")
+
+    want = {i: ref(t) for i, t in enumerate(docs) if ref(t) > 0}
+    got = dict(zip(out["doc_id"], out["n_occ"]))
+    assert got == want == {0: 1, 1: 2, 3: 1, 4: 1}
+
+
+def test_phrase_search_repeated_term(ray_session):
+    from web_crawler_ray.stages.text_rank import phrase_search
+
+    docs = ["batch batch batch stream", "one batch two batch", "batch"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "text": docs})
+    out = phrase_search(rd.from_pandas(df), "doc_id", "text",
+                        ["batch", "batch"])
+    got = dict(zip(out["doc_id"], out["n_occ"]))
+    assert got == {0: 2}  # positions (0,1) and (1,2); doc 1/2 none

@@ -142,3 +142,108 @@ def zonemap_scan(path: str, col: str, lo, hi, columns: list[str] | None = None):
 
     return rd.read_parquet(kept, columns=read_cols).map_batches(
         exact, batch_format="pandas")
+
+
+def compaction_plan(ds, order_col: str, size_col: str, target: int,
+                    bucket_width: int = 4096, num_partitions: int = 32):
+    """Sorted-fill compaction plan: walk the files in ``order_col``
+    order, assign each to the output bin where its EXCLUSIVE byte
+    offset lands (bin = offset // target) — the deterministic
+    small-file→target-size rewrite plan every lakehouse table service
+    runs (Iceberg/Delta OPTIMIZE), replayable as a SQL window cumsum.
+
+    The global prefix sum is the bucket-bases pattern (cf. packing):
+    (1) per-batch partial sums keyed by the key-RANGE bucket
+    ``order_col // bucket_width`` fold into per-bucket totals — ONE
+    tiny combine; (2) the driver turns bucket totals into exclusive
+    bucket bases (bucket-count-sized, broadcast once); (3) one
+    co-locating exchange on the bucket key, a vectorized in-bucket
+    sort + cumsum against the base, and per-bin partials fold through
+    a final bin-cardinality combine. Sizes never shuffle twice and the
+    driver never sees a row. Returns (bin, n_files:int64,
+    bytes:int64)."""
+    import ray
+
+    from .grouped import partitioned_apply
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[order_col].to_numpy(np.int64)
+        return pd.DataFrame({"bkt": k // bucket_width, "k": k,
+                             "sz": b[size_col].to_numpy(np.int64)})
+
+    tagged = ds.select_columns([order_col, size_col]).map_batches(
+        tag, batch_format="pandas")
+    totals = partial_grouped_agg(tagged, ["bkt"], {"sz": ("sum", "sz")}
+                                 ).to_pandas().sort_values("bkt")
+    bases = dict(zip(
+        totals["bkt"],
+        np.concatenate(([0], np.cumsum(totals["sz"].to_numpy(np.int64))[:-1]))))
+    bref = ray.put(bases)  # bucket-count-sized broadcast
+
+    def bins(part: pd.DataFrame) -> pd.DataFrame:
+        bmap = ray.get(bref)
+        part = part.sort_values(["bkt", "k"], kind="mergesort")
+        sz = part["sz"].to_numpy(np.int64)
+        # per-bucket exclusive cumsum + the bucket's global base
+        cum = np.cumsum(sz) - sz
+        bkt = part["bkt"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.concatenate(([True], bkt[1:] != bkt[:-1])))
+        local0 = np.repeat(cum[starts], np.diff(np.append(starts, len(bkt))))
+        offset = cum - local0 + part["bkt"].map(bmap).to_numpy(np.int64)
+        f = pd.DataFrame({"bin": offset // int(target), "sz": sz})
+        g = f.groupby("bin", sort=False).agg(n_files=("sz", "size"),
+                                             bytes=("sz", "sum"))
+        return g.reset_index()
+
+    parts = partitioned_apply(tagged, ["bkt"], bins,
+                              num_partitions=num_partitions)
+    out = partial_grouped_agg(parts, ["bin"],
+                              {"n_files": ("sum", "n_files"),
+                               "bytes": ("sum", "bytes")}).to_pandas()
+    out = out.sort_values("bin", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({"bin": out["bin"].astype("int64"),
+                         "n_files": out["n_files"].astype("int64"),
+                         "bytes": out["bytes"].astype("int64")})
+
+
+def partition_checksum(ds, key_col: str, n_buckets: int = 16,
+                       num_partitions: int = 8) -> pd.DataFrame:
+    """Per-bucket integrity fingerprint (row count, XOR of a key-derived
+    31-bit fingerprint, key sum) — the cheap order-independent checksum
+    a reshard/migration audit compares before and after moving 100 TB
+    (cf. ``rendezvous`` reshard audit): XOR and sum are commutative, so
+    the fingerprint is layout-invariant and any dropped/duplicated row
+    flips it.
+
+        fp     = (key · 2654435761) mod (2³¹ − 1)     (Knuth multiplicative)
+        bucket = key mod n_buckets
+
+    Shape: per-batch partial (bucket, n, xor, sum) — the exchange
+    carries ≤ n_buckets rows per batch; a bucket-partitioned fold XORs
+    the partials. Integer-exact, no rounding anywhere. Returns
+    (bucket, n_rows:int64, xor_fp:int64, key_sum:int64)."""
+    from .grouped import partitioned_apply
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b[key_col].to_numpy(np.int64)
+        fp = (k * 2654435761) % 2147483647
+        f = pd.DataFrame({"bucket": k % n_buckets, "fp": fp, "k": k})
+        g = f.groupby("bucket", sort=False).agg(
+            n_rows=("fp", "size"),
+            xor_fp=("fp", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            key_sum=("k", "sum"))
+        return g.reset_index()
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("bucket", sort=False).agg(
+            n_rows=("n_rows", "sum"),
+            xor_fp=("xor_fp", lambda s: np.bitwise_xor.reduce(s.to_numpy())),
+            key_sum=("key_sum", "sum"))
+        g = g.reset_index()
+        return g.astype({"bucket": "int64", "n_rows": "int64",
+                         "xor_fp": "int64", "key_sum": "int64"})
+
+    return partitioned_apply(
+        ds.select_columns([key_col]).map_batches(partial,
+                                                 batch_format="pandas"),
+        ["bucket"], fold, num_partitions=num_partitions)

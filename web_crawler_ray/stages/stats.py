@@ -341,3 +341,160 @@ def group_regression(ds, key: str, ts_col: str, y_col: str,
             (n * sxy - sx * sy) ** 2
             / ((n * sxx - sx * sx) * (n * syy - sy * sy))), ndigits),
     })
+
+
+def group_hhi(ds, key: str, member: str, val_col: str,
+              ndigits: int = 6) -> pd.DataFrame:
+    """Per-key Herfindahl–Hirschman concentration index over member
+    shares: hhi = Σ_m (s_m / S)² where s_m is the member's total and S
+    the key's total ("is one user/host eating this event type's whole
+    budget?" — the crawl-politeness audit generalized). 1/n_members ≤
+    hhi ≤ 1; higher = more concentrated.
+
+    Shape: per-batch (key, member) partial sums, ONE combine exchange
+    carrying one row per (batch, key, member), then a per-key-partition
+    fold — raw rows never shuffle, and the fold input is
+    member-cardinality-sized. Returns
+    (key, n_members:int64, hhi:float64-rounded)."""
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({key: b[key].to_numpy(),
+                              member: b[member].to_numpy(),
+                              "s": b[val_col].to_numpy(np.float64)})
+                .groupby([key, member], sort=False)
+                .agg(s=("s", "sum")).reset_index())
+
+    g = partial_grouped_agg(
+        ds.map_batches(pre, batch_format="pandas"), [key, member],
+        {"s": ("sum", "s")})
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        tot = p.groupby(key, sort=False)["s"].transform("sum").to_numpy()
+        share = p["s"].to_numpy(np.float64) / tot
+        f = pd.DataFrame({key: p[key], "sq": share * share})
+        out = (f.groupby(key, sort=False)
+               .agg(n_members=("sq", "size"), hhi=("sq", "sum"))
+               .reset_index())
+        return pd.DataFrame({key: out[key],
+                             "n_members": out["n_members"].astype("int64"),
+                             "hhi": sql_round(out["hhi"], ndigits)})
+
+    return partitioned_apply(g, [key], finish)
+
+
+def group_moments(ds, key: str, col: str, ndigits: int = 6) -> pd.DataFrame:
+    """Per-key sample skewness and EXCESS kurtosis via the two-pass
+    centered-moment scheme: pass 1 folds (n, Σv) into per-key means;
+    pass 2 sums (v−m)², (v−m)³, (v−m)⁴ against the BROADCAST means.
+    Centering before powering keeps the third/fourth powers O(σ⁴)
+    instead of O(v⁴), so the combine is numerically tame and the
+    6-digit round absorbs summation-order ULPs.
+
+        skew   = √n · M₃ / M₂^1.5          (population g₁)
+        exkurt = n · M₄ / M₂² − 3          (population g₂ − 3)
+
+    Shape: two map-only passes + two key-cardinality exchanges; the
+    mean map broadcasts once via ``ray.put`` (key-cardinality-sized,
+    the documented bound). Returns
+    (key, n:int64, mean, skewness, exkurtosis — rounded)."""
+    import ray
+
+    means = partial_grouped_agg(
+        ds.select_columns([key, col]).map_batches(
+            lambda b: pd.DataFrame({key: b[key],
+                                    "n": np.ones(len(b), np.int64),
+                                    "s": b[col].to_numpy(np.float64)}),
+            batch_format="pandas"),
+        [key], {"n": ("sum", "n"), "s": ("sum", "s")}).to_pandas()
+    means["m"] = means["s"] / means["n"]
+    mref = ray.put(dict(zip(means[key], means["m"])))  # key-cardinality
+
+    def centered(b: pd.DataFrame) -> pd.DataFrame:
+        mm = ray.get(mref)
+        c = b[col].to_numpy(np.float64) - b[key].map(mm).to_numpy(np.float64)
+        c2 = c * c
+        return (pd.DataFrame({key: b[key].to_numpy(), "m2": c2,
+                              "m3": c2 * c, "m4": c2 * c2})
+                .groupby(key, sort=False).sum().reset_index())
+
+    m = partial_grouped_agg(
+        ds.select_columns([key, col]).map_batches(
+            centered, batch_format="pandas"),
+        [key], {"m2": ("sum", "m2"), "m3": ("sum", "m3"),
+                "m4": ("sum", "m4")},
+    ).to_pandas().merge(means[[key, "n", "m"]], on=key)
+    m = m.sort_values(key, kind="mergesort").reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    m2 = m["m2"].to_numpy(np.float64)
+    return pd.DataFrame({
+        key: m[key], "n": m["n"].astype("int64"),
+        "mean": sql_round(m["m"], ndigits),
+        "skewness": sql_round(
+            np.sqrt(n) * m["m3"].to_numpy(np.float64) / m2 ** 1.5, ndigits),
+        "exkurtosis": sql_round(
+            n * m["m4"].to_numpy() / (m2 * m2) - 3.0, ndigits)})
+
+
+def mann_whitney_u(ds, key: str, arm_col: str, val_col: str,
+                   num_partitions: int = 32,
+                   ndigits: int = 6) -> pd.DataFrame:
+    """Per-key two-sample Mann–Whitney U (rank-sum) test between arms
+    0 and 1 with average-rank tie handling and the tie-corrected
+    normal approximation — the non-parametric sibling of the Welch
+    readout (``q_abtest``): robust to the heavy-tailed metrics an
+    event log actually carries.
+
+        U  = R₀ − n₀(n₀+1)/2       (R₀ = Σ avg-ranks of arm 0)
+        z  = (U − n₀n₁/2) / √(n₀n₁/12 · ((N+1) − Σ(t³−t)/(N(N−1))))
+
+    Keys missing an arm (or with a zero variance denominator) are
+    excluded. Shape: ONE co-locating exchange on ``key``; ranking runs
+    vectorized inside the key's partition task (the documented
+    per-group-fits-a-task contract shared by the other rank operators;
+    the at-scale path is the distributed rank machinery of
+    ``group_rank`` feeding the same closed form). Returns
+    (key, n_a:int64, n_b:int64, u_stat, z — rounded)."""
+    from .grouped import partitioned_apply as papply
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, g in p.groupby(key, sort=False):
+            v = g[val_col].to_numpy(np.float64)
+            arm = g[arm_col].to_numpy(np.int64)
+            n0, n1 = int((arm == 0).sum()), int((arm == 1).sum())
+            if n0 == 0 or n1 == 0:
+                continue
+            order = np.argsort(v, kind="mergesort")
+            ranks = np.empty(len(v), dtype=np.float64)
+            # average ranks over tie runs
+            sv = v[order]
+            uniq, start = np.unique(sv, return_index=True)
+            end = np.append(start[1:], len(sv))
+            avg = (start + end - 1) / 2.0 + 1.0  # 1-based
+            runs = np.repeat(avg, end - start)
+            ranks[order] = runs
+            r0 = float(ranks[arm == 0].sum())
+            u = r0 - n0 * (n0 + 1) / 2.0
+            nn = float(n0 + n1)
+            t = (end - start).astype(np.float64)
+            tie = float((t ** 3 - t).sum())
+            var = n0 * n1 / 12.0 * ((nn + 1.0) - tie / (nn * (nn - 1.0)))
+            if var <= 0.0:
+                continue
+            z = (u - n0 * n1 / 2.0) / np.sqrt(var)
+            rows.append((kv, n0, n1, u, z))
+        if not rows:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "n_a": pd.Series(dtype="int64"),
+                                 "n_b": pd.Series(dtype="int64"),
+                                 "u_stat": pd.Series(dtype="float64"),
+                                 "z": pd.Series(dtype="float64")})
+        out = pd.DataFrame(rows, columns=[key, "n_a", "n_b", "u_stat", "z"])
+        out["n_a"] = out["n_a"].astype("int64")
+        out["n_b"] = out["n_b"].astype("int64")
+        out["u_stat"] = sql_round(out["u_stat"], ndigits)
+        out["z"] = sql_round(out["z"], ndigits)
+        return out
+
+    return papply(ds.select_columns([key, arm_col, val_col]),
+                  [key], finish, num_partitions=num_partitions)

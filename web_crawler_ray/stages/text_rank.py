@@ -918,3 +918,71 @@ def trigram_search(docs_ds, index_dir: str, pattern: str, text_col: str,
     out = (docs_ds.select_columns([id_col, text_col])
            .map_batches(verify, batch_format="pandas").to_pandas())
     return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+
+
+def phrase_search(ds, id_col: str, text_col: str, phrase: list[str],
+                  num_partitions: int = 16) -> pd.DataFrame:
+    """Positional-inverted-index phrase query: documents containing the
+    exact token sequence ``phrase`` (over the ``[a-z]+`` token stream
+    of the lowercased text), with the occurrence count.
+
+    The classic IR identity makes this a pure groupby: a phrase of m
+    terms occurs at position p iff the posting (term_j, doc, p + j)
+    exists for every j, i.e. iff the ADJUSTED positions pos − j of the
+    phrase's postings agree; so occurrences = (doc, adj) cells whose
+    distinct-term-slot count is m (Zobel & Moffat 2006, positional
+    postings intersection).
+
+    Shape: tokenize map-side and emit ONLY the phrase terms' postings
+    (the query-time pushdown — the materialized-index sibling is
+    ``build_trigram_index``'s hive layout, where the same pruning is a
+    partition-pruned read); one co-locating exchange on doc, a
+    vectorized nunique fold per partition. Postings volume ∝ the
+    phrase terms' corpus frequency, never the corpus. Returns
+    (doc_id, n_occ:int64) for matching docs."""
+    from .grouped import partitioned_apply
+
+    terms = [t.lower() for t in phrase]
+    slot_of: dict[str, list[int]] = {}
+    for j, t in enumerate(terms):
+        slot_of.setdefault(t, []).append(j)
+    m = len(terms)
+
+    def postings(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.lower().str.findall(r"[a-z]+")
+        ids = batch[id_col].to_numpy(np.int64)
+        lens = toks.str.len().to_numpy(np.int64)
+        doc = np.repeat(ids, lens)
+        flat = pd.Series(
+            [w for lst in toks for w in lst], dtype=object)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(np.concatenate(([0], np.cumsum(lens[:-1]))),
+                           lens))
+        outs = []
+        for t, slots in slot_of.items():
+            hit = (flat == t).to_numpy()
+            for j in slots:
+                outs.append(pd.DataFrame({
+                    "doc_id": doc[hit], "adj": pos[hit] - j,
+                    "slot": np.full(int(hit.sum()), j, dtype=np.int64)}))
+        out = pd.concat(outs, ignore_index=True) if outs else pd.DataFrame()
+        if not len(out):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "adj": pd.Series(dtype="int64"),
+                                 "slot": pd.Series(dtype="int64")})
+        return out[out["adj"] >= 0]
+
+    def fold(part: pd.DataFrame) -> pd.DataFrame:
+        cells = (part.groupby(["doc_id", "adj"], sort=False)["slot"]
+                 .nunique().reset_index(name="k"))
+        occ = (cells[cells["k"] == m].groupby("doc_id", sort=False)
+               .size().reset_index(name="n_occ"))
+        return pd.DataFrame({"doc_id": occ["doc_id"].astype("int64"),
+                             "n_occ": occ["n_occ"].astype("int64")})
+
+    res = partitioned_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            postings, batch_format="pandas"),
+        ["doc_id"], fold, num_partitions=num_partitions).to_pandas()
+    return (res.sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True))

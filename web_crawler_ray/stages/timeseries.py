@@ -54,3 +54,89 @@ def seasonal_index(ds, key: str, ts_col: str, val_col: str,
                 (p["s"] / p["n"]) / p["oavg"], ndigits)})
 
     return partitioned_apply(g, [key], finish)
+
+
+def _daily_partials(ds, ts_col: str, val_col: str):
+    """(day_index, n, Σv) partials combined with one tiny exchange.
+    day_index = days since 1970-01-01 of the timestamp's DATE."""
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.to_datetime(b[ts_col]).to_numpy()
+               .astype("datetime64[D]").astype("int64"))
+        return (pd.DataFrame({"day": day, "n": np.ones(len(b), np.int64),
+                              "s": b[val_col].to_numpy(np.float64)})
+                .groupby("day", sort=False)
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
+
+    return partial_grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"), ["day"],
+        {"n": ("sum", "n"), "s": ("sum", "s")})
+
+
+def autocorrelation(ds, ts_col: str, val_col: str, max_lag: int = 7,
+                    ndigits: int = 6) -> pd.DataFrame:
+    """Lag-k autocorrelation of the DAILY-SUM series of ``val_col``
+    (Box–Jenkins sample ACF — 'does today predict next Tuesday?').
+    Pairing is by CALENDAR day arithmetic (day, day+k both present),
+    so gaps in the series drop pairs instead of misaligning them; the
+    mean and the denominator Σ(x−x̄)² run over all present days.
+
+    Shape: raw rows collapse to (day, Σv) partials map-side, ONE tiny
+    combine exchange, and the ACF itself folds over the CALENDAR-
+    BOUNDED day series on the driver (a century of days is 36,525
+    rows — never corpus-sized). Returns
+    (lag:int64, n_pairs:int64, acf:float64-rounded)."""
+    days = _daily_partials(ds, ts_col, val_col).to_pandas()  # calendar-bounded
+    days = days.sort_values("day", kind="mergesort")
+    idx = days["day"].to_numpy(np.int64)
+    x = days["s"].to_numpy(np.float64)
+    mu = x.sum() / len(x)
+    c = x - mu
+    den = float((c * c).sum())
+    pos = {int(d): i for i, d in enumerate(idx)}
+    lags, pairs, acf = [], [], []
+    for k in range(1, max_lag + 1):
+        ia = np.array([i for i, d in enumerate(idx) if int(d) + k in pos],
+                      dtype=np.int64)
+        ib = np.array([pos[int(idx[i]) + k] for i in ia], dtype=np.int64)
+        lags.append(k)
+        pairs.append(len(ia))
+        acf.append(float((c[ia] * c[ib]).sum()) / den if den else np.nan)
+    return pd.DataFrame({"lag": pd.Series(lags, dtype="int64"),
+                         "n_pairs": pd.Series(pairs, dtype="int64"),
+                         "acf": sql_round(np.asarray(acf), ndigits)})
+
+
+def gap_fill_daily(ds, key: str, ts_col: str, val_col: str,
+                   ndigits: int = 2) -> pd.DataFrame:
+    """Densify the per-key daily-sum series over the GLOBAL
+    [min_day, max_day] range — every key gets every day, missing days
+    filled with n=0 / value 0.0 (the 'no orders is a data point'
+    prerequisite for any rolling/seasonal model downstream).
+
+    Shape: the only exchange carries (key, day) partials; the dense
+    frame is built in one fold over the keys×calendar-bounded grid
+    (3 statuses × a decade = ~11k rows — never corpus-sized). Returns
+    (key, day:int64, n:int64, total:float64-rounded)."""
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.to_datetime(b[ts_col]).to_numpy()
+               .astype("datetime64[D]").astype("int64"))
+        return (pd.DataFrame({key: b[key].to_numpy(), "day": day,
+                              "n": np.ones(len(b), np.int64),
+                              "s": b[val_col].to_numpy(np.float64)})
+                .groupby([key, "day"], sort=False)
+                .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
+
+    g = partial_grouped_agg(
+        ds.map_batches(partials, batch_format="pandas"), [key, "day"],
+        {"n": ("sum", "n"), "s": ("sum", "s")}).to_pandas()
+    lo, hi = int(g["day"].min()), int(g["day"].max())
+    keys = np.sort(g[key].unique())
+    grid = pd.MultiIndex.from_product([keys, np.arange(lo, hi + 1)],
+                                      names=[key, "day"])
+    dense = (g.set_index([key, "day"]).reindex(grid).reset_index())
+    return pd.DataFrame({
+        key: dense[key], "day": dense["day"].astype("int64"),
+        "n": dense["n"].fillna(0).astype("int64"),
+        "total": sql_round(dense["s"].fillna(0.0), ndigits)})
