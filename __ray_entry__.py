@@ -6162,6 +6162,63 @@ def q_partition_checksum(sf_dir: str):
     return partition_checksum(ds, "o_orderkey", n_buckets=16)
 
 
+def q_copurchase(sf_dir: str):
+    """Market-basket co-occurrence over order line items: part pairs
+    sharing ≥ 2 orders with lift = n_ab·N/(n_a·n_b) (Agrawal &
+    Srikant; also the bipartite projection onto the part catalog).
+    One order-keyed exchange (in-partition dedup + size-class pair
+    enumeration + exact per-item/group counts as tagged partials), one
+    pair combine with the support filter running DISTRIBUTED before
+    the driver sees survivors."""
+    from web_crawler_ray.stages.basket import cooccurrence_pairs
+
+    ds = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_pairs(ds, "l_orderkey", "l_partkey",
+                              min_support=2)
+
+
+def q_twap(sf_dir: str):
+    """Per-user time-weighted average event value (each value held
+    until the next observation, weighted by its exact-microsecond
+    interval; the last observation drops) — the telemetry/finance TWAP
+    convention. One co-locating user exchange, vectorized grouped
+    shift; the replay is a lead() window over the same integer
+    microseconds."""
+    from web_crawler_ray.stages.windows import time_weighted_avg
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value", "event_id"])
+    return time_weighted_avg(ds, "user_id", "ts", "value", "event_id")
+
+
+def q_rolling_median(sf_dir: str):
+    """Rolling 3-row median per user (the robust sibling of
+    q_rolling_avg), SQL partial-window convention at rows 0/1, every
+    double in DuckDB's exact quantile_cont FP form (sorted middle
+    element / min + (max−min)·0.5) so the replay is bit-identical
+    before the terminating 4-digit round."""
+    from web_crawler_ray.stages.windows import rolling_median3
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_median3(ds, "user_id", "ts", "value", "event_id",
+                          n_rows_hint=_nrows(sf_dir, "events"))
+    return out.select_columns(["event_id", "user_id", "roll_med"])
+
+
+def q_iqr_outliers(sf_dir: str):
+    """Per-event-type Tukey-fence outlier counts (boxplot rule,
+    k = 1.5): quartiles via one key exchange, fences from the ROUNDED
+    quartiles on both sides (bit-identical comparison boundary), then
+    a broadcast map-only counting pass with a tiny combine."""
+    from web_crawler_ray.stages.stats import iqr_outliers
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return iqr_outliers(ds, "event_type", "value")
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6447,6 +6504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phrase_search": q_phrase_search,
         "q_compaction_plan": q_compaction_plan,
         "q_partition_checksum": q_partition_checksum,
+        "q_copurchase": q_copurchase,
+        "q_twap": q_twap,
+        "q_rolling_median": q_rolling_median,
+        "q_iqr_outliers": q_iqr_outliers,
     }
 
 
@@ -9818,5 +9879,58 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS xor_fp,
                    CAST(sum(o_orderkey) AS BIGINT) AS key_sum
             FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "q_copurchase": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            pc AS (SELECT p, count(*) AS c FROM li GROUP BY 1),
+            n AS (SELECT count(DISTINCT o) AS nn FROM li),
+            pr AS (SELECT a.p AS item_a, b.p AS item_b,
+                          count(*) AS n_groups
+                   FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT pr.item_a, pr.item_b, pr.n_groups,
+                   round(pr.n_groups * n.nn / (ca.c * cb.c), 6) AS lift
+            FROM pr CROSS JOIN n
+            JOIN pc ca ON ca.p = pr.item_a
+            JOIN pc cb ON cb.p = pr.item_b
+            ORDER BY pr.item_a, pr.item_b
+        """,
+        "q_twap": """
+            WITH w AS (SELECT user_id, value,
+                              lead(epoch_us(ts)) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)
+                                - epoch_us(ts) AS w
+                       FROM events),
+            g AS (SELECT user_id, count(*) AS n_intervals,
+                         sum(value * w) AS vw, sum(w) AS sw
+                  FROM w WHERE w IS NOT NULL GROUP BY 1)
+            SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+                   round(vw / sw, 6) AS twap
+            FROM g WHERE sw > 0 ORDER BY user_id
+        """,
+        "q_rolling_median": """
+            SELECT event_id, user_id,
+                   round(median(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+                     AS roll_med
+            FROM events ORDER BY event_id
+        """,
+        "q_iqr_outliers": """
+            WITH q AS (SELECT event_type,
+                              round(quantile_cont(value, 0.25), 6) AS p25,
+                              round(quantile_cont(value, 0.75), 6) AS p75
+                       FROM events GROUP BY 1)
+            SELECT e.event_type, q.p25, q.p75,
+                   CAST(sum(CASE WHEN value
+                                 < q.p25 - 1.5 * (q.p75 - q.p25)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN value
+                                 > q.p75 + 1.5 * (q.p75 - q.p25)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+            FROM events e JOIN q USING (event_type)
+            GROUP BY 1, 2, 3 ORDER BY 1
         """,
     }

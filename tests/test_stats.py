@@ -878,3 +878,79 @@ def test_phrase_search_repeated_term(ray_session):
                         ["batch", "batch"])
     got = dict(zip(out["doc_id"], out["n_occ"]))
     assert got == {0: 2}  # positions (0,1) and (1,2); doc 1/2 none
+
+
+def test_cooccurrence_pairs_vs_bruteforce(ray_session):
+    from collections import Counter
+    from itertools import combinations
+
+    from web_crawler_ray.stages.basket import cooccurrence_pairs
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for g in range(60):
+        items = rng.choice(12, size=rng.integers(2, 6), replace=False)
+        for it in items:
+            rows.append((g, int(it)))
+            rows.append((g, int(it)))  # in-group duplicates must not count
+    df = pd.DataFrame(rows, columns=["g", "item"])
+    out = cooccurrence_pairs(rd.from_pandas(df).repartition(4), "g", "item",
+                             min_support=2)
+
+    baskets = df.drop_duplicates().groupby("g")["item"].apply(sorted)
+    pair_n = Counter(p for b in baskets for p in combinations(b, 2))
+    item_n = Counter(i for b in baskets for i in b)
+    n_tot = len(baskets)
+    want = sorted((a, b, n) for (a, b), n in pair_n.items() if n >= 2)
+    got = list(map(tuple, out[["item_a", "item_b", "n_groups"]].values))
+    assert got == want
+    for _, r in out.iterrows():
+        lift = (r["n_groups"] * n_tot) / (item_n[r["item_a"]]
+                                          * item_n[r["item_b"]])
+        assert abs(r["lift"] - lift) < 1e-6
+
+
+def test_time_weighted_avg_hand_case(ray_session):
+    from web_crawler_ray.stages.windows import time_weighted_avg
+
+    # user 1: v=10 held 2s, v=20 held 1s -> twap = (10*2 + 20*1)/3
+    # user 2: both at the same ts -> sum(w)=0 -> excluded
+    df = pd.DataFrame({
+        "u": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:02",
+                              "2024-01-01 00:00:03", "2024-01-01 00:00:00",
+                              "2024-01-01 00:00:00"]),
+        "v": [10.0, 20.0, 99.0, 1.0, 2.0],
+        "tie": [1, 2, 3, 4, 5]})
+    out = time_weighted_avg(rd.from_pandas(df).repartition(2),
+                            "u", "ts", "v", "tie").to_pandas()
+    assert out["u"].tolist() == [1]
+    assert out["n_intervals"].tolist() == [2]
+    assert abs(out["twap"].iloc[0] - 40.0 / 3.0) < 1e-5
+
+
+def test_rolling_median3_hand_case(ray_session):
+    from web_crawler_ray.stages.windows import rolling_median3
+
+    df = pd.DataFrame({
+        "u": [1] * 5,
+        "ts": pd.to_datetime(["2024-01-01"] * 5) + pd.to_timedelta(
+            range(5), unit="s"),
+        "v": [5.0, 1.0, 3.0, 9.0, 2.0],
+        "tie": range(5)})
+    out = (rolling_median3(rd.from_pandas(df), "u", "ts", "v", "tie")
+           .to_pandas().sort_values("tie"))
+    # windows: [5], [5,1], [5,1,3], [1,3,9], [3,9,2]
+    assert out["roll_med"].tolist() == [5.0, 3.0, 3.0, 3.0, 3.0]
+
+
+def test_iqr_outliers_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import iqr_outliers
+
+    # 0..10 plus extremes: p25=2.5, p75=7.5, iqr=5 -> fences [-5, 15]
+    vals = list(np.arange(11, dtype=float)) + [-20.0, 50.0, 60.0]
+    df = pd.DataFrame({"k": ["a"] * len(vals), "v": vals})
+    out = iqr_outliers(rd.from_pandas(df).repartition(3), "k", "v")
+    row = out.iloc[0]
+    assert row["n_low"] == 1 and row["n_high"] == 2
+    assert row["p25"] < row["p75"]

@@ -498,3 +498,53 @@ def mann_whitney_u(ds, key: str, arm_col: str, val_col: str,
 
     return papply(ds.select_columns([key, arm_col, val_col]),
                   [key], finish, num_partitions=num_partitions)
+
+
+def iqr_outliers(ds, key: str, col: str, k: float = 1.5,
+                 ndigits: int = 6) -> pd.DataFrame:
+    """Per-key Tukey-fence outlier counts: values outside
+    [p25 − k·IQR, p75 + k·IQR] (the boxplot rule — the parametric-free
+    sibling of ``group_mad_outliers`` when quartiles, not medians, are
+    the convention). The fences derive from quantiles ROUNDED at
+    ``ndigits`` on both engine and replay sides, so the comparison
+    boundary is bit-identical by construction.
+
+    Two passes: per-key interpolated quartiles (one key exchange via
+    ``windows.group_quantile_cont``), then the fence map — key-
+    cardinality-sized — broadcasts into a map-only counting pass with
+    one tiny combine. Returns (key, p25, p75, n_low:int64,
+    n_high:int64)."""
+    import ray
+
+    from .windows import group_quantile_cont
+
+    q = group_quantile_cont(ds, key, col, {"p25": 0.25, "p75": 0.75},
+                            ndigits=ndigits).to_pandas()
+    p25 = q["p25"].to_numpy(np.float64)
+    p75 = q["p75"].to_numpy(np.float64)
+    lo = dict(zip(q[key], p25 - k * (p75 - p25)))
+    hi = dict(zip(q[key], p75 + k * (p75 - p25)))
+    lref = ray.put((lo, hi))  # key-cardinality broadcast
+
+    def count(b: pd.DataFrame) -> pd.DataFrame:
+        lo_m, hi_m = ray.get(lref)
+        v = b[col].to_numpy(np.float64)
+        kk = b[key]
+        f = pd.DataFrame({
+            key: kk,
+            "n_low": (v < kk.map(lo_m).to_numpy(np.float64)).astype(np.int64),
+            "n_high": (v > kk.map(hi_m).to_numpy(np.float64)).astype(np.int64),
+        })
+        return f.groupby(key, sort=False).sum().reset_index()
+
+    c = partial_grouped_agg(
+        ds.select_columns([key, col]).map_batches(count,
+                                                  batch_format="pandas"),
+        [key], {"n_low": ("sum", "n_low"), "n_high": ("sum", "n_high")}
+    ).to_pandas()
+    out = q.merge(c, on=key).sort_values(key, kind="mergesort")
+    return pd.DataFrame({key: out[key], "p25": out["p25"],
+                         "p75": out["p75"],
+                         "n_low": out["n_low"].astype("int64"),
+                         "n_high": out["n_high"].astype("int64")}
+                        ).reset_index(drop=True)

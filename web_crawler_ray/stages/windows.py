@@ -718,3 +718,78 @@ def scd2_versions(ds, key: str, ts_col: str, tie_col: str, attr_col: str):
                 .astype({"version": "int64", "valid_from": "int64"}))
 
     return partitioned_apply(ds, [key], per_partition)
+
+
+def time_weighted_avg(ds, key: str, ts_col: str, val_col: str,
+                      tie_col: str, ndigits: int = 6,
+                      n_rows_hint: int | None = None):
+    """Per-key time-weighted average (TWAP): each value is held until
+    the NEXT observation, so it is weighted by its holding interval in
+    exact integer microseconds; the last observation has no interval
+    and drops (the telemetry/finance convention).
+
+        twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ)
+
+    Keys whose observations all share one timestamp (Σw = 0) are
+    excluded on both sides. One co-locating key exchange, vectorized
+    grouped shift inside the partition task. Returns
+    (key, n_intervals:int64, twap:float64-rounded)."""
+    from ..functions.rounding import sql_round
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort")
+        us = p[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        g = p.groupby(key, sort=False)
+        nxt = g[ts_col].shift(-1).to_numpy("datetime64[us]").astype(np.int64)
+        w = (nxt - us).astype(np.float64)
+        last = g.cumcount(ascending=False).to_numpy() == 0
+        w[last] = 0.0
+        f = pd.DataFrame({key: p[key].to_numpy(),
+                          "vw": p[val_col].to_numpy(np.float64) * w,
+                          "w": w,
+                          "n": (~last).astype(np.int64)})
+        out = (f.groupby(key, sort=False)
+               .agg(vw=("vw", "sum"), w=("w", "sum"), n=("n", "sum"))
+               .reset_index())
+        out = out[out["w"] > 0]
+        return pd.DataFrame({key: out[key],
+                             "n_intervals": out["n"].astype("int64"),
+                             "twap": sql_round(out["vw"] / out["w"],
+                                               ndigits)})
+
+    return partitioned_apply(ds.select_columns([key, ts_col, val_col,
+                                                tie_col]),
+                             [key], per_partition, n_rows_hint=n_rows_hint)
+
+
+def rolling_median3(ds, key: str, ts_col: str, val_col: str, tie_col: str,
+                    out_col: str = "roll_med", ndigits: int = 4,
+                    n_rows_hint: int | None = None):
+    """Rolling median over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW per
+    key (the robust sibling of ``rolling_agg``'s moving mean), with the
+    SQL partial-window convention: row 0 is its own median, row 1 is
+    the two-value interpolated median. Both are computed in DuckDB's
+    exact quantile_cont FP form — the 3-window median is the sorted
+    middle ELEMENT (frac = 0, so no arithmetic at all) and the
+    2-window one is ``min + (max − min)·0.5`` — so the doubles are
+    bit-identical to the replay; ndigits=4 because the half-interval
+    of 2-decimal data terminates within 3 decimals, leaving no
+    half-way boundary to straddle."""
+    from ..functions.rounding import sql_round
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, ts_col, tie_col], kind="mergesort").copy()
+        g = p.groupby(key, sort=False)
+        v = p[val_col].to_numpy(np.float64)
+        l1 = g[val_col].shift(1).to_numpy()
+        l2 = g[val_col].shift(2).to_numpy()
+        med3 = np.sort(np.stack([v, l1, l2]), axis=0)[1]
+        mn = np.minimum(v, l1)
+        med2 = mn + (np.maximum(v, l1) - mn) * 0.5
+        med = np.where(np.isnan(l1), v,
+                       np.where(np.isnan(l2), med2, med3))
+        p[out_col] = sql_round(med, ndigits)
+        return p
+
+    return partitioned_apply(ds, [key], per_partition,
+                             n_rows_hint=n_rows_hint)
