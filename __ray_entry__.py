@@ -6219,6 +6219,36 @@ def q_iqr_outliers(sf_dir: str):
     return iqr_outliers(ds, "event_type", "value")
 
 
+def q_lorenz(sf_dir: str):
+    """Per-event-type Lorenz-curve decile points (cumulative value
+    share of the ascending deciles — the decile-resolution companion
+    of q_gini_events): one key exchange, NTILE-convention tiling and
+    the cumulative fold vectorized in the partition task; tile sums
+    are invariant under tie order so no tie column is needed."""
+    from web_crawler_ray.stages.stats import lorenz_deciles
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return lorenz_deciles(ds, "event_type", "value")
+
+
+def q_markov3(sf_dir: str):
+    """User-journey state distribution after 3 Markov steps: the
+    transition matrix estimates from every user's time-ordered event
+    sequence (one user exchange; transition AND first-state partials
+    in the same vectorized pass), x₀ from first events, then x₀·P³ as
+    states²-sized driver math. Dangling states drop mass, matching the
+    replay's inner joins; the replay unrolls the three multiplies as
+    chained join-sums."""
+    from web_crawler_ray.stages.stats import markov_power
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    return markov_power(ds, "user_id", "event_type", "ts", "event_id",
+                        steps=3)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6508,6 +6538,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_twap": q_twap,
         "q_rolling_median": q_rolling_median,
         "q_iqr_outliers": q_iqr_outliers,
+        "q_lorenz": q_lorenz,
+        "q_markov3": q_markov3,
     }
 
 
@@ -9932,5 +9964,48 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_high
             FROM events e JOIN q USING (event_type)
             GROUP BY 1, 2, 3 ORDER BY 1
+        """,
+        "q_lorenz": """
+            WITH r AS (SELECT event_type, value,
+                              ntile(10) OVER (PARTITION BY event_type
+                                              ORDER BY value) AS dec
+                       FROM events),
+            g AS (SELECT event_type, dec, count(*) AS n, sum(value) AS s
+                  FROM r GROUP BY 1, 2),
+            t AS (SELECT event_type, sum(s) AS tot FROM g GROUP BY 1)
+            SELECT g.event_type, CAST(g.dec AS BIGINT) AS decile, g.n,
+                   round(sum(g.s) OVER (PARTITION BY g.event_type
+                                        ORDER BY g.dec) / t.tot, 6)
+                     AS cum_share
+            FROM g JOIN t USING (event_type)
+            ORDER BY g.event_type, g.dec
+        """,
+        "q_markov3": """
+            WITH o AS (SELECT user_id, event_type,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                                AS rn
+                       FROM events),
+            tr AS (SELECT a.event_type AS f, b.event_type AS t,
+                          count(*) AS c
+                   FROM o a JOIN o b ON a.user_id = b.user_id
+                                    AND b.rn = a.rn + 1
+                   GROUP BY 1, 2),
+            p AS (SELECT f, t,
+                         c * 1.0 / sum(c) OVER (PARTITION BY f) AS p
+                  FROM tr),
+            x0 AS (SELECT event_type AS s,
+                          count(*) * 1.0
+                            / (SELECT count(DISTINCT user_id)
+                               FROM events) AS p
+                   FROM o WHERE rn = 1 GROUP BY 1),
+            x1 AS (SELECT p.t AS s, sum(x0.p * p.p) AS p
+                   FROM x0 JOIN p ON p.f = x0.s GROUP BY 1),
+            x2 AS (SELECT p.t AS s, sum(x1.p * p.p) AS p
+                   FROM x1 JOIN p ON p.f = x1.s GROUP BY 1),
+            x3 AS (SELECT p.t AS s, sum(x2.p * p.p) AS p
+                   FROM x2 JOIN p ON p.f = x2.s GROUP BY 1)
+            SELECT s AS event_type, round(p, 6) AS p
+            FROM x3 WHERE p > 0 ORDER BY s
         """,
     }

@@ -137,6 +137,21 @@ BENCH_QUERIES = [
     "q_scd2",
     "q_diameter",
     "q_abtest",
+    "q_acf",
+    "q_hhi",
+    "q_gap_fill",
+    "q_moments",
+    "q_mannwhitney",
+    "q_geo_pairs",
+    "q_phrase_search",
+    "q_compaction_plan",
+    "q_partition_checksum",
+    "q_copurchase",
+    "q_twap",
+    "q_rolling_median",
+    "q_iqr_outliers",
+    "q_lorenz",
+    "q_markov3",
 ]
 
 

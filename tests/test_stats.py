@@ -954,3 +954,45 @@ def test_iqr_outliers_hand_case(ray_session):
     row = out.iloc[0]
     assert row["n_low"] == 1 and row["n_high"] == 2
     assert row["p25"] < row["p75"]
+
+
+def test_lorenz_deciles_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import lorenz_deciles
+
+    # 12 rows -> NTILE sizes [2,2,1,1,1,1,1,1,1,1]; values 1..12
+    df = pd.DataFrame({"k": ["a"] * 12,
+                       "v": [float(x) for x in range(1, 13)]})
+    out = lorenz_deciles(rd.from_pandas(df).repartition(3), "k", "v"
+                         ).to_pandas().sort_values("decile")
+    assert out["n"].tolist() == [2, 2, 1, 1, 1, 1, 1, 1, 1, 1]
+    tot = sum(range(1, 13))
+    # cum sums at tile ends: 3, 10, 15, 21, 28, 36, 45, 55, 66, 78
+    want = [3, 10, 15, 21, 28, 36, 45, 55, 66, 78]
+    assert out["cum_share"].tolist() == [round(w / tot, 6) for w in want]
+    assert out["cum_share"].iloc[-1] == 1.0
+
+
+def test_markov_power_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import markov_power
+
+    # two users: a->b->a->b... and a->c; c is dangling (drops mass)
+    rows = []
+    for i, s in enumerate(["a", "b", "a", "b"]):
+        rows.append((1, s, i))
+    for i, s in enumerate(["a", "c"]):
+        rows.append((2, s, i))
+    df = pd.DataFrame(rows, columns=["u", "state", "t"])
+    df["ts"] = pd.to_datetime("2024-01-01") + pd.to_timedelta(df["t"],
+                                                              unit="s")
+    out = markov_power(rd.from_pandas(df).repartition(2),
+                       "u", "state", "ts", "t", steps=1)
+    # P: a -> b 2/3, a -> c 1/3; b -> a 1; c dangling.
+    # x0 = [a: 1.0]; x1 = [b: 2/3, c: 1/3]
+    got = dict(zip(out["state"], out["p"]))
+    assert got == {"b": round(2 / 3, 6), "c": round(1 / 3, 6)}
+
+    out2 = markov_power(rd.from_pandas(df), "u", "state", "ts", "t",
+                        steps=2)
+    # x2 = b's mass -> a (2/3); c's 1/3 drops (dangling)
+    got2 = dict(zip(out2["state"], out2["p"]))
+    assert got2 == {"a": round(2 / 3, 6)}

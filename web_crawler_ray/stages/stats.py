@@ -364,11 +364,13 @@ def group_hhi(ds, key: str, member: str, val_col: str,
                 .groupby([key, member], sort=False)
                 .agg(s=("s", "sum")).reset_index())
 
-    g = partial_grouped_agg(
-        ds.map_batches(pre, batch_format="pandas"), [key, member],
-        {"s": ("sum", "s")})
-
     def finish(p: pd.DataFrame) -> pd.DataFrame:
+        # combine the per-batch partials AND fold, in one partition
+        # task (member cardinality can reach ~10⁴ per key — past the
+        # native-groupby comfort zone, so the combine is this same
+        # coarse-hash exchange, cf. the basket-pair lesson)
+        p = (p.groupby([key, member], sort=False)["s"].sum()
+             .reset_index())
         tot = p.groupby(key, sort=False)["s"].transform("sum").to_numpy()
         share = p["s"].to_numpy(np.float64) / tot
         f = pd.DataFrame({key: p[key], "sq": share * share})
@@ -379,7 +381,8 @@ def group_hhi(ds, key: str, member: str, val_col: str,
                              "n_members": out["n_members"].astype("int64"),
                              "hhi": sql_round(out["hhi"], ndigits)})
 
-    return partitioned_apply(g, [key], finish)
+    return partitioned_apply(ds.map_batches(pre, batch_format="pandas"),
+                             [key], finish)
 
 
 def group_moments(ds, key: str, col: str, ndigits: int = 6) -> pd.DataFrame:
@@ -548,3 +551,113 @@ def iqr_outliers(ds, key: str, col: str, k: float = 1.5,
                          "n_low": out["n_low"].astype("int64"),
                          "n_high": out["n_high"].astype("int64")}
                         ).reset_index(drop=True)
+
+
+def lorenz_deciles(ds, key: str, col: str, n_buckets: int = 10,
+                   ndigits: int = 6) -> pd.DataFrame:
+    """Per-key Lorenz-curve points: split the key's rows into
+    ``n_buckets`` equal-count tiles ASCENDING by value (SQL NTILE
+    convention — the first n mod nb tiles take the extra row) and
+    report each tile's cumulative share of the key's total — the
+    decile-resolution companion of the scalar Gini ("the top decile
+    holds 62% of the value"). Tied values may land in either
+    neighbouring tile, but tile SUMS are invariant under tie order, so
+    the result is deterministic without a tie column.
+
+    One co-locating key exchange; tiling and the cumulative fold are
+    vectorized inside the partition task (the per-group-fits-a-task
+    contract of the other rank operators). Returns
+    (key, decile:int64, n:int64, cum_share:float64-rounded)."""
+
+    def finish(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([key, col], kind="mergesort")
+        keys_arr = p[key].to_numpy()
+        v = p[col].to_numpy(np.float64)
+        change = np.concatenate([[True], keys_arr[1:] != keys_arr[:-1]])
+        starts = np.nonzero(change)[0]
+        n = np.diff(np.concatenate([starts, [len(v)]]))
+        rows = []
+        for s, cnt in zip(starts, n):
+            kv = keys_arr[s]
+            g = v[s:s + cnt]
+            q, r = divmod(int(cnt), n_buckets)
+            sizes = np.full(n_buckets, q, dtype=np.int64)
+            sizes[:r] += 1
+            nz = sizes > 0
+            ends = np.cumsum(sizes)
+            cum = np.cumsum(g)[ends[nz] - 1]
+            tot = cum[-1]
+            dec = np.arange(1, n_buckets + 1, dtype=np.int64)[nz]
+            rows.append(pd.DataFrame({
+                key: kv, "decile": dec, "n": sizes[nz],
+                "cum_share": sql_round(cum / tot, ndigits)}))
+        if not rows:
+            return pd.DataFrame({key: pd.Series(dtype=object),
+                                 "decile": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "cum_share": pd.Series(dtype="float64")})
+        return pd.concat(rows, ignore_index=True)
+
+    return partitioned_apply(ds.select_columns([key, col]), [key], finish)
+
+
+def markov_power(ds, seq_key: str, state_col: str, ts_col: str,
+                 tie_col: str, steps: int = 3,
+                 ndigits: int = 6) -> pd.DataFrame:
+    """State distribution after ``steps`` Markov transitions: the
+    row-normalized first-order transition matrix P is estimated from
+    every key's time-ordered state sequence, the start vector x₀ from
+    the keys' FIRST states, and the result is x₀·Pˢ — "where do user
+    journeys stand after 3 clicks?". States with no outgoing
+    transitions drop their mass (no renormalization), matching the
+    inner-join semantics of the SQL replay.
+
+    One co-locating exchange on ``seq_key``; the partition task emits
+    transition-pair AND first-state count partials in the SAME
+    vectorized pass; the combine and the power iteration are
+    states²-sized driver math (states = event-type cardinality).
+    Returns (state, p:float64-rounded)."""
+    from .aggregate import partial_grouped_agg
+
+    def per_part(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values([seq_key, ts_col, tie_col], kind="mergesort")
+        g = p.groupby(seq_key, sort=False)
+        prev = g[state_col].shift()
+        m = prev.notna().to_numpy()
+        tr = (pd.DataFrame({"f": prev[m].to_numpy(),
+                            "t": p[state_col].to_numpy()[m]})
+              .groupby(["f", "t"], sort=False).size()
+              .rename("n").reset_index())
+        tr["_kind"] = np.int64(0)
+        first = (p[~m].groupby(state_col, sort=False).size()
+                 .rename("n").reset_index())
+        first.columns = ["f", "n"]
+        first["t"] = first["f"]
+        first["_kind"] = np.int64(1)
+        return pd.concat([tr, first[["f", "t", "n", "_kind"]]],
+                         ignore_index=True)
+
+    parts = partitioned_apply(
+        ds.select_columns([seq_key, state_col, ts_col, tie_col]),
+        [seq_key], per_part)
+    c = partial_grouped_agg(parts, ["f", "t", "_kind"],
+                            {"n": ("sum", "n")}).to_pandas()  # states²
+    states = np.sort(pd.unique(pd.concat([c["f"], c["t"]])))
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    cnt = np.zeros((k, k), dtype=np.int64)
+    tr = c[c["_kind"] == 0]
+    cnt[tr["f"].map(idx), tr["t"].map(idx)] = tr["n"]
+    row = cnt.sum(axis=1)
+    pmat = np.zeros((k, k))
+    nz = row > 0
+    pmat[nz] = cnt[nz] / row[nz, None].astype(np.float64)
+    fi = c[c["_kind"] == 1]
+    x = np.zeros(k)
+    x[fi["f"].map(idx)] = fi["n"].to_numpy(np.float64)
+    x = x / x.sum()
+    for _ in range(steps):
+        x = x @ pmat
+    keep = x > 0
+    return pd.DataFrame({state_col: states[keep],
+                         "p": sql_round(x[keep], ndigits)})

@@ -119,6 +119,8 @@ def gap_fill_daily(ds, key: str, ts_col: str, val_col: str,
     (3 statuses × a decade = ~11k rows — never corpus-sized). Returns
     (key, day:int64, n:int64, total:float64-rounded)."""
 
+    from .grouped import partitioned_apply
+
     def partials(b: pd.DataFrame) -> pd.DataFrame:
         day = (pd.to_datetime(b[ts_col]).to_numpy()
                .astype("datetime64[D]").astype("int64"))
@@ -128,9 +130,16 @@ def gap_fill_daily(ds, key: str, ts_col: str, val_col: str,
                 .groupby([key, "day"], sort=False)
                 .agg(n=("n", "sum"), s=("s", "sum")).reset_index())
 
-    g = partial_grouped_agg(
+    def combine(p: pd.DataFrame) -> pd.DataFrame:
+        # (key, day) cardinality is keys×calendar (~10⁴) — past the
+        # native-groupby comfort zone, so the combine is a coarse-hash
+        # partition fold of the per-batch partials
+        return (p.groupby([key, "day"], sort=False)[["n", "s"]].sum()
+                .reset_index())
+
+    g = partitioned_apply(
         ds.map_batches(partials, batch_format="pandas"), [key, "day"],
-        {"n": ("sum", "n"), "s": ("sum", "s")}).to_pandas()
+        combine).to_pandas()
     lo, hi = int(g["day"].min()), int(g["day"].max())
     keys = np.sort(g[key].unique())
     grid = pd.MultiIndex.from_product([keys, np.arange(lo, hi + 1)],
