@@ -5881,8 +5881,11 @@ def q_skyline(sf_dir: str):
         return pd.DataFrame({"price": b["p_retailprice"].to_numpy(np.float64),
                              "sz": b["p_size"].to_numpy(np.int64)})
 
-    return skyline2d(ds.map_batches(widen, batch_format="pandas"),
-                     "price", "sz", count_col="n_parts")
+    out = skyline2d(ds.map_batches(widen, batch_format="pandas"),
+                    "price", "sz", count_col="n_parts").to_pandas()
+    # an empty pandas block through the combine can float-promote the
+    # int key; the candidate set is tiny, so re-pin dtypes here
+    return out.astype({"sz": "int64", "n_parts": "int64"})
 
 
 def q_scd2(sf_dir: str):
@@ -6249,6 +6252,133 @@ def q_markov3(sf_dir: str):
                         steps=3)
 
 
+def q_srm(sf_dir: str):
+    """Sample-ratio-mismatch guardrail for the hash arms of
+    q_abtest/q_mannwhitney: per event type, the 1-df chi² of the
+    observed arm counts against the designed 50/50. (key, arm) count
+    partials, one tiny combine, closed-form finish shared with the
+    replay."""
+    from web_crawler_ray.stages.stats import srm_check
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "user_id"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"],
+                             "arm": (b["user_id"] % 2).astype("int64")})
+
+    return srm_check(ds.map_batches(tag, batch_format="pandas"),
+                     "event_type", "arm")
+
+
+def q_adoption(sf_dir: str):
+    """First-seen adoption curve over the event log: new entities per
+    day + the running total (entity = event_id mod 20011, a derived id
+    sparse enough that first sightings spread across the month —
+    user_id saturates on day 1 at every sf). Per-batch (id, min day)
+    partials fold through one coarse-hash id exchange (id cardinality
+    is corpus-scale), day counts combine calendar-bounded, cumulative
+    sum is a driver fold; integer-exact, replayed by a min/window-sum
+    SQL."""
+    from web_crawler_ray.stages.stats import adoption_curve
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "ts"])
+
+    def entity(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"eid": (b["event_id"] % 20011).astype("int64"),
+                             "ts": b["ts"]})
+
+    return adoption_curve(ds.map_batches(entity, batch_format="pandas"),
+                          "eid", "ts")
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the harvested link graph
+    (same orders-derived edges as q_diameter, undirected simple
+    form): Pearson r of endpoint degrees over the symmetrized edge
+    list — 'do hubs link to hubs?'. Distinct edges + degree counts
+    fold through coarse-hash exchanges, the degree map broadcasts
+    under a node gate, and every moment is an EXACT integer until the
+    one closing division, so the replay is value-identical."""
+    from web_crawler_ray.stages.stats import degree_assortativity
+
+    def edges(b: pd.DataFrame) -> pd.DataFrame:  # == q_diameter graph
+        ok = b["o_orderkey"].to_numpy(np.int64)
+        u = ok % 4096
+        chain_dst = u // 64 * 64 + (u + 1) % 64
+        cut = ok % 3 == 0
+        return pd.DataFrame({
+            "src": np.concatenate([u, u[cut]]),
+            "dst": np.concatenate([chain_dst, (u[cut] * 5 + 1) % 4096]),
+        })
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey"])
+    return degree_assortativity(
+        ds.map_batches(edges, batch_format="pandas"))
+
+
+def q_knn_graph(sf_dir: str):
+    """Exact 3-NN cosine graph over the embedding corpus (the build
+    step of graph-ANN / semantic clustering): broadcast normalized
+    corpus, streaming left side, one C matmul per batch, no shuffle
+    (the IVF index is the at-scale path). Rank order is by ROUNDED
+    cosine with the neighbour id as tiebreak — deterministic and
+    replay-stable; the replay is a cross join + row_number window."""
+    from web_crawler_ray.stages.similarity import knn_graph
+
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"),
+                         columns=["vec_id", "embedding"])
+    return knn_graph(ds, k=3)
+
+
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority)) over orders with
+    the SQL grouping() bitmask: one map-side-combine aggregate per
+    set, set-count×key-cardinality driver union — the
+    multi-granularity report without re-reading the fact table."""
+    from web_crawler_ray.stages.aggregate import grouping_sets_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "orders"),
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+    return grouping_sets_agg(ds, [["o_orderstatus"], ["o_orderpriority"]],
+                             "o_totalprice")
+
+
+def q_abandoned(sf_dir: str):
+    """Funnel abandonment: clicks with NO purchase by the same user
+    within the following hour — the ANTI as-of join. One user
+    exchange; the probe is a vectorized merge_asof(forward,
+    strict-lower/inclusive-upper, exact integer µs) inside the
+    partition task; the replay is a NOT EXISTS over the same integer
+    bounds."""
+    from web_crawler_ray.stages.windows import unconverted_events
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    return unconverted_events(ds, "user_id", "ts", "event_id",
+                              "event_type", trigger="click",
+                              target="purchase",
+                              horizon_us=3_600_000_000,
+                              n_rows_hint=_nrows(sf_dir, "events"))
+
+
+def q_quantile_disc(sf_dir: str):
+    """Per-event-type DISCRETE quantiles (median + p90, SQL
+    quantile_disc's ceil(q·n)−1 element — actual data values, no
+    interpolation, so the replay is value-exact with no rounding):
+    one key exchange, vectorized in-partition offset selection."""
+    from web_crawler_ray.stages.windows import group_quantile_disc
+
+    ds = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    return group_quantile_disc(ds, "event_type", "value",
+                               {"p50": 0.5, "p90": 0.9},
+                               n_rows_hint=_nrows(sf_dir, "events"))
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6272,15 +6402,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries, so the window is packed with SQL-oracle-backed queries;
     # rows-only duals (whose _oracle sibling is in-window) come last.
     return {
-        "q_lineitem_summary": q_lineitem_summary,
-        "q_pricing_summary": q_pricing_summary,
-        "q_category_stats": q_category_stats,
-        "q_top_orders": q_top_orders,
+        "q_geo_pairs": q_geo_pairs,
+        "q_copurchase": q_copurchase,
+        "q_phrase_search": q_phrase_search,
+        "q_moments": q_moments,
         "q_semdedup": q_semdedup,
-        "q_join_revenue": q_join_revenue,
+        "q_mannwhitney": q_mannwhitney,
         "q_edit_join": q_edit_join,
         "q_label_prop": q_label_prop,
-        "q_dedup_latest": q_dedup_latest,
+        "q_markov3": q_markov3,
         "q_entity_resolution": q_entity_resolution,
         "q_winnow_pairs": q_winnow_pairs,
         "q_token_budget": q_token_budget,
@@ -6293,10 +6423,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_allpairs": q_embed_allpairs,
         "q_text_metrics_oracle": q_text_metrics_oracle,
         "q_pagerank": q_pagerank,
-        "q_group_topk": q_group_topk,
-        "q_window_agg": q_window_agg,
-        "q_asof_join": q_asof_join,
-        "q_validation_summary": q_validation_summary,
+        "q_compaction_plan": q_compaction_plan,
+        "q_twap": q_twap,
+        "q_lorenz": q_lorenz,
+        "q_acf": q_acf,
         "q_spec_pipeline": q_spec_pipeline,
         "q_sink_roundtrip": q_sink_roundtrip,
         "q_ann_ivf_oracle": q_ann_ivf_oracle,
@@ -6312,9 +6442,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_hitters": q_heavy_hitters,
         "q_rollup_pricing": q_rollup_pricing,
         "q_bm25_search": q_bm25_search,
-        # round-5 rotation: the 8 new operators take window slots; the
-        # evicted 8 (driver-proven green in CORRECTNESS_r04.json) move
-        # just past the window and stay covered by the local suite
+        # round-5 rotations: 8 earlier-session + 10 late-session new
+        # operators take window slots; the evicted (driver-proven green
+        # in CORRECTNESS_r04.json) move just past the window and stay
+        # covered by the local suite
         "q_late_events": q_late_events,
         "q_interval_union": q_interval_union,
         "q_kcore": q_kcore,
@@ -6325,6 +6456,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zonemap_scan": q_zonemap_scan,
         "q_dict_planner": q_dict_planner,
         "q_jw_join": q_jw_join,
+        "q_lineitem_summary": q_lineitem_summary,
+        "q_pricing_summary": q_pricing_summary,
+        "q_category_stats": q_category_stats,
+        "q_top_orders": q_top_orders,
+        "q_join_revenue": q_join_revenue,
+        "q_dedup_latest": q_dedup_latest,
+        "q_group_topk": q_group_topk,
+        "q_window_agg": q_window_agg,
+        "q_asof_join": q_asof_join,
+        "q_validation_summary": q_validation_summary,
         "q_dup_clusters": q_dup_clusters,
         "q_kmeans_lloyd": q_kmeans_lloyd,
         "q_unpivot_orders": q_unpivot_orders,
@@ -6525,21 +6666,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_scd2": q_scd2,
         "q_diameter": q_diameter,
         "q_abtest": q_abtest,
-        "q_acf": q_acf,
         "q_hhi": q_hhi,
         "q_gap_fill": q_gap_fill,
-        "q_moments": q_moments,
-        "q_mannwhitney": q_mannwhitney,
-        "q_geo_pairs": q_geo_pairs,
-        "q_phrase_search": q_phrase_search,
-        "q_compaction_plan": q_compaction_plan,
         "q_partition_checksum": q_partition_checksum,
-        "q_copurchase": q_copurchase,
-        "q_twap": q_twap,
         "q_rolling_median": q_rolling_median,
         "q_iqr_outliers": q_iqr_outliers,
-        "q_lorenz": q_lorenz,
-        "q_markov3": q_markov3,
+        "q_srm": q_srm,
+        "q_adoption": q_adoption,
+        "q_assortativity": q_assortativity,
+        "q_knn_graph": q_knn_graph,
+        "q_grouping_sets": q_grouping_sets,
+        "q_abandoned": q_abandoned,
+        "q_quantile_disc": q_quantile_disc,
     }
 
 
@@ -9724,7 +9862,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT st.v AS start, a.v AS far_a,
                    (SELECT min(node) FROM m2
                     WHERE d = (SELECT max(d) FROM m2)) AS far_b,
-                   (SELECT max(d) FROM m2) AS lb_diameter
+                   CAST((SELECT max(d) FROM m2) AS BIGINT) AS lb_diameter
             FROM st, a
         """,
         "q_abtest": """
@@ -10007,5 +10145,105 @@ def oracle_sql() -> dict[str, str]:
                    FROM x2 JOIN p ON p.f = x2.s GROUP BY 1)
             SELECT s AS event_type, round(p, 6) AS p
             FROM x3 WHERE p > 0 ORDER BY s
+        """,
+        "q_srm": """
+            WITH g AS (SELECT event_type,
+                              sum(CASE WHEN user_id % 2 = 0
+                                       THEN 1 ELSE 0 END) AS n0,
+                              sum(CASE WHEN user_id % 2 = 1
+                                       THEN 1 ELSE 0 END) AS n1
+                       FROM events GROUP BY 1)
+            SELECT event_type, CAST(n0 AS BIGINT) AS n_a,
+                   CAST(n1 AS BIGINT) AS n_b,
+                   round((n0 - (n0 + n1) / 2.0) * (n0 - (n0 + n1) / 2.0)
+                           / ((n0 + n1) / 2.0)
+                         + (n1 - (n0 + n1) / 2.0) * (n1 - (n0 + n1) / 2.0)
+                           / ((n0 + n1) / 2.0), 6) AS chi2
+            FROM g ORDER BY event_type
+        """,
+        "q_adoption": """
+            WITH f AS (SELECT event_id % 20011 AS eid,
+                              min(CAST(date_diff('day', DATE '1970-01-01',
+                                                 CAST(ts AS DATE))
+                                       AS BIGINT)) AS day
+                       FROM events GROUP BY 1),
+            g AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+            SELECT day, n_new,
+                   CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM g ORDER BY day
+        """,
+        "q_assortativity": """
+            WITH raw AS (
+              SELECT o_orderkey % 4096 AS u,
+                     (o_orderkey % 4096) // 64 * 64
+                       + ((o_orderkey % 4096) + 1) % 64 AS v
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey % 4096,
+                     ((o_orderkey % 4096) * 5 + 1) % 4096
+              FROM orders WHERE o_orderkey % 3 = 0),
+            e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+                  FROM raw WHERE u <> v),
+            d AS (SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM e
+                    UNION ALL
+                    SELECT b FROM e) GROUP BY 1),
+            j AS (SELECT da.deg AS x, db.deg AS y
+                  FROM e JOIN d da ON da.node = e.a
+                         JOIN d db ON db.node = e.b
+                  UNION ALL
+                  SELECT db.deg, da.deg
+                  FROM e JOIN d da ON da.node = e.a
+                         JOIN d db ON db.node = e.b),
+            m AS (SELECT count(*) AS n, sum(x) AS sx,
+                         sum(x * x) AS sxx, sum(x * y) AS sxy
+                  FROM j)
+            SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+                   round((n * sxy - sx * sx)
+                         / (sqrt(n * sxx - sx * sx)
+                            * sqrt(n * sxx - sx * sx)), 6) AS r
+            FROM m
+        """,
+        "q_knn_graph": """
+            WITH s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                              round(list_cosine_similarity(
+                                CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])), 6) AS c
+                       FROM embeddings a JOIN embeddings b
+                         ON a.vec_id <> b.vec_id),
+            r AS (SELECT va, vb, c,
+                         row_number() OVER (PARTITION BY va
+                                            ORDER BY c DESC, vb) AS rk
+                  FROM s)
+            SELECT va AS vec_id, CAST(rk AS BIGINT) AS rank,
+                   vb AS nbr_id, c AS cosine
+            FROM r WHERE rk <= 3 ORDER BY vec_id, rank
+        """,
+        "q_grouping_sets": """
+            SELECT CAST(grouping(o_orderstatus)
+                        + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+                   o_orderstatus, o_orderpriority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+            ORDER BY gid, o_orderstatus, o_orderpriority
+        """,
+        "q_abandoned": """
+            SELECT a.user_id, a.event_id
+            FROM events a
+            WHERE a.event_type = 'click' AND NOT EXISTS (
+              SELECT 1 FROM events b
+              WHERE b.user_id = a.user_id
+                AND b.event_type = 'purchase'
+                AND epoch_us(b.ts) > epoch_us(a.ts)
+                AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000)
+            ORDER BY a.user_id, a.event_id
+        """,
+        "q_quantile_disc": """
+            SELECT event_type,
+                   quantile_disc(value, 0.5) AS p50,
+                   quantile_disc(value, 0.9) AS p90
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
     }

@@ -152,6 +152,13 @@ BENCH_QUERIES = [
     "q_iqr_outliers",
     "q_lorenz",
     "q_markov3",
+    "q_srm",
+    "q_adoption",
+    "q_assortativity",
+    "q_knn_graph",
+    "q_grouping_sets",
+    "q_abandoned",
+    "q_quantile_disc",
 ]
 
 

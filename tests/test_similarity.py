@@ -546,3 +546,51 @@ def test_semdedup_min_id_wins_within_cluster(ray_session):
                        "embedding": vecs})
     out = semdedup(rd.from_pandas(df), k=2, tau=0.9).to_pandas()
     assert set(out["vec_id"]) == {0, 1}
+
+
+def test_knn_graph_exact_and_ties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from web_crawler_ray.stages.similarity import knn_graph
+
+    # 0 and 1 are identical direction; 2 is orthogonal; 3 is opposite
+    vecs = [[1.0, 0.0], [2.0, 0.0], [0.0, 1.0], [-1.0, 0.0],
+            [1.0, 1.0]]
+    df = pd.DataFrame({"vec_id": np.arange(5, dtype=np.int64),
+                       "embedding": vecs})
+    out = (knn_graph(rd.from_pandas(df), k=2).to_pandas()
+           .sort_values(["vec_id", "rank"]).reset_index(drop=True))
+    assert len(out) == 10
+    g0 = out[out["vec_id"] == 0]
+    assert g0["nbr_id"].tolist() == [1, 4]       # cos 1.0 then 0.7071
+    assert g0["cosine"].tolist() == [1.0, 0.707107]
+    # vec 2: best is 4 (0.7071); 0 and 1 tie at cos 0 -> smaller id
+    g2 = out[out["vec_id"] == 2]
+    assert g2["nbr_id"].tolist() == [4, 0]
+    # never self
+    assert (out["vec_id"] != out["nbr_id"]).all()
+
+    with pytest.raises(Exception, match="small-subset"):
+        knn_graph(rd.from_pandas(df), k=1, max_corpus_rows=2)
+
+
+def test_grouping_sets_hand_case(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.aggregate import grouping_sets_agg
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1.0, 2.0, 4.0]})
+    out = grouping_sets_agg(rd.from_pandas(df), [["a"], ["b"]], "v")
+    by_a = out[out["gid"] == 2]
+    assert by_a["a"].tolist() == ["x", "y"]
+    assert by_a["b"].isna().all()
+    assert by_a["total"].tolist() == [3.0, 4.0]
+    by_b = out[out["gid"] == 1]
+    assert by_b["b"].tolist() == ["p", "q"]
+    assert by_b["a"].isna().all()
+    assert by_b["n"].tolist() == [2, 1]

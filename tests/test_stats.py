@@ -996,3 +996,46 @@ def test_markov_power_hand_case(ray_session):
     # x2 = b's mass -> a (2/3); c's 1/3 drops (dangling)
     got2 = dict(zip(out2["state"], out2["p"]))
     assert got2 == {"a": round(2 / 3, 6)}
+
+
+def test_srm_check_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import srm_check
+
+    # key "bad": 30 vs 10 -> chi2 = (10)^2/20 * 2 = 10; "ok": 5 vs 5 -> 0
+    df = pd.DataFrame({"k": ["bad"] * 40 + ["ok"] * 10,
+                       "arm": [0] * 30 + [1] * 10 + [0, 1] * 5})
+    out = (srm_check(rd.from_pandas(df).repartition(3), "k", "arm")
+           .sort_values("k").reset_index(drop=True))
+    assert out.loc[0, "k"] == "bad" and out.loc[0, "chi2"] == 10.0
+    assert out.loc[0, "n_a"] == 30 and out.loc[0, "n_b"] == 10
+    assert out.loc[1, "chi2"] == 0.0
+
+
+def test_adoption_curve_hand_case(ray_session):
+    from web_crawler_ray.stages.stats import adoption_curve
+
+    # id 1 first on day0 (despite a later sighting), id 2 day1, id 3 day1
+    df = pd.DataFrame({
+        "id": [1, 2, 1, 3, 2],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03",
+                              "2024-01-02", "2024-01-04"])})
+    out = adoption_curve(rd.from_pandas(df).repartition(2), "id", "ts")
+    assert out["n_new"].tolist() == [1, 2]
+    assert out["cum_users"].tolist() == [1, 3]
+
+
+def test_degree_assortativity_known_graphs(ray_session):
+    from web_crawler_ray.stages.stats import degree_assortativity
+
+    # star K1,4: every edge joins deg-4 hub to deg-1 leaf -> r = -1
+    star = pd.DataFrame({"src": [0, 0, 0, 0], "dst": [1, 2, 3, 4]})
+    r_star = degree_assortativity(rd.from_pandas(star))
+    assert r_star["n_edges"].iloc[0] == 4
+    assert r_star["r"].iloc[0] == -1.0
+
+    # duplicate/reversed rows collapse and the self-loop drops: the
+    # P3 path (0-1-2-3) keeps exactly 3 undirected edges
+    path = pd.DataFrame({"src": [0, 1, 1, 5, 2],
+                         "dst": [1, 0, 2, 5, 3]})
+    r_path = degree_assortativity(rd.from_pandas(path))
+    assert r_path["n_edges"].iloc[0] == 3

@@ -372,3 +372,54 @@ def test_interval_union_islands(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out["n_intervals"].tolist() == [3, 1]
     assert out["covered"].tolist() == [8 + 10 + 0, 2]
+
+
+def test_unconverted_events_hand_case(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.windows import unconverted_events
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = [
+        # user 1: click converted at +30min; click at 12:00 unconverted
+        (1, base, 1, "click"),
+        (1, base + pd.Timedelta("30min"), 2, "purchase"),
+        (1, base + pd.Timedelta("12h"), 3, "click"),
+        # user 2: purchase EXACTLY at +1h counts (inclusive upper)
+        (2, base, 4, "click"),
+        (2, base + pd.Timedelta("1h"), 5, "purchase"),
+        # user 3: purchase at the SAME instant does NOT count (strict >)
+        (3, base, 6, "click"),
+        (3, base, 7, "purchase"),
+        # user 4: purchase before the click only
+        (4, base, 8, "purchase"),
+        (4, base + pd.Timedelta("1min"), 9, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["u", "ts", "eid", "ty"])
+    out = (unconverted_events(rd.from_pandas(df).repartition(3),
+                              "u", "ts", "eid", "ty",
+                              trigger="click", target="purchase",
+                              horizon_us=3_600_000_000)
+           .to_pandas().sort_values("eid"))
+    assert out["eid"].tolist() == [3, 6, 9]
+
+
+def test_group_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from web_crawler_ray.stages.windows import group_quantile_disc
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 200),
+                       "v": rng.normal(size=200).round(3)})
+    out = (group_quantile_disc(rd.from_pandas(df), "k", "v",
+                               {"p50": 0.5, "p90": 0.9})
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT k, quantile_disc(v, 0.5) AS p50, quantile_disc(v, 0.9)"
+        " AS p90 FROM df GROUP BY k ORDER BY k").df()
+    pd.testing.assert_frame_equal(out, want)

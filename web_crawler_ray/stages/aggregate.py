@@ -9,6 +9,7 @@ flip a value hash.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
@@ -730,3 +731,43 @@ def incremental_agg_merge(base_ds, changes_ds, group_col: str, id_col: str,
     out["n_rows"] = out["n_rows"].astype("int64")
     out["v_sum"] = out["v_sum"].astype("int64")
     return out.sort_values(group_col, kind="mergesort").reset_index(drop=True)
+
+
+def grouping_sets_agg(ds, sets: list[list[str]], val_col: str,
+                      ndigits: int = 2) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS: one aggregate pass PER SET over the same
+    input (count + sum of ``val_col``), results unioned with the
+    aggregated-away keys as NULL and the SQL ``grouping()`` bitmask as
+    ``gid`` (bit i set ⇔ the i-th key column is aggregated away in
+    that set) — the multi-granularity report that avoids re-reading
+    the fact table per granularity.
+
+    Each set's aggregate is the map-side-combine pattern (shuffle
+    carries one row per (batch, key)); the union is set-count ×
+    key-cardinality-sized driver assembly. Returns
+    (gid:int64, *all key columns, n:int64, total:rounded)."""
+    all_keys: list[str] = []
+    for s in sets:
+        for c in s:
+            if c not in all_keys:
+                all_keys.append(c)
+    frames = []
+    for s in sets:
+        g = partial_grouped_agg(
+            ds.select_columns(list(dict.fromkeys(s + [val_col]))).map_batches(
+                lambda b, keys=tuple(s): (
+                    b.groupby(list(keys), sort=False)
+                    .agg(n=(val_col, "size"), s=(val_col, "sum"))
+                    .reset_index()),
+                batch_format="pandas"),
+            list(s), {"n": ("sum", "n"), "s": ("sum", "s")}).to_pandas()
+        gid = sum(1 << i for i, c in enumerate(all_keys) if c not in s)
+        f = pd.DataFrame({"gid": np.full(len(g), gid, dtype=np.int64)})
+        for c in all_keys:
+            f[c] = g[c] if c in s else None
+        f["n"] = g["n"].astype("int64")
+        f["total"] = sql_round(g["s"], ndigits)
+        frames.append(f)
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(["gid"] + all_keys, kind="mergesort")
+            .reset_index(drop=True))

@@ -972,3 +972,61 @@ def _driver_kcenter(ds, k: int, id_col: str, vec_col: str, ndigits: int):
         id_col: np.array(sel_ids, dtype=np.int64),
         "d2_at_selection": np.array(sel_d2, dtype=np.float64),
     })
+
+
+def knn_graph(ds, k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding", max_corpus_rows: int = 200_000,
+              ndigits: int = 6):
+    """Exact k-nearest-neighbour graph over the embedding corpus (the
+    build step of graph-based ANN / semantic-dedup clustering): for
+    every vector, its top-k cosine neighbours with rank. Ordering is
+    by the ROUNDED cosine (desc) with the neighbour id as tiebreak, so
+    the rank order is deterministic and replay-stable.
+
+    Same shape as ``embedding_allpairs_exact``: the normalized float64
+    corpus broadcasts once, the left side streams through an actor
+    pool, one C matmul per batch, NO shuffle; refuses corpora past
+    ``max_corpus_rows`` (the IVF index is the at-scale path — its
+    bucket probe produces the same top-k against a candidate subset).
+    Returns (vec_id, rank:int64, nbr_id, cosine)."""
+    corpus = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                              batch_size=None))
+    if corpus.num_rows > max_corpus_rows:
+        raise ValueError(
+            f"knn_graph is the small-subset exact path (n="
+            f"{corpus.num_rows} > {max_corpus_rows}); use the IVF index")
+    order = np.argsort(np.asarray(corpus[id_col].to_pylist(),
+                                  dtype=np.int64), kind="stable")
+    c_ids = np.asarray(corpus[id_col].to_pylist(), dtype=np.int64)[order]
+    c_mat = _normalize(_as_matrix(corpus[vec_col]).astype(np.float64))[order]
+    ref = ray.put({"ids": c_ids, "mat": c_mat})
+    kk = int(k)
+
+    class TopK:
+        def __init__(self):
+            c = ray.get(ref)  # once per actor
+            self.c_ids, self.c_mat = c["ids"], c["mat"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            b_mat = _normalize(_as_matrix(batch[vec_col])
+                               .astype(np.float64))
+            sims = sql_round(b_mat @ self.c_mat.T, ndigits)
+            sims[b_ids[:, None] == self.c_ids[None, :]] = -np.inf  # self
+            # columns are id-ascending, so a STABLE sort on -sims
+            # breaks rounded-cosine ties by neighbour id
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(b_ids, kk)
+            ranks = np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                            len(b_ids))
+            cols = top.ravel()
+            return pa.table({
+                "vec_id": pa.array(rows, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "nbr_id": pa.array(self.c_ids[cols], pa.int64()),
+                "cosine": pa.array(sims[np.repeat(np.arange(len(b_ids)),
+                                                  kk), cols], pa.float64()),
+            })
+
+    return ds.map_batches(TopK, batch_format="pyarrow",
+                          concurrency=auto_concurrency())

@@ -661,3 +661,152 @@ def markov_power(ds, seq_key: str, state_col: str, ts_col: str,
     keep = x > 0
     return pd.DataFrame({state_col: states[keep],
                          "p": sql_round(x[keep], ndigits)})
+
+
+def srm_check(ds, key: str, arm_col: str, ndigits: int = 6) -> pd.DataFrame:
+    """Sample-ratio-mismatch check per key: the one-degree-of-freedom
+    chi² of the observed arm split against the designed 50/50 — the
+    guardrail every experimentation readout runs BEFORE trusting the
+    effect estimate (a biased assignment invalidates q_abtest /
+    q_mannwhitney downstream).
+
+        chi² = (n₀ − n/2)²/(n/2) + (n₁ − n/2)²/(n/2)
+
+    Map-side (key, arm) count partials, one key-cardinality combine,
+    closed-form finish. Integer counts make the doubles exact up to
+    the shared expression tree. Returns
+    (key, n_a:int64, n_b:int64, chi2:float64-rounded)."""
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        arm = b[arm_col].to_numpy(np.int64)
+        return (pd.DataFrame({key: b[key].to_numpy(),
+                              "n0": (arm == 0).astype(np.int64),
+                              "n1": (arm == 1).astype(np.int64)})
+                .groupby(key, sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(
+        ds.select_columns([key, arm_col]).map_batches(
+            pre, batch_format="pandas"),
+        [key], {"n0": ("sum", "n0"), "n1": ("sum", "n1")},
+    ).to_pandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+    n0 = g["n0"].to_numpy(np.float64)
+    n1 = g["n1"].to_numpy(np.float64)
+    e = (n0 + n1) / 2.0
+    chi2 = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+    return pd.DataFrame({key: g[key], "n_a": g["n0"].astype("int64"),
+                         "n_b": g["n1"].astype("int64"),
+                         "chi2": sql_round(chi2, ndigits)})
+
+
+def adoption_curve(ds, id_col: str, ts_col: str,
+                   num_partitions: int = 32) -> pd.DataFrame:
+    """First-seen adoption curve: per calendar day, how many ids
+    appeared for the FIRST time, with the running total — the
+    'cumulative distinct users' a growth/coverage dashboard plots
+    (and the crawl's new-hosts-per-round audit generalized).
+
+    One id-keyed exchange folds per-batch (id, min day) partials to
+    the global first-seen day (id cardinality can be corpus-scale, so
+    the fold is the coarse-hash partition pattern, not a native
+    groupby); day counts then combine through a calendar-bounded
+    exchange and the cumulative sum is a driver fold over days.
+    Integer-exact. Returns (day:int64, n_new:int64, cum_users:int64)."""
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = (pd.to_datetime(b[ts_col]).to_numpy()
+               .astype("datetime64[D]").astype("int64"))
+        return (pd.DataFrame({id_col: b[id_col].to_numpy(), "day": day})
+                .groupby(id_col, sort=False).min().reset_index())
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        first = (p.groupby(id_col, sort=False)["day"].min()
+                 .reset_index())
+        return (first.groupby("day", sort=False).size()
+                .rename("n_new").reset_index())
+
+    parts = partitioned_apply(
+        ds.select_columns([id_col, ts_col]).map_batches(
+            pre, batch_format="pandas"),
+        [id_col], fold, num_partitions=num_partitions)
+    days = partial_grouped_agg(parts, ["day"],
+                               {"n_new": ("sum", "n_new")}).to_pandas()
+    days = days.sort_values("day", kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "day": days["day"].astype("int64"),
+        "n_new": days["n_new"].astype("int64"),
+        "cum_users": days["n_new"].cumsum().astype("int64")})
+
+
+def degree_assortativity(ds, src: str = "src", dst: str = "dst",
+                         broadcast_nodes_max: int = 5_000_000,
+                         num_partitions: int = 32,
+                         ndigits: int = 6) -> pd.DataFrame:
+    """Degree assortativity of the UNDIRECTED simple graph (Newman
+    2002): the Pearson correlation of endpoint degrees over the
+    symmetrized edge list — do hubs link to hubs (r > 0, social
+    shape) or to leaves (r < 0, web/crawl shape)?
+
+    Distinct undirected edges via one coarse-hash dedup exchange;
+    degrees fold the same way; the degree map broadcasts once
+    (node-cardinality-bounded — raises past ``broadcast_nodes_max``,
+    where the join path of `graph._join_*` is the scale route); the
+    correlation folds integer moment partials (degrees are ints, so
+    every sum is EXACT and order-independent — the final r is the only
+    double). Returns one row (n_edges:int64, r:float64-rounded)."""
+    import ray
+
+    from .grouped import partitioned_apply as papply
+
+    def undirect(b: pd.DataFrame) -> pd.DataFrame:
+        u = b[src].to_numpy(np.int64)
+        v = b[dst].to_numpy(np.int64)
+        keep = u != v  # simple graph: self-loops carry no mixing info
+        return pd.DataFrame({"a": np.minimum(u, v)[keep],
+                             "b": np.maximum(u, v)[keep]}).drop_duplicates()
+
+    edges = papply(ds.map_batches(undirect, batch_format="pandas"),
+                   ["a", "b"],
+                   lambda p: p.drop_duplicates(["a", "b"]),
+                   num_partitions=num_partitions)
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([b["a"].to_numpy(np.int64),
+                                b["b"].to_numpy(np.int64)])
+        return (pd.DataFrame({"node": nodes})
+                .groupby("node", sort=False).size()
+                .rename("d").reset_index())
+
+    deg = papply(edges.map_batches(deg_partial, batch_format="pandas"),
+                 ["node"],
+                 lambda p: p.groupby("node", sort=False)["d"].sum()
+                 .reset_index(),
+                 num_partitions=num_partitions).to_pandas()
+    if len(deg) > broadcast_nodes_max:
+        raise ValueError(
+            f"degree_assortativity: {len(deg)} nodes exceeds the "
+            f"broadcast gate ({broadcast_nodes_max}); use a degree join")
+    dref = ray.put(dict(zip(deg["node"], deg["d"])))
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        dm = ray.get(dref)
+        da = b["a"].map(dm).to_numpy(np.int64)
+        db = b["b"].map(dm).to_numpy(np.int64)
+        # symmetrized: each undirected edge contributes (da,db)+(db,da)
+        return pd.DataFrame({
+            "n": [np.int64(2 * len(b))],
+            "sx": [int(da.sum() + db.sum())],
+            "sxx": [int((da * da).sum() + (db * db).sum())],
+            "sxy": [int(2 * (da * db).sum())]})
+
+    m = (edges.map_batches(moments, batch_format="pandas")
+         .to_pandas().sum())  # one row per batch, integer-exact
+    n, sx = int(m["n"]), int(m["sx"])
+    sxx, sxy = int(m["sxx"]), int(m["sxy"])
+    # symmetric marginals (sy = sx, syy = sxx); moments stay exact
+    # Python ints until the single closing division, mirroring the
+    # replay's HUGEINT folds
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / (np.sqrt(float(den)) * np.sqrt(float(den)))
+    return pd.DataFrame({"n_edges": [np.int64(n // 2)],
+                         "r": [float(sql_round(r, ndigits))]})

@@ -793,3 +793,43 @@ def rolling_median3(ds, key: str, ts_col: str, val_col: str, tie_col: str,
 
     return partitioned_apply(ds, [key], per_partition,
                              n_rows_hint=n_rows_hint)
+
+
+def unconverted_events(ds, key: str, ts_col: str, tie_col: str,
+                       type_col: str, trigger: str, target: str,
+                       horizon_us: int, n_rows_hint: int | None = None):
+    """Trigger events with NO target event from the same key within
+    (ts, ts + horizon] — the funnel-abandonment probe ('clicks never
+    followed by a purchase within the hour'), i.e. the ANTI form of
+    the as-of join.
+
+    One co-locating key exchange; inside the partition task the probe
+    is a single ``pd.merge_asof(direction='forward',
+    allow_exact_matches=False, tolerance=horizon)`` over exact integer
+    microseconds — vectorized C, no per-key loop, and the strict-lower
+    / inclusive-upper bounds match the SQL NOT EXISTS replay exactly.
+    Returns (key, tie_col) of the unconverted triggers."""
+
+    def per_partition(p: pd.DataFrame) -> pd.DataFrame:
+        us = p[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        f = pd.DataFrame({key: p[key].to_numpy(), "us": us,
+                          tie_col: p[tie_col].to_numpy(),
+                          "_ty": p[type_col].to_numpy()})
+        trig = (f[f["_ty"] == trigger]
+                .sort_values("us", kind="mergesort"))
+        targ = (f[f["_ty"] == target][[key, "us"]]
+                .sort_values("us", kind="mergesort"))
+        if not len(trig):
+            return pd.DataFrame({key: pd.Series(dtype=f[key].dtype),
+                                 tie_col: pd.Series(
+                                     dtype=f[tie_col].dtype)})
+        m = pd.merge_asof(trig, targ.rename(columns={"us": "hit_us"}),
+                          left_on="us", right_on="hit_us", by=key,
+                          direction="forward", allow_exact_matches=False,
+                          tolerance=int(horizon_us))
+        out = m[m["hit_us"].isna()][[key, tie_col]]
+        return out.sort_values([key, tie_col], kind="mergesort")
+
+    return partitioned_apply(
+        ds.select_columns([key, ts_col, tie_col, type_col]),
+        [key], per_partition, n_rows_hint=n_rows_hint)
