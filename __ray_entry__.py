@@ -6379,6 +6379,116 @@ def q_quantile_disc(sf_dir: str):
                                n_rows_hint=_nrows(sf_dir, "events"))
 
 
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier volume): revenue per nation for region
+    ASIA in 1996, customer and supplier in the SAME nation — the
+    6-table star-join flagship. Plan: region/nation fold to a tiny
+    nation-key set (driver), customers filter map-side against it,
+    orders date-filter map-side, ONE hash join orders⋈customer (both
+    pre-pruned), ONE hash join lineitem⋈that (the only big exchange),
+    then the supplier side is a catalog-sized broadcast map — the
+    same-nation predicate and the revenue rollup never shuffle
+    again."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()  # 25 rows
+    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()  # 5 rows
+    asia = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    nk = set(nation.loc[nation["n_regionkey"] == asia,
+                        "n_nationkey"].astype(int))
+    name_of = dict(zip(nation["n_nationkey"].astype(int),
+                       nation["n_name"]))
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nk = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                            supp["s_nationkey"].astype(int))))  # catalog
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey"])
+    cust = cust.map_batches(
+        lambda b: b[b["c_nationkey"].astype("int64").isin(nk)],
+        batch_format="pandas")
+
+    lo = pd.Timestamp("1996-01-01")
+    hi = pd.Timestamp("1997-01-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi),
+                        ["o_orderkey", "o_custkey"]],
+        batch_format="pandas")
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+    j = li.join(oc.select_columns(["o_orderkey", "c_nationkey"]),
+                join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_rev(b: pd.DataFrame) -> pd.DataFrame:
+        smap = ray.get(s_nk)
+        snk = b["l_suppkey"].map(smap).to_numpy()
+        keep = snk == b["c_nationkey"].to_numpy().astype(np.int64)
+        b = b[keep]
+        return pd.DataFrame({
+            "nk": b["c_nationkey"].to_numpy().astype(np.int64),
+            "revenue": b["l_extendedprice"].to_numpy(np.float64)
+            * (1.0 - b["l_discount"].to_numpy(np.float64))})
+
+    g = partial_grouped_agg(j.map_batches(local_rev, batch_format="pandas"),
+                            ["nk"], {"revenue": ("sum", "revenue")}
+                            ).to_pandas()
+    g["n_name"] = g["nk"].map(name_of)
+    g = g.sort_values("n_name", kind="mergesort")
+    return pd.DataFrame({"n_name": g["n_name"],
+                         "revenue": sql_round(g["revenue"], 2)}
+                        ).reset_index(drop=True)
+
+
+def q_stl_lite(sf_dir: str):
+    """Classical additive decomposition of the daily event-value
+    series (trend = centered 7-row moving average with SQL
+    partial-window edges, seasonal = per-ISO-dow mean of the
+    detrended series, resid = rest): (day, Σv) partials, ONE tiny
+    combine, vectorized calendar-bounded fold; the replay is a
+    ROWS-window average + dow-mean join."""
+    from web_crawler_ray.stages.timeseries import seasonal_decompose_daily
+
+    ds = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+    return seasonal_decompose_daily(ds, "ts", "value")
+
+
+def q_class_weights(sf_dir: str):
+    """Class-balance training weights over the embedding labels:
+    inverse-frequency N/(k·n_c) and the effective-number-of-samples
+    weight (1−β)/(1−β^n), β = 0.999 (Cui et al. 2019) — what a
+    rebalancing sampler consumes. One label-cardinality combine;
+    closed forms shared with the replay."""
+    ds = rd.read_parquet(_t(sf_dir, "embeddings"), columns=["label"])
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"label": b["label"].astype("int64")})
+                .groupby("label", sort=False).size()
+                .rename("n").reset_index())
+
+    g = partial_grouped_agg(ds.map_batches(pre, batch_format="pandas"),
+                            ["label"], {"n": ("sum", "n")}).to_pandas()
+    g = g.sort_values("label", kind="mergesort").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    nn = float(n.sum())
+    k = float(len(g))
+    beta = 0.999
+    return pd.DataFrame({
+        "label": g["label"].astype("int64"),
+        "n": g["n"].astype("int64"),
+        "w_inv": sql_round(nn / (k * n), 6),
+        "w_eff": sql_round((1.0 - beta) / (1.0 - beta ** n), 6)})
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6678,6 +6788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_grouping_sets": q_grouping_sets,
         "q_abandoned": q_abandoned,
         "q_quantile_disc": q_quantile_disc,
+        "q_tpch_q5": q_tpch_q5,
+        "q_stl_lite": q_stl_lite,
+        "q_class_weights": q_class_weights,
     }
 
 
@@ -10245,5 +10358,52 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS p50,
                    quantile_disc(value, 0.9) AS p90
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_stl_lite": """
+            WITH d AS (
+              SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS day,
+                     sum(value) AS x
+              FROM events GROUP BY 1),
+            t AS (SELECT day, x,
+                         avg(x) OVER (ORDER BY day ROWS BETWEEN
+                                      3 PRECEDING AND 3 FOLLOWING)
+                           AS trend
+                  FROM d),
+            s AS (SELECT day, x, trend, (day + 3) % 7 + 1 AS dow,
+                         x - trend AS detr
+                  FROM t),
+            m AS (SELECT dow, avg(detr) AS seas FROM s GROUP BY 1)
+            SELECT s.day, round(s.x, 2) AS x,
+                   round(s.trend, 6) AS trend,
+                   round(m.seas, 6) AS seasonal,
+                   round(s.detr - m.seas, 6) AS resid
+            FROM s JOIN m USING (dow) ORDER BY s.day
+        """,
+        "q_class_weights": """
+            WITH g AS (SELECT CAST(label AS BIGINT) AS label,
+                              count(*) AS n
+                       FROM embeddings GROUP BY 1),
+            t AS (SELECT sum(n) AS nn, count(*) AS k FROM g)
+            SELECT label, n,
+                   round(nn / (k * n), 6) AS w_inv,
+                   round((1 - 0.999) / (1 - pow(0.999, n)), 6) AS w_eff
+            FROM g, t ORDER BY label
         """,
     }

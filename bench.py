@@ -159,6 +159,9 @@ BENCH_QUERIES = [
     "q_grouping_sets",
     "q_abandoned",
     "q_quantile_disc",
+    "q_tpch_q5",
+    "q_stl_lite",
+    "q_class_weights",
 ]
 
 

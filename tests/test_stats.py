@@ -1039,3 +1039,49 @@ def test_degree_assortativity_known_graphs(ray_session):
                          "dst": [1, 0, 2, 5, 3]})
     r_path = degree_assortativity(rd.from_pandas(path))
     assert r_path["n_edges"].iloc[0] == 3
+
+
+def test_seasonal_decompose_constant_series(ray_session):
+    from web_crawler_ray.stages.timeseries import seasonal_decompose_daily
+
+    # constant daily total -> trend == x, seasonal == 0, resid == 0
+    days = pd.date_range("2024-01-01", periods=21, freq="D")
+    df = pd.DataFrame({"ts": days.repeat(2), "v": 5.0})
+    out = seasonal_decompose_daily(rd.from_pandas(df), "ts", "v")
+    assert len(out) == 21
+    assert (out["x"] == 10.0).all()
+    assert (out["trend"] == 10.0).all()
+    assert (out["seasonal"] == 0.0).all()
+    assert (out["resid"] == 0.0).all()
+
+
+def test_seasonal_decompose_recovers_dow_effect(ray_session):
+    from web_crawler_ray.stages.timeseries import seasonal_decompose_daily
+
+    # flat base 100 with +70 every Monday over 4 full weeks
+    days = pd.date_range("2024-01-01", periods=28, freq="D")  # Mon start
+    vals = np.where(days.dayofweek == 0, 170.0, 100.0)
+    df = pd.DataFrame({"ts": days, "v": vals})
+    out = seasonal_decompose_daily(rd.from_pandas(df), "ts", "v")
+    mon = out[(out["day"] + 3) % 7 + 1 == 1]
+    rest = out[(out["day"] + 3) % 7 + 1 != 1]
+    assert (mon["seasonal"] > 50).all()
+    assert (rest["seasonal"] < 0).all()  # mean-centered
+
+
+def test_class_weights_inverse_and_effective(ray_session):
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_cw", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    sys.modules["entry_cw"] = m
+    spec.loader.exec_module(m)
+    out = m.q_class_weights("/root/testdata/sf0.001")
+    # rarer classes must get strictly larger weights under both schemes
+    o = out.sort_values("n").reset_index(drop=True)
+    assert (np.diff(o["w_inv"]) <= 1e-9).all()
+    assert (np.diff(o["w_eff"]) <= 1e-9).all()
+    assert (out["n"] * out["w_inv"] * len(out)
+            - out["n"].sum()).abs().max() < 1.0

@@ -149,3 +149,42 @@ def gap_fill_daily(ds, key: str, ts_col: str, val_col: str,
         key: dense[key], "day": dense["day"].astype("int64"),
         "n": dense["n"].fillna(0).astype("int64"),
         "total": sql_round(dense["s"].fillna(0.0), ndigits)})
+
+
+def seasonal_decompose_daily(ds, ts_col: str, val_col: str,
+                             ndigits: int = 6) -> pd.DataFrame:
+    """Classical additive decomposition of the daily-sum series:
+    trend = centered 7-row moving average (SQL partial-window
+    convention at the edges), seasonal = per-ISO-dow mean of the
+    detrended series, resid = the rest — the 'is Tuesday slow or is
+    this drift?' readout with the drift separated out (the
+    decomposition whose seasonal factor `seasonal_index` reports in
+    ratio form).
+
+    Shape: raw rows fold to (day, Σv) partials map-side, ONE tiny
+    combine, and the decomposition is a vectorized fold over the
+    CALENDAR-BOUNDED day series (cumsum-difference moving average —
+    no per-day loop). The ROWS-based window runs over the PRESENT
+    days (the dense-calendar contract; run gap_fill_daily first for
+    gapped series). Returns
+    (day:int64, x, trend, seasonal, resid — rounded)."""
+    days = _daily_partials(ds, ts_col, val_col).to_pandas()
+    days = days.sort_values("day", kind="mergesort").reset_index(drop=True)
+    d = days["day"].to_numpy(np.int64)
+    x = days["s"].to_numpy(np.float64)
+    n = len(x)
+    c = np.concatenate(([0.0], np.cumsum(x)))
+    i = np.arange(n)
+    lo = np.maximum(0, i - 3)
+    hi = np.minimum(n - 1, i + 3)
+    trend = (c[hi + 1] - c[lo]) / (hi - lo + 1)
+    detr = x - trend
+    dow = (d + 3) % 7 + 1  # 1970-01-01 is a Thursday -> isodow 4
+    f = pd.DataFrame({"dow": dow, "detr": detr})
+    seas_map = f.groupby("dow")["detr"].mean()
+    seas = seas_map.reindex(dow).to_numpy(np.float64)
+    return pd.DataFrame({
+        "day": d, "x": sql_round(x, 2),
+        "trend": sql_round(trend, ndigits),
+        "seasonal": sql_round(seas, ndigits),
+        "resid": sql_round(detr - seas, ndigits)})
