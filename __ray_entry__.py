@@ -6489,6 +6489,67 @@ def q_class_weights(sf_dir: str):
         "w_eff": sql_round((1.0 - beta) / (1.0 - beta ** n), 6)})
 
 
+def q_lcc(sf_dir: str):
+    """Per-node local clustering coefficient of the part co-purchase
+    graph (same distinct-edge build as q_triangles): which parts sit
+    inside tight co-purchase cliques. Wedges close map-side against
+    the broadcast packed edge-key array; each triangle emits one
+    increment per corner; increments and degree partials fold through
+    one node-keyed exchange. The replay enumerates a<b<c triangles
+    with a 3-way join and unions the corners."""
+    from web_crawler_ray.stages.graph import (cooccurrence_edges,
+                                              local_clustering)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return local_clustering(edges)
+
+
+def q_late_ship(sf_dir: str):
+    """Orders with ANY lineitem shipped > 90 days after the order
+    date, counted per priority (TPC-H Q4's EXISTS shape on the
+    available columns): per-batch (order, max shipdate) partials fold
+    through one coarse-hash exchange — the EXISTS collapses to a max
+    BEFORE the join — then one hash join against orders and a tiny
+    priority combine; all date math in exact integer µs."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"], "ship_us": us})
+                .groupby("l_orderkey", sort=False).max().reset_index())
+
+    mx = partitioned_apply(
+        li.map_batches(pre, batch_format="pandas"), ["l_orderkey"],
+        lambda p: p.groupby("l_orderkey", sort=False)["ship_us"].max()
+        .reset_index())
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    j = orders.join(mx, join_type="inner", num_partitions=8,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        late = b["ship_us"].to_numpy(np.int64) > od + 7_776_000_000_000
+        return (pd.DataFrame({"o_orderpriority":
+                              b["o_orderpriority"].to_numpy()[late]})
+                .groupby("o_orderpriority", sort=False).size()
+                .rename("n_late").reset_index())
+
+    g = partial_grouped_agg(j.map_batches(flag, batch_format="pandas"),
+                            ["o_orderpriority"],
+                            {"n_late": ("sum", "n_late")}).to_pandas()
+    g["n_late"] = g["n_late"].astype("int64")
+    return g.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6791,6 +6852,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q5": q_tpch_q5,
         "q_stl_lite": q_stl_lite,
         "q_class_weights": q_class_weights,
+        "q_lcc": q_lcc,
+        "q_late_ship": q_late_ship,
     }
 
 
@@ -10405,5 +10468,37 @@ def oracle_sql() -> dict[str, str]:
                    round(nn / (k * n), 6) AS w_inv,
                    round((1 - 0.999) / (1 - pow(0.999, n)), 6) AS w_eff
             FROM g, t ORDER BY label
+        """,
+        "q_lcc": """
+            WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            e AS (SELECT DISTINCT a.p AS x, b.p AS y
+                  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+            d AS (SELECT node, count(*) AS degree FROM (
+                    SELECT x AS node FROM e
+                    UNION ALL SELECT y FROM e) GROUP BY 1),
+            tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                    FROM e e1 JOIN e e2 ON e2.x = e1.y
+                         JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+            t AS (SELECT node, count(*) AS n_tri FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri) GROUP BY 1)
+            SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+                   CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   round(2.0 * coalesce(t.n_tri, 0)
+                         / (d.degree * (d.degree - 1)), 6) AS lcc
+            FROM d LEFT JOIN t USING (node)
+            WHERE d.degree >= 2 ORDER BY d.node
+        """,
+        "q_late_ship": """
+            SELECT o_orderpriority, count(*) AS n_late
+            FROM orders
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND epoch_us(l_shipdate)
+                    > epoch_us(o_orderdate) + 7776000000000)
+            GROUP BY 1 ORDER BY 1
         """,
     }

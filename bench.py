@@ -162,6 +162,8 @@ BENCH_QUERIES = [
     "q_tpch_q5",
     "q_stl_lite",
     "q_class_weights",
+    "q_lcc",
+    "q_late_ship",
 ]
 
 

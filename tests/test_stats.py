@@ -1085,3 +1085,24 @@ def test_class_weights_inverse_and_effective(ray_session):
     assert (np.diff(o["w_eff"]) <= 1e-9).all()
     assert (out["n"] * out["w_inv"] * len(out)
             - out["n"].sum()).abs().max() < 1.0
+
+
+def test_local_clustering_known_graphs(ray_session):
+    from web_crawler_ray.stages.graph import local_clustering
+
+    # K4 minus one edge (0-3 missing): lcc(1)=lcc(2)=2/3, lcc(0)=lcc(3)=1
+    edges = pd.DataFrame({"id_a": [0, 0, 1, 1, 2],
+                          "id_b": [1, 2, 2, 3, 3]})
+    out = (local_clustering(rd.from_pandas(edges).repartition(2))
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["degree"].tolist() == [2, 3, 3, 2]
+    assert out["n_tri"].tolist() == [1, 2, 2, 1]
+    assert out["lcc"].tolist() == [1.0, round(2 / 3, 6),
+                                   round(2 / 3, 6), 1.0]
+
+    # star: no triangles, hub lcc = 0; leaves (deg 1) excluded
+    star = pd.DataFrame({"id_a": [0, 0, 0], "id_b": [1, 2, 3]})
+    s = local_clustering(rd.from_pandas(star)).to_pandas()
+    assert s["node"].tolist() == [0]
+    assert s["lcc"].tolist() == [0.0]
