@@ -984,5 +984,8 @@ def phrase_search(ds, id_col: str, text_col: str, phrase: list[str],
         ds.select_columns([id_col, text_col]).map_batches(
             postings, batch_format="pandas"),
         ["doc_id"], fold, num_partitions=num_partitions).to_pandas()
+    if "doc_id" not in res.columns:  # all-empty union drops the schema
+        res = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                            "n_occ": pd.Series(dtype="int64")})
     return (res.sort_values("doc_id", kind="mergesort")
             .reset_index(drop=True))
