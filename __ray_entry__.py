@@ -6550,6 +6550,371 @@ def q_late_ship(sf_dir: str):
     return g.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders
+    for one market segment at a cutoff date. Plan: the BUILDING
+    customer keys fold to a catalog-sized set (map-side semi-join —
+    customers are a dimension), orders date-filter map-side, lineitem
+    ship-date-filters and pre-aggregates revenue to ORDER grain before
+    the one hash join (the fact table never joins at row grain), and
+    the top-10 is a distributed sort+limit on the order-grain result."""
+    from web_crawler_ray.stages.graph import grouped_sum
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING",
+                        "c_custkey"].astype(int))
+
+    cutoff = pd.Timestamp("1998-06-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] < cutoff)
+                        & b["o_custkey"].astype("int64").isin(keys),
+                        ["o_orderkey", "o_orderdate", "o_orderpriority"]],
+        batch_format="pandas")
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_shipdate"] > cutoff,
+                  ["l_orderkey", "l_extendedprice", "l_discount"]].copy()
+        b["r"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "r"]]
+
+    by_order = grouped_sum(li.map_batches(rev, batch_format="pandas"),
+                           "l_orderkey", "r", "r").materialize()
+    j = by_order.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["revenue"] = sql_round(b["r"], 2)
+        return b[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
+
+    return (j.map_batches(finish, batch_format="pandas")
+            .sort(["revenue", "o_orderdate", "l_orderkey"],
+                  descending=[True, False, False]).limit(10))
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in 1996H1. Same aggregation-pushdown shape as Q3:
+    returned lineitems pre-aggregate to order grain (combine exchange),
+    one hash join against the date-filtered orders carries order-grain
+    rows only, a second combine lifts to customer grain, and the
+    customer dimension attaches via broadcast map (catalog-sized, never
+    shuffles). Top-20 is sort+limit on the customer-grain result."""
+    import ray as _ray
+
+    from web_crawler_ray.stages.graph import grouped_sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-07-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi),
+                        ["o_orderkey", "o_custkey"]],
+        batch_format="pandas")
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_returnflag"])
+
+    def rev(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_returnflag"] == "R",
+                  ["l_orderkey", "l_extendedprice", "l_discount"]].copy()
+        b["r"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        return b[["l_orderkey", "r"]]
+
+    by_order = grouped_sum(li.map_batches(rev, batch_format="pandas"),
+                           "l_orderkey", "r", "r").materialize()
+    j = by_order.join(orders, join_type="inner", num_partitions=8,
+                      on=("l_orderkey",), right_on=("o_orderkey",))
+    by_cust = grouped_sum(j.select_columns(["o_custkey", "r"]),
+                          "o_custkey", "r", "r")
+
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_name",
+                                    "c_acctbal"]).to_pandas()
+    dim = _ray.put({int(k): (nm, float(ab)) for k, nm, ab in
+                    zip(cust["c_custkey"], cust["c_name"],
+                        cust["c_acctbal"])})
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        d = _ray.get(dim)
+        ks = b["o_custkey"].astype("int64").tolist()
+        return pd.DataFrame({
+            "c_custkey": pd.Series(ks, dtype="int64"),
+            "c_name": [d[k][0] for k in ks],
+            "c_acctbal": [d[k][1] for k in ks],
+            "revenue": sql_round(b["r"], 2),
+        })
+
+    return (by_cust.map_batches(attach, batch_format="pandas")
+            .sort(["revenue", "c_custkey"], descending=[True, False])
+            .limit(20))
+
+
+def q_rfm_scores(sf_dir: str):
+    """RFM (recency/frequency/monetary) quintile scoring per user over
+    the event log — the classic marketing-segmentation operator. The
+    raw stream folds to user grain with ONE moment combine (last-event
+    time, count, value sum); the three NTILE(5) scores then run on the
+    user-grain table (key-sized) in a single vectorized pass — exact
+    SQL bucket sizing (first n mod 5 tiles one row bigger), ties broken
+    by user_id, monetary ranked on the ROUNDED sum so both engines
+    order identically."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return (pd.DataFrame({"user_id": b["user_id"], "last_us": us,
+                              "f": np.int64(1), "m": b["value"]})
+                .groupby("user_id", sort=False)
+                .agg(last_us=("last_us", "max"), f=("f", "sum"),
+                     m=("m", "sum")).reset_index())
+
+    u = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["user_id"],
+                            {"last_us": ("max", "last_us"),
+                             "f": ("sum", "f"), "m": ("sum", "m")})
+
+    def _ntile5(order: np.ndarray) -> np.ndarray:
+        # SQL NTILE(5) over a permutation: first n%5 tiles get ceil(n/5)
+        n = len(order)
+        q, r = n // 5, n % 5
+        i = np.empty(n, dtype=np.int64)
+        i[order] = np.arange(n)
+        big = r * (q + 1)
+        return np.where(i < big, i // max(q + 1, 1),
+                        r + (i - big) // max(q, 1)) + 1
+
+    def score(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.copy().reset_index(drop=True)
+        p["f"] = p["f"].astype("int64")
+        p["m"] = sql_round(p["m"], 2)
+
+        def order_by(col: str) -> np.ndarray:
+            # positions in (col DESC, user_id ASC) order — string ids,
+            # so pandas mergesort instead of np.lexsort (object dtype)
+            return p.sort_values([col, "user_id"],
+                                 ascending=[False, True],
+                                 kind="mergesort").index.to_numpy()
+
+        r_s = _ntile5(order_by("last_us"))
+        f_s = _ntile5(order_by("f"))
+        m_s = _ntile5(order_by("m"))
+        p["r_score"], p["f_score"], p["m_score"] = r_s, f_s, m_s
+        p["rfm"] = (100 * r_s + 10 * f_s + m_s).astype("int64")
+        return (p[["user_id", "f", "m", "r_score", "f_score", "m_score",
+                   "rfm"]].sort_values("user_id").reset_index(drop=True))
+
+    # the scores are GLOBAL ranks: one partition over the key-sized
+    # user-grain table (constant key ⇒ single co-located group)
+    const = u.map_batches(lambda b: b.assign(_g=np.int64(0)),
+                          batch_format="pandas")
+    out = partitioned_apply(const, ["_g"], score, num_partitions=1)
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def q_bollinger(sf_dir: str):
+    """Bollinger bands over the daily value series: trailing 7-day
+    rolling mean ± 2·stddev_samp of the per-day sums. The stream folds
+    to day grain with one combine (the only exchange); the rolling pass
+    runs on the day-grain series (calendar-sized — driver arithmetic by
+    design, like the seasonal decompositions). Day sums are rounded
+    BEFORE the window math on both sides so summation-order ULP noise
+    cannot enter the bands; sd is NULL on the first day (n=1, sample
+    stddev undefined — SQL convention)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = (b["ts"].to_numpy("datetime64[D]").astype(np.int64))
+        return (pd.DataFrame({"day": day, "x": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"x": ("sum", "x")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    d["x"] = sql_round(d["x"], 2)
+    roll = d["x"].rolling(window=7, min_periods=1)
+    mid = roll.mean()
+    sd = d["x"].rolling(window=7, min_periods=2).std(ddof=1)
+    return pd.DataFrame({
+        "day": d["day"].astype("int64"),
+        "x": d["x"],
+        "mid": sql_round(mid, 6),
+        "sd": sql_round(sd, 6),
+        "upper": sql_round(mid + 2 * sd, 6),
+        "lower": sql_round(mid - 2 * sd, 6),
+    })
+
+
+def q_rare_collapse(sf_dir: str):
+    """Rare-category collapse (the feature-engineering staple): corpus
+    languages holding < 15% of documents fold into 'other', and every
+    document is remapped map-side against the broadcast rare set — two
+    passes, one key-sized combine, the corpus itself never shuffles.
+    Returns the per-document remap (doc_id, lang_out)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    docs = rd.read_parquet(_t(sf_dir, "documents"),
+                           columns=["doc_id", "lang"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("lang", sort=False).size()
+                .rename("n").reset_index())
+
+    g = partial_grouped_agg(docs.map_batches(pre, batch_format="pandas"),
+                            ["lang"], {"n": ("sum", "n")}).to_pandas()
+    tot = float(g["n"].sum())
+    rare = set(g.loc[g["n"].to_numpy(np.float64) < 0.15 * tot, "lang"])
+
+    def remap(b: pd.DataFrame) -> pd.DataFrame:
+        lang = b["lang"].to_numpy()
+        out = np.where(np.isin(lang, list(rare)), "other", lang)
+        return pd.DataFrame({"doc_id": b["doc_id"], "lang_out": out})
+
+    return docs.map_batches(remap, batch_format="pandas")
+
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-sum —
+    the predicate prunes map-side (only 3 columns leave the read),
+    per-batch partial sums fold through one global aggregate. The
+    single-row result is rounded at 2 on both sides."""
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_extendedprice", "l_discount",
+                                  "l_quantity", "l_shipdate"])
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        keep = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
+                & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
+                & (b["l_quantity"] < 24))
+        return pd.DataFrame(
+            {"r": [float((b.loc[keep, "l_extendedprice"]
+                          * b.loc[keep, "l_discount"]).sum())]})
+
+    tot = li.map_batches(pre, batch_format="pandas").sum("r")
+    return pd.DataFrame({"revenue": [float(sql_round(tot, 2))]})
+
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion effect): revenue share of PROMO parts in
+    one ship month. The part dimension folds to a broadcast
+    partkey→is-promo map (catalog-sized, `ray.put` once); lineitem
+    date-filters map-side and emits two partial sums per batch; one
+    tiny global fold and a shared closed form finish it — the fact
+    table never shuffles."""
+    import ray as _ray
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"]).to_pandas()
+    promo = _ray.put(set(part.loc[part["p_type"] == "PROMO",
+                                  "p_partkey"].astype(int)))
+    lo, hi = pd.Timestamp("1996-09-01"), pd.Timestamp("1996-10-01")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        r = (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy()
+        isp = b["l_partkey"].astype("int64").isin(_ray.get(promo)).to_numpy()
+        return pd.DataFrame({"promo_r": [float(r[isp].sum())],
+                             "r": [float(r.sum())]})
+
+    g = (li.map_batches(pre, batch_format="pandas")
+         .aggregate(Sum("promo_r", alias_name="promo_r"),
+                    Sum("r", alias_name="r")))
+    return pd.DataFrame({
+        "promo_share": [float(sql_round(100.0 * g["promo_r"] / g["r"], 6))],
+        "revenue": [float(sql_round(g["r"], 2))]})
+
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds 200, top-100 by quantity. Lineitem pre-aggregates to order
+    grain (the one combine exchange), the HAVING filter runs on the
+    order-grain partials BEFORE the hash join against orders, and the
+    top-100 is a distributed sort+limit. Quantity sums are integral
+    doubles — exact, no rounding needed for oracle parity."""
+    from web_crawler_ray.stages.graph import grouped_sum
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_quantity"])
+    big = grouped_sum(li, "l_orderkey", "l_quantity", "sum_qty")
+    big = big.map_batches(lambda b: b[b["sum_qty"] > 200.0],
+                          batch_format="pandas").materialize()
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    j = big.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # the hash join keeps the LEFT key column; surface it under the
+        # oracle's name
+        return pd.DataFrame({"o_orderkey": b["l_orderkey"],
+                             "o_custkey": b["o_custkey"],
+                             "o_orderdate": b["o_orderdate"],
+                             "sum_qty": b["sum_qty"]})
+
+    return (j.map_batches(finish, batch_format="pandas")
+            .sort(["sum_qty", "o_orderkey"], descending=[True, False])
+            .limit(100))
+
+
+def q_wilson_ci(sf_dir: str):
+    """Per-event-type conversion share (value > 100) with the Wilson
+    95% score interval — the proportion CI that stays inside [0,1] at
+    small n (Wilson 1927), what a metrics dashboard renders per
+    segment. One (n, conv) combine per type; the closed form is shared
+    digit-for-digit with the SQL replay (z = 1.96)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        conv = (b["value"].to_numpy() > 100.0).astype(np.int64)
+        return (pd.DataFrame({"event_type": b["event_type"], "n": np.int64(1),
+                              "conv": conv})
+                .groupby("event_type", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": ("sum", "n"), "conv": ("sum", "conv")}
+                            ).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    z = 1.96
+    p = g["conv"].to_numpy(np.float64) / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n))) / denom
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n": g["n"].astype("int64"),
+        "conv": g["conv"].astype("int64"),
+        "p": sql_round(p, 6),
+        "lo": sql_round(center - half, 6),
+        "hi": sql_round(center + half, 6),
+    })
+
+
 def entry() -> Any:
     """Flagship: the crawl pipeline (north rule) at smoke scale —
     seeds → canonicalize → URL-seen shards → politeness → fetch →
@@ -6586,9 +6951,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winnow_pairs": q_winnow_pairs,
         "q_token_budget": q_token_budget,
         "q_cdc_apply": q_cdc_apply,
-        "q_token_stats": q_token_stats,
-        "q_doc_exact_dedup": q_doc_exact_dedup,
-        "q_ann_topk": q_ann_topk,
+        "q_tpch_q3": q_tpch_q3,
+        "q_tpch_q10": q_tpch_q10,
+        "q_rfm_scores": q_rfm_scores,
         "q_clean_flagship_oracle": q_clean_flagship_oracle,
         "q_html_parse_oracle": q_html_parse_oracle,
         "q_embed_allpairs": q_embed_allpairs,
@@ -6610,9 +6975,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_phash_dups_oracle": q_phash_dups_oracle,
         "q_clean_prices_oracle": q_clean_prices_oracle,
         "q_forex_rules_oracle": q_forex_rules_oracle,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_rollup_pricing": q_rollup_pricing,
-        "q_bm25_search": q_bm25_search,
+        "q_bollinger": q_bollinger,
+        "q_rare_collapse": q_rare_collapse,
+        "q_wilson_ci": q_wilson_ci,
         # round-5 rotations: 8 earlier-session + 10 late-session new
         # operators take window slots; the evicted (driver-proven green
         # in CORRECTNESS_r04.json) move just past the window and stay
@@ -6854,6 +7219,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_class_weights": q_class_weights,
         "q_lcc": q_lcc,
         "q_late_ship": q_late_ship,
+        # evicted from the window by the late-round-5 batch (driver-
+        # proven green in CORRECTNESS_r04.json; still local-oracle-green)
+        "q_token_stats": q_token_stats,
+        "q_doc_exact_dedup": q_doc_exact_dedup,
+        "q_ann_topk": q_ann_topk,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_rollup_pricing": q_rollup_pricing,
+        "q_bm25_search": q_bm25_search,
+        "q_tpch_q6": q_tpch_q6,
+        "q_tpch_q14": q_tpch_q14,
+        "q_tpch_q18": q_tpch_q18,
     }
 
 
@@ -10500,5 +10876,129 @@ def oracle_sql() -> dict[str, str]:
                 AND epoch_us(l_shipdate)
                     > epoch_us(o_orderdate) + 7776000000000)
             GROUP BY 1 ORDER BY 1
+        """,
+        "q_tpch_q3": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1998-06-01'
+              AND l_shipdate > DATE '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+        "q_tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-07-01'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, c_acctbal
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q_rfm_scores": """
+            WITH u AS (
+              SELECT user_id,
+                     max(epoch_us(ts)) AS last_us,
+                     CAST(count(*) AS BIGINT) AS f,
+                     round(sum(value), 2) AS m
+              FROM events GROUP BY 1),
+            s AS (
+              SELECT user_id, f, m,
+                     CAST(ntile(5) OVER (ORDER BY last_us DESC, user_id)
+                          AS BIGINT) AS r_score,
+                     CAST(ntile(5) OVER (ORDER BY f DESC, user_id)
+                          AS BIGINT) AS f_score,
+                     CAST(ntile(5) OVER (ORDER BY m DESC, user_id)
+                          AS BIGINT) AS m_score
+              FROM u)
+            SELECT user_id, f, m, r_score, f_score, m_score,
+                   100 * r_score + 10 * f_score + m_score AS rfm
+            FROM s ORDER BY user_id
+        """,
+        "q_bollinger": """
+            WITH d AS (
+              SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                    CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS x
+              FROM events GROUP BY 1)
+            SELECT day, x,
+                   round(avg(x) OVER w, 6) AS mid,
+                   round(stddev_samp(x) OVER w, 6) AS sd,
+                   round(avg(x) OVER w + 2 * stddev_samp(x) OVER w, 6)
+                     AS upper,
+                   round(avg(x) OVER w - 2 * stddev_samp(x) OVER w, 6)
+                     AS lower
+            FROM d
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            ORDER BY day
+        """,
+        "q_rare_collapse": """
+            WITH g AS (SELECT lang, count(*) AS n
+                       FROM documents GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM g)
+            SELECT d.doc_id,
+                   CASE WHEN g.n < 0.15 * t.tot THEN 'other'
+                        ELSE d.lang END AS lang_out
+            FROM documents d JOIN g USING (lang), t
+            ORDER BY d.doc_id
+        """,
+        "q_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q_tpch_q14": """
+            SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS promo_share,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem, part
+            WHERE l_partkey = p_partkey
+              AND l_shipdate >= DATE '1996-09-01'
+              AND l_shipdate < DATE '1996-10-01'
+        """,
+        "q_tpch_q18": """
+            SELECT o_orderkey, o_custkey, o_orderdate, sum_qty
+            FROM orders JOIN (
+              SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(l_quantity) > 200) q
+              ON o_orderkey = q.l_orderkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 100
+        """,
+        "q_wilson_ci": """
+            WITH g AS (
+              SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS conv
+              FROM events GROUP BY 1)
+            SELECT event_type, n, conv,
+                   round(conv * 1.0 / n, 6) AS p,
+                   round(((conv * 1.0 / n) + 1.96*1.96/(2*n)
+                          - 1.96 * sqrt((conv*1.0/n)*(1 - conv*1.0/n)/n
+                                        + 1.96*1.96/(4*n*n)))
+                         / (1 + 1.96*1.96/n), 6) AS lo,
+                   round(((conv * 1.0 / n) + 1.96*1.96/(2*n)
+                          + 1.96 * sqrt((conv*1.0/n)*(1 - conv*1.0/n)/n
+                                        + 1.96*1.96/(4*n*n)))
+                         / (1 + 1.96*1.96/n), 6) AS hi
+            FROM g ORDER BY event_type
         """,
     }

@@ -164,6 +164,15 @@ BENCH_QUERIES = [
     "q_class_weights",
     "q_lcc",
     "q_late_ship",
+    "q_tpch_q3",
+    "q_tpch_q10",
+    "q_tpch_q6",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_rfm_scores",
+    "q_bollinger",
+    "q_rare_collapse",
+    "q_wilson_ci",
 ]
 
 
