@@ -87,8 +87,13 @@ def q_pricing_summary(sf_dir: str):
 
     from web_crawler_ray.stages.aggregate import partial_grouped_agg
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["disc_price"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        # integer 1e-4-dollar units: the disc-price sum is order-exact,
+        # so a group landing on a half-cent boundary can't hash-flip
+        batch["disc_e4"] = revenue_e4(batch["l_extendedprice"],
+                                      batch["l_discount"])
         return batch
 
     g = partial_grouped_agg(
@@ -97,7 +102,7 @@ def q_pricing_summary(sf_dir: str):
         {
             "sum_qty": ("sum", "l_quantity"),
             "sum_base_price": ("sum", "l_extendedprice"),
-            "sum_disc_price": ("sum", "disc_price"),
+            "disc_e4": ("sum", "disc_e4"),
             "count_order": ("count", None),
         },
     )
@@ -106,8 +111,9 @@ def q_pricing_summary(sf_dir: str):
         batch["avg_qty"] = sql_round(batch["sum_qty"] / batch["count_order"], 4)
         batch["sum_qty"] = sql_round(batch["sum_qty"], 2)
         batch["sum_base_price"] = sql_round(batch["sum_base_price"], 2)
-        batch["sum_disc_price"] = sql_round(batch["sum_disc_price"], 2)
-        return batch
+        batch["sum_disc_price"] = sql_round(
+            batch["disc_e4"].to_numpy(np.float64) / 10000.0, 2)
+        return batch.drop(columns=["disc_e4"])
 
     return g.map_batches(finish, batch_format="pandas")
 
@@ -145,9 +151,14 @@ def q_join_revenue(sf_dir: str):
     )
     orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return batch[["l_orderkey", "revenue"]]
+        # exact 1e-4-dollar ints — order-insensitive sums (no half-cent
+        # rounding flake), and the join carries one int64 not two floats
+        batch["rev_e4"] = revenue_e4(batch["l_extendedprice"],
+                                     batch["l_discount"])
+        return batch[["l_orderkey", "rev_e4"]]
 
     li = li.map_batches(add_rev, batch_format="pandas")
     joined = li.join(orders, join_type="inner", num_partitions=8,
@@ -155,9 +166,15 @@ def q_join_revenue(sf_dir: str):
     from web_crawler_ray.stages.aggregate import partial_grouped_agg
 
     g = partial_grouped_agg(
-        joined, ["o_orderpriority"], {"revenue": ("sum", "revenue"), "n": ("count", None)}
+        joined, ["o_orderpriority"], {"rev_e4": ("sum", "rev_e4"), "n": ("count", None)}
     )
-    return _round_cols(g, {"revenue": 2})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = sql_round(
+            batch["rev_e4"].to_numpy(np.float64) / 10000.0, 2)
+        return batch.drop(columns=["rev_e4"])
+
+    return g.map_batches(finish, batch_format="pandas")
 
 
 def q_customer_geo(sf_dir: str):
@@ -486,10 +503,13 @@ def q_spec_pipeline(sf_dir: str):
 
     ops = [
         {"op": "filter", "expr": "l_discount > 0.01"},
-        {"op": "with_column", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"},
+        # exact money derive: one sf0.001 returnflag group sums to a
+        # half-cent boundary — the e4 op keeps the hash order-exact
+        {"op": "with_money_e4", "name": "rev",
+         "price": "l_extendedprice", "discount": "l_discount"},
         {"op": "groupby_agg", "keys": ["l_returnflag"],
          "aggs": {"n": ["count", None], "revenue": ["sum", "rev"], "max_qty": ["max", "l_quantity"]}},
-        {"op": "round", "spec": {"revenue": 2}},
+        {"op": "round", "spec": {"revenue": 2}, "scale": {"revenue": 10000.0}},
     ]
     return build_pipeline(_t(sf_dir, "lineitem"), ops)
 
@@ -512,15 +532,15 @@ def q_spec_join(sf_dir: str):
     from web_crawler_ray.pipelines.spec import build_pipeline
 
     ops = [
-        {"op": "with_column", "name": "rev",
-         "expr": "l_extendedprice * (1 - l_discount)"},
+        {"op": "with_money_e4", "name": "rev",
+         "price": "l_extendedprice", "discount": "l_discount"},
         {"op": "select", "columns": ["l_orderkey", "rev"]},
         {"op": "join", "right": _t(sf_dir, "orders"),
          "on": ["l_orderkey"], "right_on": ["o_orderkey"],
          "right_columns": ["o_orderkey", "o_orderstatus"]},
         {"op": "groupby_agg", "keys": ["o_orderstatus"],
          "aggs": {"n": ["count", None], "revenue": ["sum", "rev"]}},
-        {"op": "round", "spec": {"revenue": 2}},
+        {"op": "round", "spec": {"revenue": 2}, "scale": {"revenue": 10000.0}},
     ]
     return build_pipeline(_t(sf_dir, "lineitem"), ops)
 
@@ -1581,22 +1601,27 @@ def q_salted_join(sf_dir: str):
     sup = rd.read_parquet(_t(sf_dir, "supplier"),
                           columns=["s_suppkey", "s_nationkey"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def add_rev(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["revenue"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
-        return batch[["l_suppkey", "revenue"]]
+        # exact 1e-4-dollar ints (order-exact sums, no half-cent flake)
+        batch["rev_e4"] = revenue_e4(batch["l_extendedprice"],
+                                     batch["l_discount"])
+        return batch[["l_suppkey", "rev_e4"]]
 
     joined = salted_inner_join(li.map_batches(add_rev, batch_format="pandas"),
                                sup, on="l_suppkey", right_on="s_suppkey",
                                n_salts=8)
     out = partial_grouped_agg(joined, ["s_nationkey"],
-                              {"revenue_sum": ("sum", "revenue"),
+                              {"rev_e4": ("sum", "rev_e4"),
                                "n": ("count", None)})
 
     def fmt(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["s_nationkey"] = batch["s_nationkey"].astype("int64")
-        batch["revenue_sum"] = sql_round(batch["revenue_sum"], 2)
+        batch["revenue_sum"] = sql_round(
+            batch["rev_e4"].to_numpy(np.float64) / 10000.0, 2)
         batch["n"] = batch["n"].astype("int64")
         return batch[["s_nationkey", "revenue_sum", "n"]]
 
@@ -3059,9 +3084,14 @@ def q_revenue_by_nation(sf_dir: str):
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def rev(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["r"] = batch["l_extendedprice"] * (1 - batch["l_discount"])
+        # exact 1e-4-dollar ints: sums stay order-exact through both
+        # re-grains, so boundary groups can't hash-flip
+        batch["r"] = revenue_e4(batch["l_extendedprice"],
+                                batch["l_discount"])
         return batch[["l_orderkey", "r"]]
 
     # order/customer grains are HIGH-cardinality: use the coarse-
@@ -3095,8 +3125,14 @@ def q_revenue_by_nation(sf_dir: str):
 
     g = partial_grouped_agg(
         by_cust.map_batches(to_nation, batch_format="pandas"),
-        ["n_name"], {"revenue": ("sum", "r"), "n_customers": ("count", None)})
-    return _round_cols(g, {"revenue": 2})
+        ["n_name"], {"rev_e4": ("sum", "r"), "n_customers": ("count", None)})
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = sql_round(
+            batch["rev_e4"].to_numpy(np.float64) / 10000.0, 2)
+        return batch.drop(columns=["rev_e4"])
+
+    return g.map_batches(finish, batch_format="pandas")
 
 
 def q_user_event_set(sf_dir: str):
@@ -6428,23 +6464,27 @@ def q_tpch_q5(sf_dir: str):
                 join_type="inner", num_partitions=8,
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def local_rev(b: pd.DataFrame) -> pd.DataFrame:
         smap = ray.get(s_nk)
         snk = b["l_suppkey"].map(smap).to_numpy()
         keep = snk == b["c_nationkey"].to_numpy().astype(np.int64)
         b = b[keep]
+        # exact 1e-4-dollar ints (a sf0.01 nation group sits exactly on
+        # a half-cent boundary — float sums can hash-flip it)
         return pd.DataFrame({
             "nk": b["c_nationkey"].to_numpy().astype(np.int64),
-            "revenue": b["l_extendedprice"].to_numpy(np.float64)
-            * (1.0 - b["l_discount"].to_numpy(np.float64))})
+            "rev_e4": revenue_e4(b["l_extendedprice"], b["l_discount"])})
 
     g = partial_grouped_agg(j.map_batches(local_rev, batch_format="pandas"),
-                            ["nk"], {"revenue": ("sum", "revenue")}
+                            ["nk"], {"rev_e4": ("sum", "rev_e4")}
                             ).to_pandas()
     g["n_name"] = g["nk"].map(name_of)
     g = g.sort_values("n_name", kind="mergesort")
     return pd.DataFrame({"n_name": g["n_name"],
-                         "revenue": sql_round(g["revenue"], 2)}
+                         "revenue": sql_round(
+                             g["rev_e4"].to_numpy(np.float64) / 10000.0, 2)}
                         ).reset_index(drop=True)
 
 
@@ -6579,10 +6619,13 @@ def q_tpch_q3(sf_dir: str):
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def rev(b: pd.DataFrame) -> pd.DataFrame:
         b = b.loc[b["l_shipdate"] > cutoff,
                   ["l_orderkey", "l_extendedprice", "l_discount"]].copy()
-        b["r"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        # exact 1e-4-dollar ints (order-exact sums, no half-cent flake)
+        b["r"] = revenue_e4(b["l_extendedprice"], b["l_discount"])
         return b[["l_orderkey", "r"]]
 
     by_order = grouped_sum(li.map_batches(rev, batch_format="pandas"),
@@ -6592,7 +6635,7 @@ def q_tpch_q3(sf_dir: str):
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
-        b["revenue"] = sql_round(b["r"], 2)
+        b["revenue"] = sql_round(b["r"].to_numpy(np.float64) / 10000.0, 2)
         return b[["l_orderkey", "revenue", "o_orderdate", "o_orderpriority"]]
 
     return (j.map_batches(finish, batch_format="pandas")
@@ -6625,10 +6668,14 @@ def q_tpch_q10(sf_dir: str):
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount", "l_returnflag"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def rev(b: pd.DataFrame) -> pd.DataFrame:
         b = b.loc[b["l_returnflag"] == "R",
                   ["l_orderkey", "l_extendedprice", "l_discount"]].copy()
-        b["r"] = b["l_extendedprice"] * (1 - b["l_discount"])
+        # exact 1e-4-dollar ints: six sf0.01 customer groups sit exactly
+        # on a half-cent boundary — float sums hash-flipped here
+        b["r"] = revenue_e4(b["l_extendedprice"], b["l_discount"])
         return b[["l_orderkey", "r"]]
 
     by_order = grouped_sum(li.map_batches(rev, batch_format="pandas"),
@@ -6652,7 +6699,7 @@ def q_tpch_q10(sf_dir: str):
             "c_custkey": pd.Series(ks, dtype="int64"),
             "c_name": [d[k][0] for k in ks],
             "c_acctbal": [d[k][1] for k in ks],
-            "revenue": sql_round(b["r"], 2),
+            "revenue": sql_round(b["r"].to_numpy(np.float64) / 10000.0, 2),
         })
 
     return (by_cust.map_batches(attach, batch_format="pandas")
@@ -6799,16 +6846,19 @@ def q_tpch_q6(sf_dir: str):
                                   "l_quantity", "l_shipdate"])
     lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
 
+    from web_crawler_ray.functions.rounding import discount_e4
+
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         keep = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)
                 & (b["l_discount"] >= 0.05) & (b["l_discount"] <= 0.07)
                 & (b["l_quantity"] < 24))
+        # exact 1e-4-dollar ints — global sum is order-exact
         return pd.DataFrame(
-            {"r": [float((b.loc[keep, "l_extendedprice"]
-                          * b.loc[keep, "l_discount"]).sum())]})
+            {"r": [int(discount_e4(b.loc[keep, "l_extendedprice"],
+                                   b.loc[keep, "l_discount"]).sum())]})
 
     tot = li.map_batches(pre, batch_format="pandas").sum("r")
-    return pd.DataFrame({"revenue": [float(sql_round(tot, 2))]})
+    return pd.DataFrame({"revenue": [float(sql_round(tot / 10000.0, 2))]})
 
 
 def q_tpch_q14(sf_dir: str):
@@ -6829,19 +6879,24 @@ def q_tpch_q14(sf_dir: str):
                          columns=["l_partkey", "l_extendedprice",
                                   "l_discount", "l_shipdate"])
 
+    from web_crawler_ray.functions.rounding import revenue_e4
+
     def pre(b: pd.DataFrame) -> pd.DataFrame:
         b = b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
-        r = (b["l_extendedprice"] * (1 - b["l_discount"])).to_numpy()
+        # exact 1e-4-dollar ints — both sums order-exact, and the share
+        # ratio is computed from the same exact ints on both sides
+        r = revenue_e4(b["l_extendedprice"], b["l_discount"])
         isp = b["l_partkey"].astype("int64").isin(_ray.get(promo)).to_numpy()
-        return pd.DataFrame({"promo_r": [float(r[isp].sum())],
-                             "r": [float(r.sum())]})
+        return pd.DataFrame({"promo_r": [int(r[isp].sum())],
+                             "r": [int(r.sum())]})
 
     g = (li.map_batches(pre, batch_format="pandas")
          .aggregate(Sum("promo_r", alias_name="promo_r"),
                     Sum("r", alias_name="r")))
     return pd.DataFrame({
-        "promo_share": [float(sql_round(100.0 * g["promo_r"] / g["r"], 6))],
-        "revenue": [float(sql_round(g["r"], 2))]})
+        "promo_share": [float(sql_round(
+            100.0 * float(g["promo_r"]) / float(g["r"]), 6))],
+        "revenue": [float(sql_round(g["r"] / 10000.0, 2))]})
 
 
 def q_tpch_q18(sf_dir: str):
@@ -6875,6 +6930,593 @@ def q_tpch_q18(sf_dir: str):
     return (j.map_batches(finish, batch_format="pandas")
             .sort(["sum_qty", "o_orderkey"], descending=[True, False])
             .limit(100))
+
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution) WITHOUT the big
+    customer⋈orders left join: orders fold to a custkey-grain count
+    (one key-sized combine), the counts fold to a histogram (second
+    key-sized combine, ≤ max-orders-per-customer rows), and the
+    zero-order bucket is total-customers − customers-with-orders —
+    the customer table contributes only its parquet-footer row count.
+    Nothing row-sized ever reaches the driver."""
+    import pyarrow.parquet as _pq
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"), columns=["o_custkey"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("o_custkey", sort=False).size()
+                .rename("n").reset_index())
+
+    per_cust = partial_grouped_agg(orders.map_batches(pre,
+                                                      batch_format="pandas"),
+                                   ["o_custkey"], {"n": ("sum", "n")})
+
+    def hist_pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("n", sort=False).size()
+                .rename("custdist").reset_index())
+
+    hist = partial_grouped_agg(per_cust.map_batches(hist_pre,
+                                                    batch_format="pandas"),
+                               ["n"], {"custdist": ("sum", "custdist")}
+                               ).to_pandas()
+    total_cust = _pq.ParquetFile(_t(sf_dir, "customer")).metadata.num_rows
+    zero = int(total_cust) - int(hist["custdist"].sum())
+    out = pd.DataFrame({"c_count": hist["n"].astype("int64"),
+                        "custdist": hist["custdist"].astype("int64")})
+    if zero > 0:
+        out = pd.concat([out, pd.DataFrame({"c_count": [np.int64(0)],
+                                            "custdist": [np.int64(zero)]})],
+                        ignore_index=True)
+    return (out.sort_values(["custdist", "c_count"], ascending=[False, False],
+                            kind="mergesort").reset_index(drop=True))
+
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 (shipping-priority audit; l_linestatus stands in for
+    the absent l_shipmode column): per line status in ship-year 1996,
+    how many orders were URGENT/HIGH priority vs not. Lineitem folds
+    to (orderkey, linestatus) grain map-side, ONE hash join lifts the
+    order priority in, and the conditional counts fold through a
+    status-keyed (tiny) combine — the classic join-then-CASE-count
+    shape with the fact table pre-shrunk before the exchange."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_linestatus",
+                                  "l_shipdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        return (b.groupby(["l_orderkey", "l_linestatus"], sort=False)
+                .size().rename("n_lines").reset_index())
+
+    ol = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                             ["l_orderkey", "l_linestatus"],
+                             {"n_lines": ("sum", "n_lines")})
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderpriority"])
+    j = ol.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def conditional(b: pd.DataFrame) -> pd.DataFrame:
+        hi_p = b["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame({"l_linestatus": b["l_linestatus"],
+                             "high_line_count": hi_p.astype(np.int64),
+                             "low_line_count": (~hi_p).astype(np.int64)})
+
+    g = partial_grouped_agg(j.map_batches(conditional, batch_format="pandas"),
+                            ["l_linestatus"],
+                            {"high_line_count": ("sum", "high_line_count"),
+                             "low_line_count": ("sum", "low_line_count")}
+                            ).to_pandas()
+    g["high_line_count"] = g["high_line_count"].astype("int64")
+    g["low_line_count"] = g["low_line_count"].astype("int64")
+    return (g.sort_values("l_linestatus").reset_index(drop=True)
+            [["l_linestatus", "high_line_count", "low_line_count"]])
+
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier): revenue per supplier in 1996Q1, keep
+    every supplier tying the max. Supplier-keyed combine (supplier-
+    cardinality rows), revenue rounded at 2 BEFORE the max compare on
+    both sides (ULP discipline), winners lifted to names via the
+    catalog-sized supplier broadcast — no row-sized exchange
+    anywhere."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_suppkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    from web_crawler_ray.functions.rounding import revenue_e4
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        # exact 1e-4-dollar ints: one sf0.01 supplier sits exactly on a
+        # half-cent boundary — the max compare must not depend on sum
+        # order
+        r = revenue_e4(b["l_extendedprice"], b["l_discount"])
+        return (pd.DataFrame({"l_suppkey": b["l_suppkey"], "r": r})
+                .groupby("l_suppkey", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                            ["l_suppkey"], {"r": ("sum", "r")}).to_pandas()
+    g["total_revenue"] = sql_round(g["r"].to_numpy(np.float64) / 10000.0, 2)
+    best = float(g["total_revenue"].max())
+    win = g.loc[g["total_revenue"] == best,
+                ["l_suppkey", "total_revenue"]]
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    out = pd.DataFrame({
+        "s_suppkey": win["l_suppkey"].astype("int64"),
+        "s_name": win["l_suppkey"].astype(int).map(names),
+        "total_revenue": win["total_revenue"]})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 (supplier-part relationship count; lineitem's
+    (partkey, suppkey) pairs stand in for the absent partsupp table):
+    distinct suppliers per (brand, type, size) for selected sizes,
+    excluding one brand and one type. Two distinct-folds — pairs at
+    (partkey, suppkey) grain, then at (brand, type, size, suppkey)
+    grain after the catalog-sized part-attribute broadcast — and a
+    final tiny count combine; each exchange carries only compact
+    keys."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    sizes = {1, 4, 7, 10, 14, 19, 23, 45}
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_type",
+                                    "p_size"]).to_pandas()
+    keep = (part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO") \
+        & part["p_size"].astype(int).isin(sizes)
+    part = part.loc[keep]
+    attrs = ray.put(dict(zip(
+        part["p_partkey"].astype(int),
+        zip(part["p_brand"], part["p_type"], part["p_size"].astype(int)))))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.drop_duplicates()
+                .assign(n=np.int64(1))[["l_partkey", "l_suppkey", "n"]])
+
+    pairs = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                                ["l_partkey", "l_suppkey"],
+                                {"n": ("sum", "n")})
+
+    def lift(b: pd.DataFrame) -> pd.DataFrame:
+        amap = ray.get(attrs)
+        hit = b["l_partkey"].astype("int64").map(amap)
+        b = b.loc[hit.notna()]
+        a = hit.loc[hit.notna()]
+        return pd.DataFrame({
+            "p_brand": [t[0] for t in a],
+            "p_type": [t[1] for t in a],
+            "p_size": np.array([t[2] for t in a], dtype=np.int32),
+            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "n": np.int64(1)}).drop_duplicates(
+                ["p_brand", "p_type", "p_size", "l_suppkey"])
+
+    quads = partial_grouped_agg(pairs.map_batches(lift,
+                                                  batch_format="pandas"),
+                                ["p_brand", "p_type", "p_size", "l_suppkey"],
+                                {"n": ("sum", "n")})
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        return b.assign(supplier_cnt=np.int64(1))[
+            ["p_brand", "p_type", "p_size", "supplier_cnt"]]
+
+    g = partial_grouped_agg(quads.map_batches(ones, batch_format="pandas"),
+                            ["p_brand", "p_type", "p_size"],
+                            {"supplier_cnt": ("sum", "supplier_cnt")}
+                            ).to_pandas()
+    g["supplier_cnt"] = g["supplier_cnt"].astype("int64")
+    g["p_size"] = g["p_size"].astype("int32")
+    return (g.sort_values(["supplier_cnt", "p_brand", "p_type", "p_size"],
+                          ascending=[False, True, True, True],
+                          kind="mergesort").reset_index(drop=True)
+            [["p_brand", "p_type", "p_size", "supplier_cnt"]])
+
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue; p_size ≤ 10 stands in
+    for the absent container predicate): average yearly revenue lost
+    if Brand#23 orders below 20% of the part's mean quantity were not
+    taken. Pass 1 folds (Σqty, n) per qualifying part (combine bounded
+    by the brand's catalog share); the 0.2·avg thresholds broadcast
+    (quantities are integral doubles, so the sums — hence the
+    thresholds — are order-exact, no rounding needed); pass 2 is a
+    map-side filter + global sum. The fact table never shuffles."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_size"]
+                           ).to_pandas()
+    pk = set(part.loc[(part["p_brand"] == "Brand#23")
+                      & (part["p_size"].astype(int) <= 25),
+                      "p_partkey"].astype(int))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"])
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_partkey"].astype("int64").isin(pk)]
+        return (pd.DataFrame({"l_partkey": b["l_partkey"],
+                              "s": b["l_quantity"].to_numpy(np.float64),
+                              "n": np.int64(1)})
+                .groupby("l_partkey", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(li.map_batches(stats, batch_format="pandas"),
+                            ["l_partkey"],
+                            {"s": ("sum", "s"), "n": ("sum", "n")}
+                            ).to_pandas()
+    thr = ray.put(dict(zip(
+        g["l_partkey"].astype(int),
+        0.2 * g["s"].to_numpy(np.float64) / g["n"].to_numpy(np.float64))))
+
+    def below(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["l_partkey"].astype("int64").map(ray.get(thr))
+        keep = t.notna().to_numpy() & (b["l_quantity"].to_numpy(np.float64)
+                                       < t.fillna(0.0).to_numpy(np.float64))
+        return pd.DataFrame(
+            {"s": [float(b.loc[keep, "l_extendedprice"].sum())]})
+
+    tot = li.map_batches(below, batch_format="pandas").sum("s")
+    return pd.DataFrame({"avg_yearly": [float(sql_round(tot / 7.0, 2))]})
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, three OR'd brand/size/quantity
+    bands — p_size bands stand in for the absent container sets):
+    pure scan-filter-sum. The union of qualifying parts broadcasts as
+    a partkey→(brand, size) map (catalog-bounded); each batch
+    evaluates the three bands vectorized and emits one partial sum —
+    zero shuffles."""
+    from web_crawler_ray.functions.rounding import revenue_e4
+
+    bands = [("Brand#12", 5, 1.0, 11.0),
+             ("Brand#23", 10, 10.0, 20.0),
+             ("Brand#3", 15, 20.0, 30.0)]
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_brand", "p_size"]
+                           ).to_pandas()
+    keep = part["p_brand"].isin([b[0] for b in bands]) \
+        & (part["p_size"].astype(int) <= 15)
+    part = part.loc[keep]
+    amap = ray.put(dict(zip(
+        part["p_partkey"].astype(int),
+        zip(part["p_brand"], part["p_size"].astype(int)))))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        a = b["l_partkey"].astype("int64").map(ray.get(amap))
+        hit = a.notna().to_numpy()
+        b, a = b.loc[hit], a.loc[hit]
+        brand = np.array([t[0] for t in a])
+        size = np.array([t[1] for t in a], dtype=np.int64)
+        qty = b["l_quantity"].to_numpy(np.float64)
+        ok = np.zeros(len(b), dtype=bool)
+        for br, smax, qlo, qhi in bands:
+            ok |= ((brand == br) & (size >= 1) & (size <= smax)
+                   & (qty >= qlo) & (qty <= qhi))
+        r = revenue_e4(b["l_extendedprice"], b["l_discount"])
+        return pd.DataFrame({"r": [int(r[ok].sum())]})
+
+    tot = li.map_batches(pre, batch_format="pandas").sum("r")
+    return pd.DataFrame({"revenue": [float(sql_round(tot / 10000.0, 2))]})
+
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity; c_nationkey stands in for
+    the absent phone country code, and "no orders since 2001" for "no
+    orders" — every synthetic customer has lifetime orders): dormant
+    customers in seven nations with above-average positive account
+    balance, counted and summed per nation. The mean threshold is
+    computed in integer CENTS (balances carry 2 decimals, so
+    cents·count > cents-sum is exact — no float-order hazard in the
+    comparison); the dormancy predicate is the engine's anti-join
+    (hash-partitioned, key-only right side, date-pruned map-side);
+    the finish is a nation-keyed tiny combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.joins import anti_join
+
+    nations = {1, 3, 5, 7, 9, 11, 13}
+    cust = rd.read_parquet(_t(sf_dir, "customer"),
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    cust = cust.map_batches(
+        lambda b: b[b["c_nationkey"].astype("int64").isin(nations)],
+        batch_format="pandas")
+
+    def cents_partial(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["c_acctbal"].to_numpy(np.float64) * 100.0
+                        ).astype(np.int64)
+        pos = cents > 0
+        return pd.DataFrame({"s": [int(cents[pos].sum())],
+                             "n": [int(pos.sum())]})
+
+    tot = (cust.map_batches(cents_partial, batch_format="pandas")
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s_cents, n_pos = int(tot["s"]), int(tot["n"])
+
+    cutoff = pd.Timestamp("2001-01-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_orderdate"])
+    recent = orders.map_batches(
+        lambda b: b.loc[b["o_orderdate"] >= cutoff, ["o_custkey"]],
+        batch_format="pandas")
+    no_orders = anti_join(cust, recent, on="c_custkey",
+                          right_on="o_custkey")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(b["c_acctbal"].to_numpy(np.float64) * 100.0
+                        ).astype(np.int64)
+        keep = cents * n_pos > s_cents
+        b = b.loc[keep]
+        return pd.DataFrame({
+            "c_nationkey": b["c_nationkey"],
+            "numcust": np.int64(1),
+            "cents": np.rint(b["c_acctbal"].to_numpy(np.float64) * 100.0
+                             ).astype(np.int64)})
+
+    g = partial_grouped_agg(no_orders.map_batches(finish,
+                                                  batch_format="pandas"),
+                            ["c_nationkey"],
+                            {"numcust": ("sum", "numcust"),
+                             "cents": ("sum", "cents")}).to_pandas()
+    return pd.DataFrame({
+        "c_nationkey": g["c_nationkey"].astype("int32"),
+        "numcust": g["numcust"].astype("int64"),
+        "totacctbal": sql_round(g["cents"].to_numpy(np.float64) / 100.0, 2),
+    }).sort_values("c_nationkey", kind="mergesort").reset_index(drop=True)
+
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations, both
+    directions, by ship year): lineitem lifts its supplier nation via
+    the catalog-sized broadcast and keeps only the two nations'
+    lines, pre-folds to (orderkey, supp-nation, year) grain, ONE hash
+    join lifts the customer key in, the customer nation is a second
+    broadcast map, and the pair filter + revenue rollup fold through
+    a 4-row combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    na, nb = 3, 8
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nk = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                            supp["s_nationkey"].astype(int))))
+    custd = rd.read_parquet(_t(sf_dir, "customer"),
+                            columns=["c_custkey", "c_nationkey"]).to_pandas()
+    c_nk = ray.put(dict(zip(custd["c_custkey"].astype(int),
+                            custd["c_nationkey"].astype(int))))
+
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount",
+                                  "l_shipdate"])
+
+    from web_crawler_ray.functions.rounding import revenue_e4
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        sn = b["l_suppkey"].astype("int64").map(ray.get(s_nk)).to_numpy()
+        keep = (sn == na) | (sn == nb)
+        b, sn = b.loc[keep], sn[keep]
+        yr = b["l_shipdate"].dt.year.to_numpy().astype(np.int64)
+        # exact 1e-4-dollar ints (order-exact sums, no half-cent flake)
+        vol = revenue_e4(b["l_extendedprice"], b["l_discount"])
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                              "supp_nation": sn.astype(np.int64),
+                              "l_year": yr, "volume": vol})
+                .groupby(["l_orderkey", "supp_nation", "l_year"],
+                         sort=False).sum().reset_index())
+
+    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                             ["l_orderkey", "supp_nation", "l_year"],
+                             {"volume": ("sum", "volume")})
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = og.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def pair(b: pd.DataFrame) -> pd.DataFrame:
+        cn = b["o_custkey"].astype("int64").map(ray.get(c_nk)).to_numpy()
+        sn = b["supp_nation"].to_numpy()
+        keep = ((sn == na) & (cn == nb)) | ((sn == nb) & (cn == na))
+        b = b.loc[keep]
+        return pd.DataFrame({"supp_nation": sn[keep].astype(np.int32),
+                             "cust_nation": cn[keep].astype(np.int32),
+                             "l_year": b["l_year"],
+                             "revenue": b["volume"]})
+
+    g = partial_grouped_agg(j.map_batches(pair, batch_format="pandas"),
+                            ["supp_nation", "cust_nation", "l_year"],
+                            {"revenue": ("sum", "revenue")}).to_pandas()
+    g["revenue"] = sql_round(g["revenue"].to_numpy(np.float64) / 10000.0, 2)
+    g["supp_nation"] = g["supp_nation"].astype("int32")
+    g["cust_nation"] = g["cust_nation"].astype("int32")
+    g["l_year"] = g["l_year"].astype("int64")
+    return (g.sort_values(["supp_nation", "cust_nation", "l_year"],
+                          kind="mergesort").reset_index(drop=True)
+            [["supp_nation", "cust_nation", "l_year", "revenue"]])
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC sink + source roundtrip (the Hadoop-ecosystem columnar
+    interchange): supplier → one ORC file per block (each write task
+    serialises the Arrow table it already holds) → read back via
+    read_binary_files + per-file pyarrow decode — proven by replaying
+    the projection straight from the view. Extends the source/sink
+    surface beyond csv/json/xlsx/parquet/fwf/wds (SURVEY §2.1)."""
+    import os
+    import shutil
+
+    from web_crawler_ray.io.columnar import read_orc, write_orc
+
+    cols = ["s_suppkey", "s_name", "s_acctbal"]
+    ds = rd.read_parquet(_t(sf_dir, "supplier"), columns=cols)
+    path = f"/tmp/wcr_orc_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_orc(ds, path)
+    out = read_orc(path).to_pandas()
+    shutil.rmtree(path, ignore_errors=True)
+    return (out.sort_values("s_suppkey", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) sink + source roundtrip — the zero-copy
+    interchange file a downstream Arrow/polars/duckdb consumer mmaps:
+    nation ∪ region lift → IPC directory (one file per block) → decode
+    back; the replay is the equivalent join. Schema fidelity matters
+    here (int32 keys survive the roundtrip untouched)."""
+    import os
+    import shutil
+
+    from web_crawler_ray.io.columnar import read_ipc, write_ipc
+
+    nation = rd.read_parquet(_t(sf_dir, "nation"))
+    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    rmap = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+
+    def lift(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_nationkey": b["n_nationkey"],
+            "n_name": b["n_name"],
+            "r_name": b["n_regionkey"].astype("int64").map(rmap)})
+
+    path = f"/tmp/wcr_ipc_{os.getpid()}"
+    shutil.rmtree(path, ignore_errors=True)
+    write_ipc(nation.map_batches(lift, batch_format="pandas"), path)
+    out = read_ipc(path).to_pandas()
+    shutil.rmtree(path, ignore_errors=True)
+    return (out.sort_values("n_nationkey", kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_politeness_audit(sf_dir: str):
+    """Per-host politeness audit over a fetch log (events stands in:
+    user_id = host, ts = fetch instant): fetch count, minimum
+    inter-fetch gap, and violations of the reference's 2.0 s
+    rate-limit delay (settings.yaml:17, enforced base_scraper.py:
+    117-119) — the check a crawl operator runs against yesterday's
+    log. ONE host-keyed exchange (partitioned_apply); inside a
+    partition the gaps are a vectorized sort + diff with host
+    boundaries masked — no per-group Python."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts"])
+
+    def audit(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        host = p["user_id"].to_numpy(np.int64)
+        t_us = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        # diff in integer µs FIRST, divide once — bit-identical to the
+        # replay's (epoch_us(a) - epoch_us(b)) / 1e6
+        gap = np.concatenate(([np.nan],
+                              np.diff(t_us).astype(np.float64) / 1e6))
+        gap[np.diff(host, prepend=host[0] - 1) != 0] = np.nan
+        ok = ~np.isnan(gap)
+        out = pd.DataFrame({"host": host, "one": np.int64(1),
+                            "viol": (ok & (gap < 2.0)).astype(np.int64),
+                            "gap": np.where(ok, gap, np.inf)})
+        g = out.groupby("host", sort=True).agg(
+            n_fetches=("one", "sum"), violations=("viol", "sum"),
+            min_gap_s=("gap", "min")).reset_index()
+        g["min_gap_s"] = sql_round(
+            g["min_gap_s"].replace(np.inf, np.nan), 6)
+        return g[["host", "n_fetches", "min_gap_s", "violations"]]
+
+    out = partitioned_apply(ev, ["user_id"], audit).to_pandas()
+    out["n_fetches"] = out["n_fetches"].astype("int64")
+    out["violations"] = out["violations"].astype("int64")
+    return out.sort_values("host", kind="mergesort").reset_index(drop=True)
+
+
+def q_theilsen(sf_dir: str):
+    """Per-event-type Theil–Sen robust trend (median of all pairwise
+    slopes — Sen 1968) of the daily value sums: map-side (day, type)
+    partials, ONE tiny combine, then the pairwise-slope median runs
+    vectorized on the calendar-bounded per-type series (30 days ⇒ 435
+    pairs; bounded by the date range, never by corpus size). Day sums
+    are rounded at 2 BEFORE the slope math on both sides (ULP
+    discipline); days with equal x never pair (i < j on distinct
+    days)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["ts", "event_type", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"event_type": b["event_type"], "day": day,
+                              "v": b["value"]})
+                .groupby(["event_type", "day"], sort=False)
+                .sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type", "day"], {"v": ("sum", "v")}
+                            ).to_pandas()
+    g["v"] = sql_round(g["v"], 2)
+    rows = []
+    for et, grp in g.sort_values(["event_type", "day"]).groupby(
+            "event_type", sort=True):
+        x = grp["day"].to_numpy(np.float64)
+        y = grp["v"].to_numpy(np.float64)
+        i, j = np.triu_indices(len(x), k=1)
+        slopes = (y[j] - y[i]) / (x[j] - x[i])
+        rows.append((et, len(x), float(np.median(slopes))))
+    out = pd.DataFrame(rows, columns=["event_type", "n_days", "slope"])
+    out["n_days"] = out["n_days"].astype("int64")
+    out["slope"] = sql_round(out["slope"], 6)
+    return out
+
+
+def q_ewma(sf_dir: str):
+    """EWMA (α = 0.3) of the daily event-value series — the smoothing
+    a monitoring dashboard layers on a noisy daily metric. One (day,
+    Σv) combine; the recursion itself is calendar-bounded (30 rows)
+    driver arithmetic, like the seasonal decompositions. Day sums are
+    rounded at 2 before the recursion so both sides iterate identical
+    inputs; the replay is a recursive CTE walking the ordered days."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    ew = np.empty_like(v)
+    acc = v[0]
+    for k in range(len(v)):
+        acc = v[k] if k == 0 else 0.3 * v[k] + 0.7 * acc
+        ew[k] = acc
+    return pd.DataFrame({"day": d["day"].astype("int64"),
+                         "v": sql_round(d["v"], 2),
+                         "ewma": sql_round(ew, 6)})
 
 
 def q_wilson_ci(sf_dir: str):
@@ -6954,8 +7596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q3": q_tpch_q3,
         "q_tpch_q10": q_tpch_q10,
         "q_rfm_scores": q_rfm_scores,
-        "q_clean_flagship_oracle": q_clean_flagship_oracle,
-        "q_html_parse_oracle": q_html_parse_oracle,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q17": q_tpch_q17,
         "q_embed_allpairs": q_embed_allpairs,
         "q_text_metrics_oracle": q_text_metrics_oracle,
         "q_pagerank": q_pagerank,
@@ -6968,12 +7610,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_ivf_oracle": q_ann_ivf_oracle,
         "q_ann_ivf_index_oracle": q_ann_ivf_index_oracle,
         "q_yaml_scraper": q_yaml_scraper,
-        "q_css_extract_oracle": q_css_extract_oracle,
-        "q_workbook_oracle": q_workbook_oracle,
-        "q_fetch_retry_oracle": q_fetch_retry_oracle,
-        "q_forex_derive_oracle": q_forex_derive_oracle,
-        "q_phash_dups_oracle": q_phash_dups_oracle,
-        "q_clean_prices_oracle": q_clean_prices_oracle,
+        "q_tpch_q22": q_tpch_q22,
+        "q_politeness_audit": q_politeness_audit,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_theilsen": q_theilsen,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q7": q_tpch_q7,
         "q_forex_rules_oracle": q_forex_rules_oracle,
         "q_bollinger": q_bollinger,
         "q_rare_collapse": q_rare_collapse,
@@ -6992,6 +7634,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zonemap_scan": q_zonemap_scan,
         "q_dict_planner": q_dict_planner,
         "q_jw_join": q_jw_join,
+        # --- end of the driver's 50-slot window; evicted r04-proven
+        # oracles stay here, covered by the local suite ---
+        "q_clean_flagship_oracle": q_clean_flagship_oracle,
+        "q_html_parse_oracle": q_html_parse_oracle,
+        "q_css_extract_oracle": q_css_extract_oracle,
+        "q_workbook_oracle": q_workbook_oracle,
+        "q_fetch_retry_oracle": q_fetch_retry_oracle,
+        "q_forex_derive_oracle": q_forex_derive_oracle,
+        "q_phash_dups_oracle": q_phash_dups_oracle,
+        "q_clean_prices_oracle": q_clean_prices_oracle,
         "q_lineitem_summary": q_lineitem_summary,
         "q_pricing_summary": q_pricing_summary,
         "q_category_stats": q_category_stats,
@@ -7230,6 +7882,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q6": q_tpch_q6,
         "q_tpch_q14": q_tpch_q14,
         "q_tpch_q18": q_tpch_q18,
+        "q_tpch_q7": q_tpch_q7,
+        "q_tpch_q12": q_tpch_q12,
+        "q_tpch_q13": q_tpch_q13,
+        "q_tpch_q15": q_tpch_q15,
+        "q_tpch_q16": q_tpch_q16,
+        "q_tpch_q17": q_tpch_q17,
+        "q_tpch_q19": q_tpch_q19,
+        "q_tpch_q22": q_tpch_q22,
+        "q_orc_roundtrip": q_orc_roundtrip,
+        "q_ipc_roundtrip": q_ipc_roundtrip,
+        "q_politeness_audit": q_politeness_audit,
+        "q_theilsen": q_theilsen,
+        "q_ewma": q_ewma,
     }
 
 
@@ -7285,7 +7950,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
                    round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
                    count(*) AS count_order,
                    round(sum(l_quantity) / count(*), 4) AS avg_qty
             FROM lineitem
@@ -7306,7 +7972,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_join_revenue": """
             SELECT o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
                    count(*) AS n
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
@@ -7485,7 +8152,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_spec_pipeline": """
             SELECT l_returnflag, count(*) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue,
                    max(l_quantity) AS max_qty
             FROM lineitem WHERE l_discount > 0.01
             GROUP BY l_returnflag
@@ -7850,7 +8518,8 @@ def oracle_sql() -> dict[str, str]:
         "q_spec_join": """
             SELECT o_orderstatus,
                    CAST(count(*) AS BIGINT) AS n,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderstatus
         """,
@@ -7980,7 +8649,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_salted_join": """
             SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
                      AS revenue_sum,
                    count(*) AS n
             FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -8618,11 +9288,12 @@ def oracle_sql() -> dict[str, str]:
         "q_revenue_by_nation": """
             WITH bc AS (
               SELECT o_custkey,
-                     sum(l_extendedprice * (1 - l_discount)) AS r
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS r
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               GROUP BY o_custkey
             )
-            SELECT n_name, round(sum(r), 2) AS revenue,
+            SELECT n_name, round(sum(r) / 10000.0, 2) AS revenue,
                    count(*) AS n_customers
             FROM bc JOIN customer ON o_custkey = c_custkey
                     JOIN nation ON c_nationkey = n_nationkey
@@ -10800,7 +11471,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q5": """
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
                      AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey
@@ -10879,7 +11551,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q3": """
             SELECT l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
                      AS revenue,
                    o_orderdate, o_orderpriority
             FROM customer, orders, lineitem
@@ -10893,7 +11566,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q10": """
             SELECT c_custkey, c_name, c_acctbal,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
                      AS revenue
             FROM customer, orders, lineitem
             WHERE c_custkey = o_custkey
@@ -10953,7 +11627,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "q_tpch_q6": """
-            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0, 2) AS revenue
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1997-01-01'
@@ -10962,11 +11637,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q14": """
             SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                         THEN l_extendedprice * (1 - l_discount)
+                         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
                          ELSE 0 END)
-                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                         / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT))), 6)
                      AS promo_share,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
                      AS revenue
             FROM lineitem, part
             WHERE l_partkey = p_partkey
@@ -11000,5 +11678,171 @@ def oracle_sql() -> dict[str, str]:
                                         + 1.96*1.96/(4*n*n)))
                          / (1 + 1.96*1.96/n), 6) AS hi
             FROM g ORDER BY event_type
+        """,
+        "q_tpch_q7": """
+            SELECT CAST(s_nationkey AS INTEGER) AS supp_nation,
+                   CAST(c_nationkey AS INTEGER) AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+                     AS revenue
+            FROM lineitem, orders, supplier, customer
+            WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+              AND o_custkey = c_custkey
+              AND l_shipdate >= DATE '1995-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND ((s_nationkey = 3 AND c_nationkey = 8)
+                   OR (s_nationkey = 8 AND c_nationkey = 3))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q_tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                     AS low_line_count
+            FROM (SELECT l_orderkey, l_linestatus
+                  FROM lineitem
+                  WHERE l_shipdate >= DATE '1996-01-01'
+                    AND l_shipdate < DATE '1997-01-01'
+                  GROUP BY 1, 2) ol
+            JOIN orders ON o_orderkey = l_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_tpch_q13": """
+            WITH pc AS (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1)
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q_tpch_q15": """
+            WITH r AS (
+              SELECT l_suppkey,
+                     round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN r ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "q_tpch_q16": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                     AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q_tpch_q17": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#23' AND p_size <= 25),
+            a AS (SELECT l_partkey, 0.2 * (sum(l_quantity) / count(*))
+                           AS thr
+                  FROM lineitem JOIN pk ON l_partkey = p_partkey
+                  GROUP BY 1)
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN a USING (l_partkey)
+            WHERE l_quantity < thr
+        """,
+        "q_tpch_q19": """
+            SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0, 2)
+                     AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q_tpch_q22": """
+            WITH c AS (SELECT c_custkey, c_nationkey,
+                              CAST(round(c_acctbal * 100) AS BIGINT)
+                                AS cents
+                       FROM customer
+                       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+            t AS (SELECT sum(cents) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM c WHERE cents > 0)
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(cents) / 100.0, 2) AS totacctbal
+            FROM c, t
+            WHERE cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '2001-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_orc_roundtrip": """
+            SELECT s_suppkey, s_name, s_acctbal
+            FROM supplier ORDER BY s_suppkey
+        """,
+        "q_ipc_roundtrip": """
+            SELECT n_nationkey, n_name, r_name
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            ORDER BY n_nationkey
+        """,
+        "q_politeness_audit": """
+            WITH g AS (
+              SELECT user_id AS host,
+                     (epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                       / 1000000.0 AS gap
+              FROM events)
+            SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+                   round(min(gap), 6) AS min_gap_s,
+                   CAST(sum(CASE WHEN gap < 2.0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violations
+            FROM g GROUP BY 1 ORDER BY 1
+        """,
+        "q_theilsen": """
+            WITH d AS (
+              SELECT event_type,
+                     CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                  FROM d GROUP BY 1),
+            p AS (SELECT a.event_type,
+                         (b.v - a.v) / (b.day - a.day) AS slope
+                  FROM d a JOIN d b USING (event_type)
+                  WHERE b.day > a.day)
+            SELECT event_type, n_days, round(median(slope), 6) AS slope
+            FROM p JOIN c USING (event_type)
+            GROUP BY 1, 2 ORDER BY 1
+        """,
+        "q_ewma": """
+            WITH RECURSIVE d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            o AS (SELECT day, v,
+                         row_number() OVER (ORDER BY day) AS rn
+                  FROM d),
+            r AS (
+              SELECT rn, day, v, v AS ewma FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.day, o.v, 0.3 * o.v + 0.7 * r.ewma
+              FROM r JOIN o ON o.rn = r.rn + 1)
+            SELECT day, v, round(ewma, 6) AS ewma FROM r ORDER BY day
         """,
     }

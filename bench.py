@@ -173,6 +173,19 @@ BENCH_QUERIES = [
     "q_bollinger",
     "q_rare_collapse",
     "q_wilson_ci",
+    "q_tpch_q7",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
+    "q_tpch_q19",
+    "q_tpch_q22",
+    "q_orc_roundtrip",
+    "q_ipc_roundtrip",
+    "q_politeness_audit",
+    "q_theilsen",
+    "q_ewma",
 ]
 
 

@@ -108,3 +108,39 @@ def test_text_functions():
     est = float((s1 == s2).mean())
     assert abs(est - T.jaccard(a, b)) < 0.35  # coarse but bounded
     assert T.simhash64("x y z") == T.simhash64("x y z")
+
+
+def test_exact_money_kernels():
+    """revenue_e4/discount_e4/money_cents: exact int64 forms of the
+    2-decimal money products — equal to the float product at 1e-4
+    resolution, and (the point) ORDER-EXACT under summation: a group
+    whose true sum lands exactly on a half-cent boundary rounds
+    identically regardless of accumulation order (observed float flake:
+    378060.515 hashing .51 or .52 by sum order)."""
+    from web_crawler_ray.functions.rounding import (discount_e4,
+                                                    money_cents,
+                                                    revenue_e4, sql_round)
+
+    rng = np.random.default_rng(7)
+    price = np.round(rng.uniform(1, 105000, 4000), 2)
+    disc = np.round(rng.uniform(0, 0.1, 4000), 2)
+    e4 = revenue_e4(price, disc)
+    assert e4.dtype == np.int64
+    # pointwise: e4/1e4 equals the float product to within float ULP
+    assert np.allclose(e4 / 1e4, price * (1 - disc), rtol=0, atol=5e-7)
+    # order-exactness: any permutation sums to the same integer
+    perm = rng.permutation(len(e4))
+    assert int(e4.sum()) == int(e4[perm].sum())
+    # a constructed half-cent boundary: two rows summing to x.xx5
+    p = np.array([0.05, 0.10])   # revenue_e4 with d=0.5? keep d 2-dec:
+    d = np.array([0.50, 0.50])   # 5*50=250, 10*50=500 → 750 e4 = 0.075
+    b = revenue_e4(p, d)
+    assert int(b.sum()) == 750
+    # both orders round identically (float sums here could disagree)
+    assert float(sql_round(b.sum() / 1e4, 2)) == float(
+        sql_round(b[::-1].sum() / 1e4, 2))
+    assert list(discount_e4([100.00], [0.05])) == [50000]  # $5.00 in e4
+    # 3-decimal inputs are OUT of contract (money is 2-dec); rint is
+    # ties-to-even on the raw float — documented, not relied upon
+    assert list(money_cents([3.145, -2.675])) == [314, -268]
+    assert list(money_cents([3.14, -2.67])) == [314, -267]

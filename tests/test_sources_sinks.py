@@ -383,3 +383,39 @@ def test_fwf_roundtrip_and_guards(ray_session, tmp_path):
     with pytest.raises(Exception, match="exceeds width"):
         write_fwf(rd.from_pandas(pd.DataFrame({"id": [123456], "name": ["x"],
                                                "grp": [1]})), path, widths)
+
+
+def test_columnar_orc_ipc_roundtrip(ray_session, tmp_path):
+    """ORC and Arrow-IPC sinks/sources: schema (incl. int32 and
+    timestamp) and values survive the roundtrip bit-exactly; one part
+    file per non-empty block; a directory written with N blocks reads
+    back as a distributed Dataset, not a driver frame."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_crawler_ray.io.columnar import (read_ipc, read_orc,
+                                             write_ipc, write_orc)
+
+    df = pd.DataFrame({
+        "k": pd.array([3, 1, 2, 4], dtype="int32"),
+        "x": [1.5, -2.25, 0.0, 3.125],
+        "s": ["a", "b", None, "d"],
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                              "2024-01-03", "2024-01-04"]),
+    })
+    src = rd.from_pandas(df).repartition(2)
+
+    for write, read, ext in ((write_orc, read_orc, "orc"),
+                             (write_ipc, read_ipc, "arrow")):
+        path = str(tmp_path / ext)
+        write(src, path)
+        parts = [f for f in os.listdir(path) if f.endswith(ext)]
+        assert len(parts) == 2, parts
+        ds = read(path)
+        assert isinstance(ds, rd.Dataset)
+        back = ds.to_pandas().sort_values("k").reset_index(drop=True)
+        want = df.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(back, want)
+        # schema fidelity: int32 stays int32 through the format
+        sch = pa.schema([(f.name, f.type) for f in ds.schema().base_schema])
+        assert sch.field("k").type == pa.int32()

@@ -13,9 +13,13 @@ Spec format (list of op dicts, applied in order):
     {"op": "select",      "columns": [...]}
     {"op": "filter",      "expr": "l_quantity > 10"}            # Ray expr
     {"op": "with_column", "name": "rev", "expr": "l_extendedprice * (1 - l_discount)"}  # pandas.eval
+    {"op": "with_money_e4", "name": "rev", "price": col, "discount": col}
+                          # exact int64 price*(1-discount) in 1e-4-dollar
+                          # units: sums are order-exact (no half-cent
+                          # rounding flake); round back with "scale"
     {"op": "rename",      "mapping": {"old": "new"}}
     {"op": "groupby_agg", "keys": [...], "aggs": {"out": ["sum"|"mean"|"count"|"min"|"max", col]}}
-    {"op": "round",       "spec": {"col": ndigits}}
+    {"op": "round",       "spec": {"col": ndigits}, "scale": {"col": 10000.0}}
     {"op": "sort",        "keys": [...], "descending": [...]}
     {"op": "limit",       "n": 10}
     {"op": "join",        "right": "/path.parquet", "on": [...],
@@ -93,7 +97,7 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from ..functions.rounding import sql_round
+from ..functions.rounding import revenue_e4, sql_round
 
 _AGGS = {"sum": Sum, "mean": Mean, "min": Min, "max": Max}
 
@@ -112,6 +116,22 @@ def _apply_op(ds, op: dict):
             return batch
 
         return ds.map_batches(add, batch_format="pandas")
+    if kind == "with_money_e4":
+        # exact integer money derive: price*(1-discount) in 1e-4-dollar
+        # units (int64), so downstream sums are order-exact — the float
+        # product can land EXACTLY on a half-cent rounding boundary and
+        # hash-flip by summation order; round with
+        # {"op": "round", "spec": {col: 2}, "scale": {col: 10000.0}}
+        name, price, disc = op["name"], op["price"], op["discount"]
+
+        def add_e4(batch: pd.DataFrame) -> pd.DataFrame:
+            # revenue_e4 must be a module-top import: a deferred import
+            # here would re-resolve on foreign-cwd workers (the driver
+            # ships web_crawler_ray by value, not by path)
+            batch[name] = revenue_e4(batch[price], batch[disc])
+            return batch
+
+        return ds.map_batches(add_e4, batch_format="pandas")
     if kind == "rename":
         mapping = op["mapping"]
         return ds.map_batches(
@@ -127,10 +147,14 @@ def _apply_op(ds, op: dict):
         return ds.groupby(op["keys"]).aggregate(*aggs)
     if kind == "round":
         spec = op["spec"]
+        scale = op.get("scale", {})
 
         def rnd(batch: pd.DataFrame) -> pd.DataFrame:
             for col, nd in spec.items():
-                batch[col] = sql_round(batch[col], nd)
+                v = batch[col]
+                if col in scale:  # integer-unit column back to dollars
+                    v = v.astype("float64") / scale[col]
+                batch[col] = sql_round(v, nd)
             return batch
 
         return ds.map_batches(rnd, batch_format="pandas")
@@ -416,6 +440,9 @@ def _spec_columns(source_path: str, ops: list[dict]) -> list[str] | None:
             need(expr_names(op["expr"]))
         elif kind == "with_column":
             need(expr_names(op["expr"]))
+            created.add(op["name"])
+        elif kind == "with_money_e4":
+            need([op["price"], op["discount"]])
             created.add(op["name"])
         elif kind == "rename":
             need(op["mapping"])
