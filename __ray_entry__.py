@@ -6688,17 +6688,19 @@ def q_tpch_q10(sf_dir: str):
     cust = rd.read_parquet(_t(sf_dir, "customer"),
                            columns=["c_custkey", "c_name",
                                     "c_acctbal"]).to_pandas()
-    dim = _ray.put({int(k): (nm, float(ab)) for k, nm, ab in
-                    zip(cust["c_custkey"], cust["c_name"],
-                        cust["c_acctbal"])})
+    ckeys = cust["c_custkey"].astype(int)
+    dim = _ray.put((dict(zip(ckeys, cust["c_name"])),
+                    dict(zip(ckeys, cust["c_acctbal"].astype(float)))))
 
     def attach(b: pd.DataFrame) -> pd.DataFrame:
-        d = _ray.get(dim)
-        ks = b["o_custkey"].astype("int64").tolist()
+        # two vectorized Series.map lookups — customer grain is big,
+        # no per-row Python here
+        nmap, amap = _ray.get(dim)
+        ks = b["o_custkey"].astype("int64")
         return pd.DataFrame({
-            "c_custkey": pd.Series(ks, dtype="int64"),
-            "c_name": [d[k][0] for k in ks],
-            "c_acctbal": [d[k][1] for k in ks],
+            "c_custkey": ks,
+            "c_name": ks.map(nmap),
+            "c_acctbal": ks.map(amap),
             "revenue": sql_round(b["r"].to_numpy(np.float64) / 10000.0, 2),
         })
 
@@ -7078,9 +7080,10 @@ def q_tpch_q16(sf_dir: str):
     keep = (part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO") \
         & part["p_size"].astype(int).isin(sizes)
     part = part.loc[keep]
-    attrs = ray.put(dict(zip(
-        part["p_partkey"].astype(int),
-        zip(part["p_brand"], part["p_type"], part["p_size"].astype(int)))))
+    pkeys = part["p_partkey"].astype(int)
+    attrs = ray.put((dict(zip(pkeys, part["p_brand"])),
+                     dict(zip(pkeys, part["p_type"])),
+                     dict(zip(pkeys, part["p_size"].astype(int)))))
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_suppkey"])
@@ -7094,15 +7097,18 @@ def q_tpch_q16(sf_dir: str):
                                 {"n": ("sum", "n")})
 
     def lift(b: pd.DataFrame) -> pd.DataFrame:
-        amap = ray.get(attrs)
-        hit = b["l_partkey"].astype("int64").map(amap)
-        b = b.loc[hit.notna()]
-        a = hit.loc[hit.notna()]
+        # three per-attribute broadcast maps — vectorized Series.map,
+        # no per-row tuple unpacking
+        bmap, tmap, smap = ray.get(attrs)
+        k = b["l_partkey"].astype("int64")
+        brand = k.map(bmap)
+        b = b.loc[brand.notna()]
+        k = k.loc[brand.notna()]
         return pd.DataFrame({
-            "p_brand": [t[0] for t in a],
-            "p_type": [t[1] for t in a],
-            "p_size": np.array([t[2] for t in a], dtype=np.int32),
-            "l_suppkey": b["l_suppkey"].to_numpy(),
+            "p_brand": brand.loc[brand.notna()],
+            "p_type": k.map(tmap),
+            "p_size": k.map(smap).astype("int32"),
+            "l_suppkey": b["l_suppkey"],
             "n": np.int64(1)}).drop_duplicates(
                 ["p_brand", "p_type", "p_size", "l_suppkey"])
 
@@ -7193,20 +7199,22 @@ def q_tpch_q19(sf_dir: str):
     keep = part["p_brand"].isin([b[0] for b in bands]) \
         & (part["p_size"].astype(int) <= 15)
     part = part.loc[keep]
-    amap = ray.put(dict(zip(
-        part["p_partkey"].astype(int),
-        zip(part["p_brand"], part["p_size"].astype(int)))))
+    pkeys = part["p_partkey"].astype(int)
+    amap = ray.put((dict(zip(pkeys, part["p_brand"])),
+                    dict(zip(pkeys, part["p_size"].astype(int)))))
 
     li = rd.read_parquet(_t(sf_dir, "lineitem"),
                          columns=["l_partkey", "l_quantity",
                                   "l_extendedprice", "l_discount"])
 
     def pre(b: pd.DataFrame) -> pd.DataFrame:
-        a = b["l_partkey"].astype("int64").map(ray.get(amap))
-        hit = a.notna().to_numpy()
-        b, a = b.loc[hit], a.loc[hit]
-        brand = np.array([t[0] for t in a])
-        size = np.array([t[1] for t in a], dtype=np.int64)
+        bmap, smap = ray.get(amap)
+        k = b["l_partkey"].astype("int64")
+        bs = k.map(bmap)
+        hit = bs.notna().to_numpy()
+        b, k = b.loc[hit], k.loc[hit]
+        brand = bs.loc[hit].to_numpy()
+        size = k.map(smap).to_numpy(np.int64)
         qty = b["l_quantity"].to_numpy(np.float64)
         ok = np.zeros(len(b), dtype=bool)
         for br, smax, qlo, qhi in bands:
@@ -7517,6 +7525,293 @@ def q_ewma(sf_dir: str):
     return pd.DataFrame({"day": d["day"].astype("int64"),
                          "v": sql_round(d["v"], 2),
                          "ewma": sql_round(ew, 6)})
+
+
+def q_holt(sf_dir: str):
+    """Holt's linear-trend double exponential smoothing (α=0.5, β=0.3)
+    of the daily event-value series — EWMA's sibling for trending
+    metrics. Same shape as q_ewma: one (day, Σv) combine, then a
+    calendar-bounded two-accumulator recursion on identically-rounded
+    inputs; the replay is a recursive CTE carrying (level, trend)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    lev = np.empty_like(v)
+    trd = np.empty_like(v)
+    l_prev, b_prev = v[0], 0.0
+    lev[0], trd[0] = l_prev, b_prev
+    for k in range(1, len(v)):
+        l_new = 0.5 * v[k] + 0.5 * (l_prev + b_prev)
+        b_new = 0.3 * (l_new - l_prev) + 0.7 * b_prev
+        lev[k], trd[k] = l_new, b_new
+        l_prev, b_prev = l_new, b_new
+    return pd.DataFrame({"day": d["day"].astype("int64"),
+                         "v": sql_round(d["v"], 2),
+                         "level": sql_round(lev, 6),
+                         "trend": sql_round(trd, 6)})
+
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share): of the STANDARD-part revenue
+    sold into ASIA in 1995–96, what share came from nation-3
+    suppliers, by order year. Part keys and supplier nations broadcast
+    (catalog-sized), lineitem pre-folds to (orderkey, is-nation-3)
+    exact-e4 partials, ONE hash join lifts (year, custkey), the
+    customer→region gate is a second broadcast, and the share is an
+    exact-int ratio per year (2 rows)."""
+    from web_crawler_ray.functions.rounding import revenue_e4
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    nation = rd.read_parquet(_t(sf_dir, "nation")).to_pandas()
+    region = rd.read_parquet(_t(sf_dir, "region")).to_pandas()
+    asia = int(region.loc[region["r_name"] == "ASIA",
+                          "r_regionkey"].iloc[0])
+    asia_nk = set(nation.loc[nation["n_regionkey"] == asia,
+                             "n_nationkey"].astype(int))
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_type"]).to_pandas()
+    pk = set(part.loc[part["p_type"] == "STANDARD",
+                      "p_partkey"].astype(int))
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nk = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                            supp["s_nationkey"].astype(int))))
+    custd = rd.read_parquet(_t(sf_dir, "customer"),
+                            columns=["c_custkey", "c_nationkey"]).to_pandas()
+    c_nk = ray.put(dict(zip(custd["c_custkey"].astype(int),
+                            custd["c_nationkey"].astype(int))))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_partkey"].astype("int64").isin(pk)]
+        sn = b["l_suppkey"].astype("int64").map(ray.get(s_nk)).to_numpy()
+        e4 = revenue_e4(b["l_extendedprice"], b["l_discount"])
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                              "e4": e4,
+                              "nat3_e4": np.where(sn == 3, e4, 0)})
+                .groupby("l_orderkey", sort=False).sum().reset_index())
+
+    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                             ["l_orderkey"],
+                             {"e4": ("sum", "e4"),
+                              "nat3_e4": ("sum", "nat3_e4")})
+    lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    orders = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas")
+    j = og.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def yearly(b: pd.DataFrame) -> pd.DataFrame:
+        cn = b["o_custkey"].astype("int64").map(ray.get(c_nk))
+        keep = cn.isin(asia_nk).to_numpy()
+        b = b.loc[keep]
+        return pd.DataFrame({
+            "o_year": b["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            "e4": b["e4"], "nat3_e4": b["nat3_e4"]})
+
+    g = partial_grouped_agg(j.map_batches(yearly, batch_format="pandas"),
+                            ["o_year"],
+                            {"e4": ("sum", "e4"),
+                             "nat3_e4": ("sum", "nat3_e4")}).to_pandas()
+    g = g.sort_values("o_year").reset_index(drop=True)
+    return pd.DataFrame({
+        "o_year": g["o_year"].astype("int64"),
+        "mkt_share": sql_round(
+            g["nat3_e4"].to_numpy(np.float64) * 1.0
+            / g["e4"].to_numpy(np.float64), 6)})
+
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 (product-type profit; cost adapted to 50% of the
+    part's retail price × quantity — partsupp's supplycost doesn't
+    exist here): per (supplier nation, order year), Σ revenue − cost
+    over '%rod%' parts. Both terms are exact int64 1e-4-dollar units
+    (revenue_e4; retail-cents × integral qty × 50), so the profit
+    combine is order-exact. Part and supplier dimensions broadcast;
+    ONE hash join lifts the order year; nation-year combine is tiny."""
+    from web_crawler_ray.functions.rounding import money_cents, revenue_e4
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_name",
+                                    "p_retailprice"]).to_pandas()
+    part = part.loc[part["p_name"].str.contains("rod")]
+    rc = ray.put(dict(zip(part["p_partkey"].astype(int),
+                          money_cents(part["p_retailprice"]))))
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    s_nk = ray.put(dict(zip(supp["s_suppkey"].astype(int),
+                            supp["s_nationkey"].astype(int))))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        cents = b["l_partkey"].astype("int64").map(ray.get(rc))
+        keep = cents.notna().to_numpy()
+        b, cents = b.loc[keep], cents.loc[keep].astype("int64")
+        qty = b["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        profit = (revenue_e4(b["l_extendedprice"], b["l_discount"])
+                  - cents.to_numpy() * qty * 50)
+        sn = b["l_suppkey"].astype("int64").map(ray.get(s_nk)).to_numpy()
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                              "nation": sn.astype(np.int64),
+                              "profit": profit})
+                .groupby(["l_orderkey", "nation"], sort=False)
+                .sum().reset_index())
+
+    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                             ["l_orderkey", "nation"],
+                             {"profit": ("sum", "profit")})
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate"])
+    j = og.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def yearly(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": b["nation"],
+            "o_year": b["o_orderdate"].dt.year.to_numpy().astype(np.int64),
+            "profit": b["profit"]})
+
+    g = partial_grouped_agg(j.map_batches(yearly, batch_format="pandas"),
+                            ["nation", "o_year"],
+                            {"profit": ("sum", "profit")}).to_pandas()
+    g = g.sort_values(["nation", "o_year"],
+                      kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "nation": g["nation"].astype("int32"),
+        "o_year": g["o_year"].astype("int64"),
+        "sum_profit": sql_round(
+            g["profit"].to_numpy(np.float64) / 10000.0, 2)})
+
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 (important inventory value; lineitem flow through
+    nation-{3,8} suppliers stands in for partsupp stock): parts whose
+    shipped revenue through those suppliers exceeds 0.1% of the total.
+    The global-fraction HAVING is an EXACT integer compare
+    (value_e4 · 1000 > total_e4 — no float in the predicate); one
+    part-keyed exact-e4 combine bounded by catalog size, supplier
+    nations broadcast."""
+    from web_crawler_ray.functions.rounding import revenue_e4
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    nations = {3, 8}
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = set(supp.loc[supp["s_nationkey"].astype(int).isin(nations),
+                      "s_suppkey"].astype(int))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_suppkey"].astype("int64").isin(sk)]
+        return (pd.DataFrame({"l_partkey": b["l_partkey"],
+                              "e4": revenue_e4(b["l_extendedprice"],
+                                               b["l_discount"])})
+                .groupby("l_partkey", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
+                            ["l_partkey"], {"e4": ("sum", "e4")}
+                            ).to_pandas()
+    total = int(g["e4"].sum())
+    keep = g.loc[g["e4"].to_numpy(np.int64) * 1000 > total]
+    return pd.DataFrame({
+        "l_partkey": keep["l_partkey"].astype("int64"),
+        "value": sql_round(keep["e4"].to_numpy(np.float64) / 10000.0, 2),
+    }).sort_values("l_partkey", kind="mergesort").reset_index(drop=True)
+
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 (dominant suppliers; per-(supplier, part) 1996
+    shipped quantity > 10% of the part's all-time flow stands in for
+    the availqty predicate — flow is near-uniform across this data's
+    suppliers, so 50% selects nothing at any SF): which suppliers
+    dominate a '%widget%' part's supply. Quantities are integral
+    doubles, so both folds are order-exact and the 10·qty > total
+    compare is integer; pair and part grains are compact keys, part
+    totals broadcast (catalog-sized), names attached from the
+    supplier catalog."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_name"]).to_pandas()
+    pk = set(part.loc[part["p_name"].str.contains("widget"),
+                      "p_partkey"].astype(int))
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey", "l_quantity",
+                                  "l_shipdate"])
+
+    def pair96(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_partkey"].astype("int64").isin(pk)
+                  & (b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        return (pd.DataFrame({"l_partkey": b["l_partkey"],
+                              "l_suppkey": b["l_suppkey"],
+                              "q96": b["l_quantity"].to_numpy(np.float64)
+                              .astype(np.int64)})
+                .groupby(["l_partkey", "l_suppkey"], sort=False)
+                .sum().reset_index())
+
+    pairs = partial_grouped_agg(li.map_batches(pair96,
+                                               batch_format="pandas"),
+                                ["l_partkey", "l_suppkey"],
+                                {"q96": ("sum", "q96")})
+
+    def tot(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_partkey"].astype("int64").isin(pk)]
+        return (pd.DataFrame({"l_partkey": b["l_partkey"],
+                              "qall": b["l_quantity"].to_numpy(np.float64)
+                              .astype(np.int64)})
+                .groupby("l_partkey", sort=False).sum().reset_index())
+
+    totals = partial_grouped_agg(li.map_batches(tot,
+                                                batch_format="pandas"),
+                                 ["l_partkey"], {"qall": ("sum", "qall")}
+                                 ).to_pandas()
+    tmap = ray.put(dict(zip(totals["l_partkey"].astype(int),
+                            totals["qall"].astype(int))))
+
+    def dominant(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["l_partkey"].astype("int64").map(ray.get(tmap))
+        keep = (10 * b["q96"].to_numpy(np.int64)
+                > t.to_numpy(np.int64))
+        return (b.loc[keep, ["l_suppkey"]].drop_duplicates()
+                .assign(one=np.int64(1)))
+
+    sup_ids = partial_grouped_agg(
+        pairs.map_batches(dominant, batch_format="pandas"),
+        ["l_suppkey"], {"one": ("max", "one")}).to_pandas()
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name"]).to_pandas()
+    names = dict(zip(supp["s_suppkey"].astype(int), supp["s_name"]))
+    return pd.DataFrame({
+        "s_suppkey": sup_ids["l_suppkey"].astype("int64"),
+        "s_name": sup_ids["l_suppkey"].astype(int).map(names),
+    }).sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
 
 
 def q_wilson_ci(sf_dir: str):
@@ -7895,6 +8190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_politeness_audit": q_politeness_audit,
         "q_theilsen": q_theilsen,
         "q_ewma": q_ewma,
+        "q_holt": q_holt,
+        "q_tpch_q8": q_tpch_q8,
+        "q_tpch_q9": q_tpch_q9,
+        "q_tpch_q11": q_tpch_q11,
+        "q_tpch_q20": q_tpch_q20,
     }
 
 
@@ -11844,5 +12144,102 @@ def oracle_sql() -> dict[str, str]:
               SELECT o.rn, o.day, o.v, 0.3 * o.v + 0.7 * r.ewma
               FROM r JOIN o ON o.rn = r.rn + 1)
             SELECT day, v, round(ewma, 6) AS ewma FROM r ORDER BY day
+        """,
+        "q_holt": """
+            WITH RECURSIVE d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            o AS (SELECT day, v,
+                         row_number() OVER (ORDER BY day) AS rn
+                  FROM d),
+            r AS (
+              SELECT rn, day, v, v AS level,
+                     CAST(0.0 AS DOUBLE) AS trend
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.day, o.v,
+                     0.5 * o.v + 0.5 * (r.level + r.trend),
+                     0.3 * ((0.5 * o.v + 0.5 * (r.level + r.trend))
+                            - r.level) + 0.7 * r.trend
+              FROM r JOIN o ON o.rn = r.rn + 1)
+            SELECT day, v, round(level, 6) AS level,
+                   round(trend, 6) AS trend
+            FROM r ORDER BY day
+        """,
+        "q_tpch_q8": """
+            WITH v AS (
+              SELECT year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       AS e4,
+                     s_nationkey
+              FROM lineitem, orders, customer, supplier, part,
+                   nation, region
+              WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+                AND l_suppkey = s_suppkey AND l_partkey = p_partkey
+                AND c_nationkey = n_nationkey
+                AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA' AND p_type = 'STANDARD'
+                AND o_orderdate >= DATE '1995-01-01'
+                AND o_orderdate < DATE '1997-01-01')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN s_nationkey = 3 THEN e4
+                             ELSE 0 END) * 1.0 / sum(e4), 6)
+                     AS mkt_share
+            FROM v GROUP BY 1 ORDER BY 1
+        """,
+        "q_tpch_q9": """
+            WITH v AS (
+              SELECT s_nationkey AS nation,
+                     year(o_orderdate) AS o_year,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - CAST(round(p_retailprice * 100) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT) * 50 AS profit
+              FROM lineitem, orders, supplier, part
+              WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+                AND l_partkey = p_partkey
+                AND p_name LIKE '%rod%')
+            SELECT CAST(nation AS INTEGER) AS nation,
+                   CAST(o_year AS BIGINT) AS o_year,
+                   round(sum(profit) / 10000.0, 2) AS sum_profit
+            FROM v GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_tpch_q11": """
+            WITH e AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100)
+                                       AS BIGINT))) AS e4
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey IN (3, 8)
+              GROUP BY 1),
+            t AS (SELECT sum(e4) AS tot FROM e)
+            SELECT l_partkey, round(e4 / 10000.0, 2) AS value
+            FROM e, t WHERE e4 * 1000 > tot
+            ORDER BY l_partkey
+        """,
+        "q_tpch_q20": """
+            WITH w AS (SELECT p_partkey FROM part
+                       WHERE p_name LIKE '%widget%'),
+            p96 AS (
+              SELECT l_partkey, l_suppkey,
+                     sum(CAST(l_quantity AS BIGINT)) AS q96
+              FROM lineitem JOIN w ON l_partkey = p_partkey
+              WHERE l_shipdate >= DATE '1996-01-01'
+                AND l_shipdate < DATE '1997-01-01'
+              GROUP BY 1, 2),
+            pt AS (
+              SELECT l_partkey,
+                     sum(CAST(l_quantity AS BIGINT)) AS qall
+              FROM lineitem JOIN w ON l_partkey = p_partkey
+              GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM p96 JOIN pt USING (l_partkey)
+                 JOIN supplier ON l_suppkey = s_suppkey
+            WHERE 10 * q96 > qall
+            ORDER BY s_suppkey
         """,
     }

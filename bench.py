@@ -186,6 +186,11 @@ BENCH_QUERIES = [
     "q_politeness_audit",
     "q_theilsen",
     "q_ewma",
+    "q_holt",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q20",
 ]
 
 
