@@ -6952,9 +6952,10 @@ def q_tpch_q13(sf_dir: str):
         return (b.groupby("o_custkey", sort=False).size()
                 .rename("n").reset_index())
 
-    per_cust = partial_grouped_agg(orders.map_batches(pre,
-                                                      batch_format="pandas"),
-                                   ["o_custkey"], {"n": ("sum", "n")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    per_cust = grouped_sum_wide(orders.map_batches(pre,
+                                                   batch_format="pandas"),
+                                ["o_custkey"], ["n"])
 
     def hist_pre(b: pd.DataFrame) -> pd.DataFrame:
         return (b.groupby("n", sort=False).size()
@@ -6996,9 +6997,9 @@ def q_tpch_q12(sf_dir: str):
         return (b.groupby(["l_orderkey", "l_linestatus"], sort=False)
                 .size().rename("n_lines").reset_index())
 
-    ol = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                             ["l_orderkey", "l_linestatus"],
-                             {"n_lines": ("sum", "n_lines")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    ol = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                          ["l_orderkey", "l_linestatus"], ["n_lines"])
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderpriority"])
     j = ol.join(orders, join_type="inner", num_partitions=8,
@@ -7092,9 +7093,9 @@ def q_tpch_q16(sf_dir: str):
         return (b.drop_duplicates()
                 .assign(n=np.int64(1))[["l_partkey", "l_suppkey", "n"]])
 
-    pairs = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                                ["l_partkey", "l_suppkey"],
-                                {"n": ("sum", "n")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    pairs = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                             ["l_partkey", "l_suppkey"], ["n"])
 
     def lift(b: pd.DataFrame) -> pd.DataFrame:
         # three per-attribute broadcast maps — vectorized Series.map,
@@ -7112,10 +7113,10 @@ def q_tpch_q16(sf_dir: str):
             "n": np.int64(1)}).drop_duplicates(
                 ["p_brand", "p_type", "p_size", "l_suppkey"])
 
-    quads = partial_grouped_agg(pairs.map_batches(lift,
-                                                  batch_format="pandas"),
-                                ["p_brand", "p_type", "p_size", "l_suppkey"],
-                                {"n": ("sum", "n")})
+    quads = grouped_sum_wide(pairs.map_batches(lift,
+                                               batch_format="pandas"),
+                             ["p_brand", "p_type", "p_size", "l_suppkey"],
+                             ["n"])
 
     def ones(b: pd.DataFrame) -> pd.DataFrame:
         return b.assign(supplier_cnt=np.int64(1))[
@@ -7334,9 +7335,10 @@ def q_tpch_q7(sf_dir: str):
                 .groupby(["l_orderkey", "supp_nation", "l_year"],
                          sort=False).sum().reset_index())
 
-    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                             ["l_orderkey", "supp_nation", "l_year"],
-                             {"volume": ("sum", "volume")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    og = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                          ["l_orderkey", "supp_nation", "l_year"],
+                          ["volume"])
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey"])
     j = og.join(orders, join_type="inner", num_partitions=8,
@@ -7604,10 +7606,9 @@ def q_tpch_q8(sf_dir: str):
                               "nat3_e4": np.where(sn == 3, e4, 0)})
                 .groupby("l_orderkey", sort=False).sum().reset_index())
 
-    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                             ["l_orderkey"],
-                             {"e4": ("sum", "e4"),
-                              "nat3_e4": ("sum", "nat3_e4")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    og = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                          ["l_orderkey"], ["e4", "nat3_e4"])
     lo, hi = pd.Timestamp("1995-01-01"), pd.Timestamp("1997-01-01")
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_custkey",
@@ -7679,9 +7680,9 @@ def q_tpch_q9(sf_dir: str):
                 .groupby(["l_orderkey", "nation"], sort=False)
                 .sum().reset_index())
 
-    og = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                             ["l_orderkey", "nation"],
-                             {"profit": ("sum", "profit")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    og = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                          ["l_orderkey", "nation"], ["profit"])
     orders = rd.read_parquet(_t(sf_dir, "orders"),
                              columns=["o_orderkey", "o_orderdate"])
     j = og.join(orders, join_type="inner", num_partitions=8,
@@ -7708,9 +7709,10 @@ def q_tpch_q9(sf_dir: str):
 def q_tpch_q11(sf_dir: str):
     """TPC-H Q11 (important inventory value; lineitem flow through
     nation-{3,8} suppliers stands in for partsupp stock): parts whose
-    shipped revenue through those suppliers exceeds 0.1% of the total.
-    The global-fraction HAVING is an EXACT integer compare
-    (value_e4 · 1000 > total_e4 — no float in the predicate); one
+    shipped revenue through those suppliers exceeds 2× the mean part
+    value (scale-free, unlike Q11's fixed fraction which degenerates
+    as the catalog grows — 0 rows at sf0.1). The HAVING is an EXACT
+    integer compare (value_e4 · n_parts > 2 · total_e4); one
     part-keyed exact-e4 combine bounded by catalog size, supplier
     nations broadcast."""
     from web_crawler_ray.functions.rounding import revenue_e4
@@ -7733,11 +7735,11 @@ def q_tpch_q11(sf_dir: str):
                                                b["l_discount"])})
                 .groupby("l_partkey", sort=False).sum().reset_index())
 
-    g = partial_grouped_agg(li.map_batches(pre, batch_format="pandas"),
-                            ["l_partkey"], {"e4": ("sum", "e4")}
-                            ).to_pandas()
-    total = int(g["e4"].sum())
-    keep = g.loc[g["e4"].to_numpy(np.int64) * 1000 > total]
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    g = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                         ["l_partkey"], ["e4"]).to_pandas()
+    total, n_parts = int(g["e4"].sum()), len(g)
+    keep = g.loc[g["e4"].to_numpy(np.int64) * n_parts > 2 * total]
     return pd.DataFrame({
         "l_partkey": keep["l_partkey"].astype("int64"),
         "value": sql_round(keep["e4"].to_numpy(np.float64) / 10000.0, 2),
@@ -7776,10 +7778,10 @@ def q_tpch_q20(sf_dir: str):
                 .groupby(["l_partkey", "l_suppkey"], sort=False)
                 .sum().reset_index())
 
-    pairs = partial_grouped_agg(li.map_batches(pair96,
-                                               batch_format="pandas"),
-                                ["l_partkey", "l_suppkey"],
-                                {"q96": ("sum", "q96")})
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+    pairs = grouped_sum_wide(li.map_batches(pair96,
+                                            batch_format="pandas"),
+                             ["l_partkey", "l_suppkey"], ["q96"])
 
     def tot(b: pd.DataFrame) -> pd.DataFrame:
         b = b.loc[b["l_partkey"].astype("int64").isin(pk)]
@@ -7788,10 +7790,9 @@ def q_tpch_q20(sf_dir: str):
                               .astype(np.int64)})
                 .groupby("l_partkey", sort=False).sum().reset_index())
 
-    totals = partial_grouped_agg(li.map_batches(tot,
-                                                batch_format="pandas"),
-                                 ["l_partkey"], {"qall": ("sum", "qall")}
-                                 ).to_pandas()
+    totals = grouped_sum_wide(li.map_batches(tot,
+                                              batch_format="pandas"),
+                              ["l_partkey"], ["qall"]).to_pandas()
     tmap = ray.put(dict(zip(totals["l_partkey"].astype(int),
                             totals["qall"].astype(int))))
 
@@ -12216,9 +12217,10 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
               WHERE s_nationkey IN (3, 8)
               GROUP BY 1),
-            t AS (SELECT sum(e4) AS tot FROM e)
+            t AS (SELECT sum(e4) AS tot,
+                         CAST(count(*) AS BIGINT) AS np FROM e)
             SELECT l_partkey, round(e4 / 10000.0, 2) AS value
-            FROM e, t WHERE e4 * 1000 > tot
+            FROM e, t WHERE e4 * np > 2 * tot
             ORDER BY l_partkey
         """,
         "q_tpch_q20": """

@@ -144,3 +144,27 @@ def grouped_triu(sorted_keys, max_size=None, raise_on_exceed: bool = False):
     if not ia_all:
         return empty, empty
     return np.concatenate(ia_all), np.concatenate(ib_all)
+
+
+def grouped_sum_wide(ds, keys: list[str], sum_cols: list[str],
+                     num_partitions: int = 32,
+                     n_rows_hint: int | None = None):
+    """Multi-key / multi-column exact sums for HIGH-cardinality keys
+    (order grain, (partkey, suppkey) pairs, …): batch-local
+    pre-combine, ONE coarse hash exchange, vectorized per-partition
+    groupby-sum. The native ``groupby().aggregate()`` path (what
+    ``partial_grouped_agg`` finishes with) degrades ~100× past ~10^4
+    distinct keys — measured 70 s → 3 s on the sf0.1 (partkey,
+    suppkey) distinct fold. Dtypes are preserved (int64 sums stay
+    int64 — callers rely on this for exact-money combines)."""
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        return (p.groupby(keys, sort=True, as_index=False)[sum_cols]
+                .sum())
+
+    def pre(p: pd.DataFrame) -> pd.DataFrame:
+        return (p.groupby(keys, sort=False, as_index=False)[sum_cols]
+                .sum())
+
+    return partitioned_apply(ds, keys, fold, num_partitions, n_rows_hint,
+                             pre_combine=pre)
