@@ -146,25 +146,39 @@ def grouped_triu(sorted_keys, max_size=None, raise_on_exceed: bool = False):
     return np.concatenate(ia_all), np.concatenate(ib_all)
 
 
-def grouped_sum_wide(ds, keys: list[str], sum_cols: list[str],
+def grouped_agg_wide(ds, keys: list[str],
+                     spec: dict[str, tuple[str, str]],
                      num_partitions: int = 32,
                      n_rows_hint: int | None = None):
-    """Multi-key / multi-column exact sums for HIGH-cardinality keys
-    (order grain, (partkey, suppkey) pairs, …): batch-local
-    pre-combine, ONE coarse hash exchange, vectorized per-partition
-    groupby-sum. The native ``groupby().aggregate()`` path (what
-    ``partial_grouped_agg`` finishes with) degrades ~100× past ~10^4
-    distinct keys — measured 70 s → 3 s on the sf0.1 (partkey,
-    suppkey) distinct fold. Dtypes are preserved (int64 sums stay
+    """Multi-key named aggregates for HIGH-cardinality keys (order
+    grain, user grain past ~10^3, (partkey, suppkey) pairs, …):
+    batch-local pre-combine, ONE coarse hash exchange, vectorized
+    per-partition groupby-agg. The native ``groupby().aggregate()``
+    path (what ``partial_grouped_agg`` finishes with) degrades ~100×
+    past ~10^3-10^4 distinct keys — measured 70 s → 3 s on the sf0.1
+    (partkey, suppkey) distinct fold. ``spec``: {out: (fn, col)} with
+    fn ∈ {"sum", "min", "max"} (all idempotent under re-combine; for
+    counts, sum a ones column). Dtypes are preserved (int64 sums stay
     int64 — callers rely on this for exact-money combines)."""
-
-    def fold(p: pd.DataFrame) -> pd.DataFrame:
-        return (p.groupby(keys, sort=True, as_index=False)[sum_cols]
-                .sum())
+    aggs = {out: (col, fn) for out, (fn, col) in spec.items()}
+    # the pre-combine emits under the OUTPUT names, so the partition
+    # fold re-aggregates those columns with the same functions
+    re_aggs = {out: (out, fn) for out, (fn, _col) in spec.items()}
 
     def pre(p: pd.DataFrame) -> pd.DataFrame:
-        return (p.groupby(keys, sort=False, as_index=False)[sum_cols]
-                .sum())
+        return p.groupby(keys, sort=False).agg(**aggs).reset_index()
+
+    def fold(p: pd.DataFrame) -> pd.DataFrame:
+        return p.groupby(keys, sort=True).agg(**re_aggs).reset_index()
 
     return partitioned_apply(ds, keys, fold, num_partitions, n_rows_hint,
                              pre_combine=pre)
+
+
+def grouped_sum_wide(ds, keys: list[str], sum_cols: list[str],
+                     num_partitions: int = 32,
+                     n_rows_hint: int | None = None):
+    """Sum-only convenience wrapper over :func:`grouped_agg_wide`."""
+    return grouped_agg_wide(ds, keys,
+                            {c: ("sum", c) for c in sum_cols},
+                            num_partitions, n_rows_hint)
