@@ -1981,3 +1981,41 @@ def test_scd2_versions_semantics(ray_session):
     assert u1["valid_to"].tolist()[:2] == [base + 20, base + 30]
     assert pd.isna(u1["valid_to"].iloc[2])
     assert pd.isna(out[out["u"] == 2]["valid_to"]).all()
+
+
+def test_grouped_agg_wide_matches_pandas(ray_session):
+    """grouped_agg_wide: the coarse-partitioned one-exchange path must
+    return exactly the pandas groupby result — names, dtypes (int64
+    sums stay int64 — the exact-money contract), and values — for
+    mixed sum/min/max specs at key cardinality well above a batch."""
+    import numpy as np
+    import ray.data as rd
+
+    from web_crawler_ray.stages.grouped import (grouped_agg_wide,
+                                                grouped_sum_wide)
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 500, 20_000),
+        "k2": rng.integers(0, 4, 20_000),
+        "x": rng.integers(-1000, 1000, 20_000),        # int64
+        "y": rng.normal(size=20_000),                  # float64
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    out = (grouped_agg_wide(ds, ["k1", "k2"],
+                            {"sx": ("sum", "x"), "mn": ("min", "y"),
+                             "mx": ("max", "y")})
+           .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    want = (df.groupby(["k1", "k2"])
+            .agg(sx=("x", "sum"), mn=("y", "min"), mx=("y", "max"))
+            .reset_index().sort_values(["k1", "k2"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"k1": want["k1"].dtype, "k2": want["k2"].dtype}), want)
+    assert str(out["sx"].dtype) == "int64"
+
+    s = (grouped_sum_wide(ds, ["k1"], ["x"])
+         .to_pandas().sort_values("k1").reset_index(drop=True))
+    ws = (df.groupby("k1", as_index=False)[["x"]].sum()
+          .sort_values("k1").reset_index(drop=True))
+    assert s["x"].tolist() == ws["x"].tolist()
