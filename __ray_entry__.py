@@ -7822,6 +7822,65 @@ def q_tpch_q20(sf_dir: str):
     }).sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
 
 
+def q_cume_dist(sf_dir: str):
+    """Per-segment CUME_DIST of event values (the empirical CDF every
+    percentile dashboard renders): share of the segment at-or-below
+    each row's value, ties sharing the max rank. ONE type-keyed
+    exchange; inside the partition pandas rank(method='max')/n is
+    exactly SQL CUME_DIST, vectorized per group. Row-level output
+    (like the other window queries) — the exact n_le/n rational is
+    computed identically on both sides before the round."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def cd(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", sort=False)["value"]
+        n = g.transform("size").to_numpy(np.float64)
+        r = g.rank(method="max").to_numpy(np.float64)
+        return pd.DataFrame({"event_id": p["event_id"],
+                             "event_type": p["event_type"],
+                             "cd": sql_round(r / n, 6)})
+
+    return partitioned_apply(ev, ["event_type"], cd)
+
+
+def q_runs_test(sf_dir: str):
+    """Wald–Wolfowitz runs test on the daily up/down sequence of the
+    event-value series — "is the daily metric drifting or random?".
+    One (day, Σv) combine; signs, the run count, and the closed-form
+    z statistic are calendar-bounded arithmetic shared expression-for-
+    expression with the replay (day sums rounded at 2 first, zero
+    changes excluded on both sides)."""
+    import math
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    dv = np.diff(v)
+    sg = np.where(dv > 0, 1, -1)[dv != 0]
+    n1 = int((sg == 1).sum())
+    n2 = int((sg == -1).sum())
+    runs = int(1 + (sg[1:] != sg[:-1]).sum())
+    z = ((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+         / math.sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                     / ((n1 + n2) * (n1 + n2) * 1.0 * (n1 + n2 - 1))))
+    return pd.DataFrame({"n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                         "runs": [np.int64(runs)],
+                         "z": [float(sql_round(z, 6))]})
+
+
 def q_wilson_ci(sf_dir: str):
     """Per-event-type conversion share (value > 100) with the Wilson
     95% score interval — the proportion CI that stays inside [0,1] at
@@ -8203,6 +8262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q9": q_tpch_q9,
         "q_tpch_q11": q_tpch_q11,
         "q_tpch_q20": q_tpch_q20,
+        "q_cume_dist": q_cume_dist,
+        "q_runs_test": q_runs_test,
     }
 
 
@@ -12250,5 +12311,38 @@ def oracle_sql() -> dict[str, str]:
                  JOIN supplier ON l_suppkey = s_suppkey
             WHERE 10 * q96 > qall
             ORDER BY s_suppkey
+        """,
+        "q_cume_dist": """
+            SELECT event_id, event_type,
+                   round(cume_dist() OVER (PARTITION BY event_type
+                                           ORDER BY value), 6) AS cd
+            FROM events ORDER BY event_id
+        """,
+        "q_runs_test": """
+            WITH d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            c AS (SELECT day, v - lag(v) OVER (ORDER BY day) AS dv
+                  FROM d),
+            s AS (SELECT day, CASE WHEN dv > 0 THEN 1 ELSE -1 END AS sg
+                  FROM c WHERE dv IS NOT NULL AND dv <> 0),
+            r AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS prev
+                  FROM s),
+            agg AS (SELECT
+              CAST(count(*) FILTER (WHERE sg = 1) AS BIGINT) AS n1,
+              CAST(count(*) FILTER (WHERE sg = -1) AS BIGINT) AS n2,
+              CAST(1 + count(*) FILTER (WHERE prev IS NOT NULL
+                                        AND sg <> prev) AS BIGINT)
+                AS runs
+              FROM r)
+            SELECT n1, n2, runs,
+                   round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                         / sqrt(2.0 * n1 * n2
+                                * (2.0 * n1 * n2 - n1 - n2)
+                                / ((n1 + n2) * (n1 + n2) * 1.0
+                                   * (n1 + n2 - 1))), 6) AS z
+            FROM agg
         """,
     }

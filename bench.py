@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "q_tpch_q9",
     "q_tpch_q11",
     "q_tpch_q20",
+    "q_cume_dist",
+    "q_runs_test",
 ]
 
 
