@@ -1927,7 +1927,11 @@ def q_set_except(sf_dir: str):
         batch["has_o"] = (batch["o_orderstatus"] == "O").astype("int64")
         return batch[["o_custkey", "has_f", "has_o"]]
 
-    g = partial_grouped_agg(
+    from web_crawler_ray.stages.grouped import grouped_agg_wide
+
+    # customer grain crosses the native-groupby cliff at scale —
+    # coarse-partitioned wide combine
+    g = grouped_agg_wide(
         ds.map_batches(flags, batch_format="pandas"),
         ["o_custkey"],
         {"has_f": ("max", "has_f"), "has_o": ("max", "has_o")},
@@ -2821,9 +2825,18 @@ def q_decayed_value(sf_dir: str):
         batch["w"] = batch["value"] * np.exp(-age_days / 30.0)
         return batch[["user_id", "w"]]
 
-    g = partial_grouped_agg(
-        ds.map_batches(weigh, batch_format="pandas"), ["user_id"],
-        {"decayed": ("sum", "w"), "n": ("count", None)},
+    from web_crawler_ray.stages.grouped import grouped_agg_wide
+
+    def ones(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["n"] = np.int64(1)
+        return b
+
+    # user grain crosses the native-groupby cliff at scale
+    g = grouped_agg_wide(
+        ds.map_batches(weigh, batch_format="pandas").map_batches(
+            ones, batch_format="pandas"),
+        ["user_id"], {"decayed": ("sum", "w"), "n": ("sum", "n")},
     )
     return _round_cols(g, {"decayed": 6})
 
