@@ -7835,6 +7835,110 @@ def q_tpch_q20(sf_dir: str):
     }).sort_values("s_suppkey", kind="mergesort").reset_index(drop=True)
 
 
+def q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 (best supplier per part; s_acctbal stands in for the
+    absent ps_supplycost, max for min): for each SMALL part of size
+    ≤ 10, the supplier(s) with the best balance among those who have
+    actually shipped it. Distinct (part, supplier) pairs fold through
+    ONE coarse exchange; the per-part argmax runs vectorized inside
+    the part-partitioned task (groupby-transform max); supplier
+    attributes broadcast (catalog-sized). The equality compare is on
+    raw data values (not sums) — no float hazard."""
+    from web_crawler_ray.stages.grouped import (grouped_sum_wide,
+                                                partitioned_apply)
+
+    part = rd.read_parquet(_t(sf_dir, "part"),
+                           columns=["p_partkey", "p_type", "p_size"]
+                           ).to_pandas()
+    pk = set(part.loc[(part["p_type"] == "SMALL")
+                      & (part["p_size"].astype(int) <= 10),
+                      "p_partkey"].astype(int))
+    supp = rd.read_parquet(_t(sf_dir, "supplier"),
+                           columns=["s_suppkey", "s_name", "s_acctbal"]
+                           ).to_pandas()
+    skeys = supp["s_suppkey"].astype(int)
+    sdim = ray.put((dict(zip(skeys, supp["s_name"])),
+                    dict(zip(skeys, supp["s_acctbal"].astype(float)))))
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.loc[b["l_partkey"].astype("int64").isin(pk)]
+        return b.drop_duplicates().assign(n=np.int64(1))
+
+    pairs = grouped_sum_wide(li.map_batches(pre, batch_format="pandas"),
+                             ["l_partkey", "l_suppkey"], ["n"])
+
+    def best(p: pd.DataFrame) -> pd.DataFrame:
+        nmap, amap = ray.get(sdim)
+        p = p.copy()
+        p["s_acctbal"] = p["l_suppkey"].astype("int64").map(amap)
+        mx = p.groupby("l_partkey", sort=False)["s_acctbal"].transform("max")
+        p = p.loc[p["s_acctbal"].to_numpy() == mx.to_numpy()]
+        return pd.DataFrame({
+            "p_partkey": p["l_partkey"].astype("int64"),
+            "s_suppkey": p["l_suppkey"].astype("int64"),
+            "s_name": p["l_suppkey"].astype("int64").map(nmap),
+            "s_acctbal": p["s_acctbal"]})
+
+    out = partitioned_apply(pairs, ["l_partkey"], best).to_pandas()
+    return (out.sort_values(["p_partkey", "s_suppkey"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 (suppliers who kept orders waiting; the latest ship
+    date stands in for the absent receipt/commit dates): on
+    multi-supplier orders, the UNIQUE supplier holding the order's
+    last shipment "kept the others waiting" — count such orders per
+    supplier, top 10. (orderkey, suppkey, max-ship) folds through one
+    coarse exchange; the per-order window triple (max, distinct-supp
+    count, at-max count) is vectorized groupby-transform inside the
+    order-partitioned task; the numwait combine is supplier-grain."""
+    from web_crawler_ray.stages.grouped import (grouped_sum_wide,
+                                                partitioned_apply)
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_shipdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"],
+                              "l_suppkey": b["l_suppkey"], "ship": us})
+                .groupby(["l_orderkey", "l_suppkey"], sort=False)
+                .max().reset_index())
+
+    def waiting(p: pd.DataFrame) -> pd.DataFrame:
+        # every row of an order co-locates here: pair-max fold AND the
+        # per-order window triple run in the SAME task — one exchange
+        # total for the whole query
+        p = (p.groupby(["l_orderkey", "l_suppkey"], sort=True)
+             .max().reset_index())
+        g = p.groupby("l_orderkey", sort=False)
+        mx = g["ship"].transform("max").to_numpy()
+        nsupp = g["ship"].transform("size").to_numpy()
+        at_max = (p["ship"].to_numpy() == mx)
+        natmx = (pd.Series(at_max.astype(np.int64), index=p.index)
+                 .groupby(p["l_orderkey"], sort=False).transform("sum")
+                 .to_numpy())
+        keep = at_max & (natmx == 1) & (nsupp >= 2)
+        return (p.loc[keep, ["l_suppkey"]]
+                .assign(numwait=np.int64(1)))
+
+    w = partitioned_apply(
+        li.map_batches(pre, batch_format="pandas"),
+        ["l_orderkey"], waiting,
+        pre_combine=lambda p: p.groupby(["l_orderkey", "l_suppkey"],
+                                        sort=False).max().reset_index())
+    g = grouped_sum_wide(w, ["l_suppkey"], ["numwait"]).to_pandas()
+    g = (g.sort_values(["numwait", "l_suppkey"], ascending=[False, True],
+                       kind="mergesort").head(10).reset_index(drop=True))
+    return pd.DataFrame({"s_suppkey": g["l_suppkey"].astype("int64"),
+                         "numwait": g["numwait"].astype("int64")})
+
+
 def q_cume_dist(sf_dir: str):
     """Per-segment CUME_DIST of event values (the empirical CDF every
     percentile dashboard renders): share of the segment at-or-below
@@ -8277,6 +8381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q20": q_tpch_q20,
         "q_cume_dist": q_cume_dist,
         "q_runs_test": q_runs_test,
+        "q_tpch_q2": q_tpch_q2,
+        "q_tpch_q21": q_tpch_q21,
     }
 
 
@@ -12357,5 +12463,37 @@ def oracle_sql() -> dict[str, str]:
                                 / ((n1 + n2) * (n1 + n2) * 1.0
                                    * (n1 + n2 - 1))), 6) AS z
             FROM agg
+        """,
+        "q_tpch_q2": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                        FROM lineitem),
+            x AS (SELECT p_partkey, s_suppkey, s_name, s_acctbal,
+                         max(s_acctbal) OVER (PARTITION BY p_partkey)
+                           AS mx
+                  FROM ps JOIN part ON l_partkey = p_partkey
+                       JOIN supplier ON l_suppkey = s_suppkey
+                  WHERE p_size <= 10 AND p_type = 'SMALL')
+            SELECT p_partkey, s_suppkey, s_name, s_acctbal
+            FROM x WHERE s_acctbal = mx
+            ORDER BY p_partkey, s_suppkey
+        """,
+        "q_tpch_q21": """
+            WITH ls AS (
+              SELECT l_orderkey, l_suppkey,
+                     max(epoch_us(l_shipdate)) AS ship
+              FROM lineitem GROUP BY 1, 2),
+            x AS (SELECT *,
+                         max(ship) OVER (PARTITION BY l_orderkey) AS mx,
+                         count(*) OVER (PARTITION BY l_orderkey)
+                           AS nsupp
+                  FROM ls),
+            y AS (SELECT *,
+                         sum(CASE WHEN ship = mx THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY l_orderkey) AS natmx
+                  FROM x)
+            SELECT l_suppkey AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM y WHERE ship = mx AND natmx = 1 AND nsupp >= 2
+            GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 10
         """,
     }

@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q_tpch_q20",
     "q_cume_dist",
     "q_runs_test",
+    "q_tpch_q2",
+    "q_tpch_q21",
 ]
 
 
