@@ -7963,6 +7963,76 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_percent_rank(sf_dir: str):
+    """Per-segment PERCENT_RANK of event values ((rank−1)/(n−1), ties
+    sharing the min rank) — CUME_DIST's sibling. Same single
+    type-keyed exchange; rank(method='min') per group ≡ SQL rank();
+    the rational is computed identically on both sides."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "event_type", "value"])
+
+    def pr(p: pd.DataFrame) -> pd.DataFrame:
+        g = p.groupby("event_type", sort=False)["value"]
+        n = g.transform("size").to_numpy(np.float64)
+        r = g.rank(method="min").to_numpy(np.float64)
+        return pd.DataFrame({"event_id": p["event_id"],
+                             "event_type": p["event_type"],
+                             "pr": sql_round((r - 1) / (n - 1), 6)})
+
+    return partitioned_apply(ev, ["event_type"], pr)
+
+
+def q_spearman(sf_dir: str):
+    """Per-returnflag Spearman rank correlation between quantity and
+    discount — the robust-association audit. Doubled average ranks
+    (2·avg = 2·min-rank + tie-count − 1) are INTEGERS, so all five
+    moment sums are exact int64 and the closed form is deterministic
+    digit-for-digit with the replay. One flag-keyed exchange; ranks +
+    moments vectorized inside the partition (group-bounded contract,
+    like the other per-group window ops). Int64 moment bound:
+    (2n)²·n < 2^63 ⇒ n ≲ 1.3e6 rows per group at exactness — beyond
+    that the doubled ranks still fit, only the product sums would
+    need float (documented)."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_discount"])
+
+    def moments(p: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for flag, grp in p.groupby("l_returnflag", sort=True):
+            n = len(grp)
+            rx = (2 * grp["l_quantity"].rank(method="average")
+                  ).to_numpy(np.int64)
+            ry = (2 * grp["l_discount"].rank(method="average")
+                  ).to_numpy(np.int64)
+            out.append((flag, n, int(rx.sum()), int(ry.sum()),
+                        int((rx * ry).sum()), int((rx * rx).sum()),
+                        int((ry * ry).sum())))
+        return pd.DataFrame(out, columns=["l_returnflag", "n", "sx", "sy",
+                                          "sxy", "sxx", "syy"])
+
+    m = partitioned_apply(li, ["l_returnflag"], moments).to_pandas()
+    m = m.sort_values("l_returnflag").reset_index(drop=True)
+    import math
+
+    # closed form in EXACT python ints first (n·sxy exceeds float53),
+    # converting to double only where the replay's CASTs do
+    rhos = []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["sxy"]) - sx * sy
+        a = n * int(r["sxx"]) - sx * sx
+        b = n * int(r["syy"]) - sy * sy
+        rhos.append(float(num) / math.sqrt(float(a) * float(b)))
+    return pd.DataFrame({"l_returnflag": m["l_returnflag"],
+                         "n": m["n"].astype("int64"),
+                         "rho": sql_round(np.array(rhos), 6)})
+
+
 def q_runs_test(sf_dir: str):
     """Wald–Wolfowitz runs test on the daily up/down sequence of the
     event-value series — "is the daily metric drifting or random?".
@@ -8383,6 +8453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_runs_test": q_runs_test,
         "q_tpch_q2": q_tpch_q2,
         "q_tpch_q21": q_tpch_q21,
+        "q_percent_rank": q_percent_rank,
+        "q_spearman": q_spearman,
     }
 
 
@@ -12495,5 +12567,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS numwait
             FROM y WHERE ship = mx AND natmx = 1 AND nsupp >= 2
             GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 10
+        """,
+        "q_percent_rank": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                                              ORDER BY value), 6) AS pr
+            FROM events ORDER BY event_id
+        """,
+        "q_spearman": """
+            WITH r AS (
+              SELECT l_returnflag,
+                     2 * rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_quantity)
+                       + count(*) OVER (PARTITION BY l_returnflag,
+                                        l_quantity) - 1 AS rx,
+                     2 * rank() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_discount)
+                       + count(*) OVER (PARTITION BY l_returnflag,
+                                        l_discount) - 1 AS ry
+              FROM lineitem),
+            m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                         sum(rx) AS sx, sum(ry) AS sy,
+                         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx,
+                         sum(ry * ry) AS syy
+                  FROM r GROUP BY 1)
+            SELECT l_returnflag, n,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE)),
+                         6) AS rho
+            FROM m ORDER BY 1
         """,
     }

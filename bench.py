@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "q_runs_test",
     "q_tpch_q2",
     "q_tpch_q21",
+    "q_percent_rank",
+    "q_spearman",
 ]
 
 
