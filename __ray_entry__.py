@@ -7963,6 +7963,138 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 in FULL fidelity (q_pricing_summary is the historical
+    Q1-shaped entry; this one adds the charge term and both averages):
+    per (returnflag, linestatus), Σqty, Σbase, Σdisc_price, Σcharge,
+    avg qty/price/disc, count. disc_price sums exact int64 e4 units;
+    charge = cents·(100−d)·(100+t) sums exact int64 1e-6-dollar units
+    (bound ≈ 9.2e18/1e11 ≈ 9e7 rows·$100k per group — fine at any
+    per-group grain); qty/base-price sums are order-exact already
+    (integral / 2-decimal). One tiny 6-row combine."""
+    from web_crawler_ray.functions.rounding import money_cents, revenue_e4
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount", "l_tax"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        cents = money_cents(b["l_extendedprice"])
+        d_h = money_cents(b["l_discount"])
+        t_h = money_cents(b["l_tax"])
+        return (pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": b["l_quantity"].to_numpy(np.float64),
+            "base_c": cents,
+            "disc_e4": revenue_e4(b["l_extendedprice"], b["l_discount"]),
+            "charge_e6": cents * (100 - d_h) * (100 + t_h),
+            "disc_h": d_h,
+            "n": np.int64(1)})
+            .groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .sum().reset_index())
+
+    g = partial_grouped_agg(
+        li.map_batches(pre, batch_format="pandas"),
+        ["l_returnflag", "l_linestatus"],
+        {"qty": ("sum", "qty"), "base_c": ("sum", "base_c"),
+         "disc_e4": ("sum", "disc_e4"), "charge_e6": ("sum", "charge_e6"),
+         "disc_h": ("sum", "disc_h"), "n": ("sum", "n")}).to_pandas()
+    g = g.sort_values(["l_returnflag", "l_linestatus"],
+                      kind="mergesort").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "l_returnflag": g["l_returnflag"],
+        "l_linestatus": g["l_linestatus"],
+        "sum_qty": sql_round(g["qty"], 2),
+        "sum_base_price": sql_round(
+            g["base_c"].to_numpy(np.float64) / 100.0, 2),
+        "sum_disc_price": sql_round(
+            g["disc_e4"].to_numpy(np.float64) / 10000.0, 2),
+        "sum_charge": sql_round(
+            g["charge_e6"].to_numpy(np.float64) / 1000000.0, 2),
+        "avg_qty": sql_round(g["qty"].to_numpy(np.float64) / n, 6),
+        "avg_price": sql_round(
+            g["base_c"].to_numpy(np.float64) / 100.0 / n, 6),
+        "avg_disc": sql_round(
+            g["disc_h"].to_numpy(np.float64) / 100.0 / n, 6),
+        "count_order": g["n"].astype("int64")})
+
+
+def q_cramers_v(sf_dir: str):
+    """Cramér's V association between event type and ISO day-of-week —
+    "does the event mix shift by weekday?". The contingency table is
+    a tiny (type, dow) count combine; χ² and V fold from EXACT integer
+    counts in a closed form shared digit-for-digit with the replay
+    (expected counts as rc·cc/n in double, same cast points)."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        dow = ((b["ts"].to_numpy("datetime64[D]").astype(np.int64) + 3)
+               % 7 + 1)  # 1970-01-01 was a Thursday → ISO dow
+        return (pd.DataFrame({"event_type": b["event_type"], "dow": dow,
+                              "n": np.int64(1)})
+                .groupby(["event_type", "dow"], sort=False)
+                .sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type", "dow"], {"n": ("sum", "n")}
+                            ).to_pandas()
+    tab = g.pivot_table(index="event_type", columns="dow", values="n",
+                        fill_value=0, aggfunc="sum")
+    obs = tab.to_numpy(np.float64)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    r, c = obs.shape
+    v = float(np.sqrt(chi2 / (n * min(r - 1, c - 1))))
+    return pd.DataFrame({"n": [np.int64(int(n))],
+                         "chi2": [float(sql_round(chi2, 6))],
+                         "cramers_v": [float(sql_round(v, 6))]})
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F across event types (value ~ type) — the
+    multi-group extension of the Welch pair test already in the
+    suite. Per-type (n, Σv, Σv²) moment partials, one tiny combine,
+    closed-form SS decomposition shared with the replay at the same
+    cast points; rounded at 6 on both sides."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n": np.int64(1), "s": v, "ss": v * v})
+                .groupby("event_type", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": ("sum", "n"), "s": ("sum", "s"),
+                             "ss": ("sum", "ss")}).to_pandas()
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    N, k = float(n.sum()), len(g)
+    grand = float(s.sum())
+    ss_between = float((s * s / n).sum()) - grand * grand / N
+    ss_within = float(ss.sum()) - float((s * s / n).sum())
+    df_b, df_w = k - 1, N - k
+    f = (ss_between / df_b) / (ss_within / df_w)
+    return pd.DataFrame({
+        "k": [np.int64(k)], "n": [np.int64(int(N))],
+        "ss_between": [float(sql_round(ss_between, 4))],
+        "ss_within": [float(sql_round(ss_within, 4))],
+        "f_stat": [float(sql_round(f, 6))]})
+
+
 def q_percent_rank(sf_dir: str):
     """Per-segment PERCENT_RANK of event values ((rank−1)/(n−1), ties
     sharing the min rank) — CUME_DIST's sibling. Same single
@@ -8455,6 +8587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q21": q_tpch_q21,
         "q_percent_rank": q_percent_rank,
         "q_spearman": q_spearman,
+        "q_tpch_q1": q_tpch_q1,
+        "q_cramers_v": q_cramers_v,
+        "q_anova_f": q_anova_f,
     }
 
 
@@ -12597,5 +12732,75 @@ def oracle_sql() -> dict[str, str]:
                                 * CAST(n * syy - sy * sy AS DOUBLE)),
                          6) AS rho
             FROM m ORDER BY 1
+        """,
+        "q_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) / 100.0, 2)
+                     AS sum_base_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT))) / 10000.0, 2)
+                     AS sum_disc_price,
+                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT))
+                             * (100 + CAST(round(l_tax * 100)
+                                           AS BIGINT))) / 1000000.0, 2)
+                     AS sum_charge,
+                   round(sum(l_quantity) / count(*), 6) AS avg_qty,
+                   round(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)) / 100.0 / count(*), 6)
+                     AS avg_price,
+                   round(sum(CAST(round(l_discount * 100) AS BIGINT))
+                         / 100.0 / count(*), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q_cramers_v": """
+            WITH c AS (SELECT event_type,
+                              CAST(isodow(ts) AS BIGINT) AS dow,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1, 2),
+            rc AS (SELECT event_type, sum(n) AS r FROM c GROUP BY 1),
+            cc AS (SELECT dow, sum(n) AS cl FROM c GROUP BY 1),
+            tt AS (SELECT sum(n) AS nt FROM c),
+            cells AS (SELECT coalesce(c.n, 0) * 1.0 AS obs,
+                             rc.r * cc.cl * 1.0 / tt.nt AS expd
+                      FROM rc CROSS JOIN cc CROSS JOIN tt
+                           LEFT JOIN c ON c.event_type = rc.event_type
+                                      AND c.dow = cc.dow),
+            agg AS (SELECT sum((obs - expd) * (obs - expd) / expd)
+                             AS chi2
+                    FROM cells),
+            dr AS (SELECT CAST(count(*) AS BIGINT) AS nr FROM rc),
+            dc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cc)
+            SELECT CAST(tt.nt AS BIGINT) AS n,
+                   round(agg.chi2, 6) AS chi2,
+                   round(sqrt(agg.chi2
+                              / (tt.nt * least(dr.nr - 1, dc.nc - 1))),
+                         6) AS cramers_v
+            FROM agg, tt, dr, dc
+        """,
+        "q_anova_f": """
+            WITH g AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n,
+                              sum(value) AS s,
+                              sum(value * value) AS ss
+                       FROM events GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         sum(n) AS nt, sum(s) AS grand,
+                         sum(s * s / n) AS sb_part, sum(ss) AS sstot
+                  FROM g)
+            SELECT k, CAST(nt AS BIGINT) AS n,
+                   round(sb_part - grand * grand / nt, 4)
+                     AS ss_between,
+                   round(sstot - sb_part, 4) AS ss_within,
+                   round(((sb_part - grand * grand / nt) / (k - 1))
+                         / ((sstot - sb_part) / (nt - k)), 6)
+                     AS f_stat
+            FROM a
         """,
     }

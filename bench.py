@@ -197,6 +197,9 @@ BENCH_QUERIES = [
     "q_tpch_q21",
     "q_percent_rank",
     "q_spearman",
+    "q_tpch_q1",
+    "q_cramers_v",
+    "q_anova_f",
 ]
 
 
