@@ -7963,6 +7963,80 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_zipf(sf_dir: str):
+    """Zipf-law fit over the corpus token frequencies (log-log OLS of
+    frequency on rank) — the vocabulary-health diagnostic every
+    corpus report includes. Token counts fold through the coarse
+    vocabulary-bounded exchange (same shape as top_bigrams); the
+    rank + closed-form regression run on the vocab-sized table with
+    the replay's exact expression order."""
+    from web_crawler_ray.stages.graph import grouped_sum
+    from web_crawler_ray.stages.text_rank import TOK_RE
+
+    ds = rd.read_parquet(_t(sf_dir, "documents"), columns=["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for s in b["text"] for t in TOK_RE.findall(
+            (s or "").lower())]
+        if not toks:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        vc = pd.Series(toks).value_counts(sort=False)
+        return pd.DataFrame({"tok": vc.index.to_numpy(),
+                             "n": vc.to_numpy().astype("int64")})
+
+    f = grouped_sum(ds.map_batches(partial, batch_format="pandas"),
+                    "tok", "n", "n").to_pandas()
+    f = f.sort_values(["n", "tok"], ascending=[False, True],
+                      kind="mergesort").reset_index(drop=True)
+    x = np.log(np.arange(1, len(f) + 1, dtype=np.float64))
+    y = np.log(f["n"].to_numpy(np.float64))
+    m = float(len(f))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_terms": [np.int64(len(f))],
+        "slope": [float(sql_round(slope, 6))],
+        "intercept": [float(sql_round((sy - slope * sx) / m, 6))]})
+
+
+def q_cusum(sf_dir: str):
+    """Two-sided CUSUM drift detector on the daily value series (the
+    sequential change monitor a metrics pipeline runs after q_ewma):
+    cusum⁺ₖ = max(0, cusum⁺ₖ₋₁ + (vₖ − mean)), mirrored for cusum⁻.
+    Day sums rounded at 2; the mean divides EXACT integer cents
+    (deterministic — no sum-order hazard enters the recursion); the
+    calendar-bounded recursion is shared op-for-op with the
+    recursive-CTE replay."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    cents = np.rint(v * 100.0).astype(np.int64)
+    mean = (float(cents.sum()) / 100.0) / len(v)
+    pos = np.empty_like(v)
+    neg = np.empty_like(v)
+    p = n = 0.0
+    for k in range(len(v)):
+        p = max(0.0, p + (v[k] - mean))
+        n = min(0.0, n + (v[k] - mean))
+        pos[k], neg[k] = p, n
+    return pd.DataFrame({"day": d["day"].astype("int64"),
+                         "v": sql_round(d["v"], 2),
+                         "cusum_pos": sql_round(pos, 6),
+                         "cusum_neg": sql_round(neg, 6)})
+
+
 def q_tpch_q1(sf_dir: str):
     """TPC-H Q1 in FULL fidelity (q_pricing_summary is the historical
     Q1-shaped entry; this one adds the charge term and both averages):
@@ -8590,6 +8664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q1": q_tpch_q1,
         "q_cramers_v": q_cramers_v,
         "q_anova_f": q_anova_f,
+        "q_zipf": q_zipf,
+        "q_cusum": q_cusum,
     }
 
 
@@ -12802,5 +12878,57 @@ def oracle_sql() -> dict[str, str]:
                          / ((sstot - sb_part) / (nt - k)), 6)
                      AS f_stat
             FROM a
+        """,
+        "q_zipf": """
+            WITH l AS (SELECT regexp_extract_all(lower(text),
+                                                 '[a-z0-9]+') AS toks
+                       FROM documents),
+            t AS (SELECT unnest(toks) AS tok FROM l),
+            f AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                  FROM t GROUP BY 1),
+            r AS (SELECT ln(row_number() OVER (ORDER BY n DESC, tok))
+                           AS x,
+                         ln(n) AS y
+                  FROM f),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx
+                  FROM r)
+            SELECT m AS n_terms,
+                   round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6)
+                     AS slope,
+                   round((sy - ((m * sxy - sx * sy)
+                                / (m * sxx - sx * sx)) * sx) / m, 6)
+                     AS intercept
+            FROM a
+        """,
+        "q_cusum": """
+            WITH RECURSIVE d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            m AS (SELECT (sum(CAST(round(v * 100) AS BIGINT)) / 100.0)
+                         / count(*) AS mean
+                  FROM d),
+            o AS (SELECT day, v,
+                         row_number() OVER (ORDER BY day) AS rn
+                  FROM d),
+            r AS (
+              SELECT rn, day, v,
+                     greatest(0.0, v - (SELECT mean FROM m))
+                       AS cusum_pos,
+                     least(0.0, v - (SELECT mean FROM m)) AS cusum_neg
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.day, o.v,
+                     greatest(0.0, r.cusum_pos
+                              + (o.v - (SELECT mean FROM m))),
+                     least(0.0, r.cusum_neg
+                           + (o.v - (SELECT mean FROM m)))
+              FROM r JOIN o ON o.rn = r.rn + 1)
+            SELECT day, v, round(cusum_pos, 6) AS cusum_pos,
+                   round(cusum_neg, 6) AS cusum_neg
+            FROM r ORDER BY day
         """,
     }

@@ -200,6 +200,8 @@ BENCH_QUERIES = [
     "q_tpch_q1",
     "q_cramers_v",
     "q_anova_f",
+    "q_zipf",
+    "q_cusum",
 ]
 
 
