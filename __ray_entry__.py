@@ -7963,6 +7963,88 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 in its literal output shape (order-priority checking;
+    "shipped > 60 days after ordering" stands in for the absent
+    commit/receipt-date lateness — q_late_ship carries the same
+    EXISTS kernel at order grain): count 1996Q1 orders per priority
+    having at least one late line. Lineitem folds to a per-order max
+    ship date (coarse one-exchange combine), ONE hash join lifts the
+    order date/priority, and the EXISTS collapses to a vectorized
+    compare before a 5-row combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import grouped_agg_wide
+
+    li = rd.read_parquet(_t(sf_dir, "lineitem"),
+                         columns=["l_orderkey", "l_shipdate"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        us = b["l_shipdate"].to_numpy("datetime64[us]").astype(np.int64)
+        return (pd.DataFrame({"l_orderkey": b["l_orderkey"], "mx": us})
+                .groupby("l_orderkey", sort=False).max().reset_index())
+
+    mx = grouped_agg_wide(li.map_batches(pre, batch_format="pandas"),
+                          ["l_orderkey"], {"mx": ("max", "mx")})
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_orderkey", "o_orderdate",
+                                      "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda b: b.loc[(b["o_orderdate"] >= lo) & (b["o_orderdate"] < hi)],
+        batch_format="pandas")
+    j = mx.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        keep = b["mx"].to_numpy(np.int64) > od + 60 * 86_400_000_000
+        return (b.loc[keep, ["o_orderpriority"]]
+                .assign(order_count=np.int64(1)))
+
+    g = partial_grouped_agg(j.map_batches(late, batch_format="pandas"),
+                            ["o_orderpriority"],
+                            {"order_count": ("sum", "order_count")}
+                            ).to_pandas()
+    g["order_count"] = g["order_count"].astype("int64")
+    return (g.sort_values("o_orderpriority", kind="mergesort")
+            .reset_index(drop=True)[["o_orderpriority", "order_count"]])
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann–Kendall monotone-trend test on the daily value series (the
+    nonparametric sibling of q_theilsen): S = Σ sign(vⱼ − vᵢ) over
+    i<j — an EXACT integer from rounded day sums; the tie-corrected
+    variance and z are closed-form from integer counts. One day-grain
+    combine, calendar-bounded pair arithmetic (30 days ⇒ 435 pairs),
+    shared expression-for-expression with the self-join replay."""
+    import math
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    n = len(v)
+    i, j = np.triu_indices(n, k=1)
+    s = int(np.sign(v[j] - v[i]).sum())
+    # tie correction over groups of equal values
+    _, counts = np.unique(v, return_counts=True)
+    tie = int((counts * (counts - 1) * (2 * counts + 5)).sum())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = ((s - 1) / math.sqrt(var) if s > 0
+         else ((s + 1) / math.sqrt(var) if s < 0 else 0.0))
+    return pd.DataFrame({"n_days": [np.int64(n)], "s": [np.int64(s)],
+                         "z": [float(sql_round(z, 6))]})
+
+
 def q_zipf(sf_dir: str):
     """Zipf-law fit over the corpus token frequencies (log-log OLS of
     frequency on rank) — the vocabulary-health diagnostic every
@@ -8666,6 +8748,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anova_f": q_anova_f,
         "q_zipf": q_zipf,
         "q_cusum": q_cusum,
+        "q_tpch_q4": q_tpch_q4,
+        "q_mann_kendall": q_mann_kendall,
     }
 
 
@@ -12930,5 +13014,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, v, round(cusum_pos, 6) AS cusum_pos,
                    round(cusum_neg, 6) AS cusum_neg
             FROM r ORDER BY day
+        """,
+        "q_tpch_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate
+                                             + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q_mann_kendall": """
+            WITH d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            p AS (SELECT CASE WHEN b.v > a.v THEN 1
+                              WHEN b.v < a.v THEN -1 ELSE 0 END AS sg
+                  FROM d a JOIN d b ON b.day > a.day),
+            sstat AS (SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+                      FROM p),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+            ties AS (SELECT CAST(coalesce(
+                       sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+                       AS tie
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                           FROM d GROUP BY v)),
+            vv AS (SELECT (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+                            AS var_s
+                   FROM nn, ties)
+            SELECT nn.n AS n_days, sstat.s AS s,
+                   round(CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                              ELSE 0.0 END, 6) AS z
+            FROM sstat, nn, vv
         """,
     }

@@ -202,6 +202,8 @@ BENCH_QUERIES = [
     "q_anova_f",
     "q_zipf",
     "q_cusum",
+    "q_tpch_q4",
+    "q_mann_kendall",
 ]
 
 
