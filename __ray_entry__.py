@@ -7963,6 +7963,80 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_poisson_rate(sf_dir: str):
+    """Per-type daily event-rate with the normal-approximation 95% CI
+    (rate ± 1.96·√n/days) — the arrival-rate panel of a metrics
+    dashboard. Counts and the observed day span are exact integers;
+    the closed form is shared digit-for-digit with the replay."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n": np.int64(1), "dmin": day, "dmax": day})
+                .groupby("event_type", sort=False)
+                .agg(n=("n", "sum"), dmin=("dmin", "min"),
+                     dmax=("dmax", "max")).reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": ("sum", "n"), "dmin": ("min", "dmin"),
+                             "dmax": ("max", "dmax")}).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    days = (g["dmax"].to_numpy(np.int64)
+            - g["dmin"].to_numpy(np.int64) + 1).astype(np.float64)
+    rate = n / days
+    half = 1.96 * np.sqrt(n) / days
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n": g["n"].astype("int64"),
+        "days": (g["dmax"] - g["dmin"] + 1).astype("int64"),
+        "rate": sql_round(rate, 6),
+        "lo": sql_round(rate - half, 6),
+        "hi": sql_round(rate + half, 6)})
+
+
+def q_cohens_d(sf_dir: str):
+    """Cohen's d effect size between click and purchase values — the
+    practical-significance companion to the suite's Welch test. Two
+    (n, Σv, Σv²) moment rows, pooled-sd closed form at the replay's
+    cast points."""
+    import math
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+    ev = ev.map_batches(
+        lambda b: b[b["event_type"].isin(["click", "purchase"])],
+        batch_format="pandas")
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        v = b["value"].to_numpy(np.float64)
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n": np.int64(1), "s": v, "ss": v * v})
+                .groupby("event_type", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": ("sum", "n"), "s": ("sum", "s"),
+                             "ss": ("sum", "ss")}).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    n1, n2 = float(g["n"][0]), float(g["n"][1])
+    m1, m2 = float(g["s"][0]) / n1, float(g["s"][1]) / n2
+    v1 = (float(g["ss"][0]) - n1 * m1 * m1) / (n1 - 1)
+    v2 = (float(g["ss"][1]) - n2 * m2 * m2) / (n2 - 1)
+    sp = math.sqrt(((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2))
+    return pd.DataFrame({
+        "n_click": [np.int64(int(n1))], "n_purchase": [np.int64(int(n2))],
+        "mean_diff": [float(sql_round(m1 - m2, 6))],
+        "cohens_d": [float(sql_round((m1 - m2) / sp, 6))]})
+
+
 def q_tpch_q4(sf_dir: str):
     """TPC-H Q4 in its literal output shape (order-priority checking;
     "shipped > 60 days after ordering" stands in for the absent
@@ -8750,6 +8824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cusum": q_cusum,
         "q_tpch_q4": q_tpch_q4,
         "q_mann_kendall": q_mann_kendall,
+        "q_poisson_rate": q_poisson_rate,
+        "q_cohens_d": q_cohens_d,
     }
 
 
@@ -13052,5 +13128,50 @@ def oracle_sql() -> dict[str, str]:
                               WHEN s < 0 THEN (s + 1) / sqrt(var_s)
                               ELSE 0.0 END, 6) AS z
             FROM sstat, nn, vv
+        """,
+        "q_poisson_rate": """
+            WITH g AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(datediff('day', DATE '1970-01-01',
+                                   min(CAST(ts AS DATE))) AS BIGINT)
+                       AS dmin,
+                     CAST(datediff('day', DATE '1970-01-01',
+                                   max(CAST(ts AS DATE))) AS BIGINT)
+                       AS dmax
+              FROM events GROUP BY 1)
+            SELECT event_type, n, dmax - dmin + 1 AS days,
+                   round(n * 1.0 / (dmax - dmin + 1), 6) AS rate,
+                   round(n * 1.0 / (dmax - dmin + 1)
+                         - 1.96 * sqrt(n) / (dmax - dmin + 1), 6)
+                     AS lo,
+                   round(n * 1.0 / (dmax - dmin + 1)
+                         + 1.96 * sqrt(n) / (dmax - dmin + 1), 6)
+                     AS hi
+            FROM g ORDER BY event_type
+        """,
+        "q_cohens_d": """
+            WITH g AS (SELECT event_type,
+                              CAST(count(*) AS BIGINT) AS n,
+                              sum(value) AS s,
+                              sum(value * value) AS ss
+                       FROM events
+                       WHERE event_type IN ('click', 'purchase')
+                       GROUP BY 1),
+            c AS (SELECT n AS n1, s AS s1, ss AS ss1 FROM g
+                  WHERE event_type = 'click'),
+            p AS (SELECT n AS n2, s AS s2, ss AS ss2 FROM g
+                  WHERE event_type = 'purchase'),
+            f AS (SELECT n1, n2, s1 / n1 AS m1, s2 / n2 AS m2,
+                         (ss1 - n1 * (s1 / n1) * (s1 / n1)) / (n1 - 1)
+                           AS v1,
+                         (ss2 - n2 * (s2 / n2) * (s2 / n2)) / (n2 - 1)
+                           AS v2
+                  FROM c, p)
+            SELECT n1 AS n_click, n2 AS n_purchase,
+                   round(m1 - m2, 6) AS mean_diff,
+                   round((m1 - m2)
+                         / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                                / (n1 + n2 - 2)), 6) AS cohens_d
+            FROM f
         """,
     }

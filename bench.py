@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     "q_cusum",
     "q_tpch_q4",
     "q_mann_kendall",
+    "q_poisson_rate",
+    "q_cohens_d",
 ]
 
 
