@@ -7963,6 +7963,103 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_levene(sf_dir: str):
+    """Levene's test (mean-centered) for variance homogeneity across
+    event types — the assumption check run before q_anova_f. Pass 1:
+    per-type mean from moment partials; pass 2: per-type moments of
+    z = |v − mean| (means broadcast); the ANOVA-on-z closed form is
+    shared with the replay at the same cast points."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_type", "value"])
+
+    def mom(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n": np.int64(1),
+                              "s": b["value"].to_numpy(np.float64)})
+                .groupby("event_type", sort=False).sum().reset_index())
+
+    g1 = partial_grouped_agg(ev.map_batches(mom, batch_format="pandas"),
+                             ["event_type"],
+                             {"n": ("sum", "n"), "s": ("sum", "s")}
+                             ).to_pandas()
+    means = ray.put(dict(zip(g1["event_type"],
+                             g1["s"].to_numpy(np.float64)
+                             / g1["n"].to_numpy(np.float64))))
+
+    def zmom(b: pd.DataFrame) -> pd.DataFrame:
+        mu = b["event_type"].map(ray.get(means)).to_numpy(np.float64)
+        z = np.abs(b["value"].to_numpy(np.float64) - mu)
+        return (pd.DataFrame({"event_type": b["event_type"],
+                              "n": np.int64(1), "s": z, "ss": z * z})
+                .groupby("event_type", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(zmom, batch_format="pandas"),
+                            ["event_type"],
+                            {"n": ("sum", "n"), "s": ("sum", "s"),
+                             "ss": ("sum", "ss")}).to_pandas()
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    N, k = float(n.sum()), len(g)
+    grand = float(s.sum())
+    sb = float((s * s / n).sum()) - grand * grand / N
+    sw = float(ss.sum()) - float((s * s / n).sum())
+    w = (sb / (k - 1)) / (sw / (N - k))
+    return pd.DataFrame({"k": [np.int64(k)], "n": [np.int64(int(N))],
+                         "w_stat": [float(sql_round(w, 6))]})
+
+
+def q_bounce_rate(sf_dir: str):
+    """Per-event-type session bounce rate (share of 30-minute-gap
+    sessions containing exactly one event) — the engagement metric on
+    top of the sessionize kernel. One user-keyed exchange builds the
+    sessions vectorized (same lag/cumsum as q_sessionize); per-type
+    counts fold through a tiny combine; the rate is an exact integer
+    ratio rounded identically on both sides. Sessions are typed by
+    their FIRST event (ties by event_id)."""
+    from web_crawler_ray.stages.grouped import partitioned_apply
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def sess(p: pd.DataFrame) -> pd.DataFrame:
+        p = p.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        us = p["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = p["user_id"].to_numpy(np.int64)
+        new_u = np.diff(uid, prepend=uid[0] - 1) != 0
+        gap = np.concatenate(([np.iinfo(np.int64).max], np.diff(us)))
+        new_s = new_u | (gap > 30 * 60 * 1_000_000)
+        sid = np.cumsum(new_s)
+        d = pd.DataFrame({"sid": sid, "event_type": p["event_type"]})
+        sizes = d.groupby("sid", sort=False)["event_type"].size()
+        first = d.groupby("sid", sort=False)["event_type"].first()
+        out = pd.DataFrame({"event_type": first.to_numpy(),
+                            "n_sessions": np.int64(1),
+                            "bounces": (sizes.to_numpy() == 1)
+                            .astype(np.int64)})
+        return (out.groupby("event_type", sort=False).sum()
+                .reset_index())
+
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    parts = partitioned_apply(ev, ["user_id"], sess)
+    g = partial_grouped_agg(parts, ["event_type"],
+                            {"n_sessions": ("sum", "n_sessions"),
+                             "bounces": ("sum", "bounces")}).to_pandas()
+    g = g.sort_values("event_type").reset_index(drop=True)
+    return pd.DataFrame({
+        "event_type": g["event_type"],
+        "n_sessions": g["n_sessions"].astype("int64"),
+        "bounces": g["bounces"].astype("int64"),
+        "bounce_rate": sql_round(
+            g["bounces"].to_numpy(np.float64) * 1.0
+            / g["n_sessions"].to_numpy(np.float64), 6)})
+
+
 def q_poisson_rate(sf_dir: str):
     """Per-type daily event-rate with the normal-approximation 95% CI
     (rate ± 1.96·√n/days) — the arrival-rate panel of a metrics
@@ -8826,6 +8923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mann_kendall": q_mann_kendall,
         "q_poisson_rate": q_poisson_rate,
         "q_cohens_d": q_cohens_d,
+        "q_levene": q_levene,
+        "q_bounce_rate": q_bounce_rate,
     }
 
 
@@ -13173,5 +13272,55 @@ def oracle_sql() -> dict[str, str]:
                          / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
                                 / (n1 + n2 - 2)), 6) AS cohens_d
             FROM f
+        """,
+        "q_levene": """
+            WITH m AS (SELECT event_type, avg(value) AS mu
+                       FROM events GROUP BY 1),
+            z AS (SELECT e.event_type, abs(e.value - m.mu) AS z
+                  FROM events e JOIN m USING (event_type)),
+            g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                         sum(z) AS s, sum(z * z) AS ss
+                  FROM z GROUP BY 1),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+                         sum(n) AS nt, sum(s) AS grand,
+                         sum(s * s / n) AS sbp, sum(ss) AS sstot
+                  FROM g)
+            SELECT k, CAST(nt AS BIGINT) AS n,
+                   round(((sbp - grand * grand / nt) / (k - 1))
+                         / ((sstot - sbp) / (nt - k)), 6) AS w_stat
+            FROM a
+        """,
+        "q_bounce_rate": """
+            WITH s1 AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR ts - lag(ts) OVER w
+                               > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s2 AS (SELECT *,
+                          CAST(sum(new_sess) OVER
+                               (PARTITION BY user_id ORDER BY ts,
+                                event_id ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS sid
+                   FROM s1),
+            g AS (SELECT user_id, sid,
+                         count(*) OVER (PARTITION BY user_id, sid)
+                           AS sz,
+                         first_value(event_type) OVER
+                           (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS ft,
+                         row_number() OVER
+                           (PARTITION BY user_id, sid
+                            ORDER BY ts, event_id) AS rn
+                  FROM s2)
+            SELECT ft AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bounces,
+                   round(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS bounce_rate
+            FROM g WHERE rn = 1 GROUP BY 1 ORDER BY 1
         """,
     }

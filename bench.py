@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "q_mann_kendall",
     "q_poisson_rate",
     "q_cohens_d",
+    "q_levene",
+    "q_bounce_rate",
 ]
 
 
