@@ -7963,6 +7963,69 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_dau_wau(sf_dir: str):
+    """Weekly DAU/WAU stickiness (avg daily actives ÷ weekly actives,
+    ISO week) — the canonical engagement ratio. Two distinct folds at
+    (day, user) and (week, user) grain (coarse wide combines — both
+    cross the native cliff at real user counts), then calendar-sized
+    arithmetic; counts are exact integers, the ratio divides them
+    identically on both sides."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+    from web_crawler_ray.stages.grouped import grouped_agg_wide
+
+    ev = rd.read_parquet(_t(sf_dir, "events"),
+                         columns=["user_id", "ts"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        # ISO week key: days since the Monday of epoch week (1970-01-01
+        # was a Thursday → shift by 3), integer-divided by 7
+        week = (day + 3) // 7
+        return (pd.DataFrame({"user_id": b["user_id"], "day": day,
+                              "week": week, "n": np.int64(1)})
+                .drop_duplicates(["user_id", "day"]))
+
+    du = grouped_agg_wide(ev.map_batches(pre, batch_format="pandas"),
+                          ["user_id", "day", "week"], {"n": ("max", "n")})
+
+    def fold_day(b: pd.DataFrame) -> pd.DataFrame:
+        d = (b.groupby(["week", "day"], sort=False).size()
+             .rename("dau").reset_index())
+        return d
+
+    daily = partial_grouped_agg(
+        du.map_batches(fold_day, batch_format="pandas"),
+        ["week", "day"], {"dau": ("sum", "dau")}).to_pandas()
+
+    # a user-week spans batches (the day-grain fold hashes on day too),
+    # so weekly distinctness needs its OWN (user, week)-keyed exchange
+    uw = grouped_agg_wide(du.map_batches(
+        lambda b: b.drop_duplicates(["user_id", "week"]),
+        batch_format="pandas"), ["user_id", "week"], {"n": ("max", "n")})
+
+    def fold_week(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("week", sort=False).size()
+                .rename("wau").reset_index())
+
+    weekly = partial_grouped_agg(
+        uw.map_batches(fold_week, batch_format="pandas"),
+        ["week"], {"wau": ("sum", "wau")}).to_pandas()
+
+    d = (daily.groupby("week", sort=True)
+         .agg(n_days=("day", "size"), dau_sum=("dau", "sum"))
+         .reset_index())
+    out = d.merge(weekly, on="week")
+    avg_dau = (out["dau_sum"].to_numpy(np.float64)
+               / out["n_days"].to_numpy(np.float64))
+    return pd.DataFrame({
+        "week": out["week"].astype("int64"),
+        "n_days": out["n_days"].astype("int64"),
+        "wau": out["wau"].astype("int64"),
+        "avg_dau": sql_round(avg_dau, 6),
+        "stickiness": sql_round(
+            avg_dau / out["wau"].to_numpy(np.float64), 6)})
+
+
 def q_levene(sf_dir: str):
     """Levene's test (mean-centered) for variance homogeneity across
     event types — the assumption check run before q_anova_f. Pass 1:
@@ -8925,6 +8988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cohens_d": q_cohens_d,
         "q_levene": q_levene,
         "q_bounce_rate": q_bounce_rate,
+        "q_dau_wau": q_dau_wau,
     }
 
 
@@ -13322,5 +13386,30 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS bounce_rate
             FROM g WHERE rn = 1 GROUP BY 1 ORDER BY 1
+        """,
+        "q_dau_wau": """
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day
+              FROM events),
+            dw AS (SELECT user_id, day,
+                          CAST((day + 3) // 7 AS BIGINT) AS week
+                   FROM du),
+            daily AS (SELECT week, day,
+                             CAST(count(*) AS BIGINT) AS dau
+                      FROM dw GROUP BY 1, 2),
+            weekly AS (SELECT week,
+                              CAST(count(DISTINCT user_id) AS BIGINT)
+                                AS wau
+                       FROM dw GROUP BY 1),
+            d AS (SELECT week, CAST(count(*) AS BIGINT) AS n_days,
+                         sum(dau) AS dau_sum
+                  FROM daily GROUP BY 1)
+            SELECT d.week, d.n_days, weekly.wau,
+                   round(d.dau_sum * 1.0 / d.n_days, 6) AS avg_dau,
+                   round((d.dau_sum * 1.0 / d.n_days) / weekly.wau, 6)
+                     AS stickiness
+            FROM d JOIN weekly USING (week) ORDER BY week
         """,
     }

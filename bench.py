@@ -208,6 +208,7 @@ BENCH_QUERIES = [
     "q_cohens_d",
     "q_levene",
     "q_bounce_rate",
+    "q_dau_wau",
 ]
 
 
