@@ -7963,6 +7963,46 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_image_stats_oracle(sf_dir: str):
+    """Per-format image-corpus statistics over the deterministic
+    part-derived image table (the q_image_curate_oracle idiom: (w, h,
+    fmt) are pure integer functions of p_partkey, identical in both
+    engines): count, average megapixels, landscape share, total
+    pixels — the shape-audit report an image-curation pipeline prints
+    before training. Pixel sums are exact integers; one 3-row
+    combine."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ds = rd.read_parquet(_t(sf_dir, "part"), columns=["p_partkey"])
+    fmts = np.array(["jpeg", "png", "webp"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["p_partkey"].astype("int64").to_numpy()
+        w = 32 + (pk % 5) * 24
+        h = 32 + (pk % 7) * 16
+        return (pd.DataFrame({"fmt": fmts[pk % 3],
+                              "n": np.int64(1),
+                              "px": w * h,
+                              "landscape": (w > h).astype(np.int64)})
+                .groupby("fmt", sort=False).sum().reset_index())
+
+    g = partial_grouped_agg(ds.map_batches(pre, batch_format="pandas"),
+                            ["fmt"],
+                            {"n": ("sum", "n"), "px": ("sum", "px"),
+                             "landscape": ("sum", "landscape")}
+                            ).to_pandas()
+    g = g.sort_values("fmt").reset_index(drop=True)
+    n = g["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "fmt": g["fmt"],
+        "n": g["n"].astype("int64"),
+        "total_px": g["px"].astype("int64"),
+        "avg_mpx": sql_round(
+            g["px"].to_numpy(np.float64) / n / 1000000.0, 6),
+        "landscape_share": sql_round(
+            g["landscape"].to_numpy(np.float64) * 1.0 / n, 6)})
+
+
 def q_dau_wau(sf_dir: str):
     """Weekly DAU/WAU stickiness (avg daily actives ÷ weekly actives,
     ISO week) — the canonical engagement ratio. Two distinct folds at
@@ -8989,6 +9029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_levene": q_levene,
         "q_bounce_rate": q_bounce_rate,
         "q_dau_wau": q_dau_wau,
+        "q_image_stats_oracle": q_image_stats_oracle,
     }
 
 
@@ -13411,5 +13452,20 @@ def oracle_sql() -> dict[str, str]:
                    round((d.dau_sum * 1.0 / d.n_days) / weekly.wau, 6)
                      AS stickiness
             FROM d JOIN weekly USING (week) ORDER BY week
+        """,
+        "q_image_stats_oracle": """
+            WITH img AS (
+              SELECT CASE p_partkey % 3 WHEN 0 THEN 'jpeg'
+                          WHEN 1 THEN 'png' ELSE 'webp' END AS fmt,
+                     32 + (p_partkey % 5) * 24 AS w,
+                     32 + (p_partkey % 7) * 16 AS h
+              FROM part)
+            SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(w * h) AS BIGINT) AS total_px,
+                   round(sum(w * h) * 1.0 / count(*) / 1000000.0, 6)
+                     AS avg_mpx,
+                   round(sum(CASE WHEN w > h THEN 1 ELSE 0 END) * 1.0
+                         / count(*), 6) AS landscape_share
+            FROM img GROUP BY 1 ORDER BY 1
         """,
     }

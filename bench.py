@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "q_levene",
     "q_bounce_rate",
     "q_dau_wau",
+    "q_image_stats_oracle",
 ]
 
 
