@@ -7963,6 +7963,38 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_politeness_plan(sf_dir: str):
+    """Politeness-constrained crawl-time plan (the scheduling math
+    behind the frontier's priority queue): per host (user_id stands
+    in), the minimal wall time to drain its queue under the
+    reference's 2.0 s delay is (n−1)·delay — the makespan is the max;
+    report each host's fetch count, its minimal drain seconds, and
+    its share of the makespan. Counts fold through one tiny combine;
+    everything else is exact integer arithmetic shared with the
+    replay."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["user_id"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.assign(n=np.int64(1))
+                .groupby("user_id", sort=False)[["n"]].sum()
+                .reset_index())
+
+    g = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["user_id"], {"n": ("sum", "n")}).to_pandas()
+    g = g.sort_values("user_id").reset_index(drop=True)
+    n = g["n"].to_numpy(np.int64)
+    drain_ds = (n - 1) * 2  # whole seconds at delay=2.0 — exact ints
+    makespan = int(drain_ds.max())
+    return pd.DataFrame({
+        "host": g["user_id"].astype("int64"),
+        "n_fetches": g["n"].astype("int64"),
+        "drain_s": drain_ds.astype("int64"),
+        "makespan_share": sql_round(
+            drain_ds.astype(np.float64) * 1.0 / makespan, 6)})
+
+
 def q_image_stats_oracle(sf_dir: str):
     """Per-format image-corpus statistics over the deterministic
     part-derived image table (the q_image_curate_oracle idiom: (w, h,
@@ -9030,6 +9062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bounce_rate": q_bounce_rate,
         "q_dau_wau": q_dau_wau,
         "q_image_stats_oracle": q_image_stats_oracle,
+        "q_politeness_plan": q_politeness_plan,
     }
 
 
@@ -13467,5 +13500,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN w > h THEN 1 ELSE 0 END) * 1.0
                          / count(*), 6) AS landscape_share
             FROM img GROUP BY 1 ORDER BY 1
+        """,
+        "q_politeness_plan": """
+            WITH g AS (SELECT user_id AS host,
+                              CAST(count(*) AS BIGINT) AS n
+                       FROM events GROUP BY 1),
+            m AS (SELECT max((n - 1) * 2) AS makespan FROM g)
+            SELECT host, n AS n_fetches,
+                   (n - 1) * 2 AS drain_s,
+                   round((n - 1) * 2 * 1.0 / m.makespan, 6)
+                     AS makespan_share
+            FROM g, m ORDER BY host
         """,
     }

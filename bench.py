@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "q_bounce_rate",
     "q_dau_wau",
     "q_image_stats_oracle",
+    "q_politeness_plan",
 ]
 
 

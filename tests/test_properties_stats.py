@@ -120,3 +120,27 @@ def test_phrase_search_matches_regex_reference(ray_session, word_ids):
                if toks[i] == "alpha" and toks[i + 1] == "beta")
     got = int(out["n_occ"].iloc[0]) if len(out) else 0
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(
+    st.integers(min_value=1, max_value=10_499_999),      # price cents
+    st.integers(min_value=0, max_value=10)),             # discount %
+    min_size=1, max_size=200))
+def test_revenue_e4_exactness_properties(rows):
+    """revenue_e4 ground truth + order invariance: for any 2-decimal
+    price and discount, the e4 int equals the Decimal product exactly,
+    and sums are identical under every permutation (the float product
+    form is neither — that's the half-cent-flake class it closes)."""
+    from decimal import Decimal
+
+    from web_crawler_ray.functions.rounding import revenue_e4
+
+    price = np.array([c / 100.0 for c, _ in rows])
+    disc = np.array([d / 100.0 for _, d in rows])
+    e4 = revenue_e4(price, disc)
+    truth = [int(Decimal(c) * (100 - d)) for c, d in rows]
+    assert e4.tolist() == truth
+    rng = np.random.default_rng(len(rows))
+    perm = rng.permutation(len(e4))
+    assert int(e4.sum()) == int(e4[perm].sum()) == sum(truth)
