@@ -7963,6 +7963,75 @@ def q_cume_dist(sf_dir: str):
     return partitioned_apply(ev, ["event_type"], cd)
 
 
+def q_xmr_chart(sf_dir: str):
+    """XmR (individuals + moving-range) control chart over the daily
+    value series — classic SPC on a metrics stream. Day sums rounded
+    at 2 ⇒ both the mean and the mean moving range divide EXACT
+    integer cents (|Δ| of exact cents is exact), so the control
+    limits and out-of-control flags are deterministic. One day-grain
+    combine, calendar-bounded finish shared with the replay."""
+    from web_crawler_ray.stages.aggregate import partial_grouped_agg
+
+    ev = rd.read_parquet(_t(sf_dir, "events"), columns=["ts", "value"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        return (pd.DataFrame({"day": day, "v": b["value"]})
+                .groupby("day", sort=False).sum().reset_index())
+
+    d = partial_grouped_agg(ev.map_batches(pre, batch_format="pandas"),
+                            ["day"], {"v": ("sum", "v")}).to_pandas()
+    d = d.sort_values("day").reset_index(drop=True)
+    v = sql_round(d["v"], 2).to_numpy(np.float64)
+    cents = np.rint(v * 100.0).astype(np.int64)
+    n = len(v)
+    mean = (float(cents.sum()) / 100.0) / n
+    mr_cents = np.abs(np.diff(cents))
+    mr_bar = (float(mr_cents.sum()) / 100.0) / (n - 1)
+    ucl = mean + 2.66 * mr_bar
+    lcl = mean - 2.66 * mr_bar
+    mr = np.concatenate(([np.nan], mr_cents.astype(np.float64) / 100.0))
+    return pd.DataFrame({
+        "day": d["day"].astype("int64"),
+        "v": sql_round(d["v"], 2),
+        "mr": sql_round(mr, 2),
+        "ucl": sql_round(np.full(n, ucl), 6),
+        "lcl": sql_round(np.full(n, lcl), 6),
+        "out_of_control": ((v > ucl) | (v < lcl)).astype("int64")})
+
+
+def q_pareto_ratio(sf_dir: str):
+    """Pareto 80/20 audit: the revenue share of the top-20% customers
+    (by lifetime order value). Customer sums are EXACT integer cents
+    (order totals are 2-decimal), the top-⌈0.2n⌉ cut is a
+    deterministic (revenue DESC, custkey) order, and the share
+    divides exact ints — no float enters until the final ratio. One
+    customer-grain wide combine; the cut runs on the key-sized
+    table."""
+    from web_crawler_ray.functions.rounding import money_cents
+    from web_crawler_ray.stages.grouped import grouped_sum_wide
+
+    orders = rd.read_parquet(_t(sf_dir, "orders"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    def pre(b: pd.DataFrame) -> pd.DataFrame:
+        return (pd.DataFrame({"o_custkey": b["o_custkey"],
+                              "cents": money_cents(b["o_totalprice"])})
+                .groupby("o_custkey", sort=False).sum().reset_index())
+
+    g = grouped_sum_wide(orders.map_batches(pre, batch_format="pandas"),
+                         ["o_custkey"], ["cents"]).to_pandas()
+    g = g.sort_values(["cents", "o_custkey"], ascending=[False, True],
+                      kind="mergesort").reset_index(drop=True)
+    n = len(g)
+    k = -(-n // 5)  # ceil(0.2 n)
+    top = int(g["cents"].head(k).sum())
+    tot = int(g["cents"].sum())
+    return pd.DataFrame({
+        "n_customers": [np.int64(n)], "top_k": [np.int64(k)],
+        "top_share": [float(sql_round(top * 1.0 / tot, 6))]})
+
+
 def q_politeness_plan(sf_dir: str):
     """Politeness-constrained crawl-time plan (the scheduling math
     behind the frontier's priority queue): per host (user_id stands
@@ -9063,6 +9132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dau_wau": q_dau_wau,
         "q_image_stats_oracle": q_image_stats_oracle,
         "q_politeness_plan": q_politeness_plan,
+        "q_xmr_chart": q_xmr_chart,
+        "q_pareto_ratio": q_pareto_ratio,
     }
 
 
@@ -13511,5 +13582,49 @@ def oracle_sql() -> dict[str, str]:
                    round((n - 1) * 2 * 1.0 / m.makespan, 6)
                      AS makespan_share
             FROM g, m ORDER BY host
+        """,
+        "q_xmr_chart": """
+            WITH d AS (
+              SELECT CAST(datediff('day', DATE '1970-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day,
+                     round(sum(value), 2) AS v
+              FROM events GROUP BY 1),
+            c AS (SELECT day, v,
+                         CAST(round(v * 100) AS BIGINT) AS cents,
+                         lag(CAST(round(v * 100) AS BIGINT))
+                           OVER (ORDER BY day) AS pc
+                  FROM d),
+            s AS (SELECT (sum(cents) / 100.0) / count(*) AS mean,
+                         (sum(abs(cents - pc)) / 100.0)
+                           / (count(*) - 1) AS mrbar
+                  FROM c)
+            SELECT day, v,
+                   round(abs(cents - pc) / 100.0, 2) AS mr,
+                   round(s.mean + 2.66 * s.mrbar, 6) AS ucl,
+                   round(s.mean - 2.66 * s.mrbar, 6) AS lcl,
+                   CAST(CASE WHEN v > s.mean + 2.66 * s.mrbar
+                               OR v < s.mean - 2.66 * s.mrbar
+                             THEN 1 ELSE 0 END AS BIGINT)
+                     AS out_of_control
+            FROM c, s ORDER BY day
+        """,
+        "q_pareto_ratio": """
+            WITH g AS (SELECT o_custkey,
+                              sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders GROUP BY 1),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents DESC,
+                                            o_custkey) AS rn
+                  FROM g),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                          CAST((count(*) + 4) // 5 AS BIGINT) AS k
+                   FROM g),
+            t AS (SELECT sum(cents) AS tot FROM g),
+            tp AS (SELECT sum(cents) AS topc FROM r, nn
+                   WHERE rn <= nn.k)
+            SELECT nn.n AS n_customers, nn.k AS top_k,
+                   round(tp.topc * 1.0 / t.tot, 6) AS top_share
+            FROM nn, t, tp
         """,
     }

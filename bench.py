@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "q_dau_wau",
     "q_image_stats_oracle",
     "q_politeness_plan",
+    "q_xmr_chart",
+    "q_pareto_ratio",
 ]
 
 
