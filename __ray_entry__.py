@@ -13627,4 +13627,27 @@ def oracle_sql() -> dict[str, str]:
                    round(tp.topc * 1.0 / t.tot, 6) AS top_share
             FROM nn, t, tp
         """,
+        "q_hopping_window": """
+            WITH e AS (SELECT epoch_us(ts) AS us, value FROM events),
+            f AS (SELECT unnest([(us // 21600000000 - k)
+                                 * 21600000000
+                                 FOR k IN [0, 1, 2, 3]]) AS w_start,
+                         value
+                  FROM e)
+            SELECT w_start, CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS value_sum
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
+        "q_window_distinct": """
+            WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events),
+            f AS (SELECT unnest([(us // 21600000000 - k)
+                                 * 21600000000
+                                 FOR k IN [0, 1, 2, 3]]) AS w_start,
+                         user_id
+                  FROM e)
+            SELECT w_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                     AS n_distinct
+            FROM f GROUP BY 1 ORDER BY 1
+        """,
     }
